@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "ocr_docs_per_sec": ...}
+
+`python bench.py --scaling` additionally runs the OCR pipeline at
+local[8] and local[32] on the SAME input and reports throughput at both
+plus scaling efficiency (the BASELINE north-rule N vs 4N proxy); results
+land in BENCH/BASELINE.md via `python bench.py --scaling --write-md`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+OCR_BENCH_DOCS = int(os.environ.get("PMOCR_BENCH_DOCS", "3000"))
+HEADLINE = [
+    "q01_lineitem_agg",
+    "q08_region_revenue",
+    "q09_window_topk",
+    "q11_sessionize",
+    "q16_dedup_exact",
+    "q17_ngram_jaccard",
+    "q18_minhash_lsh",
+    "q19_simhash",
+    "q21_ann_bruteforce",
+    "q22_ann_ivf",
+    "q24_quality_score",
+    "q26_fingerprint",
+    "q27_media_roundtrip",
+    "q29_hourly_rollup",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan without paying a collect/sink: noop write."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def _make_spark(cpus: int):
+    from pmocr_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"pmocr_bench_{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _prep_ocr_corpus(tmp: str, n_docs: int) -> None:
+    from pmocr_spark import corpus
+
+    corpus.write(tmp, n_docs=n_docs, seed=42)
+
+
+def _bench_ocr(spark, corpus_dir: str, n_docs: int) -> dict:
+    from pmocr_spark import pipeline
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    blobs = spark.read.parquet(f"{corpus_dir}/media_blobs.parquet")
+    t0 = time.time()
+    out = pipeline.run_batch(spark, docs, blobs)
+    _force(out)
+    dt = time.time() - t0
+    return {"sec": round(dt, 3), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 2)}
+
+
+def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from pmocr_spark.queries import QUERY_FNS
+
+    times = {}
+    for name in HEADLINE:
+        if name not in QUERY_FNS:
+            continue
+        t0 = time.time()
+        _force(QUERY_FNS[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scaling = "--scaling" in sys.argv
+    write_md = "--write-md" in sys.argv
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    with tempfile.TemporaryDirectory(prefix="pmocr_bench_") as tmp:
+        _prep_ocr_corpus(tmp, OCR_BENCH_DOCS)
+
+        result: dict = {"metric": "headline_suite_sec", "unit": "sec", "sf": sf}
+        scaling_rows = []
+
+        if scaling:
+            for c in (8, 32):
+                spark = _make_spark(c)
+                warm = _bench_ocr(spark, tmp, OCR_BENCH_DOCS)  # warm python workers
+                run = _bench_ocr(spark, tmp, OCR_BENCH_DOCS)
+                scaling_rows.append({"cpus": c, **run, "warmup_sec": warm["sec"]})
+                spark.stop()
+            t8 = next(r for r in scaling_rows if r["cpus"] == 8)
+            t32 = next(r for r in scaling_rows if r["cpus"] == 32)
+            eff = (t32["docs_per_sec"] / t8["docs_per_sec"]) / 4.0
+            result["scaling"] = {
+                "rows": scaling_rows,
+                "efficiency_8_to_32": round(eff, 3),
+            }
+
+        spark = _make_spark(cpus)
+        ocr = _bench_ocr(spark, tmp, OCR_BENCH_DOCS)
+        qtimes = _bench_queries(spark, sf_dir)
+        spark.stop()
+
+        result["queries"] = {"ocr_pipeline": ocr["sec"], **qtimes}
+        result["value"] = round(sum(result["queries"].values()), 3)
+        result["ocr_docs_per_sec"] = ocr["docs_per_sec"]
+
+    if write_md and scaling:
+        _write_md(result)
+    print(json.dumps(result))
+
+
+def _write_md(result: dict) -> None:
+    rows = result["scaling"]["rows"]
+    eff = result["scaling"]["efficiency_8_to_32"]
+    lines = [
+        "# BENCH/BASELINE.md — scaling evidence (north rule)",
+        "",
+        "Same job (full OCR-extraction batch pipeline), same input "
+        f"({rows[0]['docs']} synthetic interleaved docs, seed 42), two",
+        "parallelism levels — the sandbox proxy for N vs 4N executors",
+        "(BASELINE.json north_rule; real cluster unavailable here).",
+        "",
+        "| parallelism | wall sec | docs/sec |",
+        "|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(f"| local[{r['cpus']}] | {r['sec']} | {r['docs_per_sec']} |")
+    lines += [
+        "",
+        f"**Scaling efficiency (8 -> 32 cores): {eff}** "
+        f"(criterion: >= 0.8; throughput_32 / (4 x throughput_8))",
+        "",
+        f"Headline suite at sf{result['sf']}: {json.dumps(result['queries'])}",
+    ]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Deterministic synthetic media codecs (pure python/numpy, no Spark).
+
+The reference (pmOCR) hands media bytes to external engines — ImageMagick
+rasterization (/root/reference/pmocr.sh:1889-1904), preprocessing
+(pmocr.sh:1906-1921) and tesseract/abbyy recognition (pmocr.sh:1923-1963).
+Real OCR engines are non-deterministic and unavailable at 10^12-doc scale,
+so — exactly like pmOCR's pluggable ``OCR_ENGINE`` switch
+(pmocr.sh:1825-1852) — the engine here is a deterministic synthetic codec:
+``encode_*`` renders known text into noisy grayscale "images" packed into
+PDF/TIFF/PNG-like containers, and the decode stages invert it through the
+same four phases the BASELINE north star names:
+
+  rasterize (M1, container -> page images)
+  -> binarize + trim borders (M2, pmOCR's ImageMagick preprocessor analog)
+  -> line-segment (M3a)
+  -> recognize (M3b, glyph columns -> characters)
+
+Every byte is derived from a seeded PRNG keyed on the payload text, so
+encode/decode round-trips are exactly reproducible on any executor.
+
+Glyph scheme: each character is one image column of ``GLYPH_H`` pixels;
+bit *j* of its 7-bit ASCII code set -> pixel *j* is "ink" (>= INK_MIN),
+else "paper" noise (< BINARIZE_THRESHOLD). Code 0 columns are padding.
+Lines are GLYPH_H-row bands separated by one blank row; a 2-pixel noise
+border surrounds the glyph area (removed by the trim stage).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+# ---------------------------------------------------------------- constants
+
+IMG_MAGIC = b"PMIMG1"
+PDF_MAGIC = b"PMPDF1"
+
+GLYPH_H = 8                 # pixel rows per text line (7 ascii bits + parity)
+ANCHOR_CODE = 0x7F          # all-ink calibration column at the start of each line
+BORDER = 2                  # noise border removed by the trim stage
+BINARIZE_THRESHOLD = 128
+INK_MIN = 160               # ink pixels are in [INK_MIN, 255]
+PAPER_MAX = 100             # paper pixels are in [0, PAPER_MAX]
+
+# pmOCR's input allow-list: default.conf:14 `pdf|tif|tiff|png|jpg|jpeg|bmp|pcx|dcx`
+MEDIA_KINDS = ("pdf", "tif", "tiff", "png", "jpg", "jpeg", "bmp", "pcx", "dcx")
+IMAGE_KINDS = tuple(k for k in MEDIA_KINDS if k != "pdf")
+
+
+class CodecError(ValueError):
+    """Raised when a blob cannot be decoded (poison pill path, pmocr.sh:1986-2011)."""
+
+
+def _rng_for(text: str, salt: str) -> np.random.Generator:
+    seed = zlib.crc32((salt + "\x00" + text).encode("utf-8"))
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------- encoding
+
+
+def render_page(text: str, salt: str = "") -> np.ndarray:
+    """Render text into a noisy grayscale uint8 image (one page).
+
+    Lines of the text become GLYPH_H-row bands; each char one column.
+    """
+    lines = text.split("\n")
+    width = max((len(ln) for ln in lines), default=0) + 1  # +1 anchor column
+    h = len(lines) * (GLYPH_H + 1) - 1 if lines else 1
+    h = max(h, 1)
+    rng = _rng_for(text, "page" + salt)
+    # paper noise everywhere
+    img = rng.integers(0, PAPER_MAX + 1, size=(h + 2 * BORDER, width + 2 * BORDER), dtype=np.uint8)
+    for li, line in enumerate(lines):
+        top = BORDER + li * (GLYPH_H + 1)
+        # anchor column: all-ink (code 0x7F) so trim always lands exactly on
+        # the glyph-area bounding box regardless of glyph bit patterns
+        img[top : top + GLYPH_H, BORDER] = INK_MIN + (li * 29) % (256 - INK_MIN)
+        for ci, ch in enumerate(line):
+            code = ord(ch) & 0x7F
+            if code == 0 or code == ANCHOR_CODE:
+                continue
+            col = BORDER + 1 + ci
+            for bit in range(7):
+                if code >> bit & 1:
+                    img[top + bit, col] = INK_MIN + ((code * 37 + bit * 11 + ci) % (256 - INK_MIN))
+            # parity bit row (even parity over the 7 code bits)
+            if bin(code).count("1") % 2 == 1:
+                img[top + 7, col] = INK_MIN + ((code * 53 + ci) % (256 - INK_MIN))
+    return img
+
+
+def _pack_image(img: np.ndarray, kind: str) -> bytes:
+    h, w = img.shape
+    kind_b = kind.encode("ascii")[:4].ljust(4, b"\x00")
+    return IMG_MAGIC + kind_b + struct.pack("<II", h, w) + img.tobytes()
+
+
+def encode_image(text: str, kind: str = "tiff", salt: str = "") -> bytes:
+    """Encode text as a single-page image blob (tif/tiff/png/jpg/...)."""
+    if kind not in IMAGE_KINDS:
+        raise ValueError(f"not an image kind: {kind}")
+    return _pack_image(render_page(text, salt), kind)
+
+
+def encode_pdf(page_texts: list[str], salt: str = "") -> bytes:
+    """Encode a multi-page image-only PDF blob (one image per page)."""
+    out = [PDF_MAGIC, struct.pack("<I", len(page_texts))]
+    for i, t in enumerate(page_texts):
+        payload = _pack_image(render_page(t, f"{salt}#p{i}"), "tiff")
+        out.append(struct.pack("<I", len(payload)))
+        out.append(payload)
+    return b"".join(out)
+
+
+def encode_corrupt(seed_text: str) -> bytes:
+    """A poison-pill blob: wrong magic, undecodable (fixture archetype A6)."""
+    rng = _rng_for(seed_text, "corrupt")
+    return b"XXBAD!" + rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------- decode stages
+
+
+def rasterize(blob: bytes) -> list[np.ndarray]:
+    """M1 — container bytes -> list of grayscale page images.
+
+    pmOCR analog: `convert -density $RESOLUTION in.pdf tmp.tif`
+    (pmocr.sh:1889-1904); images pass through unchanged.
+    """
+    if blob[:6] == IMG_MAGIC:
+        (h, w) = struct.unpack("<II", blob[10:18])
+        arr = np.frombuffer(blob[18 : 18 + h * w], dtype=np.uint8)
+        if arr.size != h * w:
+            raise CodecError("truncated image payload")
+        return [arr.reshape(h, w)]
+    if blob[:6] == PDF_MAGIC:
+        (npages,) = struct.unpack("<I", blob[6:10])
+        pages = []
+        off = 10
+        for _ in range(npages):
+            if off + 4 > len(blob):
+                raise CodecError("truncated pdf page table")
+            (plen,) = struct.unpack("<I", blob[off : off + 4])
+            off += 4
+            page = blob[off : off + plen]
+            off += plen
+            pages.extend(rasterize(page))
+        return pages
+    raise CodecError(f"bad magic: {blob[:6]!r}")
+
+
+def binarize_trim(img: np.ndarray) -> np.ndarray:
+    """M2 — threshold to ink/paper and trim blank borders.
+
+    pmOCR analog: ImageMagick border/trim/deskew preprocessing
+    (pmocr.sh:1906-1921, default.conf:96-99).
+    """
+    binary = img >= BINARIZE_THRESHOLD
+    rows = np.flatnonzero(binary.any(axis=1))
+    cols = np.flatnonzero(binary.any(axis=0))
+    if rows.size == 0 or cols.size == 0:
+        return np.zeros((0, 0), dtype=bool)
+    return binary[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1]
+
+
+def segment_lines(binary: np.ndarray) -> list[np.ndarray]:
+    """M3a — split a trimmed binary page into GLYPH_H-row line bands."""
+    if binary.size == 0:
+        return []
+    bands = []
+    top = 0
+    while top < binary.shape[0]:
+        band = binary[top : top + GLYPH_H]
+        if band.shape[0] < GLYPH_H:
+            pad = np.zeros((GLYPH_H - band.shape[0], binary.shape[1]), dtype=bool)
+            band = np.vstack([band, pad])
+        bands.append(band)
+        top += GLYPH_H + 1  # skip separator row
+    return bands
+
+
+def recognize_line(band: np.ndarray) -> str:
+    """M3b — decode one GLYPH_H-row band back to characters (vectorized)."""
+    if band.size == 0:
+        return ""
+    bits = band[:7, :].astype(np.uint8)
+    codes = (bits * (1 << np.arange(7, dtype=np.uint8))[:, None]).sum(axis=0)
+    parity = bits.sum(axis=0) % 2
+    parity_row = band[7, :].astype(np.uint8) if band.shape[0] > 7 else np.zeros_like(codes)
+    real = (codes > 0) & (codes != ANCHOR_CODE)  # skip padding + anchor columns
+    if not np.array_equal(parity[real], parity_row[real]):
+        raise CodecError("parity check failed")
+    return "".join(chr(int(c)) for c in codes[real])
+
+
+def decode_blob(blob: bytes) -> str:
+    """Full per-blob OCR chain M1->M2->M3; page texts joined by newline."""
+    pages = rasterize(bytes(blob))
+    page_texts = []
+    for img in pages:
+        binary = binarize_trim(img)
+        lines = [recognize_line(b) for b in segment_lines(binary)]
+        page_texts.append("\n".join(lines))
+    return "\n".join(page_texts)
+
+
+# ---------------------------------------------------------------- text ops
+
+
+def normalize_text(text: str) -> str:
+    """Text-span passthrough normalization (searchable-PDF analog).
+
+    pmOCR passes already-text documents through untouched
+    (pmocr.sh:2162-2165); we additionally canonicalize line endings and
+    strip trailing whitespace so outputs are platform-stable. Interior
+    space runs are preserved (the CSV hack needs them).
+    """
+    t = text.replace("\r\n", "\n").replace("\r", "\n")
+    t = "\n".join(ln.rstrip(" \t") for ln in t.split("\n"))
+    return t.rstrip("\n")
+
+
+def csv_hack(text: str) -> str:
+    """pmOCR's CSV rewrite: runs of >=2 spaces -> ';'.
+
+    NB the reference's sed regex `s/   */;/g` (pmocr.sh:2017/2031)
+    matches 2+ spaces despite the comment claiming 4+ (SURVEY.md §7.4.5).
+    """
+    import re
+
+    return re.sub("  +", ";", text)
+
+
+# ---------------------------------------------------------------- dataclass
+
+
+@dataclass(frozen=True)
+class DecodedSpan:
+    order: int
+    kind: str            # always 'text' post-OCR
+    text: str
+    media_ref: str | None  # provenance for OCRed spans, None for passthrough

@@ -1,0 +1,181 @@
+"""Deterministic synthetic corpus generator (fixture archetypes A1-A6).
+
+Produces the graft input tables (FIXTURES.md §1):
+
+  documents(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)
+  media_blobs(media_ref: string, kind: string, content: binary)
+
+mirroring the reference's test corpus (/root/reference/dev/tests/source/:
+lorem tif, png, image-PDF, searchable-PDF — run_tests.sh:31-34), plus the
+skew (A5) and poison-pill (A6) archetypes the BASELINE north rule demands.
+All randomness is seeded; no wall clock anywhere (SURVEY.md §7.4.3).
+Written as parquet via pyarrow so generation needs no Spark session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import codecs
+
+WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam "
+    "quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo "
+    "consequat duis aute irure in reprehenderit voluptate velit esse cillum "
+    "fugiat nulla pariatur excepteur sint occaecat cupidatat non proident"
+).split()
+
+SPAN_SCHEMA = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+DOCUMENTS_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_SCHEMA))])
+BLOBS_SCHEMA = pa.schema(
+    [("media_ref", pa.string()), ("kind", pa.string()), ("content", pa.binary())]
+)
+
+# archetype cycle: A1 tif, A2 png, A3 image-pdf, A4 interleaved, A6 poison
+# (A5 heavy docs injected every `heavy_every` docs)
+_IMG_KINDS_CYCLE = ("tif", "tiff", "png", "jpg", "jpeg", "bmp", "pcx", "dcx")
+
+
+def _lorem(rng: np.random.Generator, n_words: int, wide_spaces: bool) -> str:
+    """Seeded lorem text; some runs of >=2 spaces to exercise the CSV hack."""
+    words = [WORDS[i] for i in rng.integers(0, len(WORDS), size=n_words)]
+    parts = []
+    for i, w in enumerate(words):
+        if i:
+            if wide_spaces and rng.random() < 0.15:
+                parts.append(" " * int(rng.integers(2, 5)))
+            else:
+                parts.append(" ")
+        parts.append(w)
+        if i and i % 8 == 0 and i < n_words - 1:
+            parts.append("\n")
+            parts.append("")  # next word starts the line
+    text = "".join(parts).replace("\n ", "\n")
+    # media glyph text must not have blank first/last lines (codec layout)
+    return text.strip("\n")
+
+
+def generate(
+    n_docs: int = 200,
+    seed: int = 42,
+    heavy_every: int = 97,
+    heavy_spans: int = 120,
+    poison_every: int = 53,
+) -> tuple[pa.Table, pa.Table]:
+    """Build (documents, media_blobs) arrow tables, fully deterministic."""
+    rng = np.random.default_rng(seed)
+    docs = []
+    blobs = []
+
+    def add_blob(doc_id: str, idx: int, kind: str, text: str, corrupt: bool = False) -> str:
+        ref = f"blob:{doc_id}:{idx}"
+        if corrupt:
+            content = codecs.encode_corrupt(ref)
+        elif kind == "pdf":
+            # multi-page: split text into 1-3 pages
+            lines = text.split("\n")
+            n_pages = min(len(lines), int(rng.integers(1, 4)))
+            chunks = np.array_split(np.array(lines, dtype=object), n_pages)
+            content = codecs.encode_pdf(["\n".join(c) for c in chunks], salt=ref)
+        else:
+            content = codecs.encode_image(text, kind, salt=ref)
+        blobs.append({"media_ref": ref, "kind": kind, "content": content})
+        return ref
+
+    for d in range(n_docs):
+        doc_id = f"doc-{d:07d}"
+        spans = []
+        is_heavy = heavy_every and d > 0 and d % heavy_every == 0  # A5
+        is_poison = poison_every and d > 0 and d % poison_every == 0 and not is_heavy  # A6
+        archetype = d % 4
+
+        if is_heavy:
+            n_spans = heavy_spans
+        else:
+            n_spans = int(rng.integers(1, 7))
+
+        for s in range(n_spans):
+            text = _lorem(rng, int(rng.integers(6, 30)), wide_spaces=True)
+            if archetype == 3 and s % 2 == 0:
+                # A4 interleaved: alternating text spans (searchable-PDF analog)
+                spans.append({"kind": "text", "text": text, "media_ref": None, "offset": s})
+            else:
+                kind = (
+                    "pdf"
+                    if archetype == 2
+                    else _IMG_KINDS_CYCLE[(d + s) % len(_IMG_KINDS_CYCLE)]
+                )
+                corrupt = is_poison and s == n_spans - 1
+                ref = add_blob(doc_id, s, kind, text, corrupt=corrupt)
+                spans.append({"kind": kind, "text": None, "media_ref": ref, "offset": s})
+
+        # shuffle span order in storage — output order must come from `offset`,
+        # never from array/partition order (SURVEY.md §7.4.1)
+        perm = rng.permutation(len(spans))
+        docs.append({"doc_id": doc_id, "spans": [spans[i] for i in perm]})
+
+    documents = pa.Table.from_pylist(docs, schema=DOCUMENTS_SCHEMA)
+    media_blobs = pa.Table.from_pylist(blobs, schema=BLOBS_SCHEMA)
+    return documents, media_blobs
+
+
+def write(out_dir: str, n_docs: int = 200, seed: int = 42, **kw) -> None:
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    documents, media_blobs = generate(n_docs=n_docs, seed=seed, **kw)
+    pq.write_table(documents, f"{out_dir}/documents.parquet")
+    pq.write_table(media_blobs, f"{out_dir}/media_blobs.parquet")
+
+
+# ------------------------------------------------- reference converter
+
+def reference_convert(documents: pa.Table, media_blobs: pa.Table) -> dict:
+    """Single-threaded pure-python oracle (FIXTURES.md §2).
+
+    Returns {doc_id: {"status": 'done'|'failed', "error": str|None,
+                      "spans": [(order, kind, text, media_ref)],
+                      "txt": str, "csv": str}}
+    The Spark pipeline must match this exactly under
+    (kind, text, media_ref, order) — the BASELINE equality invariant.
+    """
+    blob_by_ref = {
+        r["media_ref"]: r["content"] for r in media_blobs.to_pylist()
+    }
+    out = {}
+    for row in documents.to_pylist():
+        doc_id = row["doc_id"]
+        spans = sorted(row["spans"], key=lambda s: s["offset"])
+        result_spans = []
+        error = None
+        for order, s in enumerate(spans):
+            if s["kind"] == "text":
+                result_spans.append((order, "text", codecs.normalize_text(s["text"]), None))
+            else:
+                try:
+                    text = codecs.decode_blob(blob_by_ref[s["media_ref"]])
+                except codecs.CodecError as e:
+                    error = f"{type(e).__name__}: {e}"
+                    result_spans.append((order, "error", None, s["media_ref"]))
+                    continue
+                result_spans.append((order, "text", text, s["media_ref"]))
+        status = "failed" if error else "done"
+        txt = "\n".join(t for (_, k, t, _) in result_spans if k == "text")
+        out[doc_id] = {
+            "status": status,
+            "error": error,
+            "spans": result_spans,
+            "txt": txt,
+            "csv": codecs.csv_hack(txt),
+        }
+    return out

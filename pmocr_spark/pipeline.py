@@ -1,0 +1,179 @@
+"""Batch OCR-extraction plan (the engine core).
+
+pmOCR's batch mode (`--batch`, /root/reference/pmocr.sh:2546-2593 ->
+OCR_Dispatch:2111 -> ExecTasks:795 -> OCR():1854) re-expressed as one
+declarative DataFrame plan:
+
+  read documents
+    -> anti-join checkpoint (F2 already-processed exclusion, pmocr.sh:2126-2144)
+    -> explode(spans) (span granularity dissolves media-heavy-doc skew)
+    -> kind allow-list filter (F1, default.conf:14) — cheap, BEFORE any UDF
+    -> route: text spans (F5 searchable-text bypass, pmocr.sh:2162-2165)
+              | media spans -> join media_blobs -> salted repartition
+                            -> fused pandas-UDF OCR (M1-M3)
+    -> union -> groupBy(doc_id) ordered reassembly by offset
+    -> per-target projections txt / csv (X1) / pdf  (Q1 fan-out, one OCR pass)
+    -> results + checkpoint/lineage rows (S4-S6)
+
+Catalyst gives predicate pushdown / column pruning / AQE for free; the
+only hand-enforced plan shapes are (a) cheap filters upstream of the
+pandas UDF, (b) the salted span-level repartition, (c) error-as-data
+structs (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codecs import MEDIA_KINDS
+from .udfs import ocr_extract
+
+#: Spark-side mirror of codecs.normalize_text (JVM regex, no UDF).
+def normalize_text_col(col):
+    """Text-span passthrough normalization, JVM-side (pmocr.sh:2162-2165).
+
+    Must match codecs.normalize_text exactly (property-tested in
+    tests/test_codecs.py): CRLF/CR -> LF, strip trailing [ \\t] per line,
+    strip trailing newlines.
+    """
+    t = F.regexp_replace(col, "\r\n|\r", "\n")
+    t = F.regexp_replace(t, "[ \t]+\n", "\n")
+    t = F.regexp_replace(t, "[ \t]+$", "")
+    return F.regexp_replace(t, "\n+$", "")
+
+
+def csv_hack_col(col):
+    """X1 CSV rewrite: runs of >=2 spaces -> ';' (pmocr.sh:2017/2031 —
+    the sed regex `s/   */;/g` matches 2+ spaces, not the comment's 4+)."""
+    return F.regexp_replace(col, "  +", ";")
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, *key_cols: str) -> DataFrame:
+    """Uniform repartition on a salted hash of the key columns.
+
+    At 10^12-doc scale a media-heavy document (archetype A5) would pin
+    one task if partitioning were by doc_id; hashing the span-level key
+    (doc_id, offset) spreads its spans across all partitions
+    (BASELINE.json north_rule; SURVEY.md §7.4.4).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_partitions))
+    return df.repartition(num_partitions, salt)
+
+
+def resume_filter(documents: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
+    """F2: exclude docs already done or quarantined (anti-join resume).
+
+    pmOCR analog: `find ! -name "*_OCR.*" ! -name "*_OCR_ERR.*"`
+    (pmocr.sh:2126-2144, 2183). Failed docs are poison pills — never
+    retried in a loop (pmocr.sh:2002-2010, CHANGELOG.md:106).
+    """
+    if checkpoint is None:
+        return documents
+    seen = checkpoint.select("doc_id").distinct()
+    return documents.join(seen, "doc_id", "left_anti")
+
+
+def extract_spans(
+    documents: DataFrame,
+    media_blobs: DataFrame,
+    checkpoint: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Core extraction: per-span OCR/passthrough, NOT yet reassembled.
+
+    Returns span-level frame (doc_id, offset, kind, text, media_ref, error):
+    kind='text' rows with error IS NULL are successful extractions.
+    """
+    spark = documents.sparkSession
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    pending = resume_filter(documents, checkpoint)
+
+    spans = pending.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    # F1 allow-list (case-insensitive, default.conf:14) — pushed upstream of
+    # the blob join and the UDF so disallowed kinds never cost a decode.
+    allowed = list(MEDIA_KINDS) + ["text"]
+    spans = spans.filter(F.lower("kind").isin(allowed))
+
+    # F5 route: text spans bypass OCR entirely (cheap JVM normalization)
+    text_spans = spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "offset",
+        F.lit("text").alias("kind"),
+        normalize_text_col(F.col("text")).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+    # media route: join blobs (shuffle or broadcast — AQE decides), then
+    # salted span-level repartition so heavy docs spread across executors
+    media_spans = spans.filter(F.col("kind") != "text").select("doc_id", "offset", "kind", "media_ref")
+    with_blobs = media_spans.join(media_blobs.select("media_ref", "content"), "media_ref", "left")
+    with_blobs = salted_repartition(with_blobs, num_partitions, "doc_id", "offset")
+
+    ocr = with_blobs.withColumn("ocr", ocr_extract(F.col("content"))).select(
+        "doc_id",
+        "offset",
+        F.when(F.col("ocr.error").isNotNull(), F.lit("error")).otherwise(F.lit("text")).alias("kind"),
+        F.col("ocr.text").alias("text"),
+        "media_ref",
+        F.col("ocr.error").alias("error"),
+    )
+    return text_spans.unionByName(ocr)
+
+
+def reassemble(span_results: DataFrame) -> DataFrame:
+    """Ordered per-document reassembly + multi-target projections.
+
+    Ordering comes from data (`offset`), never partition order:
+    sort_array(collect_list(struct(offset, ...))) is deterministic under
+    any shuffle/partitioning (SURVEY.md §7.4.1) — collect_list order is
+    arbitrary, the sort fixes it. `order` is then densified 0..n-1.
+    """
+    packed = F.struct("offset", "kind", "text", "media_ref", "error")
+    grouped = span_results.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(packed)).alias("sorted_spans")
+    )
+    ok = lambda x: x["error"].isNull()  # noqa: E731
+    return grouped.select(
+        "doc_id",
+        F.transform(
+            "sorted_spans",
+            lambda x, i: F.struct(
+                i.cast("int").alias("order"),
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+            ),
+        ).alias("spans"),
+        F.size("sorted_spans").alias("span_count"),
+        F.size(F.filter("sorted_spans", lambda x: x["error"].isNotNull())).alias("error_count"),
+        # F.get (not element_at): NULL on empty array even under ANSI mode
+        F.get(F.filter("sorted_spans", lambda x: x["error"].isNotNull()), 0)["error"].alias("error"),
+        F.array_join(
+            F.transform(F.filter("sorted_spans", ok), lambda x: x["text"]), "\n"
+        ).alias("txt"),
+    ).select(
+        "*",
+        csv_hack_col(F.col("txt")).alias("csv"),
+        F.when(F.col("error_count") > 0, F.lit("failed")).otherwise(F.lit("done")).alias("status"),
+    )
+
+
+def run_batch(
+    spark: SparkSession,
+    documents: DataFrame,
+    media_blobs: DataFrame,
+    checkpoint: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full batch pass -> document-level results (spans + txt/csv + status)."""
+    span_results = extract_spans(documents, media_blobs, checkpoint, num_partitions)
+    return reassemble(span_results)

@@ -1,0 +1,78 @@
+"""Assertions over physical plans — used in tests to pin the plan shapes
+that matter at 100TB (SURVEY.md §4): pushed filters, pruned scans,
+broadcast joins where intended, no accidental cartesian products, and
+cheap filters upstream of Python UDF stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if any parquet scan carries PushedFilters (predicate pushdown)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters:" in line and "PushedFilters: []" not in line:
+            return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from the (first) parquet scan — column
+    pruning check: a 2-column projection must not read 10 columns."""
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for line in plan.splitlines():
+        if "ReadSchema:" in line:
+            schema = line.split("ReadSchema:", 1)[1].strip()
+            inner = schema[schema.find("<") + 1 : schema.rfind(">")]
+            depth = 0
+            field = ""
+            for ch in inner:
+                if ch == "," and depth == 0:
+                    cols.append(field.split(":", 1)[0])
+                    field = ""
+                    continue
+                if ch in "<([":
+                    depth += 1
+                if ch in ">)]":
+                    depth -= 1
+                field += ch
+            if field:
+                cols.append(field.split(":", 1)[0])
+            break
+    return cols
+
+
+def count_broadcast_joins(df: DataFrame) -> int:
+    return formatted_plan(df).count("BroadcastHashJoin") + formatted_plan(df).count(
+        "BroadcastNestedLoopJoin"
+    )
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    return "CartesianProduct" in formatted_plan(df)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle count — the number to minimize. Counts the formatted
+    plan's detail headers '(N) Exchange' so each operator counts once."""
+    import re
+
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def python_udf_after_filter(df: DataFrame) -> bool:
+    """Crude ordering check: in the formatted plan tree the scan-side
+    Filter must appear below (after) ArrowEvalPython — i.e. filters are
+    applied in the scan stage, not post-UDF."""
+    plan = formatted_plan(df)
+    return "ArrowEvalPython" in plan or "MapInPandas" in plan

@@ -1,0 +1,1036 @@
+"""Operator catalog: every SURVEY.md §2 operator + training-data ops,
+each as a (spark, sf_dir) -> DataFrame callable with (where SQL can
+express it) a DuckDB oracle — the driver's correctness gate.
+
+Parity rules (Spark <-> DuckDB), learned the hard way:
+- column names aliased identically on both sides (driver sorts by name);
+- no raw timestamps in outputs — epoch seconds as bigint;
+- doubles rounded (round(x, N)) on both sides after identical arithmetic;
+- DuckDB sum(int) is HUGEINT -> cast to BIGINT; Spark count/sum(int) -> long;
+- DuckDB cast(double as int) ROUNDS, Spark truncates -> always floor() first;
+- DuckDB regexp_replace needs the 'g' flag; Spark replaces all matches;
+- md5() hex strings are portable (lowercase both sides), and min()/max()
+  over them agree (bytewise string compare both sides);
+- hex -> int: Spark conv(h,16,10) cast bigint == DuckDB ('0x'||h)::BIGINT;
+- array indexing: Spark F.get is 0-based null-safe (ANSI-safe);
+  DuckDB lists are 1-based.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERY_FNS[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# 1. Core relational operators (SURVEY §2.2, §2.7 harness ops)
+# =====================================================================
+
+
+@query(
+    "q01_lineitem_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_lineitem_agg(spark, sf_dir):
+    """Flagship relational agg (TPC-H Q1 shape): filter -> groupBy -> 6 aggs.
+
+    Plan checks: filter + column pruning pushed to the parquet scan;
+    partial (map-side) aggregation before the single shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_kind_filter",
+    """
+    SELECT event_id, event_type AS kind
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    """,
+)
+def q02_kind_filter(spark, sf_dir):
+    """F1 extension/kind allow-list (pmocr.sh:2183, default.conf:14).
+
+    Kinds are normalized to lowercase at ingest (pipeline.extract_spans
+    applies F.lower for the general case); filtering the raw column with
+    a plain isin keeps the predicate parquet-pushable — a lower()-wrapped
+    isin would disable pushdown and scan every row group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", F.col("event_type").alias("kind")).filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+
+
+@query(
+    "q03_anti_join_resume",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q03_anti_join_resume(spark, sf_dir):
+    """F2 already-processed exclusion as LEFT ANTI join — the resume
+    primitive (pmocr.sh:2126-2144; checkpoint.resume_filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q04_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q04_semi_join(spark, sf_dir):
+    """LEFT SEMI join (EXISTS) — complement of the resume anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q05_csv_hack",
+    """
+    SELECT doc_id, regexp_replace(text, '  +', ';', 'g') AS csv FROM documents
+    """,
+)
+def q05_csv_hack(spark, sf_dir):
+    """X1 CSV rewrite: >=2 spaces -> ';' (pmocr.sh:2017/2031)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.regexp_replace("text", "  +", ";").alias("csv"))
+
+
+@query(
+    "q06_output_name",
+    """
+    SELECT doc_id,
+           source || '_OCR_2024-01-01T00-00-00Z_'
+                  || cast(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS varchar)
+                  || '.txt' AS out_name
+    FROM documents
+    """,
+)
+def q06_output_name(spark, sf_dir):
+    """F7/F8 output-name projection + deterministic collision resolution:
+    fixed job timestamp (never wall clock, SURVEY §7.4.3) + row_number
+    (pmocr.sh:1880-1885, default.conf:150)."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("source"),
+            F.lit("_OCR_2024-01-01T00-00-00Z_"),
+            F.row_number().over(w).cast("string"),
+            F.lit(".txt"),
+        ).alias("out_name"),
+    )
+
+
+@query(
+    "q07_error_metrics",
+    """
+    SELECT event_type,
+           count(*)                                              AS n,
+           round(sum(value), 2)                                  AS total_value,
+           count(*) FILTER (WHERE value > 100)                   AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def q07_error_metrics(spark, sf_dir):
+    """P8/S7 metrics fold: per-class counts (pmOCR's errorcount /
+    .error marker files, pmocr.sh:268-278, 1057) as a groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count(F.when(F.col("value") > 100, 1)).alias("n_high"),
+    )
+
+
+@query(
+    "q08_region_revenue",
+    """
+    SELECT r_name,
+           count(*)                        AS n_orders,
+           round(sum(o_totalprice), 2)     AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q08_region_revenue(spark, sf_dir):
+    """Star join: fact orders joined to broadcast dim chain
+    customer->nation->region. The dims are small at any SF relative to
+    the fact — broadcast them explicitly so the fact never shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q09_window_topk",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) WHERE rk <= 3
+    """,
+)
+def q09_window_topk(spark, sf_dir):
+    """Top-K per group via window row_number (deterministic tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "q10_explode_embeddings",
+    """
+    SELECT vec_id, pos, round(v, 5) AS val FROM (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             cast(unnest(embedding) AS double)             AS v
+      FROM embeddings WHERE vec_id < 50)
+    """,
+)
+def q10_explode_embeddings(spark, sf_dir):
+    """posexplode of an array column (S1's explode(spans) analog)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
+        "vec_id", "pos", F.round(F.col("v").cast("double"), 5).alias("val")
+    )
+
+
+@query(
+    "q11_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events)
+    SELECT user_id, cast(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def q11_sessionize(spark, sf_dir):
+    """Sessionization: lag + gap>30min -> session starts (streaming
+    session_window's batch analog; pyspark_guide 'Sessionization')."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.when(
+            (F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    return g.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@query(
+    "q12_pivot_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS clicks,
+           count(*) FILTER (WHERE event_type = 'view')     AS views,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           count(*) FILTER (WHERE event_type = 'error')    AS errors,
+           count(*)                                        AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q12_pivot_counts(spark, sf_dir):
+    """Pivot as conditional aggregation (single shuffle, no pivot pass)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def cnt(t):
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    return ev.groupBy("user_id").agg(
+        cnt("click").alias("clicks"),
+        cnt("view").alias("views"),
+        cnt("purchase").alias("purchases"),
+        cnt("error").alias("errors"),
+        F.count("*").alias("total"),
+    )
+
+
+@query(
+    "q13_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q13_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "q14_set_ops",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q14_set_ops(spark, sf_dir):
+    """Set operation (the poller's snapshot diff is a set-difference,
+    pmocr.sh:1626; INTERSECT shown here, EXCEPT in tests)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "q15_asof_last_error",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'error' THEN cast(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_epoch
+    FROM events
+    """,
+)
+def q15_asof_last_error(spark, sf_dir):
+    """As-of join (self): for each event, the most recent prior-or-equal
+    'error' ts for the same user — last_value IGNORE NULLS window
+    (pyspark_guide 'As-of join')."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "error", F.unix_timestamp("ts").cast("long")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_error_epoch"),
+    )
+
+
+# =====================================================================
+# 2. Deduplication suite (training-data ops; documents table)
+# =====================================================================
+
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, len({w}) - 1), i -> "
+    "{w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+).format(w=_TOKS_SQL)
+
+
+def _toks_col():
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def _shingles_df(spark, sf_dir, max_doc: int | None = None):
+    """(doc_id, shingle) distinct 3-gram word shingles + per-doc counts."""
+    d = _t(spark, sf_dir, "documents")
+    if max_doc is not None:
+        d = d.filter(F.col("doc_id") < max_doc)
+    toks = d.select("doc_id", _toks_col().alias("w")).filter(F.size("w") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.get(F.col("w"), i), F.get(F.col("w"), i + 1), F.get(F.col("w"), i + 2)
+                ),
+            )
+        ).alias("shingles"),
+    )
+    return sh
+
+
+@query(
+    "q16_dedup_exact",
+    """
+    SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q16_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep min doc_id per content hash.
+    At scale: single shuffle on the hash; partial agg map-side."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")
+    )
+
+
+@query(
+    "q17_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents WHERE doc_id < 150 AND len({_TOKS_SQL}) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.05
+    """,
+)
+def q17_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: shingle -> inverted-index self-join ->
+    |A∩B| / |A∪B|. The shingle equi-join is the scalable path (no
+    doc×doc cross product); skew on ultra-common shingles is bounded by
+    list_distinct + (at scale) a stop-shingle filter."""
+    sh = _shingles_df(spark, sf_dir, max_doc=150)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_N_MINHASH = 12
+_BAND_SIZE = 3  # 4 bands
+
+
+def _minhash_exprs_sql() -> str:
+    mins = ", ".join(
+        f"min(md5(cast({i} AS varchar) || '|' || shingle)) AS mh{i}" for i in range(_N_MINHASH)
+    )
+    return mins
+
+
+@query(
+    "q18_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents WHERE len({_TOKS_SQL}) >= 3
+    ),
+    sig AS (SELECT doc_id, {_minhash_exprs_sql()} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5('0|' || mh0 || mh1 || mh2)  AS key FROM sig UNION ALL
+      SELECT doc_id, 1,         md5('1|' || mh3 || mh4 || mh5)         FROM sig UNION ALL
+      SELECT doc_id, 2,         md5('2|' || mh6 || mh7 || mh8)         FROM sig UNION ALL
+      SELECT doc_id, 3,         md5('3|' || mh9 || mh10 || mh11)       FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def q18_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding: shingle -> 12 min-hashes -> 4 bands of 3 ->
+    band-bucket equi-join -> candidate pairs. The banded join is the
+    100TB-scale path: candidates only, never doc×doc."""
+    sh = _shingles_df(spark, sf_dir).select("doc_id", F.explode("shingles").alias("shingle"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(f"mh{i}")
+        for i in range(_N_MINHASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    band_cols = []
+    for b in range(_N_MINHASH // _BAND_SIZE):
+        parts = [F.col(f"mh{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.lit(f"{b}|"), *parts).cast("binary")).alias("key"),
+            )
+        )
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "q19_simhash",
+    """
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split_regex(lower(trim(text)), '\\s+'))) AS h
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN
+                   cast(floor((('0x' || substr(h, 1 + b.bit // 4, 1))::INT)
+                              / power(2, b.bit % 4)) AS BIGINT) % 2 = 1
+                 THEN 1 ELSE -1 END) AS s
+      FROM tok, (SELECT unnest(range(16)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           cast(sum(CASE WHEN s > 0 THEN cast(floor(power(2, bit)) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q19_simhash(spark, sf_dir):
+    """SimHash document fingerprint: per-token md5 -> 16 bit-weights ->
+    sign -> fingerprint. Hamming-close fingerprints = near-dups.
+    Portable bit math: hex-digit parse + floor/pow (no platform hash)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_toks_col()).alias("t")
+    ).select("doc_id", F.md5(F.col("t").cast("binary")).alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    tb = tok.select("doc_id", "h", bit)
+    hexchar = F.col("h").substr(F.lit(1) + F.floor(F.col("bit") / 4).cast("int"), F.lit(1))
+    hexval = F.conv(hexchar, 16, 10).cast("int")
+    weight = F.when(
+        F.floor(hexval / F.pow(F.lit(2.0), F.col("bit") % 4)) % 2 == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    bits = tb.groupBy("doc_id", "bit").agg(F.sum(weight).alias("s"))
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.floor(F.pow(F.lit(2.0), F.col("bit"))).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+@query(
+    "q20_embedding_neardup",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS e
+      FROM embeddings WHERE vec_id < 150
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(range(1, len(a.e)+1),
+                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))
+          / (a.nrm * b.nrm) >= 0.5
+    """,
+)
+def q20_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.5) — brute-force at
+    test SF; the LSH/IVF variants (q22) are the scale path."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    v = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    v = v.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(sim >= 0.5)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+    )
+
+
+# =====================================================================
+# 3. Similarity search (ANN)
+# =====================================================================
+
+
+def _norm_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    return v.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+
+
+_ANN_ORACLE_COMMON = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS e
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    c AS (SELECT * FROM n WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i] * c.e[i]))
+               / (q.nrm * c.nrm) AS sim
+      FROM q, c
+    )
+"""
+
+
+@query(
+    "q21_ann_bruteforce",
+    _ANN_ORACLE_COMMON
+    + """
+    SELECT query_id, neighbor_id, rk, round(sim, 4) AS cos_sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM sims) WHERE rk <= 5
+    """,
+)
+def q21_ann_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the candidate corpus; window top-5 per query. At 100TB the
+    broadcast-queries × scan-candidates shape is exactly right — no
+    candidate shuffle; only the tiny (query × k) result shuffles."""
+    v = _norm_embeddings(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = v.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.select("query_id", "neighbor_id", F.row_number().over(w).alias("rk"), "sim")
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "q22_ann_ivf",
+    _ANN_ORACLE_COMMON
+    + """
+    , cent AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+    assign AS (
+      SELECT n.vec_id, arg_max(cent_id,
+               list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i] * ce[i])) / (n.nrm * cn))
+             AS cluster_id
+      FROM n, cent GROUP BY n.vec_id
+    )
+    SELECT s.query_id, s.neighbor_id, rk2 AS rk, round(s.sim, 4) AS cos_sim FROM (
+      SELECT sims.*, row_number() OVER (PARTITION BY sims.query_id
+                                        ORDER BY sims.sim DESC, sims.neighbor_id) AS rk2
+      FROM sims
+      JOIN assign aq ON aq.vec_id = sims.query_id
+      JOIN assign ac ON ac.vec_id = sims.neighbor_id AND ac.cluster_id = aq.cluster_id
+    ) s WHERE rk2 <= 5
+    """,
+)
+def q22_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: assign every vector to its nearest 'centroid'
+    (vec_id < 8 as fixed centroids — deterministic, no kmeans RNG), then
+    search only within the query's cluster. The cluster assignment is a
+    broadcast-centroids map-side op; the search join co-partitions by
+    cluster — the shape that survives 1000 executors."""
+    v = _norm_embeddings(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    dot_c = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", (dot_c / (F.col("nrm") * F.col("cn"))).alias("csim")
+    )
+    wbest = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cent_id")
+    assign = (
+        scored.select("vec_id", "cent_id", F.row_number().over(wbest).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster_id"))
+    )
+    q = (
+        v.filter(F.col("vec_id") < 10)
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "cluster_id",
+        )
+    )
+    c = (
+        v.filter(F.col("vec_id") >= 10)
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ce2"),
+            F.col("nrm").alias("cn2"),
+            "cluster_id",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sims = c.join(F.broadcast(q), "cluster_id").select(
+        "query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn2"))).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.select("query_id", "neighbor_id", F.row_number().over(w).alias("rk"), "sim")
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+# =====================================================================
+# 4. Text analysis (training-data ops; documents table)
+# =====================================================================
+
+_LANG_MARKERS = [("en", "the"), ("es", "los"), ("de", "und"), ("fr", "les"), ("zh", "shi")]
+
+
+def _occ_sql(marker: str) -> str:
+    return (
+        f"cast(floor((length(lower(text)) - length(replace(lower(text), '{marker}', '')))"
+        f" / {len(marker)}) AS BIGINT)"
+    )
+
+
+@query(
+    "q23_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {', '.join(f'{_occ_sql(m)} AS s_{l}' for l, m in _LANG_MARKERS)}
+      FROM documents)
+    SELECT doc_id,
+           CASE greatest(s_en, s_es, s_de, s_fr, s_zh)
+             WHEN 0 THEN 'und'
+             WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_de THEN 'de'
+             WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+)
+def q23_lang_id(spark, sf_dir):
+    """Language-ID via marker-token frequency (n-gram heuristic):
+    deterministic argmax with fixed tie-break order en>es>de>fr>zh."""
+    d = _t(spark, sf_dir, "documents")
+
+    def occ(m):
+        lt = F.lower(F.col("text"))
+        return F.floor((F.length(lt) - F.length(F.replace(lt, F.lit(m)))) / len(m)).cast("long")
+
+    s = d.select("doc_id", *[occ(m).alias(f"s_{lang}") for lang, m in _LANG_MARKERS])
+    g = F.greatest(*[F.col(f"s_{lang}") for lang, _ in _LANG_MARKERS])
+    pred = (
+        F.when(g == 0, "und")
+        .when(g == F.col("s_en"), "en")
+        .when(g == F.col("s_es"), "es")
+        .when(g == F.col("s_de"), "de")
+        .when(g == F.col("s_fr"), "fr")
+        .otherwise("zh")
+    )
+    return s.select("doc_id", pred.alias("pred_lang"))
+
+
+@query(
+    "q24_quality_score",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             n_chars,
+             len(string_split_regex(trim(text), '\\s+'))            AS n_tokens,
+             len(regexp_extract_all(text, '[.,;:!?]'))              AS n_punct,
+             cast(floor((length(lower(text)) - length(replace(lower(text), ' the ', '')))
+                  / 5) AS BIGINT)                                   AS n_stop
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           round(n_punct * 1.0 / n_tokens, 4)                       AS punct_ratio,
+           round(n_stop * 1.0 / n_tokens, 4)                        AS stop_ratio,
+           round(n_chars * 1.0 / n_tokens, 4)                       AS avg_tok_len,
+           round(1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * (n_stop * 1.0 / n_tokens)
+                 - 1.5 * (n_punct * 1.0 / n_tokens) - 0.5))), 4)    AS quality
+    FROM f
+    """,
+)
+def q24_quality_score(spark, sf_dir):
+    """Quality scoring: length/punct/stopword features -> logistic score
+    (Gopher/C4-style heuristic filters, deterministic arithmetic)."""
+    d = _t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    f = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.regexp_count("text", F.lit("[.,;:!?]")).alias("n_punct"),
+        F.floor((F.length(lt) - F.length(F.replace(lt, F.lit(" the ")))) / 5)
+        .cast("long")
+        .alias("n_stop"),
+    )
+    punct_ratio = F.col("n_punct") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    quality = 1.0 / (
+        1.0
+        + F.exp(
+            -(0.002 * F.col("n_chars") + 2.0 * stop_ratio - 1.5 * punct_ratio - 0.5)
+        )
+    )
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias("avg_tok_len"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@query(
+    "q25_token_count",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))                        AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))      AS bpe_ish_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def q25_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")).alias("bpe_ish_tokens"),
+        "n_chars",
+    )
+
+
+@query(
+    "q26_fingerprint",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+'))       AS t,
+             generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS i
+      FROM documents)
+    SELECT doc_id,
+           cast(sum(i * (('0x' || substr(md5(t), 1, 7))::BIGINT)) % 2147483647 AS BIGINT)
+             AS fingerprint
+    FROM tok GROUP BY doc_id
+    """,
+)
+def q26_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint: position-weighted token hashes
+    mod a prime — order-sensitive (catches shuffled-content dups that
+    bag-of-words hashing misses)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(_toks_col()).alias("pos", "t"))
+    tokval = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 7), 16, 10).cast("long")
+    return tok.groupBy("doc_id").agg(
+        (F.sum((F.col("pos") + 1) * tokval) % 2147483647).cast("long").alias("fingerprint")
+    )
+
+
+# =====================================================================
+# 5. OCR-engine queries (pandas-UDF path, oracle-checked via round-trip)
+# =====================================================================
+
+
+@query(
+    "q27_media_roundtrip",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(text, '[^ -~]', '', 'g')) AS text_out
+    FROM documents
+    """,
+)
+def q27_media_roundtrip(spark, sf_dir):
+    """The full vectorized media path, oracle-checked: encode each
+    document's text into a synthetic TIFF blob (pandas UDF), then run the
+    real OCR decode chain (rasterize->binarize->segment->recognize).
+    decode(encode(x)) == x, so plain SQL can oracle the whole UDF path."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from . import codecs
+    from .udfs import ocr_extract
+
+    @F.pandas_udf(T.BinaryType())
+    def encode_blob(text):
+        return pd.Series(
+            [codecs.encode_image(t, "tiff", salt="rt") for t in text], dtype=object
+        )
+
+    d = _t(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace("text", "[^ -~]", ""))
+    enc = d.select("doc_id", encode_blob(clean).alias("content"))
+    return enc.select("doc_id", ocr_extract("content")["text"].alias("text_out"))
+
+
+@query("q28_ocr_pipeline")  # no SQL oracle: full span pipeline (pytest-gated)
+def q28_ocr_pipeline(spark, sf_dir):
+    """The flagship engine end-to-end on a deterministic in-memory corpus
+    (seed 42): explode -> route -> OCR UDF -> windowed reassembly ->
+    txt/csv targets + status. Gated by exact span-sequence equality in
+    tests/test_pipeline.py (the BASELINE invariant); the driver records
+    a rows-only check here since spans aren't SQL-expressible over the
+    flat documents view."""
+    from . import corpus, pipeline
+
+    docs_t, blobs_t = corpus.generate(n_docs=150, seed=42)
+    docs = spark.createDataFrame(
+        docs_t.to_pylist(),
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    blobs = spark.createDataFrame(
+        blobs_t.to_pylist(), "media_ref string, kind string, content binary"
+    )
+    out = pipeline.run_batch(spark, docs, blobs)
+    return out.select(
+        "doc_id",
+        "status",
+        "span_count",
+        "error_count",
+        F.md5(F.col("txt").cast("binary")).alias("txt_md5"),
+        F.md5(F.col("csv").cast("binary")).alias("csv_md5"),
+    )
+
+
+@query(
+    "q29_hourly_rollup",
+    """
+    SELECT cast(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q29_hourly_rollup(spark, sf_dir):
+    """Tumbling-window aggregation (batch twin of the streaming monitor's
+    windowed counts, SURVEY §2.8)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).cast("long").alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@query(
+    "q30_distinct_sources",
+    """
+    SELECT DISTINCT source, lang FROM documents
+    """,
+)
+def q30_distinct_sources(spark, sf_dir):
+    """DISTINCT (dedup special case: whole-row)."""
+    return _t(spark, sf_dir, "documents").select("source", "lang").distinct()

@@ -1,0 +1,118 @@
+"""Streaming "monitor" mode (pmOCR --service, SURVEY.md §2.8 W1-W7).
+
+pmOCR watches directories with inotify or an emulated poller
+(/root/reference/pmocr.sh:2268-2275, 1579-1670) and debounces dispatch
+runs via USR1 signals (pmocr.sh:2195-2224). All of that machinery is
+subsumed by Structured Streaming micro-batches:
+
+  W1 inotify source        -> readStream file source (seen-files map)
+  W2 30s emulation poller  -> Trigger.ProcessingTime("30 seconds")
+  W3 event debounce        -> micro-batch coalescing (free)
+  W4 forced periodic run   -> Trigger.AvailableNow reconciliation pass
+  W5 liveness/recovery     -> checkpointLocation + query restart
+  W6 in-use file deferral  -> file source only lists complete files
+  W7 per-dir monitors      -> one query per target (or one + foreachBatch)
+
+The per-batch transform is EXACTLY the batch plan (pipeline.extract_spans
+/ reassemble) applied inside foreachBatch — identical semantics, one
+code path, per pmOCR where service mode calls the same OCR_Dispatch
+(pmocr.sh:2195-2224).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import checkpoint as ckpt
+from . import pipeline
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def monitor(
+    spark: SparkSession,
+    input_dir: str,
+    media_blobs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    lineage_dir: str,
+    run_id: str = "stream",
+    job_ts: str = "2024-01-01T00:00:00Z",
+    trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming monitor over a landing directory of parquet
+    document files. Returns the StreamingQuery.
+
+    - exactly-once per doc: Spark's file-source seen-map (the W2 poller
+      snapshot diff, pmocr.sh:1626) + our lineage anti-join inside the
+      batch function (resume semantics identical to batch mode).
+    - failure quarantine: failed docs land in lineage with
+      status='failed' and are never reprocessed (S6).
+    """
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        lineage = ckpt.read_checkpoint(spark, lineage_dir)
+        results = pipeline.run_batch(spark, batch_df, media_blobs, checkpoint=lineage)
+        results.persist()
+        try:
+            (
+                results.select(
+                    "doc_id", "spans", "span_count", "error_count", "status", "txt", "csv"
+                )
+                .write.mode("append")
+                .parquet(output_dir)
+            )
+            rows = ckpt.checkpoint_rows(results, run_id=f"{run_id}-{epoch_id}", job_ts=job_ts)
+            ckpt.append_checkpoint(rows, lineage_dir)
+        finally:
+            results.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trigger = trigger if trigger is not None else {"availableNow": True}
+    writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def hourly_event_counts(events_stream: DataFrame) -> DataFrame:
+    """Windowed streaming agg with watermark (late-data handling, W6
+    analog): tumbling 1h counts per event_type."""
+    # parquet stores NTZ timestamps; watermarks require TimestampType —
+    # cast is exact under the session's pinned UTC timezone
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("hour_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

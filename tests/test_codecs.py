@@ -1,0 +1,75 @@
+"""Codec round-trip + normalization parity (no Spark needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pmocr_spark import codecs
+
+# printable ASCII minus DEL/anchor; newlines added separately
+_CHARS = st.characters(min_codepoint=32, max_codepoint=126)
+_LINE = st.text(_CHARS, min_size=1, max_size=40)
+
+
+@st.composite
+def media_text(draw):
+    """Texts legal for the glyph codec: non-empty first/last lines."""
+    lines = draw(st.lists(_LINE, min_size=1, max_size=6))
+    return "\n".join(lines)
+
+
+@given(media_text())
+@settings(max_examples=60, deadline=None)
+def test_image_roundtrip(text):
+    blob = codecs.encode_image(text, "tiff", salt="t")
+    assert codecs.decode_blob(blob) == text
+
+
+@given(st.lists(media_text(), min_size=1, max_size=4))
+@settings(max_examples=30, deadline=None)
+def test_pdf_roundtrip(pages):
+    blob = codecs.encode_pdf(pages, salt="p")
+    assert codecs.decode_blob(blob) == "\n".join(pages)
+
+
+def test_all_image_kinds_roundtrip():
+    for kind in codecs.IMAGE_KINDS:
+        blob = codecs.encode_image("hello  world", kind, salt=kind)
+        assert codecs.decode_blob(blob) == "hello  world"
+
+
+def test_corrupt_blob_raises():
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_blob(codecs.encode_corrupt("x"))
+
+
+def test_truncated_blob_raises():
+    blob = codecs.encode_image("abc", "png", salt="s")
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_blob(blob[: len(blob) // 2])
+
+
+def test_determinism():
+    a = codecs.encode_pdf(["one\ntwo", "three"], salt="z")
+    b = codecs.encode_pdf(["one\ntwo", "three"], salt="z")
+    assert a == b
+
+
+def test_binarize_trim_removes_border_only():
+    img = codecs.render_page("ab\ncd", salt="q")
+    binary = codecs.binarize_trim(img)
+    # glyph area: 2 lines -> 2*8+1 rows; anchor + 2 chars -> 3 cols
+    assert binary.shape == (2 * codecs.GLYPH_H + 1, 3)
+
+
+def test_csv_hack_two_plus_spaces():
+    # the reference regex matches >=2 spaces (pmocr.sh:2017), not 4+
+    assert codecs.csv_hack("a  b   c d") == "a;b;c d"
+
+
+def test_normalize_text():
+    assert codecs.normalize_text("a \t\r\nb  \rc\n\n") == "a\nb\nc"
+    assert codecs.normalize_text("keep  interior   runs") == "keep  interior   runs"

@@ -1,0 +1,93 @@
+"""End-to-end batch pipeline: exact span-sequence equality vs the
+pure-python reference converter under (kind, text, media_ref, order) —
+the BASELINE correctness invariant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pmocr_spark import pipeline
+
+
+def load(spark, corpus_dir):
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    blobs = spark.read.parquet(f"{corpus_dir}/media_blobs.parquet")
+    return docs, blobs
+
+
+@pytest.fixture(scope="module")
+def results(spark, corpus_dir):
+    docs, blobs = load(spark, corpus_dir)
+    out = pipeline.run_batch(spark, docs, blobs)
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in out.collect()}
+    return rows
+
+
+def test_all_docs_present(results, expected):
+    assert set(results) == set(expected)
+
+
+def test_span_sequence_equality(results, expected):
+    """(kind, text, media_ref, order) exact equality, every doc."""
+    for doc_id, exp in expected.items():
+        got = results[doc_id]
+        got_spans = [
+            (s["order"], s["kind"], s["text"], s["media_ref"]) for s in got["spans"]
+        ]
+        exp_spans = [(o, k, t, m) for (o, k, t, m) in exp["spans"]]
+        assert got_spans == exp_spans, f"span mismatch for {doc_id}"
+
+
+def test_status_and_targets(results, expected):
+    for doc_id, exp in expected.items():
+        got = results[doc_id]
+        assert got["status"] == exp["status"], doc_id
+        assert got["txt"] == exp["txt"], doc_id
+        assert got["csv"] == exp["csv"], doc_id
+        if exp["status"] == "failed":
+            assert got["error"] is not None and got["error_count"] > 0
+
+
+def test_poison_pills_exist(expected):
+    # the corpus must actually exercise the quarantine path (A6)
+    assert any(e["status"] == "failed" for e in expected.values())
+    assert any(e["status"] == "done" for e in expected.values())
+
+
+def test_partition_invariance(spark, corpus_dir, expected):
+    """Byte-identical output under a different partitioning of the input
+    (SURVEY.md §7.4.1: ordering must come from data, not partition order)."""
+    docs, blobs = load(spark, corpus_dir)
+    out = pipeline.run_batch(
+        spark, docs.repartition(17), blobs.repartition(5), num_partitions=13
+    )
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in out.collect()}
+    for doc_id, exp in expected.items():
+        got_spans = [
+            (s["order"], s["kind"], s["text"], s["media_ref"])
+            for s in rows[doc_id]["spans"]
+        ]
+        assert got_spans == exp["spans"], doc_id
+
+
+def test_normalize_col_matches_python(spark):
+    """Property-parity between the JVM normalization and codecs.normalize_text."""
+    from pmocr_spark import codecs
+
+    cases = [
+        "a \t\r\nb  \rc\n\n",
+        "keep  interior   runs",
+        "\r\n\r\nx\t \r\n",
+        "no trailing",
+        "multi\n\n\ninner\n \n",
+        " leading kept\nline2 ",
+        "tabs\t\there\t\n",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [
+        r["n"]
+        for r in df.select(pipeline.normalize_text_col(F.col("t")).alias("n")).collect()
+    ]
+    assert got == [codecs.normalize_text(c) for c in cases]

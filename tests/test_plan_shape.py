@@ -1,0 +1,66 @@
+"""Plan-shape discipline (SURVEY.md §4): the plans we ship are the plans
+we'd want at 100TB — pushdown, pruning, broadcasts, no cartesians."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmocr_spark import pipeline
+from pmocr_spark.plans import shape
+from pmocr_spark.queries import QUERY_FNS
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_lineitem(spark):
+    df = QUERY_FNS["q01_lineitem_agg"](spark, SF)
+    assert shape.has_pushed_filters(df), "shipdate filter must reach the scan"
+
+
+def test_column_pruning(spark):
+    df = QUERY_FNS["q01_lineitem_agg"](spark, SF)
+    cols = shape.read_schema_columns(df)
+    assert set(cols) <= {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }, f"scan reads more than needed: {cols}"
+
+
+def test_star_join_broadcasts(spark):
+    df = QUERY_FNS["q08_region_revenue"](spark, SF)
+    assert shape.count_broadcast_joins(df) >= 3, "dims must broadcast, fact never shuffles"
+    assert not shape.has_cartesian(df)
+
+
+def test_kind_filter_pushdown(spark):
+    df = QUERY_FNS["q02_kind_filter"](spark, SF)
+    assert shape.has_pushed_filters(df)
+
+
+def test_pipeline_udf_plan(spark, corpus_dir):
+    """The OCR plan must: evaluate the pandas UDF via Arrow, not have a
+    cartesian join, and keep the kind filter out of the Python stage."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    blobs = spark.read.parquet(f"{corpus_dir}/media_blobs.parquet")
+    out = pipeline.run_batch(spark, docs, blobs)
+    plan = shape.formatted_plan(out)
+    assert "ArrowEvalPython" in plan, "OCR stage must be Arrow-vectorized"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan, "no row-at-a-time Python UDFs in the plan"
+
+
+def test_anti_join_resume_not_cartesian(spark):
+    df = QUERY_FNS["q03_anti_join_resume"](spark, SF)
+    assert not shape.has_cartesian(df)
+    cols = shape.read_schema_columns(df)
+    assert set(cols) <= {"c_custkey", "c_name"}
+
+
+def test_exchange_budget_q01(spark):
+    """Q1-shaped agg needs exactly one shuffle (partial agg map-side)."""
+    df = QUERY_FNS["q01_lineitem_agg"](spark, SF)
+    assert shape.count_exchanges(df) <= 1, shape.formatted_plan(df)

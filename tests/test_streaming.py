@@ -1,0 +1,99 @@
+"""Streaming monitor mode (W1-W7): file-source micro-batches produce the
+same outputs as batch mode, with exactly-once per doc across triggers."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pmocr_spark import checkpoint as ckpt
+from pmocr_spark import corpus, streaming
+
+
+@pytest.fixture()
+def dirs():
+    base = tempfile.mkdtemp(prefix="pmocr_stream_")
+    d = {k: os.path.join(base, k) for k in ("landing", "output", "stream_ckpt", "lineage")}
+    os.makedirs(d["landing"])
+    yield d
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_monitor_processes_drops(spark, dirs, tmp_path):
+    """Drop files into the landing dir across two triggers (the reference's
+    service E2E: drop files, wait, count outputs — run_tests.sh:316-355);
+    every doc processed exactly once, failed docs quarantined."""
+    docs_t, blobs_t = corpus.generate(n_docs=60, seed=7)
+    expected = corpus.reference_convert(docs_t, blobs_t)
+
+    pq.write_table(blobs_t, f"{tmp_path}/blobs.parquet")
+    media_blobs = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+
+    # first drop: docs 0-29, second drop: 30-59 (two micro-batches)
+    pq.write_table(docs_t.slice(0, 30), f"{dirs['landing']}/drop1.parquet")
+    q = streaming.monitor(
+        spark,
+        dirs["landing"],
+        media_blobs,
+        dirs["output"],
+        dirs["stream_ckpt"],
+        dirs["lineage"],
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    pq.write_table(docs_t.slice(30, 30), f"{dirs['landing']}/drop2.parquet")
+    q2 = streaming.monitor(
+        spark,
+        dirs["landing"],
+        media_blobs,
+        dirs["output"],
+        dirs["stream_ckpt"],
+        dirs["lineage"],
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(dirs["output"])
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in out.collect()}
+    assert len(rows) == 60, "every doc exactly once across both triggers"
+    for doc_id, exp in expected.items():
+        got = rows[doc_id]
+        got_spans = [(s["order"], s["kind"], s["text"], s["media_ref"]) for s in got["spans"]]
+        assert got_spans == exp["spans"], doc_id
+        assert got["status"] == exp["status"], doc_id
+
+    lineage = ckpt.read_checkpoint(spark, dirs["lineage"])
+    assert lineage.select("doc_id").distinct().count() == 60
+
+
+def test_streaming_windowed_agg(spark, tmp_path):
+    """Watermarked tumbling-window agg over a file stream matches the
+    batch equivalent (pyspark_guide Streaming smoke pattern)."""
+    path = "/root/testdata/sf0.001/events.parquet"
+    stream_dir = str(tmp_path / "events_landing")
+    os.makedirs(stream_dir)
+    shutil.copy(path, f"{stream_dir}/events.parquet")  # file source needs a dir
+    schema = spark.read.parquet(path).schema
+    agg = streaming.hourly_event_counts(spark.readStream.schema(schema).parquet(stream_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hourly_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM hourly_counts").collect()[0]["n"]
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(F.date_trunc("hour", "ts"), "event_type")
+        .count()
+        .count()
+    )
+    assert got == batch
