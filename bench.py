@@ -21,7 +21,17 @@ import sys
 import tempfile
 import time
 
+
+def _log(msg: str) -> None:
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
 OCR_BENCH_DOCS = int(os.environ.get("PMOCR_BENCH_DOCS", "3000"))
+# scaling runs need compute-dominated wall time: base corpus replicated
+# cheaply (pyarrow zero-copy content) to SCALE_REPLICATE x OCR_BENCH_DOCS
+# documents. 100 x 3000 = 300k docs / ~1.2M blobs / ~2.1GB — big enough
+# that the fixed per-job cost (~3s) is noise next to the scalable work.
+SCALE_REPLICATE = int(os.environ.get("PMOCR_SCALE_REPLICATE", "100"))
+SCALE_RUNS = int(os.environ.get("PMOCR_SCALE_RUNS", "3"))
 HEADLINE = [
     "q01_lineitem_agg",
     "q08_region_revenue",
@@ -74,6 +84,19 @@ def _bench_ocr(spark, corpus_dir: str, n_docs: int) -> dict:
     return {"sec": round(dt, 3), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 2)}
 
 
+def _warm_python_workers(spark, corpus_dir: str) -> None:
+    """Spin up the executor python-worker pool before timing: first UDF
+    job per session pays ~0.3s x cores of worker spawn + imports, which
+    is noise at cluster scale but dominates a short local run."""
+    from pmocr_spark import pipeline
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    blobs = spark.read.parquet(f"{corpus_dir}/media_blobs.parquet")
+    small = docs.limit(512).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    _force(pipeline.run_batch(spark, small, blobs))
+
+
 def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from pmocr_spark.queries import QUERY_FNS
 
@@ -101,11 +124,36 @@ def main() -> None:
         scaling_rows = []
 
         if scaling:
+            from pmocr_spark import corpus as _corpus
+
+            big = os.path.join(tmp, "big")
+            t0 = time.time()
+            n_big = _corpus.write_replicated(
+                big, base_docs=OCR_BENCH_DOCS, times=SCALE_REPLICATE, seed=42
+            )
+            _log(f"replicated corpus: {n_big} docs in {time.time() - t0:.1f}s")
+            import statistics
+
             for c in (8, 32):
                 spark = _make_spark(c)
-                warm = _bench_ocr(spark, tmp, OCR_BENCH_DOCS)  # warm python workers
-                run = _bench_ocr(spark, tmp, OCR_BENCH_DOCS)
-                scaling_rows.append({"cpus": c, **run, "warmup_sec": warm["sec"]})
+                t0 = time.time()
+                warm = _bench_ocr(spark, big, n_big)  # warm pool + page cache
+                _log(f"local[{c}] warmup {warm['sec']}s")
+                runs = []
+                for i in range(SCALE_RUNS):
+                    run = _bench_ocr(spark, big, n_big)
+                    runs.append(run["sec"])
+                    _log(f"local[{c}] run{i} {run['sec']}s ({run['docs_per_sec']} docs/s)")
+                med = statistics.median(runs)
+                scaling_rows.append(
+                    {
+                        "cpus": c,
+                        "sec": med,
+                        "docs": n_big,
+                        "docs_per_sec": round(n_big / med, 2),
+                        "runs_sec": runs,
+                    }
+                )
                 spark.stop()
             t8 = next(r for r in scaling_rows if r["cpus"] == 8)
             t32 = next(r for r in scaling_rows if r["cpus"] == 32)
@@ -116,8 +164,11 @@ def main() -> None:
             }
 
         spark = _make_spark(cpus)
+        _warm_python_workers(spark, tmp)
         ocr = _bench_ocr(spark, tmp, OCR_BENCH_DOCS)
+        _log(f"headline ocr {ocr['sec']}s")
         qtimes = _bench_queries(spark, sf_dir)
+        _log(f"headline queries done: {qtimes}")
         spark.stop()
 
         result["queries"] = {"ocr_pipeline": ocr["sec"], **qtimes}

@@ -134,8 +134,86 @@ def write(out_dir: str, n_docs: int = 200, seed: int = 42, **kw) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     documents, media_blobs = generate(n_docs=n_docs, seed=seed, **kw)
-    pq.write_table(documents, f"{out_dir}/documents.parquet")
-    pq.write_table(media_blobs, f"{out_dir}/media_blobs.parquet")
+    _write_tables(out_dir, documents, media_blobs)
+
+
+# Parquet row groups are Spark's split granularity: the pyarrow default
+# (1M rows/group) would make a 1.2M-row blob table just 2 splits — the
+# whole decode stage then runs on 2 cores no matter the cluster size.
+# ~10k blob rows ≈ 17MB groups keep scan tasks core-sized.
+_ROW_GROUP_ROWS = 10_000
+
+
+def _write_tables(out_dir: str, documents: pa.Table, media_blobs: pa.Table) -> None:
+    pq.write_table(documents, f"{out_dir}/documents.parquet", row_group_size=_ROW_GROUP_ROWS)
+    pq.write_table(media_blobs, f"{out_dir}/media_blobs.parquet", row_group_size=_ROW_GROUP_ROWS)
+
+
+def replicate(documents: pa.Table, media_blobs: pa.Table, times: int) -> tuple[pa.Table, pa.Table]:
+    """Tile a base corpus `times`x with disjoint doc_ids/media_refs.
+
+    Benchmark-scale corpora: generation cost is per-base-doc, while the
+    engine still does full, real decode work per replica row (every blob
+    row decodes independently on the executors — nothing caches across
+    replicas). Ids get an `r{k}~` prefix so resume/lineage semantics see
+    genuinely distinct documents.
+
+    Implemented with pyarrow compute (no python row loop): blob content
+    buffers are reused zero-copy across replicas; only the id columns
+    are rewritten per replica.
+    """
+    import pyarrow.compute as pc
+
+    def prefixed(col: pa.ChunkedArray | pa.Array, prefix: str) -> pa.Array:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pc.binary_join_element_wise(
+            pa.array([prefix] * len(arr), type=pa.string()), arr, "", null_handling="emit_null"
+        )
+
+    doc_parts, blob_parts = [], []
+    spans_col = documents.column("spans").combine_chunks()
+    struct_arr = spans_col.values  # StructArray of span structs
+    kinds = struct_arr.field("kind")
+    texts = struct_arr.field("text")
+    refs = struct_arr.field("media_ref")
+    offsets_col = struct_arr.field("offset")
+    list_offsets = spans_col.offsets
+
+    for k in range(times):
+        p = f"r{k}~"
+        new_doc_id = prefixed(documents.column("doc_id"), p)
+        new_refs = prefixed(refs, p)
+        new_struct = pa.StructArray.from_arrays(
+            [kinds, texts, new_refs, offsets_col], fields=list(SPAN_SCHEMA)
+        )
+        new_spans = pa.ListArray.from_arrays(list_offsets, new_struct)
+        doc_parts.append(
+            pa.table({"doc_id": new_doc_id, "spans": new_spans}, schema=DOCUMENTS_SCHEMA)
+        )
+        blob_parts.append(
+            pa.table(
+                {
+                    "media_ref": prefixed(media_blobs.column("media_ref"), p),
+                    "kind": media_blobs.column("kind"),
+                    "content": media_blobs.column("content"),
+                },
+                schema=BLOBS_SCHEMA,
+            )
+        )
+    return pa.concat_tables(doc_parts), pa.concat_tables(blob_parts)
+
+
+def write_replicated(
+    out_dir: str, base_docs: int = 3000, times: int = 20, seed: int = 42, **kw
+) -> int:
+    """Write a replicated bench corpus; returns total doc count."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    documents, media_blobs = generate(n_docs=base_docs, seed=seed, **kw)
+    documents, media_blobs = replicate(documents, media_blobs, times)
+    _write_tables(out_dir, documents, media_blobs)
+    return documents.num_rows
 
 
 # ------------------------------------------------- reference converter

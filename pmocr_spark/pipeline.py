@@ -70,7 +70,9 @@ def resume_filter(documents: DataFrame, checkpoint: DataFrame | None) -> DataFra
     """
     if checkpoint is None:
         return documents
-    seen = checkpoint.select("doc_id").distinct()
+    # no .distinct() — anti-join semantics dedup for free, and the
+    # distinct would add a whole extra shuffle of the checkpoint table
+    seen = checkpoint.select("doc_id")
     return documents.join(seen, "doc_id", "left_anti")
 
 
@@ -79,6 +81,7 @@ def extract_spans(
     media_blobs: DataFrame,
     checkpoint: DataFrame | None = None,
     num_partitions: int | None = None,
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """Core extraction: per-span OCR/passthrough, NOT yet reassembled.
 
@@ -112,11 +115,37 @@ def extract_spans(
         F.lit(None).cast("string").alias("error"),
     )
 
-    # media route: join blobs (shuffle or broadcast — AQE decides), then
-    # salted span-level repartition so heavy docs spread across executors
+    # media route. Rule #1 at scale: NEVER move the blob bytes. A naive
+    # `spans LEFT JOIN blobs` lets the planner shuffle the multi-GB blob
+    # side once the span side outgrows the broadcast threshold (measured:
+    # 2.1GB shuffle write + 9x run time + GC storms at 300k docs). So:
+    #   - broadcast_spans=True (default; right for any per-batch span set
+    #     that fits a broadcast, i.e. micro-batches and bench scale):
+    #     blobs INNER JOIN broadcast(spans) — the join runs in-place over
+    #     the blob scan partitions (maxPartitionBytes-sized, so every
+    #     core stays busy) and blob bytes never shuffle. Spans without a
+    #     blob are recovered by a cheap anti-join on the pruned ref
+    #     column (error-struct rows, quarantine path preserved).
+    #   - broadcast_spans=False (the 10^12-doc full-batch path, where
+    #     even the span side is too big to broadcast): salted span
+    #     repartition + shuffle join on media_ref — span-unique keys
+    #     make the blob shuffle uniform; pair with media_ref-bucketed
+    #     tables to eliminate that shuffle entirely (bucketing DDL in
+    #     sources/binary.py docstring).
     media_spans = spans.filter(F.col("kind") != "text").select("doc_id", "offset", "kind", "media_ref")
-    with_blobs = media_spans.join(media_blobs.select("media_ref", "content"), "media_ref", "left")
-    with_blobs = salted_repartition(with_blobs, num_partitions, "doc_id", "offset")
+    blob_cols = media_blobs.select("media_ref", "content")
+    if broadcast_spans:
+        matched = blob_cols.join(F.broadcast(media_spans), "media_ref", "inner")
+        # anti-join against the PRUNED ref column (scan never reads
+        # content here); no broadcast hint — AQE picks broadcast while
+        # the ref set fits, shuffle of just the refs when it doesn't
+        missing = media_spans.join(
+            blob_cols.select("media_ref"), "media_ref", "left_anti"
+        ).withColumn("content", F.lit(None).cast("binary"))
+        with_blobs = matched.unionByName(missing)
+    else:
+        media_spans = salted_repartition(media_spans, num_partitions, "doc_id", "offset")
+        with_blobs = media_spans.join(blob_cols, "media_ref", "left")
 
     ocr = with_blobs.withColumn("ocr", ocr_extract(F.col("content"))).select(
         "doc_id",
@@ -173,7 +202,10 @@ def run_batch(
     media_blobs: DataFrame,
     checkpoint: DataFrame | None = None,
     num_partitions: int | None = None,
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """Full batch pass -> document-level results (spans + txt/csv + status)."""
-    span_results = extract_spans(documents, media_blobs, checkpoint, num_partitions)
+    span_results = extract_spans(
+        documents, media_blobs, checkpoint, num_partitions, broadcast_spans
+    )
     return reassemble(span_results)

@@ -35,6 +35,12 @@ def get_spark(
         # boundary without blowing worker memory (SURVEY.md §4.2)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("PMOCR_DRIVER_MEM", "16g"))
+        # blob tables are wide rows (KB-scale binary): 128MB scan splits
+        # give too few tasks when the span side of the blob join
+        # broadcasts (the UDF stage inherits the scan partitioning) —
+        # smaller splits keep every core busy; at cluster scale the same
+        # setting bounds per-task memory for media batches
+        .config("spark.sql.files.maxPartitionBytes", "16MB")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )
