@@ -30,8 +30,13 @@ OCR_BENCH_DOCS = int(os.environ.get("PMOCR_BENCH_DOCS", "3000"))
 # cheaply (pyarrow zero-copy content) to SCALE_REPLICATE x OCR_BENCH_DOCS
 # documents. 100 x 3000 = 300k docs / ~1.2M blobs / ~2.1GB — big enough
 # that the fixed per-job cost (~3s) is noise next to the scalable work.
-SCALE_REPLICATE = int(os.environ.get("PMOCR_SCALE_REPLICATE", "100"))
+SCALE_REPLICATE = int(os.environ.get("PMOCR_SCALE_REPLICATE", "20"))
 SCALE_RUNS = int(os.environ.get("PMOCR_SCALE_RUNS", "3"))
+# This sandbox VM is burst-throttled: a few minutes of sustained 32-core
+# load cuts available CPU ~4-7x (measured via a 32-proc numpy burn:
+# 7903 -> 1121 loops). Idle time between measured runs lets the budget
+# refill so both parallelism levels see comparable conditions.
+SCALE_COOLDOWN_SEC = int(os.environ.get("PMOCR_SCALE_COOLDOWN", "45"))
 HEADLINE = [
     "q01_lineitem_agg",
     "q08_region_revenue",
@@ -134,27 +139,37 @@ def main() -> None:
             _log(f"replicated corpus: {n_big} docs in {time.time() - t0:.1f}s")
             import statistics
 
-            for c in (8, 32):
-                spark = _make_spark(c)
-                t0 = time.time()
-                warm = _bench_ocr(spark, big, n_big)  # warm pool + page cache
-                _log(f"local[{c}] warmup {warm['sec']}s")
-                runs = []
-                for i in range(SCALE_RUNS):
+            # Interleave the two parallelism levels (8,32,8,32,...) so
+            # both sample the same host conditions — this sandbox VM is
+            # burst-throttled under sustained load, and back-to-back
+            # blocks would bias whichever level ran first.
+            runs_by_level: dict[int, list[float]] = {8: [], 32: []}
+            warmed = set()
+            for i in range(SCALE_RUNS):
+                for c in (8, 32):
+                    spark = _make_spark(c)
+                    if c not in warmed:
+                        warm = _bench_ocr(spark, tmp, OCR_BENCH_DOCS)  # pool+cache warm
+                        _log(f"local[{c}] warmup {warm['sec']}s")
+                        warmed.add(c)
+                    else:
+                        _warm_python_workers(spark, tmp)
+                    time.sleep(SCALE_COOLDOWN_SEC)
                     run = _bench_ocr(spark, big, n_big)
-                    runs.append(run["sec"])
+                    runs_by_level[c].append(run["sec"])
                     _log(f"local[{c}] run{i} {run['sec']}s ({run['docs_per_sec']} docs/s)")
-                med = statistics.median(runs)
+                    spark.stop()
+            for c in (8, 32):
+                med = statistics.median(runs_by_level[c])
                 scaling_rows.append(
                     {
                         "cpus": c,
                         "sec": med,
                         "docs": n_big,
                         "docs_per_sec": round(n_big / med, 2),
-                        "runs_sec": runs,
+                        "runs_sec": runs_by_level[c],
                     }
                 )
-                spark.stop()
             t8 = next(r for r in scaling_rows if r["cpus"] == 8)
             t32 = next(r for r in scaling_rows if r["cpus"] == 32)
             eff = (t32["docs_per_sec"] / t8["docs_per_sec"]) / 4.0

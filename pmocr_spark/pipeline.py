@@ -57,7 +57,10 @@ def salted_repartition(df: DataFrame, num_partitions: int, *key_cols: str) -> Da
     (doc_id, offset) spreads its spans across all partitions
     (BASELINE.json north_rule; SURVEY.md §7.4.4).
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_partitions))
+    # repartition on the raw 64-bit hash: pre-modding to [0, n) and
+    # letting Spark hash AGAIN would map n values onto n partitions with
+    # birthday collisions (measured: 6 of 16 partitions empty, hottest 2x)
+    salt = F.xxhash64(*[F.col(c) for c in key_cols])
     return df.repartition(num_partitions, salt)
 
 

@@ -41,6 +41,10 @@ def get_spark(
         # smaller splits keep every core busy; at cluster scale the same
         # setting bounds per-task memory for media batches
         .config("spark.sql.files.maxPartitionBytes", "16MB")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("PMOCR_WAREHOUSE", "/tmp/pmocr_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )

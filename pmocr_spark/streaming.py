@@ -116,3 +116,55 @@ def hourly_event_counts(events_stream: DataFrame) -> DataFrame:
             "total_value",
         )
     )
+
+
+def dedup_across_batches(
+    spans_stream: DataFrame,
+    output_mode: str = "update",
+):
+    """Custom stateful streaming operator: cross-batch exact dedup by
+    content hash via applyInPandasWithState (SURVEY §2.8; the engine's
+    analog of a streaming `seen` set — pmOCR's poller snapshot diff W2
+    generalized to content identity instead of path identity).
+
+    Input: a stream of (doc_id, text). Emits each (hash, doc_id) the
+    FIRST time a given text hash is seen across all micro-batches;
+    subsequent duplicates update nothing. State per hash group: the
+    keeper doc_id + duplicate count.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    keyed = spans_stream.select(
+        F.md5(F.col("text").cast("binary")).alias("h"), "doc_id"
+    )
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        (h,) = key
+        if state.exists:
+            keeper, dups = state.get
+        else:
+            keeper, dups = None, 0
+        new_ids = []
+        for pdf in pdfs:
+            new_ids.extend(pdf["doc_id"].tolist())
+        new_ids.sort()
+        first_seen = keeper is None
+        if first_seen and new_ids:
+            keeper = new_ids[0]
+            dups += len(new_ids) - 1
+        else:
+            dups += len(new_ids)
+        state.update((keeper, dups))
+        if first_seen and keeper is not None:
+            yield pd.DataFrame({"h": [h], "keep_id": [keeper], "dup_count": [dups]})
+        else:
+            yield pd.DataFrame({"h": [], "keep_id": [], "dup_count": []})
+
+    return keyed.groupBy("h").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="h string, keep_id string, dup_count long",
+        stateStructType="keeper string, dups long",
+        outputMode=output_mode,
+        timeoutConf="NoTimeout",
+    )

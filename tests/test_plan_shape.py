@@ -64,3 +64,19 @@ def test_exchange_budget_q01(spark):
     """Q1-shaped agg needs exactly one shuffle (partial agg map-side)."""
     df = QUERY_FNS["q01_lineitem_agg"](spark, SF)
     assert shape.count_exchanges(df) <= 1, shape.formatted_plan(df)
+
+
+def test_bucketed_join_no_exchange(spark, corpus_dir):
+    """The 10^12-scale blob join: bucketed tables join with ZERO
+    exchanges — neither blob bytes nor spans shuffle."""
+    from pmocr_spark.operators import bucketed
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    blobs = spark.read.parquet(f"{corpus_dir}/media_blobs.parquet")
+    spans_tbl, blobs_tbl = bucketed.write_bucketed(spark, docs, blobs, n_buckets=4)
+    joined = bucketed.bucketed_join(spark, spans_tbl, blobs_tbl)
+    assert shape.count_exchanges(joined) == 0, shape.formatted_plan(joined)
+    # and it's still correct: every media span finds its blob
+    n_spans = joined.count()
+    n_matched = joined.filter(F.col("content").isNotNull()).count()
+    assert n_spans == n_matched > 0

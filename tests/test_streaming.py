@@ -97,3 +97,66 @@ def test_streaming_windowed_agg(spark, tmp_path):
         .count()
     )
     assert got == batch
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a text hash seen in batch 1 must NOT be
+    re-emitted when the same content arrives in batch 2."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    land = tmp_path / "dedup_land"
+    os.makedirs(land)
+    schema = pa.schema([("doc_id", pa.string()), ("text", pa.string())])
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": "a1", "text": "alpha"},
+                {"doc_id": "a2", "text": "alpha"},  # dup within batch
+                {"doc_id": "b1", "text": "beta"},
+            ],
+            schema=schema,
+        ),
+        f"{land}/b1.parquet",
+    )
+    sschema = "doc_id string, text string"
+    stream = spark.readStream.schema(sschema).parquet(str(land))
+    out = streaming.dedup_across_batches(stream)
+    sink = str(tmp_path / "dedup_sink")
+
+    def to_sink(batch_df, _epoch):
+        batch_df.write.mode("append").parquet(sink)
+
+    def run_once():
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(to_sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    rows1 = spark.read.parquet(sink).collect()
+    assert len(rows1) == 2
+    assert {r["keep_id"] for r in rows1} == {"a1", "b1"}
+
+    # batch 2: another 'alpha' dup + a new text; state must survive the
+    # query restart via the checkpoint
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": "a3", "text": "alpha"},
+                {"doc_id": "c1", "text": "gamma"},
+            ],
+            schema=schema,
+        ),
+        f"{land}/b2.parquet",
+    )
+    run_once()
+    rows2 = spark.read.parquet(sink).collect()
+    # only gamma is newly emitted; alpha's duplicate updates state silently
+    assert len(rows2) == 3
+    assert {r["keep_id"] for r in rows2} == {"a1", "b1", "c1"}
