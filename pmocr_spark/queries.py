@@ -246,7 +246,7 @@ def q09_window_topk(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (
-        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= 3)
     )
 
@@ -264,7 +264,7 @@ def q10_explode_embeddings(spark, sf_dir):
     """posexplode of an array column (S1's explode(spans) analog)."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     return e.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
-        "vec_id", "pos", F.round(F.col("v").cast("double"), 5).alias("val")
+        "vec_id", F.col("pos").cast("long").alias("pos"), F.round(F.col("v").cast("double"), 5).alias("val")
     )
 
 
@@ -717,7 +717,7 @@ def q21_ann_bruteforce(spark, sf_dir):
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
-        sims.select("query_id", "neighbor_id", F.row_number().over(w).alias("rk"), "sim")
+        sims.select("query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rk"), "sim")
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "rk", F.round("sim", 4).alias("cos_sim"))
     )
@@ -793,7 +793,7 @@ def q22_ann_ivf(spark, sf_dir):
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
-        sims.select("query_id", "neighbor_id", F.row_number().over(w).alias("rk"), "sim")
+        sims.select("query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rk"), "sim")
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "rk", F.round("sim", 4).alias("cos_sim"))
     )
@@ -877,7 +877,7 @@ def q24_quality_score(spark, sf_dir):
     f = d.select(
         "doc_id",
         "n_chars",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
         F.regexp_count("text", F.lit("[.,;:!?]")).alias("n_punct"),
         F.floor((F.length(lt) - F.length(F.replace(lt, F.lit(" the ")))) / 5)
         .cast("long")
@@ -916,8 +916,8 @@ def q25_token_count(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
-        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")).alias("bpe_ish_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")).cast("long").alias("bpe_ish_tokens"),
         "n_chars",
     )
 
@@ -1208,7 +1208,7 @@ def q38_string_funcs(spark, sf_dir):
         F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
         F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
         F.substring("c_name", 1, 8).alias("prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
     )
 
 
@@ -1258,3 +1258,134 @@ def q40_null_handling(spark, sf_dir):
         high.alias("high_value"),
         F.coalesce(high, F.lit(0.0)).alias("high_or_zero"),
     )
+
+
+@query(
+    "q41_grouping_sets",
+    """
+    SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_bucket), (event_type, user_bucket))
+    """,
+)
+def q41_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    )
+    ev.createOrReplaceTempView("q41_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_bucket, count(*) AS n
+        FROM q41_events
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), (event_type, user_bucket))
+        """
+    )
+
+
+@query(
+    "q42_range_join",
+    """
+    SELECT o.o_orderkey, count(*) AS n_events
+    FROM orders o JOIN events e
+      ON e.user_id = o.o_custkey % 150
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def q42_range_join(spark, sf_dir):
+    """Range join (pyspark_guide 'As-of / range join'): equi-key on the
+    derived user bucket carries the join; the time-range predicate is a
+    residual filter — never a cartesian. At scale: bucketize the range
+    key further if the equi-key is low-cardinality."""
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    joined = o.join(
+        e,
+        (e.user_id == o.o_custkey % 150)
+        & (e.ts >= o.o_orderdate)
+        & (e.ts < F.date_add(o.o_orderdate, 7)),
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "q43_min_max_by",
+    """
+    SELECT user_id,
+           max_by(event_id, ts || '|' || cast(event_id AS varchar)) AS last_event_id,
+           min_by(event_id, ts || '|' || cast(event_id AS varchar)) AS first_event_id,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q43_min_max_by(spark, sf_dir):
+    """min_by/max_by with a deterministic composite ordering key
+    (ts alone can tie; the event_id suffix breaks ties identically on
+    both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(F.col("ts").cast("string"), F.lit("|"), F.col("event_id").cast("string"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("last_event_id"),
+        F.min_by("event_id", key).alias("first_event_id"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q44_sorted_array_agg",
+    """
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY ts, event_id), ',') AS journey
+    FROM events WHERE user_id < 20 GROUP BY user_id
+    """,
+)
+def q44_sorted_array_agg(spark, sf_dir):
+    """Deterministically ordered array agg (the reassembly primitive,
+    §7.4.1): sort_array(collect_list(struct)) -> projected -> joined."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    packed = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(packed)), lambda x: x["event_type"]
+            ),
+            ",",
+        ).alias("journey")
+    )
+
+
+@query(
+    "q45_regexp_extract",
+    """
+    SELECT doc_id,
+           regexp_extract(source, '([a-z]+)([0-9]+)', 1) AS src_name,
+           cast(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS BIGINT) AS src_num
+    FROM documents
+    """,
+)
+def q45_regexp_extract(spark, sf_dir):
+    """Regexp group extraction (X-ops family)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", "([a-z]+)([0-9]+)", 1).alias("src_name"),
+        F.regexp_extract("source", "([a-z]+)([0-9]+)", 2).cast("long").alias("src_num"),
+    )
+
+
+@query(
+    "q46_union_distinct",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def q46_union_distinct(spark, sf_dir):
+    """UNION (distinct) set op."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return a.union(b).distinct()

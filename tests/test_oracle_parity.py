@@ -79,6 +79,13 @@ def test_query_parity(spark, name):
     s_cols, s_rows = _canon(spark_pd)
     d_cols, d_rows = _canon(duck_pd)
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    # dtype parity (int32 vs int64 etc. — the driver records schema)
+    for c in s_cols:
+        sk = spark_pd[c].dtype
+        dk = duck_pd[c].dtype
+        assert sk == dk or {sk.kind, dk.kind} <= {"O", "U"} or (
+            sk.kind == dk.kind == "f"
+        ), f"{name}.{c}: dtype {sk} vs {dk}"
     assert len(s_rows) == len(d_rows), f"{name}: {len(s_rows)} vs {len(d_rows)} rows"
     mism = [i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
     assert not mism, (

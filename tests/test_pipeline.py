@@ -91,3 +91,28 @@ def test_normalize_col_matches_python(spark):
         for r in df.select(pipeline.normalize_text_col(F.col("t")).alias("n")).collect()
     ]
     assert got == [codecs.normalize_text(c) for c in cases]
+
+
+def test_empty_input(spark, corpus_dir):
+    """Zero-row documents (an empty streaming micro-batch) must produce
+    an empty result, not crash (foreachBatch gets empty frames)."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").limit(0)
+    blobs = spark.read.parquet(f"{corpus_dir}/media_blobs.parquet")
+    out = pipeline.run_batch(spark, docs, blobs)
+    assert out.count() == 0
+
+
+def test_doc_with_only_text_spans(spark, corpus_dir):
+    """Docs with zero media spans skip the blob join entirely and still
+    reassemble correctly (searchable-PDF-only corpus)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("t1", [("text", "hello  world", None, 0), ("text", "bye", None, 1)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    blobs = spark.read.parquet(f"{corpus_dir}/media_blobs.parquet")
+    out = {r["doc_id"]: r.asDict(recursive=True) for r in pipeline.run_batch(spark, docs, blobs).collect()}
+    assert out["t1"]["txt"] == "hello  world\nbye"
+    assert out["t1"]["csv"] == "hello;world\nbye"
+    assert out["t1"]["status"] == "done"
