@@ -1389,3 +1389,72 @@ def q46_union_distinct(spark, sf_dir):
     a = ev.filter(F.col("event_type") == "click").select("user_id")
     b = ev.filter(F.col("event_type") == "view").select("user_id")
     return a.union(b).distinct()
+
+
+@query(
+    "q47_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+    FROM events
+    """,
+)
+def q47_moving_avg(spark, sf_dir):
+    """Sliding window frame (7-row moving average)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("ma7")
+    )
+
+
+@query(
+    "q48_correlated_subquery",
+    """
+    SELECT c_custkey,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT round(coalesce(max(o_totalprice), 0.0), 2) FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS max_price
+    FROM customer c
+    """,
+)
+def q48_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subqueries (Catalyst decorrelates to joins)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q48_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q48_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT count(*) FROM q48_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT round(coalesce(max(o_totalprice), 0.0), 2) FROM q48_orders o
+                 WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM q48_customer c
+        """
+    )
+
+
+@query(
+    "q49_rank_family",
+    """
+    SELECT o_orderkey,
+           cast(rank() OVER w AS BIGINT)         AS rnk,
+           cast(dense_rank() OVER w AS BIGINT)   AS drnk,
+           cast(ntile(4) OVER w AS BIGINT)       AS quartile,
+           round(percent_rank() OVER w, 6)       AS prank
+    FROM orders
+    WHERE o_orderkey < 500
+    WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q49_rank_family(spark, sf_dir):
+    """Ranking window family: rank / dense_rank / ntile / percent_rank."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    w = W.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
