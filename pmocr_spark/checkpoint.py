@@ -7,13 +7,13 @@ for `.writeTo(...).append()` when an Iceberg catalog is on the
 classpath; the v1 image has no Iceberg jars, see pyspark_guide.md).
 
 Schema: (partition_id, doc_id, status, span_count, error_count, error,
-run_id, ts) — ts is a JOB-SUPPLIED timestamp, never wall clock
-(determinism ban, SURVEY.md §7.4.3).
+retry_count, run_id, ts) — ts is a JOB-SUPPLIED timestamp, never wall
+clock (determinism ban, SURVEY.md §7.4.3). retry_count counts failed
+attempts so far for the doc (P2 retry-with-postponement,
+pmocr.sh:1154-1193); pre-retry tables read as NULL -> treated as 0.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,15 +27,24 @@ CHECKPOINT_SCHEMA = T.StructType(
         T.StructField("span_count", T.IntegerType()),
         T.StructField("error_count", T.IntegerType()),
         T.StructField("error", T.StringType()),
+        T.StructField("retry_count", T.IntegerType()),
         T.StructField("run_id", T.StringType()),
         T.StructField("ts", T.TimestampType()),
     ]
 )
 
 
-def checkpoint_rows(results: DataFrame, run_id: str, job_ts: str) -> DataFrame:
-    """Derive lineage rows from a batch result frame (S5/S6 sinks)."""
-    return results.select(
+def checkpoint_rows(
+    results: DataFrame, run_id: str, job_ts: str, prior: DataFrame | None = None
+) -> DataFrame:
+    """Derive lineage rows from a batch result frame (S5/S6 sinks).
+
+    `prior` is the checkpoint table as of this run's resume read; a doc's
+    retry_count = prior failed attempts + 1 if this attempt failed too.
+    The prior lookup is an aggregated doc_id->count map — tiny relative
+    to the batch, broadcast by AQE in practice.
+    """
+    rows = results.select(
         F.spark_partition_id().alias("partition_id"),
         "doc_id",
         "status",
@@ -45,15 +54,54 @@ def checkpoint_rows(results: DataFrame, run_id: str, job_ts: str) -> DataFrame:
         F.lit(run_id).alias("run_id"),
         F.lit(job_ts).cast("timestamp").alias("ts"),
     )
+    if prior is None:
+        prior_rc = None
+    else:
+        prior_rc = prior.groupBy("doc_id").agg(
+            F.coalesce(F.max("retry_count"), F.lit(0)).alias("_prior_rc")
+        )
+    if prior_rc is not None:
+        rows = rows.join(prior_rc, "doc_id", "left")
+    else:
+        rows = rows.withColumn("_prior_rc", F.lit(0))
+    return rows.select(
+        "partition_id",
+        "doc_id",
+        "status",
+        "span_count",
+        "error_count",
+        "error",
+        (
+            F.coalesce(F.col("_prior_rc"), F.lit(0))
+            + F.when(F.col("status") == "failed", 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("retry_count"),
+        "run_id",
+        "ts",
+    )
 
 
 def read_checkpoint(spark: SparkSession, path: str) -> DataFrame | None:
-    """Load the checkpoint table, or None on first run."""
-    if not os.path.exists(path) or not any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    ):
-        return None
-    return spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)
+    """Load the checkpoint table, or None on first run.
+
+    Probes via spark.read (works on hdfs://, s3a://, ... — an os.path
+    probe would silently disable resume off the driver-local FS).
+    recursiveFileLookup picks up both flat batch appends and the
+    streaming sink's per-epoch subdirectories.
+    """
+    try:
+        # path resolution (file listing) happens inside .parquet(), so a
+        # missing dir raises here, not at first downstream use
+        return (
+            spark.read.schema(CHECKPOINT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
+    except Exception as e:  # AnalysisException: PATH_NOT_FOUND on first run
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def append_checkpoint(rows: DataFrame, path: str) -> None:

@@ -1,62 +1,160 @@
-"""spark-submit entry point — flag parity with pmOCR (F7-F10).
+"""spark-submit entry point — flag parity with pmOCR (F7-F10, S3).
 
 pmOCR CLI (Usage, /root/reference/pmocr.sh:2296-2343): --batch/--service,
 -p/--target=pdf, -t/--target=txt, -c/--target=csv, -k/--skip-txt-pdf,
 -d/--delete-input, --suffix=, --no-suffix, --text=/--filename-addition=.
-Mapped here onto the table-native equivalents; config-file < CLI
-precedence preserved (GetCommandlineArguments runs twice in the
-reference, pmocr.sh:2409/2423 — argparse defaults + overrides here).
+Mapped here onto the table-native equivalents.
+
+Config-file source (S3) with CLI override (F10): `--config FILE` loads
+key=value lines (or a JSON object) BEFORE argument parsing, mirroring
+LoadConfigFile (pmocr.sh:685-715) — including its revision gate
+(CONFIG_FILE_REVISION, pmocr.sh:692-698): a config whose
+`config_revision` major differs from CONFIG_REVISION is rejected.
+Explicit CLI flags win over config values, which win over built-in
+defaults (the reference runs GetCommandlineArguments twice around
+LoadConfigFile for the same effect, pmocr.sh:2409/2423).
 
 Usage:
   spark-submit --py-files pmocr_spark.zip -m pmocr_spark.cli \\
-      --batch --input DIR --blobs DIR --output DIR --lineage DIR \\
-      --targets txt,csv --job-ts 2024-01-01T00:00:00Z
+      --batch --config job.conf --input DIR --blobs DIR --output DIR \\
+      --lineage DIR --targets txt,csv --job-ts 2024-01-01T00:00:00Z
 """
 
 from __future__ import annotations
 
 import argparse
+import json
+
+#: supported revision major of config files (LoadConfigFile analog)
+CONFIG_REVISION = "1"
+
+#: pmOCR's five output targets (pmocr.sh:2546-2593). docx/xlsx exist in
+#: the reference but are ABBYY-engine-only (pmocr.sh:2571-2581,
+#: default.conf:122-126); the tesseract-analog engine here rejects them
+#: with a clear message rather than silently ignoring the flag.
+SUPPORTED_TARGETS = ("txt", "csv", "pdf")
+ABBYY_ONLY_TARGETS = ("docx", "xlsx")
+
+
+def load_config(path: str) -> dict:
+    """Parse a config file: JSON object, or pmOCR-style KEY=value lines
+    (comments with '#', optional surrounding quotes on values)."""
+    with open(path) as f:
+        raw = f.read()
+    stripped = raw.lstrip()
+    if stripped.startswith("{"):
+        cfg = json.loads(raw)
+    else:
+        cfg = {}
+        for line in raw.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            v = v.strip().strip("'\"")
+            cfg[k.strip().lower().replace("-", "_")] = v
+    rev = str(cfg.pop("config_revision", CONFIG_REVISION))
+    if rev.split(".")[0] != CONFIG_REVISION:
+        raise SystemExit(
+            f"config revision {rev} unsupported (expected {CONFIG_REVISION}.x) — "
+            "see pmOCR's CONFIG_FILE_REVISION gate (pmocr.sh:692-698)"
+        )
+    return cfg
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pmocr-spark")
-    mode = p.add_mutually_exclusive_group(required=True)
+    p.add_argument("--config", default=None, help="config file (key=value or JSON); CLI wins")
+    mode = p.add_mutually_exclusive_group()
     mode.add_argument("--batch", action="store_true", help="bounded batch run")
     mode.add_argument(
         "--service", action="store_true", help="streaming monitor mode (pmOCR --service)"
     )
-    p.add_argument("--input", required=True, help="documents table / landing dir (parquet)")
-    p.add_argument("--blobs", required=True, help="media_blobs table (parquet)")
-    p.add_argument("--output", required=True, help="results table dir")
-    p.add_argument("--lineage", required=True, help="checkpoint/lineage table dir")
+    p.add_argument("--input", help="documents table / landing dir (parquet)")
+    p.add_argument("--blobs", help="media_blobs table (parquet)")
+    p.add_argument("--output", help="results table dir")
+    p.add_argument("--lineage", help="checkpoint/lineage table dir")
     p.add_argument(
         "--targets",
-        default="txt",
+        default=None,
         help="comma list of txt,csv,pdf (pmOCR default: pdf, pmocr.sh:2449-2451; "
         "ours: txt — all targets derive from one OCR pass either way)",
     )
-    p.add_argument("--run-id", default="run-0")
+    p.add_argument("--run-id", default=None)
     p.add_argument(
         "--job-ts",
-        default="2024-01-01T00:00:00Z",
+        default=None,
         help="fixed job timestamp for output naming/lineage (never wall clock)",
     )
+    p.add_argument("--alerts", default=None, help="alert table dir (S7; service mode)")
     p.add_argument("--stream-checkpoint", default=None, help="streaming offsets dir (service)")
     p.add_argument("--master", default=None, help="override spark master (default from env)")
     p.add_argument("--num-partitions", type=int, default=None)
     return p
 
 
+#: built-in defaults, applied below config and CLI (lowest precedence)
+_DEFAULTS = {
+    "targets": "txt",
+    "run_id": "run-0",
+    "job_ts": "2024-01-01T00:00:00Z",
+}
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """Three-layer precedence: built-in defaults < config file < CLI."""
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    layered = dict(_DEFAULTS)
+    if args.config:
+        cfg = load_config(args.config)
+        unknown = set(cfg) - {a.dest for a in parser._actions}
+        if unknown:
+            parser.error(f"unknown config keys: {sorted(unknown)}")
+        # mode comes as batch=true/service=true strings in file form;
+        # a mode given on the CLI overrides the config's mode entirely
+        if args.batch or args.service:
+            cfg.pop("batch", None)
+            cfg.pop("service", None)
+        for k in ("batch", "service"):
+            if k in cfg and not isinstance(cfg[k], bool):
+                cfg[k] = str(cfg[k]).lower() in ("1", "true", "yes")
+        layered.update(cfg)
+    for k, v in layered.items():
+        if getattr(args, k, None) in (None, False):
+            setattr(args, k, v)
+    if not (args.batch or args.service):
+        parser.error("one of --batch / --service is required (flag or config)")
+    if args.batch and args.service:
+        parser.error("--batch and --service are mutually exclusive")
+    for req in ("input", "blobs", "output", "lineage"):
+        if not getattr(args, req):
+            parser.error(f"--{req} is required (flag or config)")
+    targets = [t.strip() for t in str(args.targets).split(",") if t.strip()]
+    for t in targets:
+        if t in ABBYY_ONLY_TARGETS:
+            parser.error(
+                f"target '{t}' requires the ABBYY engine in the reference "
+                "(pmocr.sh:2571-2581, default.conf:122-126) and has no "
+                f"tesseract-analog here; supported: {','.join(SUPPORTED_TARGETS)}"
+            )
+        if t not in SUPPORTED_TARGETS:
+            parser.error(f"unknown target '{t}'; supported: {','.join(SUPPORTED_TARGETS)}")
+    args.target_list = targets
+    return args
+
+
 def main(argv: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     from . import checkpoint as ckpt
-    from . import pipeline, streaming
+    from . import pipeline, streaming, udfs
     from .session import get_spark
 
-    args = build_parser().parse_args(argv)
-    targets = [t.strip() for t in args.targets.split(",") if t.strip()]
+    args = parse_args(argv)
+    targets = args.target_list
     spark = get_spark(app="pmocr_spark_job", master=args.master)
+    job_ts = args.job_ts.replace("T", " ").replace("Z", "")
 
     if args.service:
         blobs = spark.read.parquet(args.blobs)
@@ -68,8 +166,9 @@ def main(argv: list[str] | None = None) -> None:
             args.stream_checkpoint or args.lineage + "_offsets",
             args.lineage,
             run_id=args.run_id,
-            job_ts=args.job_ts.replace("T", " ").replace("Z", ""),
+            job_ts=job_ts,
             trigger={"processingTime": "30 seconds"},  # poller interval parity
+            alerts_dir=args.alerts,
         )
         q.awaitTermination()
         return
@@ -78,19 +177,26 @@ def main(argv: list[str] | None = None) -> None:
     blobs = spark.read.parquet(args.blobs)
     lineage = ckpt.read_checkpoint(spark, args.lineage)
     results = pipeline.run_batch(
-        spark, docs, blobs, checkpoint=lineage, num_partitions=args.num_partitions
+        spark,
+        docs,
+        blobs,
+        checkpoint=lineage,
+        num_partitions=args.num_partitions,
+        job_ts=job_ts,
     )
     results = results.persist()
     cols = ["doc_id", "spans", "span_count", "error_count", "status"]
     cols += [t for t in ("txt", "csv") if t in targets]
     if "pdf" in targets:
-        # pdf target = ordered struct list retaining media refs (FIXTURES §2)
-        results = results.withColumn("pdf", F.to_json("spans"))
+        # pdf target = a real container blob assembled from the extracted
+        # spans (one page per non-error span); decode(pdf) == txt exactly
+        ok_pages = F.transform(
+            F.filter("spans", lambda s: s["text"].isNotNull()), lambda s: s["text"]
+        )
+        results = results.withColumn("pdf", udfs.encode_pdf_pages(F.col("doc_id"), ok_pages))
         cols.append("pdf")
     results.select(*cols).write.mode("append").parquet(args.output)
-    rows = ckpt.checkpoint_rows(
-        results, run_id=args.run_id, job_ts=args.job_ts.replace("T", " ").replace("Z", "")
-    )
+    rows = ckpt.checkpoint_rows(results, run_id=args.run_id, job_ts=job_ts, prior=lineage)
     ckpt.append_checkpoint(rows, args.lineage)
     results.unpersist()
 

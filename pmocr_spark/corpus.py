@@ -230,6 +230,7 @@ def reference_convert(documents: pa.Table, media_blobs: pa.Table) -> dict:
     blob_by_ref = {
         r["media_ref"]: r["content"] for r in media_blobs.to_pylist()
     }
+    allowed = set(codecs.MEDIA_KINDS) | {"text"}
     out = {}
     for row in documents.to_pylist():
         doc_id = row["doc_id"]
@@ -237,13 +238,23 @@ def reference_convert(documents: pa.Table, media_blobs: pa.Table) -> dict:
         result_spans = []
         error = None
         for order, s in enumerate(spans):
-            if s["kind"] == "text":
+            kind = (s["kind"] or "").lower()  # engine normalizes kind once
+            if kind not in allowed:
+                # F1 allow-list mirror: disallowed kinds are retained as
+                # 'skipped' spans (no text, no error) — same as the engine
+                result_spans.append((order, "skipped", None, s["media_ref"]))
+            elif kind == "text":
                 result_spans.append((order, "text", codecs.normalize_text(s["text"]), None))
             else:
+                blob = blob_by_ref.get(s["media_ref"])
                 try:
-                    text = codecs.decode_blob(blob_by_ref[s["media_ref"]])
-                except codecs.CodecError as e:
-                    error = f"{type(e).__name__}: {e}"
+                    if blob is None:
+                        raise codecs.CodecError("null media content (missing blob)")
+                    text = codecs.decode_blob(blob)
+                except Exception as e:  # same exception surface as the UDF
+                    # first-by-offset error convention (engine: F.get(..., 0))
+                    if error is None:
+                        error = f"{type(e).__name__}: {e}"
                     result_spans.append((order, "error", None, s["media_ref"]))
                     continue
                 result_spans.append((order, "text", text, s["media_ref"]))

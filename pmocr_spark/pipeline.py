@@ -64,18 +64,54 @@ def salted_repartition(df: DataFrame, num_partitions: int, *key_cols: str) -> Da
     return df.repartition(num_partitions, salt)
 
 
-def resume_filter(documents: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
-    """F2: exclude docs already done or quarantined (anti-join resume).
+#: P2 retry policy defaults — pmOCR postpones a transiently-failed file up
+#: to 3 times, at least 300 s apart, before quarantining it for good
+#: (pmocr.sh:1154-1193, 816-817).
+MAX_RETRIES = 3
+RETRY_BACKOFF_S = 300
+
+
+def resume_filter(
+    documents: DataFrame,
+    checkpoint: DataFrame | None,
+    job_ts: str | None = None,
+    max_retries: int = MAX_RETRIES,
+    retry_backoff_s: int = RETRY_BACKOFF_S,
+) -> DataFrame:
+    """F2 + P2: exclude docs already done, quarantined, or postponed.
 
     pmOCR analog: `find ! -name "*_OCR.*" ! -name "*_OCR_ERR.*"`
-    (pmocr.sh:2126-2144, 2183). Failed docs are poison pills — never
-    retried in a loop (pmocr.sh:2002-2010, CHANGELOG.md:106).
+    (pmocr.sh:2126-2144, 2183) plus retry-with-postponement — a failed
+    file is re-admitted after >= retry_backoff_s, at most max_retries
+    times, then quarantined forever (pmocr.sh:1154-1193, 816-817).
+
+    retry_count in lineage counts FAILED ATTEMPTS so far; a doc is
+    EXCLUDED when its latest lineage row says:
+      - status done/skipped (terminal success), or
+      - status failed with retry_count > max_retries — i.e. the initial
+        attempt plus max_retries retries all failed (quarantine), or
+      - status failed but this run's job_ts is within the backoff window
+        (postponed — picked up by a later run, not this one).
+    With job_ts=None the backoff check is skipped (pure count policy).
+    The latest-state lookup is one groupBy(doc_id) of the lineage table —
+    the same shuffle the old distinct-free anti-join avoided, but now
+    load-bearing (latest status + retry count), keyed on the same column
+    the join needs.
     """
     if checkpoint is None:
         return documents
-    # no .distinct() — anti-join semantics dedup for free, and the
-    # distinct would add a whole extra shuffle of the checkpoint table
-    seen = checkpoint.select("doc_id")
+    latest = checkpoint.groupBy("doc_id").agg(
+        F.max_by("status", "ts").alias("status"),
+        F.coalesce(F.max("retry_count"), F.lit(0)).alias("retry_count"),
+        F.max("ts").alias("last_ts"),
+    )
+    blocked = (F.col("status") != "failed") | (F.col("retry_count") > max_retries)
+    if job_ts is not None:
+        now = F.lit(job_ts).cast("timestamp")
+        blocked = blocked | (
+            now < F.col("last_ts") + F.make_dt_interval(secs=F.lit(retry_backoff_s))
+        )
+    seen = latest.filter(blocked).select("doc_id")
     return documents.join(seen, "doc_id", "left_anti")
 
 
@@ -85,28 +121,49 @@ def extract_spans(
     checkpoint: DataFrame | None = None,
     num_partitions: int | None = None,
     broadcast_spans: bool = True,
+    job_ts: str | None = None,
+    ocr_udf=None,
 ) -> DataFrame:
     """Core extraction: per-span OCR/passthrough, NOT yet reassembled.
 
+    ocr_udf overrides the decode UDF (udfs.make_ocr_extract — explicit
+    P3 time-budget policy); default is the env-driven instance.
+
     Returns span-level frame (doc_id, offset, kind, text, media_ref, error):
-    kind='text' rows with error IS NULL are successful extractions.
+    kind='text' rows with error IS NULL are successful extractions;
+    kind='skipped' rows are disallowed-kind spans (F1) retained so the
+    document still checkpoints (pmOCR never picks up a disallowed
+    extension — the table analog keeps the span, minus its content).
     """
     spark = documents.sparkSession
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    pending = resume_filter(documents, checkpoint)
+    pending = resume_filter(documents, checkpoint, job_ts=job_ts)
 
+    # normalize kind ONCE (lower-case) so the F1 allow-list and the
+    # text/media routing can never disagree on case
     spans = pending.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id",
-        F.col("s.kind").alias("kind"),
+        F.lower(F.col("s.kind")).alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
     )
     # F1 allow-list (case-insensitive, default.conf:14) — pushed upstream of
     # the blob join and the UDF so disallowed kinds never cost a decode.
+    # Disallowed spans become kind='skipped' rows (no text, no error): the
+    # doc still reassembles and checkpoints instead of vanishing from both
+    # output and lineage (which would make resume reprocess it forever).
     allowed = list(MEDIA_KINDS) + ["text"]
-    spans = spans.filter(F.lower("kind").isin(allowed))
+    skipped = spans.filter(~F.col("kind").isin(allowed)).select(
+        "doc_id",
+        "offset",
+        F.lit("skipped").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        "media_ref",
+        F.lit(None).cast("string").alias("error"),
+    )
+    spans = spans.filter(F.col("kind").isin(allowed))
 
     # F5 route: text spans bypass OCR entirely (cheap JVM normalization)
     text_spans = spans.filter(F.col("kind") == "text").select(
@@ -150,7 +207,7 @@ def extract_spans(
         media_spans = salted_repartition(media_spans, num_partitions, "doc_id", "offset")
         with_blobs = media_spans.join(blob_cols, "media_ref", "left")
 
-    ocr = with_blobs.withColumn("ocr", ocr_extract(F.col("content"))).select(
+    ocr = with_blobs.withColumn("ocr", (ocr_udf or ocr_extract)(F.col("content"))).select(
         "doc_id",
         "offset",
         F.when(F.col("ocr.error").isNotNull(), F.lit("error")).otherwise(F.lit("text")).alias("kind"),
@@ -158,7 +215,7 @@ def extract_spans(
         "media_ref",
         F.col("ocr.error").alias("error"),
     )
-    return text_spans.unionByName(ocr)
+    return text_spans.unionByName(ocr).unionByName(skipped)
 
 
 def reassemble(span_results: DataFrame) -> DataFrame:
@@ -206,9 +263,16 @@ def run_batch(
     checkpoint: DataFrame | None = None,
     num_partitions: int | None = None,
     broadcast_spans: bool = True,
+    job_ts: str | None = None,
+    ocr_udf=None,
 ) -> DataFrame:
-    """Full batch pass -> document-level results (spans + txt/csv + status)."""
+    """Full batch pass -> document-level results (spans + txt/csv + status).
+
+    job_ts (the run's fixed timestamp) enables the P2 retry-backoff check
+    against the checkpoint's last-attempt timestamps; None skips it.
+    """
     span_results = extract_spans(
-        documents, media_blobs, checkpoint, num_partitions, broadcast_spans
+        documents, media_blobs, checkpoint, num_partitions, broadcast_spans,
+        job_ts=job_ts, ocr_udf=ocr_udf,
     )
     return reassemble(span_results)

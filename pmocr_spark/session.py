@@ -47,6 +47,14 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # P5 zombie detection: a straggler/hung task gets a speculative
+        # copy (pmOCR's WaitForTaskCompletion kill path, pmocr.sh:926-987).
+        # Inert on local[N] (one executor), effective on a real cluster;
+        # safe because every task here is idempotent and side-effect-free
+        # up to the (deterministic) sink write.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

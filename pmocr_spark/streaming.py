@@ -59,15 +59,27 @@ def monitor(
     job_ts: str = "2024-01-01T00:00:00Z",
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
+    alerts_dir: str | None = None,
+    alert_threshold: int = 1,
 ):
     """Start the streaming monitor over a landing directory of parquet
     document files. Returns the StreamingQuery.
 
-    - exactly-once per doc: Spark's file-source seen-map (the W2 poller
-      snapshot diff, pmocr.sh:1626) + our lineage anti-join inside the
-      batch function (resume semantics identical to batch mode).
+    - effectively exactly-once per doc: Spark's file-source seen-map (the
+      W2 poller snapshot diff, pmocr.sh:1626) + the lineage anti-join
+      (resume semantics identical to batch mode) + IDEMPOTENT epoch
+      writes: both the results and the lineage rows of epoch E land in an
+      `epoch-E` subdirectory with mode=overwrite, and the anti-join
+      excludes epoch E's own prior rows, so a crash-replay of E rewrites
+      byte-identical output instead of appending duplicates. Read the
+      output with spark.read.option("recursiveFileLookup", "true").
     - failure quarantine: failed docs land in lineage with
-      status='failed' and are never reprocessed (S6).
+      status='failed'; after MAX_RETRIES re-admissions (P2, batch-mode
+      parity) they are never reprocessed (S6).
+    - alert sink (S7, pmOCR SendAlert pmocr.sh:428-480): when a batch has
+      >= alert_threshold failed docs and alerts_dir is set, one alert row
+      (run_id, epoch_id, failed_docs, docs, first_error, ts) is written —
+      idempotent per epoch, same overwrite scheme.
     """
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
@@ -75,19 +87,39 @@ def monitor(
     stream = reader.parquet(input_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_run = f"{run_id}-{epoch_id}"
         lineage = ckpt.read_checkpoint(spark, lineage_dir)
-        results = pipeline.run_batch(spark, batch_df, media_blobs, checkpoint=lineage)
+        if lineage is not None:
+            # replay safety: epoch E's own rows must not anti-join E's
+            # docs away (the replay would overwrite output with nothing)
+            lineage = lineage.filter(F.col("run_id") != epoch_run)
+        results = pipeline.run_batch(
+            spark, batch_df, media_blobs, checkpoint=lineage, job_ts=job_ts
+        )
         results.persist()
         try:
             (
                 results.select(
                     "doc_id", "spans", "span_count", "error_count", "status", "txt", "csv"
                 )
-                .write.mode("append")
-                .parquet(output_dir)
+                .write.mode("overwrite")
+                .parquet(f"{output_dir}/epoch-{epoch_id}")
             )
-            rows = ckpt.checkpoint_rows(results, run_id=f"{run_id}-{epoch_id}", job_ts=job_ts)
-            ckpt.append_checkpoint(rows, lineage_dir)
+            rows = ckpt.checkpoint_rows(results, run_id=epoch_run, job_ts=job_ts, prior=lineage)
+            rows.write.mode("overwrite").parquet(f"{lineage_dir}/epoch-{epoch_id}")
+            if alerts_dir is not None:
+                failed = results.filter(F.col("status") == "failed")
+                alert = failed.agg(
+                    F.count("*").alias("failed_docs"),
+                    F.min_by("error", "doc_id").alias("first_error"),
+                ).select(
+                    F.lit(run_id).alias("run_id"),
+                    F.lit(epoch_id).cast("long").alias("epoch_id"),
+                    "failed_docs",
+                    "first_error",
+                    F.lit(job_ts).cast("timestamp").alias("ts"),
+                ).filter(F.col("failed_docs") >= alert_threshold)
+                alert.write.mode("overwrite").parquet(f"{alerts_dir}/epoch-{epoch_id}")
         finally:
             results.unpersist()
 

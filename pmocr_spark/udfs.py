@@ -19,6 +19,9 @@ Design notes (SURVEY.md §2.3, §4.2):
 
 from __future__ import annotations
 
+import os
+import time
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -33,23 +36,106 @@ OCR_RESULT_TYPE = T.StructType(
 )
 
 
-@F.pandas_udf(OCR_RESULT_TYPE)
-def ocr_extract(content: pd.Series) -> pd.DataFrame:
-    """Decode a batch of media blobs -> (text, error) per blob."""
-    texts: list[str | None] = []
-    errors: list[str | None] = []
-    for blob in content:
-        if blob is None:
-            texts.append(None)
-            errors.append("CodecError: null media content (missing blob)")
-            continue
-        try:
-            texts.append(codecs.decode_blob(blob))
-            errors.append(None)
-        except Exception as e:  # noqa: BLE001 — error-as-data, never fail the batch
-            texts.append(None)
-            errors.append(f"{type(e).__name__}: {e}")
-    return pd.DataFrame({"text": texts, "error": errors})
+def _decode_budget_s() -> float:
+    """P3 per-blob time budget (pmOCR kills a runaway conversion after
+    OCR_TIMEOUT, pmocr.sh:926-987). Read from env so executors pick it up
+    without plan changes; 0 disables."""
+    return float(os.environ.get("PMOCR_DOC_TIME_BUDGET", "60"))
+
+
+def _decode_one(work, budget_s: float, hard: bool) -> tuple[str | None, str | None]:
+    """One blob through the codec under the time budget.
+
+    Default (soft) mode measures the decode and converts an over-budget
+    blob into an error struct after the fact — zero hot-path overhead.
+    hard=True (PMOCR_HARD_TIMEOUT=1) additionally runs the decode on a
+    helper thread and abandons it at the deadline, so a pathologically
+    hung blob cannot pin the task — at ~50us/blob thread overhead, so it
+    is opt-in for corpora known to contain runaway inputs.
+    """
+    t0 = time.monotonic()
+    try:
+        if hard and budget_s > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            from concurrent.futures import TimeoutError as FutTimeout
+
+            # no context manager: shutdown(wait=True) would block on the
+            # hung thread — abandon it instead (daemonized via shutdown)
+            ex = ThreadPoolExecutor(max_workers=1)
+            try:
+                return ex.submit(work).result(timeout=budget_s), None
+            except FutTimeout:
+                ex.shutdown(wait=False)
+                return None, f"TimeoutError: decode exceeded {budget_s}s budget (hard kill)"
+            except Exception as e:  # noqa: BLE001
+                return None, f"{type(e).__name__}: {e}"
+            finally:
+                ex.shutdown(wait=False)
+        text = work()
+    except Exception as e:  # noqa: BLE001 — error-as-data, never fail the batch
+        return None, f"{type(e).__name__}: {e}"
+    dt = time.monotonic() - t0
+    if budget_s > 0 and dt > budget_s:
+        return None, f"TimeoutError: decode took {dt:.3f}s (budget {budget_s}s)"
+    return text, None
+
+
+def make_ocr_extract(
+    budget_s: float | None = None,
+    hard: bool | None = None,
+    test_delay: float = 0.0,
+):
+    """Build the batched decode UDF with an explicit P3 policy.
+
+    With the default Nones the policy comes from env at execution time
+    (PMOCR_DOC_TIME_BUDGET / PMOCR_HARD_TIMEOUT — set them at
+    spark-submit time so executors inherit). Explicit values travel in
+    the UDF closure (what the tests use; env set mid-session never
+    reaches already-spawned python workers). test_delay simulates a
+    runaway document — the sandbox codec is too fast to overrun a real
+    budget."""
+
+    @F.pandas_udf(OCR_RESULT_TYPE)
+    def _ocr_extract(content: pd.Series) -> pd.DataFrame:
+        budget = _decode_budget_s() if budget_s is None else budget_s
+        use_hard = (os.environ.get("PMOCR_HARD_TIMEOUT", "") == "1") if hard is None else hard
+        texts: list[str | None] = []
+        errors: list[str | None] = []
+        for blob in content:
+            if blob is None:
+                texts.append(None)
+                errors.append("CodecError: null media content (missing blob)")
+                continue
+
+            def work(blob=blob):
+                if test_delay:  # inside the timed/killable region
+                    time.sleep(test_delay)
+                return codecs.decode_blob(blob)
+
+            text, err = _decode_one(work, budget, use_hard)
+            texts.append(text)
+            errors.append(err)
+        return pd.DataFrame({"text": texts, "error": errors})
+
+    return _ocr_extract
+
+
+#: default instance used by the pipeline (env-driven policy)
+ocr_extract = make_ocr_extract()
+
+
+@F.pandas_udf(T.BinaryType())
+def encode_pdf_pages(doc_id: pd.Series, page_texts: pd.Series) -> pd.Series:
+    """Assemble a real (synthetic-container) searchable-PDF output blob
+    from a document's extracted span texts — one page per span, salted by
+    doc_id for deterministic bytes. pmOCR's pdf target writes an actual
+    PDF via the OCR engine (pmocr.sh:2202-2220); codecs.decode_blob on
+    this output round-trips to the txt target exactly."""
+    out = []
+    for did, pages in zip(doc_id, page_texts):
+        pages = [p for p in (pages if pages is not None else []) if p is not None]
+        out.append(codecs.encode_pdf(list(pages), salt=str(did)))
+    return pd.Series(out)
 
 
 @F.pandas_udf(T.IntegerType())

@@ -1,40 +1,43 @@
-"""Resume / quarantine / idempotency semantics (S5/S6/F2, FIXTURES.md §3)."""
+"""Resume / quarantine / retry-postponement semantics (S5/S6/F2/P2)."""
 
 from __future__ import annotations
 
 import tempfile
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from pmocr_spark import checkpoint as ckpt
-from pmocr_spark import pipeline
+from pmocr_spark import codecs, corpus, pipeline
 
 
-def _run(spark, corpus_dir, lineage_dir, run_id):
+def _run(spark, corpus_dir, lineage_dir, run_id, job_ts="2024-01-01 00:00:00"):
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
     blobs = spark.read.parquet(f"{corpus_dir}/media_blobs.parquet")
     lineage = ckpt.read_checkpoint(spark, lineage_dir)
-    results = pipeline.run_batch(spark, docs, blobs, checkpoint=lineage)
+    results = pipeline.run_batch(spark, docs, blobs, checkpoint=lineage, job_ts=job_ts)
     results = results.persist()
     # materialize BEFORE appending to lineage: the plan reads lineage_dir
     # lazily, so appending first would anti-join the new rows away on any
     # cache-miss recompute (see checkpoint.append_checkpoint docstring)
     n = results.count()
-    rows = ckpt.checkpoint_rows(results, run_id=run_id, job_ts="2024-01-01 00:00:00")
+    rows = ckpt.checkpoint_rows(results, run_id=run_id, job_ts=job_ts, prior=lineage)
     ckpt.append_checkpoint(rows, lineage_dir)
     results.unpersist()
     return n
 
 
-def test_resume_is_idempotent(spark, corpus_dir, expected):
-    """Run twice: second run processes ZERO docs (pmOCR's _OCR-suffix
-    work-avoidance, pmocr.sh:2088-2096) — including failed docs, which are
-    quarantined and never retried (pmocr.sh:2002-2010, CHANGELOG.md:106)."""
+def test_resume_done_and_postponed(spark, corpus_dir, expected):
+    """Run twice at the same job_ts + epsilon: done docs are excluded
+    (pmOCR's _OCR-suffix work-avoidance, pmocr.sh:2088-2096) and failed
+    docs are POSTPONED (within the 300s backoff window), so the second
+    run processes zero docs."""
     with tempfile.TemporaryDirectory(prefix="pmocr_ckpt_") as lineage_dir:
-        n1 = _run(spark, corpus_dir, lineage_dir, "run-1")
+        n1 = _run(spark, corpus_dir, lineage_dir, "run-1", "2024-01-01 00:00:00")
         assert n1 == len(expected)
-        n2 = _run(spark, corpus_dir, lineage_dir, "run-2")
-        assert n2 == 0, "second run must find nothing to do"
+        n2 = _run(spark, corpus_dir, lineage_dir, "run-2", "2024-01-01 00:00:30")
+        assert n2 == 0, "done excluded, failed postponed inside the backoff window"
 
         cp = ckpt.read_checkpoint(spark, lineage_dir)
         statuses = {r["doc_id"]: r["status"] for r in cp.collect()}
@@ -43,8 +46,75 @@ def test_resume_is_idempotent(spark, corpus_dir, expected):
             assert statuses[doc_id] == exp["status"], doc_id
 
 
+def _mini_corpus(path: str, fix_transient: bool) -> None:
+    """3 docs: good / transiently-poisoned (fixed when fix_transient) /
+    permanently-poisoned."""
+    texts = {"good": "alpha beta", "trans": "gamma delta", "perm": "epsilon zeta"}
+    docs = [
+        {
+            "doc_id": f"doc-{k}",
+            "spans": [{"kind": "tif", "text": None, "media_ref": f"blob:{k}", "offset": 0}],
+        }
+        for k in texts
+    ]
+    blobs = []
+    for k, t in texts.items():
+        if k == "perm" or (k == "trans" and not fix_transient):
+            content = codecs.encode_corrupt(f"blob:{k}")
+        else:
+            content = codecs.encode_image(t, "tif", salt=f"blob:{k}")
+        blobs.append({"media_ref": f"blob:{k}", "kind": "tif", "content": content})
+    pq.write_table(
+        pa.Table.from_pylist(docs, schema=corpus.DOCUMENTS_SCHEMA), f"{path}/documents.parquet"
+    )
+    pq.write_table(
+        pa.Table.from_pylist(blobs, schema=corpus.BLOBS_SCHEMA), f"{path}/media_blobs.parquet"
+    )
+
+
+def test_retry_with_postponement(spark, tmp_path):
+    """P2 (pmocr.sh:1154-1193, 816-817): a transient failure is retried
+    after the backoff and succeeds; a permanent poison is retried
+    MAX_RETRIES times and then quarantined forever."""
+    lineage = str(tmp_path / "lineage")
+    cdir = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(cdir)
+    t = "2024-01-01 {}:{:02d}:00".format  # hour, minute helpers
+
+    _mini_corpus(cdir, fix_transient=False)
+    assert _run(spark, cdir, lineage, "r1", t("00", 0)) == 3  # good done; trans+perm fail rc=1
+
+    # inside the backoff window: failed docs postponed, nothing runs
+    assert _run(spark, cdir, lineage, "r2", t("00", 2)) == 0
+
+    # transient cause fixed; past the backoff: both failed docs readmitted
+    _mini_corpus(cdir, fix_transient=True)
+    assert _run(spark, cdir, lineage, "r3", t("00", 10)) == 2  # trans succeeds; perm rc=2
+    assert _run(spark, cdir, lineage, "r4", t("00", 20)) == 1  # perm rc=3
+    assert _run(spark, cdir, lineage, "r5", t("00", 30)) == 1  # perm rc=4 (last retry)
+    # initial + MAX_RETRIES retries exhausted -> quarantined forever
+    assert _run(spark, cdir, lineage, "r6", t("00", 40)) == 0
+    assert _run(spark, cdir, lineage, "r7", t("01", 0)) == 0
+
+    cp = ckpt.read_checkpoint(spark, lineage)
+    latest = {
+        r["doc_id"]: r
+        for r in cp.groupBy("doc_id")
+        .agg(F.max_by("status", "ts").alias("status"), F.max("retry_count").alias("rc"))
+        .collect()
+    }
+    assert latest["doc-good"]["status"] == "done" and latest["doc-good"]["rc"] == 0
+    assert latest["doc-trans"]["status"] == "done" and latest["doc-trans"]["rc"] == 1
+    assert latest["doc-perm"]["status"] == "failed"
+    assert latest["doc-perm"]["rc"] == 1 + pipeline.MAX_RETRIES
+
+
 def test_partial_resume(spark, corpus_dir, expected):
-    """Pre-seed half the docs as done: only the other half is processed."""
+    """Pre-seed half the docs as done: only the other half is processed.
+    The seed rows use the PRE-RETRY 8-column schema — read_checkpoint
+    must surface retry_count as NULL->0 for them (migration path)."""
     with tempfile.TemporaryDirectory(prefix="pmocr_ckpt_") as lineage_dir:
         docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
         half = docs.select("doc_id").orderBy("doc_id").limit(len(expected) // 2)
@@ -58,9 +128,15 @@ def test_partial_resume(spark, corpus_dir, expected):
             F.lit("seed").alias("run_id"),
             F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
         )
-        ckpt.append_checkpoint(pre, lineage_dir)
-        n = _run(spark, corpus_dir, lineage_dir, "run-after-seed")
+        pre.write.mode("append").parquet(lineage_dir)
+        n = _run(spark, corpus_dir, lineage_dir, "run-after-seed", "2024-01-01 01:00:00")
         assert n == len(expected) - len(expected) // 2
+
+
+def test_read_checkpoint_missing_path(spark, tmp_path):
+    """First-run probe must work through spark.read (hdfs/s3-safe), not
+    os.path: missing dir -> None, present dir -> DataFrame."""
+    assert ckpt.read_checkpoint(spark, str(tmp_path / "nope")) is None
 
 
 def test_partition_metrics(spark, corpus_dir):

@@ -1,0 +1,109 @@
+"""CLI surface: config-file source with CLI override (S3/F10), target
+validation (docx/xlsx graceful reject), real-PDF output target."""
+
+from __future__ import annotations
+
+import pytest
+
+from pmocr_spark import cli
+
+
+def test_config_file_defaults_and_cli_override(tmp_path):
+    """pmOCR precedence (LoadConfigFile + double GetCommandlineArguments,
+    pmocr.sh:685-715, 2409/2423): defaults < config < CLI."""
+    conf = tmp_path / "job.conf"
+    conf.write_text(
+        "# pmOCR-style config\n"
+        "config_revision=1.0\n"
+        "batch=true\n"
+        "input=/cfg/in\n"
+        "blobs=/cfg/blobs\n"
+        "output=/cfg/out\n"
+        "lineage=/cfg/lineage\n"
+        'targets="csv"\n'
+        "run_id=cfg-run\n"
+    )
+    # config alone provides everything (incl. mode)
+    a = cli.parse_args(["--config", str(conf)])
+    assert a.batch and not a.service
+    assert a.input == "/cfg/in" and a.targets == "csv" and a.run_id == "cfg-run"
+    assert a.target_list == ["csv"]
+    # CLI overrides config; unset keys keep config values
+    a = cli.parse_args(["--config", str(conf), "--targets", "txt,pdf", "--input", "/cli/in"])
+    assert a.target_list == ["txt", "pdf"] and a.input == "/cli/in"
+    assert a.blobs == "/cfg/blobs"  # still from config
+    # built-in default survives when neither sets it
+    assert a.job_ts == "2024-01-01T00:00:00Z"
+
+
+def test_config_json_and_mode_override(tmp_path):
+    conf = tmp_path / "job.json"
+    conf.write_text(
+        '{"service": true, "input": "/cfg/in", "blobs": "/b", "output": "/o", "lineage": "/l"}'
+    )
+    a = cli.parse_args(["--config", str(conf)])
+    assert a.service and not a.batch
+    # CLI mode beats config mode (F10)
+    a = cli.parse_args(["--config", str(conf), "--batch"])
+    assert a.batch and not a.service
+
+
+def test_config_revision_gate(tmp_path):
+    conf = tmp_path / "old.conf"
+    conf.write_text("config_revision=0.9\nbatch=true\n")
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--config", str(conf)])
+
+
+def test_unknown_config_key_rejected(tmp_path):
+    conf = tmp_path / "bad.conf"
+    conf.write_text("batch=true\nnot_a_flag=1\n")
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--config", str(conf)])
+
+
+@pytest.mark.parametrize("target", ["docx", "xlsx"])
+def test_abbyy_only_targets_rejected(capsys, target):
+    """pmOCR's docx/xlsx targets are ABBYY-engine-only (pmocr.sh:2571-2581,
+    default.conf:122-126) — rejected with a pointer, not silently ignored."""
+    argv = ["--batch", "--input", "i", "--blobs", "b", "--output", "o",
+            "--lineage", "l", "--targets", target]
+    with pytest.raises(SystemExit):
+        cli.parse_args(argv)
+    assert "ABBYY" in capsys.readouterr().err
+
+
+def test_unknown_target_rejected():
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--batch", "--input", "i", "--blobs", "b", "--output", "o",
+                        "--lineage", "l", "--targets", "md"])
+
+
+def test_mode_required():
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--input", "i", "--blobs", "b", "--output", "o", "--lineage", "l"])
+
+
+def test_batch_pdf_target_roundtrip(spark, corpus_dir, expected, tmp_path):
+    """The pdf target is a REAL container blob (pmOCR writes an actual
+    searchable PDF, pmocr.sh:2202-2220): decoding it must reproduce the
+    txt target exactly, for every doc including failed/poisoned ones."""
+    from pmocr_spark import codecs
+
+    out = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    cli.main(
+        [
+            "--batch",
+            "--input", f"{corpus_dir}/documents.parquet",
+            "--blobs", f"{corpus_dir}/media_blobs.parquet",
+            "--output", out,
+            "--lineage", lineage,
+            "--targets", "txt,pdf",
+        ]
+    )
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert r["pdf"] is not None
+        assert codecs.decode_blob(r["pdf"]) == r["txt"], r["doc_id"]

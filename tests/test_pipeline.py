@@ -102,6 +102,109 @@ def test_empty_input(spark, corpus_dir):
     assert out.count() == 0
 
 
+def _run_both(spark, docs_t, blobs_t):
+    """Run the engine and the pure-python oracle on the same pyarrow
+    tables; return (engine_rows, oracle_rows)."""
+    import pyarrow.parquet as pq
+
+    from pmocr_spark import corpus
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="pmocr_par_") as d:
+        pq.write_table(docs_t, f"{d}/documents.parquet")
+        pq.write_table(blobs_t, f"{d}/media_blobs.parquet")
+        docs, blobs = load(spark, d)
+        got = {
+            r["doc_id"]: r.asDict(recursive=True)
+            for r in pipeline.run_batch(spark, docs, blobs).collect()
+        }
+    return got, corpus.reference_convert(docs_t, blobs_t)
+
+
+def test_disallowed_kind_and_case(spark):
+    """F1 allow-list: a disallowed span becomes kind='skipped' (doc still
+    in output + lineage — no infinite resume); an upper-case 'TEXT' span
+    routes as text, not as a missing-blob failure; engine == oracle."""
+    import pyarrow as pa
+
+    from pmocr_spark import codecs, corpus
+
+    docs_t = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "d1",
+                "spans": [
+                    {"kind": "TEXT", "text": "Upper  case", "media_ref": None, "offset": 0},
+                    {"kind": "exe", "text": None, "media_ref": "blob:d1:bad", "offset": 1},
+                    {"kind": "TIF", "text": None, "media_ref": "blob:d1:img", "offset": 2},
+                ],
+            },
+            {  # every span disallowed: doc must STILL appear (all skipped)
+                "doc_id": "d2",
+                "spans": [{"kind": "zip", "text": None, "media_ref": "z", "offset": 0}],
+            },
+        ],
+        schema=corpus.DOCUMENTS_SCHEMA,
+    )
+    blobs_t = pa.Table.from_pylist(
+        [
+            {
+                "media_ref": "blob:d1:img",
+                "kind": "tif",
+                "content": codecs.encode_image("ok go", "tif", salt="blob:d1:img"),
+            }
+        ],
+        schema=corpus.BLOBS_SCHEMA,
+    )
+    got, exp = _run_both(spark, docs_t, blobs_t)
+    assert set(got) == {"d1", "d2"}
+    for doc_id in got:
+        gs = [(s["order"], s["kind"], s["text"], s["media_ref"]) for s in got[doc_id]["spans"]]
+        assert gs == exp[doc_id]["spans"], doc_id
+        assert got[doc_id]["status"] == exp[doc_id]["status"]
+        assert got[doc_id]["txt"] == exp[doc_id]["txt"]
+    assert [s[1] for s in exp["d1"]["spans"]] == ["text", "skipped", "text"]
+    assert got["d1"]["status"] == "done"
+    assert got["d2"]["status"] == "done" and got["d2"]["span_count"] == 1
+
+
+def test_two_corrupt_spans_first_error(spark):
+    """Doc-level error = FIRST failing span by offset, on both sides; a
+    truncated blob (struct.error, not CodecError) is error-data too."""
+    import pyarrow as pa
+
+    from pmocr_spark import codecs, corpus
+
+    truncated = codecs.encode_image("will truncate", "png", salt="x")[:20]
+    docs_t = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "m1",
+                "spans": [
+                    {"kind": "png", "text": None, "media_ref": "b:trunc", "offset": 0},
+                    {"kind": "tif", "text": None, "media_ref": "b:corrupt", "offset": 1},
+                    {"kind": "text", "text": "tail", "media_ref": None, "offset": 2},
+                ],
+            }
+        ],
+        schema=corpus.DOCUMENTS_SCHEMA,
+    )
+    blobs_t = pa.Table.from_pylist(
+        [
+            {"media_ref": "b:trunc", "kind": "png", "content": truncated},
+            {"media_ref": "b:corrupt", "kind": "tif", "content": codecs.encode_corrupt("b:corrupt")},
+        ],
+        schema=corpus.BLOBS_SCHEMA,
+    )
+    got, exp = _run_both(spark, docs_t, blobs_t)
+    assert got["m1"]["status"] == "failed" == exp["m1"]["status"]
+    assert got["m1"]["error_count"] == 2
+    # first-by-offset convention: the truncated-image error, not bad-magic
+    assert got["m1"]["error"] == exp["m1"]["error"]
+    assert "truncated" in got["m1"]["error"]
+
+
 def test_doc_with_only_text_spans(spark, corpus_dir):
     """Docs with zero media spans skip the blob join entirely and still
     reassemble correctly (searchable-PDF-only corpus)."""

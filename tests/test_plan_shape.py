@@ -66,6 +66,33 @@ def test_exchange_budget_q01(spark):
     assert shape.count_exchanges(df) <= 1, shape.formatted_plan(df)
 
 
+def test_q20_neardup_no_nested_loop(spark):
+    """q20 over the UNBOUNDED embeddings table must pair via the
+    cluster_id EQUI-join (IVF blocking) — an all-pairs nested-loop pair
+    join is the O(n²) shape that cannot survive a real table. The only
+    nested loops allowed are the two centroid-scoring cross joins, whose
+    build side is the fixed 8-row centroid set (bounded by construction)."""
+    df = QUERY_FNS["q20_embedding_neardup"](spark, SF)
+    plan = shape.formatted_plan(df)
+    # the vec-pair join: a hash/sort-merge join keyed on cluster_id
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # no nested-loop joins beyond the two 8-row centroid scorings (tree
+    # nodes print as 'BroadcastNestedLoopJoin <type>'; details repeat the
+    # bare name, so count the typed tree form)
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 2, plan
+    assert "BroadcastNestedLoopJoin Inner" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_q18_skew_caps_present(spark):
+    """The stop-shingle / band-bucket caps exist as pre-join aggregations
+    (df-capped inverted index): both plans must anti-join a grouped
+    frequency frame before the self-join."""
+    for q in ("q17_ngram_jaccard", "q18_minhash_lsh"):
+        plan = shape.formatted_plan(QUERY_FNS[q](spark, SF))
+        assert "LeftAnti" in plan, f"{q} missing the frequency-cap anti-join"
+
+
 def test_bucketed_join_no_exchange(spark, corpus_dir):
     """The 10^12-scale blob join: bucketed tables join with ZERO
     exchanges — neither blob bytes nor spans shuffle."""

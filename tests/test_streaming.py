@@ -18,48 +18,52 @@ from pmocr_spark import corpus, streaming
 @pytest.fixture()
 def dirs():
     base = tempfile.mkdtemp(prefix="pmocr_stream_")
-    d = {k: os.path.join(base, k) for k in ("landing", "output", "stream_ckpt", "lineage")}
+    d = {
+        k: os.path.join(base, k)
+        for k in ("landing", "output", "stream_ckpt", "lineage", "alerts")
+    }
     os.makedirs(d["landing"])
     yield d
     shutil.rmtree(base, ignore_errors=True)
 
 
+def _read_epochs(spark, path):
+    """Streaming sinks write epoch-keyed subdirs (idempotent overwrite)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
 def test_monitor_processes_drops(spark, dirs, tmp_path):
     """Drop files into the landing dir across two triggers (the reference's
     service E2E: drop files, wait, count outputs — run_tests.sh:316-355);
-    every doc processed exactly once, failed docs quarantined."""
+    every doc processed exactly once, failed docs quarantined, alert rows
+    (S7) only for epochs that had failures."""
     docs_t, blobs_t = corpus.generate(n_docs=60, seed=7)
     expected = corpus.reference_convert(docs_t, blobs_t)
 
     pq.write_table(blobs_t, f"{tmp_path}/blobs.parquet")
     media_blobs = spark.read.parquet(f"{tmp_path}/blobs.parquet")
 
-    # first drop: docs 0-29, second drop: 30-59 (two micro-batches)
+    def run_monitor():
+        q = streaming.monitor(
+            spark,
+            dirs["landing"],
+            media_blobs,
+            dirs["output"],
+            dirs["stream_ckpt"],
+            dirs["lineage"],
+            trigger={"availableNow": True},
+            alerts_dir=dirs["alerts"],
+        )
+        q.awaitTermination(120)
+
+    # first drop: docs 0-29 (incl. nothing poisoned), second drop: 30-59
+    # (incl. poison doc-0000053) — two micro-batches
     pq.write_table(docs_t.slice(0, 30), f"{dirs['landing']}/drop1.parquet")
-    q = streaming.monitor(
-        spark,
-        dirs["landing"],
-        media_blobs,
-        dirs["output"],
-        dirs["stream_ckpt"],
-        dirs["lineage"],
-        trigger={"availableNow": True},
-    )
-    q.awaitTermination(120)
-
+    run_monitor()
     pq.write_table(docs_t.slice(30, 30), f"{dirs['landing']}/drop2.parquet")
-    q2 = streaming.monitor(
-        spark,
-        dirs["landing"],
-        media_blobs,
-        dirs["output"],
-        dirs["stream_ckpt"],
-        dirs["lineage"],
-        trigger={"availableNow": True},
-    )
-    q2.awaitTermination(120)
+    run_monitor()
 
-    out = spark.read.parquet(dirs["output"])
+    out = _read_epochs(spark, dirs["output"])
     rows = {r["doc_id"]: r.asDict(recursive=True) for r in out.collect()}
     assert len(rows) == 60, "every doc exactly once across both triggers"
     for doc_id, exp in expected.items():
@@ -70,6 +74,22 @@ def test_monitor_processes_drops(spark, dirs, tmp_path):
 
     lineage = ckpt.read_checkpoint(spark, dirs["lineage"])
     assert lineage.select("doc_id").distinct().count() == 60
+
+    # S7: exactly the epochs with failed docs alerted (SendAlert analog)
+    n_failed = sum(1 for e in expected.values() if e["status"] == "failed")
+    alerts = _read_epochs(spark, dirs["alerts"]).collect()
+    assert sum(a["failed_docs"] for a in alerts) == n_failed
+    assert all(a["failed_docs"] >= 1 and a["first_error"] for a in alerts)
+
+    # crash-replay idempotency: wipe ONLY the stream offsets (the "crash")
+    # and re-run — the file source replays everything as one epoch; the
+    # epoch-keyed overwrite + lineage anti-join must leave the output
+    # byte-identical (no duplicate doc rows)
+    shutil.rmtree(dirs["stream_ckpt"])
+    run_monitor()
+    out2 = _read_epochs(spark, dirs["output"])
+    assert out2.count() == 60
+    assert out2.select("doc_id").distinct().count() == 60
 
 
 def test_streaming_windowed_agg(spark, tmp_path):
