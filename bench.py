@@ -21,7 +21,10 @@ Scaling protocol (v2, round 2):
    so including the cold scan measures the sandbox disk, not the engine;
  - PMOCR_SCALE_RUNS (default 5) interleaved rounds, order alternating
    (lo,hi / hi,lo / ...) with PMOCR_SCALE_COOLDOWN idle between runs —
-   the host VM is burst-CPU-throttled, interleaving equalizes conditions;
+   interleaving equalizes host conditions across levels;
+ - bench JVMs pin the heap (Xms=Xmx + AlwaysPreTouch): G1's uncommitted
+   regions refaulting under the hypervisor cost 100s+ of kernel time per
+   run and were the round-1 variance source (see _make_spark docstring);
  - a host-capacity probe (8-proc numpy burn) before every measured run,
    recorded next to the wall time, so wall-vs-host-state correlation is
    visible in the output;
@@ -47,19 +50,19 @@ def _log(msg: str) -> None:
 OCR_BENCH_DOCS = int(os.environ.get("PMOCR_BENCH_DOCS", "3000"))
 # scaling runs need compute-dominated wall time: base corpus replicated
 # cheaply (pyarrow zero-copy content) to SCALE_REPLICATE x OCR_BENCH_DOCS
-# documents. 100 x 3000 = 300k docs / ~1.2M blobs / ~2.1GB — big enough
-# that the fixed per-job cost (~3s) is noise next to the scalable work.
-SCALE_REPLICATE = int(os.environ.get("PMOCR_SCALE_REPLICATE", "40"))
+# documents. 60 x 3000 = 180k docs / ~720k blobs / ~1.2GB — big enough
+# that the fixed per-job cost (~1.5s: planning + AQE + broadcast) is <10%
+# of the high-level wall (~20s at local[8]).
+SCALE_REPLICATE = int(os.environ.get("PMOCR_SCALE_REPLICATE", "60"))
 SCALE_RUNS = int(os.environ.get("PMOCR_SCALE_RUNS", "5"))
-# This sandbox VM is burst-throttled: a few minutes of sustained 32-core
-# load cuts available CPU ~4-7x (measured via a 32-proc numpy burn:
-# 7903 -> 1121 loops). Idle time between measured runs lets the budget
-# refill so both parallelism levels see comparable conditions.
-SCALE_COOLDOWN_SEC = int(os.environ.get("PMOCR_SCALE_COOLDOWN", "45"))
-# N and 4N parallelism levels. Default 2->8: the host VM reliably
-# provides ~8-14 effective cores even when burst-throttled, so the
-# 2-vs-8 pair measures true compute scaling; 8-vs-32 only reflects the
-# host cap outside rare full-capacity windows (both attempts recorded).
+# Idle gap between measured runs: equalizes host conditions across the
+# interleave (the VM shows intermittent host-side slowdowns under
+# sustained wide load; the pinned heap removes the dominant
+# refault-storm source, the cooldown guards against the rest).
+SCALE_COOLDOWN_SEC = int(os.environ.get("PMOCR_SCALE_COOLDOWN", "30"))
+# N and 4N parallelism levels. Default 2->8: peak demand stays ~16
+# effective cores (JVM task threads + python workers) on the 32-vCPU
+# host, so the pair measures engine scaling, not the host ceiling.
 SCALE_LEVELS = tuple(
     int(x) for x in os.environ.get("PMOCR_SCALE_LEVELS", "2,8").split(",")
 )
@@ -88,13 +91,24 @@ def _force(df) -> int:
 
 
 def _make_spark(cpus: int, extra: dict | None = None):
+    """Bench sessions PIN the heap (Xms=Xmx + AlwaysPreTouch): without it
+    G1 uncommits regions between jobs and the refault storm under this
+    hypervisor shows up as 100s+ of kernel time per run (measured: a
+    180k-doc run swung 27s->129s with 570s sys-CPU; pinned: stable ~20s
+    with ~5s sys). Pages fault exactly once, at session start."""
     from pmocr_spark.session import get_spark
 
+    mem = os.environ.get("PMOCR_DRIVER_MEM", "12g")
+    cfg = {
+        "spark.driver.memory": mem,
+        "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch",
+    }
+    cfg.update(extra or {})
     spark = get_spark(
         app=f"pmocr_bench_{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
-        extra=extra,
+        extra=cfg,
     )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
@@ -223,7 +237,6 @@ def _scale_worker(cpus: int, corpus_dir: str, n_docs: int) -> None:
         extra={
             "spark.ui.enabled": "true",
             "spark.ui.showConsoleProgress": "false",
-            "spark.driver.memory": os.environ.get("PMOCR_DRIVER_MEM", "24g"),
         },
     )
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").persist(StorageLevel.MEMORY_ONLY)
@@ -541,13 +554,20 @@ def _write_md(result: dict) -> None:
         "",
         "## History / context",
         "",
-        "Round-1 attempts (cold-disk protocol, recorded for completeness):",
-        "2->8 efficiency 0.604 (runs local[2]: 60.7/419.3/84.4 s — the 419 s",
-        "outlier is the shared disk; local[8]: 85.6/35.0/26.2 s), 8->32",
-        "efficiency 0.36 trending 60->32->11 s as the host throttle released.",
-        "Both measured the one-disk/burst-throttled host, not the engine:",
-        "a 32-proc numpy burn swings 7,903 -> 1,121 loop units under",
-        "sustained load, and a 2.1 GB parquet write swings 12 s -> 282 s.",
+        "Round-1 attempts (cold-disk protocol): 2->8 efficiency 0.604",
+        "(local[2] runs 60.7/419.3/84.4 s — the 419 s outlier is the shared",
+        "disk), 8->32 efficiency 0.36. Round-2 root-cause work isolated the",
+        "variance to TWO host artifacts, not the engine:",
+        "(1) the cold scan reads one shared local disk whose bandwidth does",
+        "not grow with cores (fixed by caching the input in memory);",
+        "(2) G1 heap uncommit between jobs: refaulting those pages under the",
+        "hypervisor burned 100s+ of KERNEL time per run with run-to-run",
+        "swings of 27 s -> 129 s (570 s sys-CPU) on identical work, caches",
+        "fully resident, zero spill, GC <5 s — fixed by pinning the heap",
+        "(Xms=Xmx + AlwaysPreTouch), after which runs are stable (~5 s sys).",
+        "The sustained-load regime evidence (300k docs, 2 JVMs: identical",
+        "work, fresh 1 s probe, 9x guest-CPU inflation at local[8]) is",
+        "archived in BENCH/sustained_regime_r02.json.",
         "",
         "Structural evidence the engine has no serial section: the decode",
         "stage is one uniform task per 16 MB blob-scan split, blob bytes",
