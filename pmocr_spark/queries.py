@@ -1542,3 +1542,204 @@ def q49_rank_family(spark, sf_dir):
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
     )
+
+
+_Q50_ORACLE = """
+WITH RECURSIVE edges AS (
+  {q18}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+  UNION SELECT doc_a, doc_a FROM edges
+  UNION SELECT doc_b, doc_b FROM edges
+),
+r(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, min(b) AS component_id,
+       (CASE WHEN a = min(b) THEN 1 ELSE 0 END)::INT AS is_keeper
+FROM r GROUP BY a
+"""
+
+
+@query("q50_dup_components")  # oracle registered below (composes q18's SQL)
+def q50_dup_components(spark, sf_dir):
+    """Connected components over near-dup candidate pairs (q18 MinHash
+    edges) -> canonical keeper per duplicate cluster. Near-dup edges are
+    not transitive, so real dedup pipelines need CC to pick ONE keeper
+    per cluster; Spark has no built-in CC, so this is iterative min-label
+    propagation as a DataFrame loop (the GraphFrames/GraphX algorithm,
+    composed from joins):
+
+      label(v) <- min(label(v), min over neighbors u of label(u))
+
+    until a fixpoint. Scale notes: each iteration is one join + one
+    groupBy shuffle, both keyed on the node id; localCheckpoint() per
+    iteration truncates the exponentially-growing lineage (standard for
+    iterative DataFrame algorithms); iteration count is O(max component
+    diameter) — dup clusters are shallow (stars/cliques), so ~3-5 rounds;
+    for adversarial graphs swap in large-star/small-star. The driver-side
+    loop only reads a scalar per-iteration convergence count, never rows.
+    """
+    edges = q18_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint(eager=True)  # edges reused every iteration
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # >= max diameter; convergence check exits early
+        prop = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("node") == F.col("label")).cast("int").alias("is_keeper"),
+    )
+
+
+#: q51 kmeans-IVF parameters: embeddings are 64-d at every SF; centroids
+#: are rounded to 6 decimals after each Lloyd mean so the Spark and
+#: DuckDB float summation orders cannot flip an argmax assignment.
+_EMB_DIM = 64
+_KMEANS_ITERS = 2
+
+
+def _q51_oracle() -> str:
+    dot = "list_sum(list_transform(range(1, {d}+1), i -> n.e[i] * c.ce[i]))".format(d=_EMB_DIM)
+    cnrm = "sqrt(list_sum(list_transform(c.ce, x -> x*x)))"
+    mean_list = ", ".join(f"round(avg(n.e[{i}]), 6)" for i in range(1, _EMB_DIM + 1))
+    sql = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS e
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+    cent0 AS (SELECT vec_id AS cid, e AS ce FROM n WHERE vec_id < 8)
+    """
+    prev = "cent0"
+    for it in range(1, _KMEANS_ITERS + 1):
+        sql += f"""
+    , assign{it} AS (
+      SELECT n.vec_id, arg_max(c.cid, {dot} / (n.nrm * {cnrm})) AS cluster_id
+      FROM n, {prev} c GROUP BY n.vec_id
+    ),
+    cent{it} AS (
+      SELECT a.cluster_id AS cid, [{mean_list}] AS ce
+      FROM assign{it} a JOIN n ON n.vec_id = a.vec_id GROUP BY a.cluster_id
+    )
+        """
+        prev = f"cent{it}"
+    sql += f"""
+    , assign AS (
+      SELECT n.vec_id, arg_max(c.cid, {dot} / (n.nrm * {cnrm})) AS cluster_id
+      FROM n, {prev} c GROUP BY n.vec_id
+    ),
+    q AS (SELECT n.*, a.cluster_id FROM n JOIN assign a USING (vec_id) WHERE vec_id < 10),
+    cand AS (SELECT n.*, a.cluster_id FROM n JOIN assign a USING (vec_id) WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.vec_id AS query_id, cand.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {_EMB_DIM}+1), i -> q.e[i] * cand.e[i]))
+               / (q.nrm * cand.nrm) AS sim
+      FROM q JOIN cand ON q.cluster_id = cand.cluster_id
+    )
+    SELECT query_id, neighbor_id, rk, round(sim, 4) AS cos_sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM sims) t WHERE rk <= 5
+    """
+    return sql
+
+
+@query("q51_ann_ivf_kmeans")  # oracle registered below (SQL built by helper)
+def q51_ann_ivf_kmeans(spark, sf_dir):
+    """IVF-ANN with LEARNED centroids: deterministic Lloyd k-means
+    (init = first 8 vectors, exactly _KMEANS_ITERS iterations, no RNG)
+    instead of q22's fixed centroids. Each iteration is a broadcast-
+    centroid assignment (map-side, like q22) plus one groupBy(cluster)
+    computing the per-dimension mean as 64 agg columns — one shuffle of
+    64 doubles per vector, no explode. Centroids round to 6 decimals so
+    float summation order can't flip an assignment (oracle parity).
+    Search is then q22's co-partitioned in-cluster top-k."""
+    v = _norm_embeddings(spark, sf_dir)
+
+    def assign_to(cent):
+        dot_c = F.aggregate(
+            F.zip_with("e", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        cnrm = F.sqrt(
+            F.aggregate(F.transform("ce", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+        scored = v.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", (dot_c / (F.col("nrm") * cnrm)).alias("csim")
+        )
+        wbest = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+        return (
+            scored.select("vec_id", "cid", F.row_number().over(wbest).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cluster_id"))
+        )
+
+    cent = v.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    for _ in range(_KMEANS_ITERS):
+        assign = assign_to(cent)
+        cent = (
+            v.join(assign, "vec_id")
+            .groupBy(F.col("cluster_id").alias("cid"))
+            .agg(
+                F.array(
+                    *[F.round(F.avg(F.col("e")[i]), 6) for i in range(_EMB_DIM)]
+                ).alias("ce")
+            )
+        )
+    assign = assign_to(cent)
+    va = v.join(assign, "vec_id")
+    q = va.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"),
+        "cluster_id",
+    )
+    c = va.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce2"), F.col("nrm").alias("cn2"),
+        "cluster_id",
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sims = c.join(F.broadcast(q), "cluster_id").select(
+        "query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn2"))).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.select("query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rk"), "sim")
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+# q50/q51 oracles compose other SQL, so they register after definition
+ORACLES["q50_dup_components"] = _Q50_ORACLE.format(q18=ORACLES["q18_minhash_lsh"])
+ORACLES["q51_ann_ivf_kmeans"] = _q51_oracle()
