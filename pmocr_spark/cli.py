@@ -90,6 +90,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream-checkpoint", default=None, help="streaming offsets dir (service)")
     p.add_argument("--master", default=None, help="override spark master (default from env)")
     p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument(
+        "--span-join",
+        choices=("broadcast", "shuffle"),
+        default=None,
+        help="media-span/blob join strategy: 'broadcast' (default) keeps "
+        "blob bytes in place and broadcasts the span side — right while "
+        "the per-batch span set fits a broadcast; 'shuffle' is the "
+        "full-corpus path (salted span repartition + shuffle join, pair "
+        "with media_ref-bucketed tables to remove even that exchange)",
+    )
     return p
 
 
@@ -98,6 +108,7 @@ _DEFAULTS = {
     "targets": "txt",
     "run_id": "run-0",
     "job_ts": "2024-01-01T00:00:00Z",
+    "span_join": "broadcast",
 }
 
 
@@ -182,6 +193,7 @@ def main(argv: list[str] | None = None) -> None:
         blobs,
         checkpoint=lineage,
         num_partitions=args.num_partitions,
+        broadcast_spans=(args.span_join != "shuffle"),
         job_ts=job_ts,
     )
     results = results.persist()

@@ -84,6 +84,36 @@ def test_mode_required():
         cli.parse_args(["--input", "i", "--blobs", "b", "--output", "o", "--lineage", "l"])
 
 
+def test_span_join_flag(tmp_path):
+    a = cli.parse_args(["--batch", "--input", "i", "--blobs", "b", "--output", "o",
+                        "--lineage", "l"])
+    assert a.span_join == "broadcast"
+    conf = tmp_path / "c.conf"
+    conf.write_text("batch=true\ninput=i\nblobs=b\noutput=o\nlineage=l\nspan_join=shuffle\n")
+    assert cli.parse_args(["--config", str(conf)]).span_join == "shuffle"
+
+
+def test_batch_shuffle_join_matches_oracle(spark, corpus_dir, expected, tmp_path):
+    """--span-join shuffle (the full-corpus path: salted repartition +
+    shuffle join) produces identical results to the broadcast path."""
+    out = str(tmp_path / "out")
+    cli.main(
+        [
+            "--batch",
+            "--input", f"{corpus_dir}/documents.parquet",
+            "--blobs", f"{corpus_dir}/media_blobs.parquet",
+            "--output", out,
+            "--lineage", str(tmp_path / "lineage"),
+            "--span-join", "shuffle",
+        ]
+    )
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == len(expected)
+    for doc_id, exp in expected.items():
+        assert rows[doc_id]["txt"] == exp["txt"], doc_id
+        assert rows[doc_id]["status"] == exp["status"], doc_id
+
+
 def test_batch_pdf_target_roundtrip(spark, corpus_dir, expected, tmp_path):
     """The pdf target is a REAL container blob (pmOCR writes an actual
     searchable PDF, pmocr.sh:2202-2220): decoding it must reproduce the

@@ -84,6 +84,14 @@ def test_q20_neardup_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_shingles_no_window_exchange(spark):
+    """Shingle construction pairs neighbors via array ops inside the scan
+    stage — a Window(doc_id) here would add a whole Exchange purely to
+    re-establish adjacency the token array already has."""
+    plan = shape.formatted_plan(QUERY_FNS["q17_ngram_jaccard"](spark, SF))
+    assert "Window" not in plan, plan
+
+
 def test_q17_q18_skew_caps_present(spark):
     """The stop-shingle / band-bucket caps exist as pre-join aggregations
     (df-capped inverted index): both plans must anti-join a grouped
