@@ -258,7 +258,8 @@ def reference_convert(documents: pa.Table, media_blobs: pa.Table) -> dict:
                     result_spans.append((order, "error", None, s["media_ref"]))
                     continue
                 result_spans.append((order, "text", text, s["media_ref"]))
-        status = "failed" if error else "done"
+        all_skipped = bool(result_spans) and all(k == "skipped" for (_, k, _, _) in result_spans)
+        status = "failed" if error else ("skipped" if all_skipped else "done")
         txt = "\n".join(t for (_, k, t, _) in result_spans if k == "text")
         out[doc_id] = {
             "status": status,

@@ -244,6 +244,7 @@ def reassemble(span_results: DataFrame) -> DataFrame:
         ).alias("spans"),
         F.size("sorted_spans").alias("span_count"),
         F.size(F.filter("sorted_spans", lambda x: x["error"].isNotNull())).alias("error_count"),
+        F.size(F.filter("sorted_spans", lambda x: x["kind"] == "skipped")).alias("_skipped_count"),
         # F.get (not element_at): NULL on empty array even under ANSI mode
         F.get(F.filter("sorted_spans", lambda x: x["error"].isNotNull()), 0)["error"].alias("error"),
         F.array_join(
@@ -252,8 +253,15 @@ def reassemble(span_results: DataFrame) -> DataFrame:
     ).select(
         "*",
         csv_hack_col(F.col("txt")).alias("csv"),
-        F.when(F.col("error_count") > 0, F.lit("failed")).otherwise(F.lit("done")).alias("status"),
-    )
+        # status: failed beats skipped beats done; a doc whose spans are
+        # ALL disallowed-kind is 'skipped' — terminal in lineage (pmOCR
+        # simply never picks such a file up; marking it keeps resume from
+        # reprocessing it forever), but distinct from a real conversion
+        F.when(F.col("error_count") > 0, F.lit("failed"))
+        .when(F.col("_skipped_count") == F.col("span_count"), F.lit("skipped"))
+        .otherwise(F.lit("done"))
+        .alias("status"),
+    ).drop("_skipped_count")
 
 
 def run_batch(

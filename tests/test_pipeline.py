@@ -166,7 +166,8 @@ def test_disallowed_kind_and_case(spark):
         assert got[doc_id]["txt"] == exp[doc_id]["txt"]
     assert [s[1] for s in exp["d1"]["spans"]] == ["text", "skipped", "text"]
     assert got["d1"]["status"] == "done"
-    assert got["d2"]["status"] == "done" and got["d2"]["span_count"] == 1
+    # all-skipped doc: terminal 'skipped' status (still checkpointed)
+    assert got["d2"]["status"] == "skipped" and got["d2"]["span_count"] == 1
 
 
 def test_two_corrupt_spans_first_error(spark):
