@@ -140,11 +140,13 @@ def extract_spans(
 
     pending = resume_filter(documents, checkpoint, job_ts=job_ts)
 
-    # normalize kind ONCE (lower-case) so the F1 allow-list and the
-    # text/media routing can never disagree on case
+    # normalize kind ONCE (lower-case, NULL -> '') so the F1 allow-list
+    # and the text/media routing can never disagree on case, and a null
+    # kind lands in the skipped route instead of vanishing from both
+    # isin() branches (filter(NULL) is false on each side)
     spans = pending.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id",
-        F.lower(F.col("s.kind")).alias("kind"),
+        F.lower(F.coalesce(F.col("s.kind"), F.lit(""))).alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),

@@ -14,7 +14,7 @@ from hypothesis import strategies as st
 
 from pmocr_spark import codecs, corpus, pipeline
 
-KINDS = ["text", "TEXT", "tif", "TIF", "png", "pdf", "exe", "ZIP", "jpeg"]
+KINDS = ["text", "TEXT", "tif", "TIF", "png", "pdf", "exe", "ZIP", "jpeg", None]
 
 text_st = st.text(
     alphabet=st.characters(min_codepoint=9, max_codepoint=126),
@@ -40,14 +40,16 @@ def _build_tables(doc_specs):
         rows = []
         for s, spec in enumerate(spans):
             kind = spec["kind"]
-            if kind.lower() == "text":
+            if kind is not None and kind.lower() == "text":
                 rows.append({"kind": kind, "text": spec["text"], "media_ref": None, "offset": s})
                 continue
             ref = f"b:{doc_id}:{s}"
             if spec["blob"] != "missing":
-                # disallowed kinds still get SOME blob bytes on disk (the
-                # engine must skip them before ever touching the content)
-                enc_kind = kind.lower() if kind.lower() in codecs.MEDIA_KINDS else "tif"
+                # disallowed (incl. NULL) kinds still get SOME blob bytes
+                # on disk (the engine must skip them before ever touching
+                # the content)
+                lk = (kind or "").lower()
+                enc_kind = lk if lk in codecs.MEDIA_KINDS else "tif"
                 if spec["blob"] == "corrupt":
                     content = codecs.encode_corrupt(ref)
                 elif enc_kind == "pdf":
@@ -58,7 +60,7 @@ def _build_tables(doc_specs):
                     content = codecs.encode_image(spec["text"], enc_kind, salt=ref)
                     if spec["blob"] == "truncated":
                         content = content[: max(6, len(content) // 2)]
-                blobs.append({"media_ref": ref, "kind": kind.lower(), "content": content})
+                blobs.append({"media_ref": ref, "kind": enc_kind, "content": content})
             rows.append({"kind": kind, "text": None, "media_ref": ref, "offset": s})
         # storage order must not matter — reverse it
         docs.append({"doc_id": doc_id, "spans": list(reversed(rows))})
