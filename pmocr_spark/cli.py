@@ -86,6 +86,29 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="fixed job timestamp for output naming/lineage (never wall clock)",
     )
+    p.add_argument(
+        "--suffix",
+        default="_OCR",
+        help="output-name suffix (pmOCR --suffix=, default _OCR, pmocr.sh:2312-2315)",
+    )
+    p.add_argument(
+        "--no-suffix",
+        action="store_true",
+        help="no output-name suffix (pmOCR --no-suffix)",
+    )
+    p.add_argument(
+        "--filename-addition",
+        default=None,
+        help="output-name addition between stem and suffix (pmOCR --text=/"
+        "--filename-addition=, pmocr.sh:2316-2321); default: _<job-ts>",
+    )
+    p.add_argument(
+        "--delete-input",
+        action="store_true",
+        help="accepted for pmOCR flag parity (-d); a no-op here — input "
+        "tables are immutable and the lineage anti-join already excludes "
+        "processed docs (the table-native analog of deleting the input)",
+    )
     p.add_argument("--alerts", default=None, help="alert table dir (S7; service mode)")
     p.add_argument("--stream-checkpoint", default=None, help="streaming offsets dir (service)")
     p.add_argument("--master", default=None, help="override spark master (default from env)")
@@ -197,7 +220,22 @@ def main(argv: list[str] | None = None) -> None:
         job_ts=job_ts,
     )
     results = results.persist()
-    cols = ["doc_id", "spans", "span_count", "error_count", "status"]
+    # F7 output-name projection (doc_id is unique, so F8 collision
+    # resolution is a no-op here; q06 exercises the windowed variant)
+    from . import functions as fx
+
+    suffix = "" if args.no_suffix else args.suffix
+    results = results.withColumn(
+        "output_name",
+        fx.output_name(
+            F.col("doc_id"),
+            job_ts.replace(" ", "T"),
+            suffix=suffix,
+            ext=f".{targets[0]}",
+            addition=args.filename_addition,
+        ),
+    )
+    cols = ["doc_id", "output_name", "spans", "span_count", "error_count", "status"]
     cols += [t for t in ("txt", "csv") if t in targets]
     if "pdf" in targets:
         # pdf target = a real container blob assembled from the extracted

@@ -98,9 +98,14 @@ def array_contains(arr_col, needle) -> Column:
     return F.array_contains(arr_col, needle)
 
 
-def output_name(stem_col, job_ts: str, suffix: str = "_OCR", ext: str = ".txt") -> Column:
+def output_name(
+    stem_col, job_ts: str, suffix: str = "_OCR", ext: str = ".txt", addition: str | None = None
+) -> Column:
     """F7 — output-name projection (pmocr.sh:1880, default.conf:150):
-    stem + ISO-ish timestamp addition + suffix + ext. job_ts is a fixed
-    job parameter, never wall clock (SURVEY.md §7.4.3); collision
-    resolution (F8) is a window row_number at the call site."""
-    return F.concat(stem_col, F.lit("_" + job_ts), F.lit(suffix), F.lit(ext))
+    stem + addition + suffix + ext. The default addition is an ISO-ish
+    job timestamp; pmOCR's --text=/--filename-addition= overrides it
+    (pmocr.sh:2316-2321). job_ts is a fixed job parameter, never wall
+    clock (SURVEY.md §7.4.3); collision resolution (F8) is a window
+    row_number at the call site."""
+    add = "_" + job_ts if addition is None else addition
+    return F.concat(stem_col, F.lit(add), F.lit(suffix), F.lit(ext))

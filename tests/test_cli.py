@@ -84,6 +84,42 @@ def test_mode_required():
         cli.parse_args(["--input", "i", "--blobs", "b", "--output", "o", "--lineage", "l"])
 
 
+def test_naming_flags_and_delete_input(spark, corpus_dir, tmp_path):
+    """F7 naming knobs (pmOCR --suffix/--no-suffix/--filename-addition)
+    project an output_name column; --delete-input is accepted as a no-op
+    (immutable table input; lineage anti-join is the analog)."""
+    out = str(tmp_path / "out")
+    cli.main(
+        [
+            "--batch",
+            "--input", f"{corpus_dir}/documents.parquet",
+            "--blobs", f"{corpus_dir}/media_blobs.parquet",
+            "--output", out,
+            "--lineage", str(tmp_path / "lineage"),
+            "--targets", "csv",
+            "--filename-addition=-scan1",
+            "--delete-input",
+        ]
+    )
+    row = spark.read.parquet(out).orderBy("doc_id").first()
+    assert row["output_name"] == f"{row['doc_id']}-scan1_OCR.csv"
+    # --no-suffix beats --suffix
+    out2 = str(tmp_path / "out2")
+    cli.main(
+        [
+            "--batch",
+            "--input", f"{corpus_dir}/documents.parquet",
+            "--blobs", f"{corpus_dir}/media_blobs.parquet",
+            "--output", out2,
+            "--lineage", str(tmp_path / "lineage2"),
+            "--filename-addition=",
+            "--no-suffix",
+        ]
+    )
+    row = spark.read.parquet(out2).orderBy("doc_id").first()
+    assert row["output_name"] == f"{row['doc_id']}.txt"
+
+
 def test_span_join_flag(tmp_path):
     a = cli.parse_args(["--batch", "--input", "i", "--blobs", "b", "--output", "o",
                         "--lineage", "l"])
