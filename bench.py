@@ -81,6 +81,8 @@ HEADLINE = [
     "q26_fingerprint",
     "q27_media_roundtrip",
     "q29_hourly_rollup",
+    "q50_dup_components",
+    "q51_ann_ivf_kmeans",
 ]
 
 
