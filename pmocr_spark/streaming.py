@@ -61,6 +61,7 @@ def monitor(
     max_files_per_trigger: int | None = None,
     alerts_dir: str | None = None,
     alert_threshold: int = 1,
+    epoch_ts_step_s: int = 30,
 ):
     """Start the streaming monitor over a landing directory of parquet
     document files. Returns the StreamingQuery.
@@ -73,9 +74,15 @@ def monitor(
       excludes epoch E's own prior rows, so a crash-replay of E rewrites
       byte-identical output instead of appending duplicates. Read the
       output with spark.read.option("recursiveFileLookup", "true").
-    - failure quarantine: failed docs land in lineage with
-      status='failed'; after MAX_RETRIES re-admissions (P2, batch-mode
-      parity) they are never reprocessed (S6).
+    - failure quarantine + retry: failed docs land in lineage with
+      status='failed'; a RE-DROPPED doc (the file source never re-presents
+      old files, so retry requires new input — pmOCR's rescan analog) is
+      readmitted once the P2 backoff has elapsed on the DETERMINISTIC
+      epoch clock: every epoch E stamps job_ts + E*epoch_ts_step_s (the
+      trigger interval), never wall clock, so postponement/quarantine
+      semantics match batch mode while staying replay-stable (a replayed
+      epoch re-stamps the identical ts). After MAX_RETRIES re-admissions
+      the doc is never reprocessed (S6).
     - alert sink (S7, pmOCR SendAlert pmocr.sh:428-480): when a batch has
       >= alert_threshold failed docs and alerts_dir is set, one alert row
       (run_id, epoch_id, failed_docs, docs, first_error, ts) is written —
@@ -86,15 +93,25 @@ def monitor(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
+    from datetime import datetime, timedelta
+
+    base_ts = datetime.fromisoformat(job_ts.replace("T", " ").replace("Z", ""))
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_run = f"{run_id}-{epoch_id}"
+        # deterministic epoch clock (see docstring): monotonic across
+        # epochs so the retry backoff can actually elapse, identical on
+        # replay of the same epoch
+        epoch_ts = (base_ts + timedelta(seconds=epoch_id * epoch_ts_step_s)).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
         lineage = ckpt.read_checkpoint(spark, lineage_dir)
         if lineage is not None:
             # replay safety: epoch E's own rows must not anti-join E's
             # docs away (the replay would overwrite output with nothing)
             lineage = lineage.filter(F.col("run_id") != epoch_run)
         results = pipeline.run_batch(
-            spark, batch_df, media_blobs, checkpoint=lineage, job_ts=job_ts
+            spark, batch_df, media_blobs, checkpoint=lineage, job_ts=epoch_ts
         )
         results.persist()
         try:
@@ -105,7 +122,7 @@ def monitor(
                 .write.mode("overwrite")
                 .parquet(f"{output_dir}/epoch-{epoch_id}")
             )
-            rows = ckpt.checkpoint_rows(results, run_id=epoch_run, job_ts=job_ts, prior=lineage)
+            rows = ckpt.checkpoint_rows(results, run_id=epoch_run, job_ts=epoch_ts, prior=lineage)
             rows.write.mode("overwrite").parquet(f"{lineage_dir}/epoch-{epoch_id}")
             if alerts_dir is not None:
                 failed = results.filter(F.col("status") == "failed")
@@ -117,7 +134,7 @@ def monitor(
                     F.lit(epoch_id).cast("long").alias("epoch_id"),
                     "failed_docs",
                     "first_error",
-                    F.lit(job_ts).cast("timestamp").alias("ts"),
+                    F.lit(epoch_ts).cast("timestamp").alias("ts"),
                 ).filter(F.col("failed_docs") >= alert_threshold)
                 alert.write.mode("overwrite").parquet(f"{alerts_dir}/epoch-{epoch_id}")
         finally:

@@ -92,6 +92,68 @@ def test_monitor_processes_drops(spark, dirs, tmp_path):
     assert out2.select("doc_id").distinct().count() == 60
 
 
+def test_streaming_retry_on_epoch_clock(spark, dirs, tmp_path):
+    """P2 in service mode: a failed doc RE-DROPPED as new input is
+    postponed while inside the retry backoff on the deterministic epoch
+    clock (job_ts + epoch*step), then readmitted and converted once the
+    backoff has elapsed — no wall clock anywhere."""
+    import pyarrow as pa
+
+    from pmocr_spark import codecs, corpus
+
+    doc = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "retry-a",
+                "spans": [{"kind": "tif", "text": None, "media_ref": "b:ra", "offset": 0}],
+            }
+        ],
+        schema=corpus.DOCUMENTS_SCHEMA,
+    )
+
+    def blobs_table(fixed: bool):
+        content = (
+            codecs.encode_image("recovered text", "tif", salt="b:ra")
+            if fixed
+            else codecs.encode_corrupt("b:ra")
+        )
+        p = f"{tmp_path}/blobs_{fixed}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"media_ref": "b:ra", "kind": "tif", "content": content}],
+                schema=corpus.BLOBS_SCHEMA,
+            ),
+            p,
+        )
+        return spark.read.parquet(p)
+
+    def run_epoch(drop_name: str, blobs):
+        pq.write_table(doc, f"{dirs['landing']}/{drop_name}.parquet")
+        q = streaming.monitor(
+            spark,
+            dirs["landing"],
+            blobs,
+            dirs["output"],
+            dirs["stream_ckpt"],
+            dirs["lineage"],
+            trigger={"availableNow": True},
+            epoch_ts_step_s=150,  # backoff 300s elapses after 2 epochs
+        )
+        q.awaitTermination(120)
+
+    run_epoch("drop0", blobs_table(fixed=False))  # epoch 0: fails, rc=1
+    run_epoch("drop1", blobs_table(fixed=True))   # epoch 1 (+150s): postponed
+    run_epoch("drop2", blobs_table(fixed=True))   # epoch 2 (+300s): readmitted
+
+    lineage = ckpt.read_checkpoint(spark, dirs["lineage"])
+    rows = sorted(
+        (r["run_id"], r["status"], r["retry_count"]) for r in lineage.collect()
+    )
+    assert rows == [("stream-0", "failed", 1), ("stream-2", "done", 1)], rows
+    out = _read_epochs(spark, dirs["output"]).filter("status = 'done'").collect()
+    assert len(out) == 1 and out[0]["txt"] == "recovered text"
+
+
 def test_streaming_windowed_agg(spark, tmp_path):
     """Watermarked tumbling-window agg over a file stream matches the
     batch equivalent (pyspark_guide Streaming smoke pattern)."""
