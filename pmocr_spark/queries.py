@@ -1740,6 +1740,105 @@ def q51_ann_ivf_kmeans(spark, sf_dir):
     )
 
 
+
+@query(
+    "q52_training_corpus",
+    """
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    f AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+'))            AS n_tokens,
+             len(regexp_extract_all(text, '[.,;:!?]'))              AS n_punct,
+             cast(floor((length(lower(text)) - length(replace(lower(text), ' the ', '')))
+                  / 5) AS BIGINT)                                   AS n_stop,
+             n_chars
+      FROM documents
+    )
+    SELECT f.doc_id, f.lang,
+           cast(f.n_tokens AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * (n_stop * 1.0 / n_tokens)
+                 - 1.5 * (n_punct * 1.0 / n_tokens) - 0.5))), 4) AS quality
+    FROM f JOIN keep USING (doc_id)
+    WHERE 1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * (n_stop * 1.0 / n_tokens)
+          - 1.5 * (n_punct * 1.0 / n_tokens) - 0.5))) >= 0.5
+      AND n_tokens >= 5
+    """,
+)
+def q52_training_corpus(spark, sf_dir):
+    """Composed training-data corpus filter — the shape a real pretraining
+    pipeline materializes: exact-dedup keepers (q16) JOIN quality score
+    (q24 logistic) with a quality floor and a minimum length. One extra
+    semi-join over the standalone ops; the dedup groupBy and the quality
+    projection each remain single-shuffle/map-side shapes."""
+    d = _t(spark, sf_dir, "documents")
+    keep = d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    lt = F.lower(F.col("text"))
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[.,;:!?]"), 0))
+    n_stop = F.floor(
+        (F.length(lt) - F.length(F.replace(lt, F.lit(" the ")))) / 5
+    ).cast("long")
+    f = d.select("doc_id", "lang", "n_chars",
+                 n_tokens.alias("n_tokens"), n_punct.alias("n_punct"), n_stop.alias("n_stop"))
+    quality = 1.0 / (
+        1.0 + F.exp(
+            -(0.002 * F.col("n_chars") + 2.0 * (F.col("n_stop") / F.col("n_tokens"))
+              - 1.5 * (F.col("n_punct") / F.col("n_tokens")) - 0.5)
+        )
+    )
+    return (
+        f.join(keep, "doc_id", "left_semi")
+        .filter((quality >= 0.5) & (F.col("n_tokens") >= 5))
+        .select("doc_id", "lang", "n_tokens", F.round(quality, 4).alias("quality"))
+    )
+
+
+#: q53 sampling rate, percent — deterministic md5-bucket membership, the
+#: standard reproducible-sample trick (no RNG, stable under reshuffles)
+_SAMPLE_PCT = 20
+
+
+@query(
+    "q53_stratified_sample",
+    f"""
+    WITH b AS (
+      SELECT lang, source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang, source,
+           count(*)                                        AS n_total,
+           cast(sum(CASE WHEN bucket < {_SAMPLE_PCT} THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_sampled
+    FROM b GROUP BY lang, source
+    """,
+)
+def q53_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for training-data curation:
+    membership = md5(doc_id) bucket < rate — reproducible on any engine,
+    partition-layout-independent, and joinable (the same predicate
+    selects the same docs everywhere; Bernoulli sample() would not be
+    cross-engine stable). Output = per-(lang, source) stratum totals vs
+    sampled counts; the per-row predicate is a map-side expression, the
+    stratum report one aggregation shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return (
+        d.select("lang", "source", bucket.alias("bucket"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("bucket") < _SAMPLE_PCT, 1).otherwise(0)).alias("n_sampled"),
+        )
+    )
+
+
 # q50/q51 oracles compose other SQL, so they register after definition
 ORACLES["q50_dup_components"] = _Q50_ORACLE.format(q18=ORACLES["q18_minhash_lsh"])
 ORACLES["q51_ann_ivf_kmeans"] = _q51_oracle()
