@@ -508,7 +508,7 @@ def _write_md(result: dict) -> None:
         "",
         "## Per-level summary",
         "",
-        "| parallelism | wall sec (trimmed median) | docs/sec | executor CPU s (median) | runs (sec) |",
+        "| parallelism | wall sec (trimmed median) | docs/sec | work CPU s (median, process tree) | runs (sec) |",
         "|---|---|---|---|---|",
     ]
     for r in rows:
