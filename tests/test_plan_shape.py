@@ -101,6 +101,22 @@ def test_q17_q18_skew_caps_present(spark):
         assert "LeftAnti" in plan, f"{q} missing the frequency-cap anti-join"
 
 
+def test_q52_corpus_filter_semi_join(spark):
+    """The composed corpus filter keeps the dedup-keeper membership check
+    a LeftSemi join (no row duplication) and never goes cartesian."""
+    df = QUERY_FNS["q52_training_corpus"](spark, SF)
+    plan = shape.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert not shape.has_cartesian(df)
+
+
+def test_q53_sample_single_exchange(spark):
+    """Deterministic stratified sampling = map-side bucket predicate +
+    ONE aggregation shuffle on the stratum key."""
+    df = QUERY_FNS["q53_stratified_sample"](spark, SF)
+    assert shape.count_exchanges(df) <= 1, shape.formatted_plan(df)
+
+
 def test_bucketed_join_no_exchange(spark, corpus_dir):
     """The 10^12-scale blob join: bucketed tables join with ZERO
     exchanges — neither blob bytes nor spans shuffle."""
