@@ -1530,9 +1530,8 @@ def q49_rank_family(spark, sf_dir):
 
     The window is deliberately UNPARTITIONED (global ranking is the
     semantic) — safe ONLY because the pushed o_orderkey < 500 filter
-    bounds the single-partition sort to <500 rows; a global rank over an
-    unbounded table needs a two-pass range-partitioned rank instead
-    (sortWithinPartitions + partition-offset cumsum)."""
+    bounds the single-partition sort to <500 rows; q54 implements the
+    two-pass range-partitioned rank that survives an unbounded table."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     w = W.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return o.select(
@@ -1836,6 +1835,47 @@ def q53_stratified_sample(spark, sf_dir):
             F.count("*").alias("n_total"),
             F.sum(F.when(F.col("bucket") < _SAMPLE_PCT, 1).otherwise(0)).alias("n_sampled"),
         )
+    )
+
+
+
+@query(
+    "q54_global_rank_scalable",
+    """
+    SELECT o_orderkey,
+           cast(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+    FROM orders
+    """,
+)
+def q54_global_rank_scalable(spark, sf_dir):
+    """Global ranking over an UNBOUNDED table without the single-partition
+    window (the scalable twin of q49, which is only safe under its pushed
+    filter). Two-pass pattern:
+
+      1. repartitionByRange on the sort key — equal keys co-locate and
+         partition i holds strictly-earlier keys than partition i+1;
+      2. local row_number per partition (window PARTITIONED by
+         spark_partition_id — parallel, no global sort);
+      3. global rank = local rank + offset, where offsets are the
+         cumulative counts of earlier partitions (a tiny per-partition
+         aggregate joined back broadcast).
+
+    Deterministic regardless of where the range sampler draws boundaries:
+    the offsets are computed from the actual partition sizes, and the
+    (o_totalprice, o_orderkey) key is unique so row_number == rank."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    parts = o.repartitionByRange(16, *key).withColumn("_pid", F.spark_partition_id())
+    w_local = W.partitionBy("_pid").orderBy(*key)
+    local = parts.withColumn("_lr", F.row_number().over(w_local))
+    sizes = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select("o_orderkey", (F.col("_lr") + F.col("_off")).cast("long").alias("rnk"))
     )
 
 
