@@ -88,7 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--suffix",
-        default="_OCR",
+        default=None,  # real default lives in _DEFAULTS (config must be able to override)
         help="output-name suffix (pmOCR --suffix=, default _OCR, pmocr.sh:2312-2315)",
     )
     p.add_argument(
@@ -126,13 +126,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-#: built-in defaults, applied below config and CLI (lowest precedence)
+#: built-in defaults, applied below config and CLI (lowest precedence).
+#: NOTE: every argparse option that appears here must use default=None in
+#: build_parser — a truthy argparse default would mask config values.
 _DEFAULTS = {
     "targets": "txt",
     "run_id": "run-0",
     "job_ts": "2024-01-01T00:00:00Z",
     "span_join": "broadcast",
+    "suffix": "_OCR",
 }
+
+
+def _coerce_config_types(parser: argparse.ArgumentParser, cfg: dict) -> dict:
+    """Config files carry strings; coerce each value to its flag's type —
+    store_true flags get bool parsing ('no_suffix=false' must NOT become
+    the truthy string 'false'), typed options (e.g. --num-partitions
+    int) get their argparse `type` applied."""
+    by_dest = {a.dest: a for a in parser._actions}
+    out = {}
+    for k, v in cfg.items():
+        a = by_dest[k]
+        if isinstance(a.const, bool) or isinstance(a.default, bool):
+            out[k] = v if isinstance(v, bool) else str(v).lower() in ("1", "true", "yes")
+        elif a.type is not None and isinstance(v, str):
+            out[k] = a.type(v)
+        else:
+            out[k] = v
+    return out
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
@@ -145,15 +166,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         unknown = set(cfg) - {a.dest for a in parser._actions}
         if unknown:
             parser.error(f"unknown config keys: {sorted(unknown)}")
-        # mode comes as batch=true/service=true strings in file form;
         # a mode given on the CLI overrides the config's mode entirely
         if args.batch or args.service:
             cfg.pop("batch", None)
             cfg.pop("service", None)
-        for k in ("batch", "service"):
-            if k in cfg and not isinstance(cfg[k], bool):
-                cfg[k] = str(cfg[k]).lower() in ("1", "true", "yes")
-        layered.update(cfg)
+        layered.update(_coerce_config_types(parser, cfg))
     for k, v in layered.items():
         if getattr(args, k, None) in (None, False):
             setattr(args, k, v)
@@ -210,6 +227,20 @@ def main(argv: list[str] | None = None) -> None:
     docs = spark.read.parquet(args.input)
     blobs = spark.read.parquet(args.blobs)
     lineage = ckpt.read_checkpoint(spark, args.lineage)
+    if lineage is not None:
+        # P2 retry runs on the deterministic job clock: if --job-ts does
+        # not advance past the last run's, failed docs stay postponed
+        # forever and retry-with-postponement silently never fires
+        import sys
+
+        last = lineage.agg(F.max("ts").alias("t")).collect()[0]["t"]
+        if last is not None and job_ts <= last.strftime("%Y-%m-%d %H:%M:%S"):
+            print(
+                f"pmocr-spark: warning: --job-ts {job_ts!r} does not advance "
+                f"past the lineage's last run ({last}); failed docs remain "
+                "postponed — pass a later --job-ts to retry them",
+                file=sys.stderr,
+            )
     results = pipeline.run_batch(
         spark,
         docs,

@@ -234,9 +234,13 @@ def reference_convert(documents: pa.Table, media_blobs: pa.Table) -> dict:
     out = {}
     for row in documents.to_pylist():
         doc_id = row["doc_id"]
-        spans = sorted(row["spans"], key=lambda s: s["offset"])
+        spans = sorted(row["spans"] or [], key=lambda s: s["offset"])
         result_spans = []
         error = None
+        if not spans:
+            # engine mirror: an empty doc flows as one 'skipped'
+            # pseudo-span at offset 0 (explode_outer) so it checkpoints
+            result_spans = [(0, "skipped", None, None)]
         for order, s in enumerate(spans):
             kind = (s["kind"] or "").lower()  # engine normalizes kind once
             if kind not in allowed:

@@ -140,16 +140,19 @@ def extract_spans(
 
     pending = resume_filter(documents, checkpoint, job_ts=job_ts)
 
-    # normalize kind ONCE (lower-case, NULL -> '') so the F1 allow-list
-    # and the text/media routing can never disagree on case, and a null
-    # kind lands in the skipped route instead of vanishing from both
-    # isin() branches (filter(NULL) is false on each side)
-    spans = pending.select("doc_id", F.explode("spans").alias("s")).select(
+    # explode_outer, not explode: a doc with spans=[] must still flow
+    # through (as one 'skipped' pseudo-span at offset 0) — plain explode
+    # drops it from BOTH output and lineage, so resume would reprocess it
+    # forever. normalize kind ONCE (lower-case, NULL -> '') so the F1
+    # allow-list and the text/media routing can never disagree on case,
+    # and a null kind lands in the skipped route instead of vanishing
+    # from both isin() branches (filter(NULL) is false on each side).
+    spans = pending.select("doc_id", F.explode_outer("spans").alias("s")).select(
         "doc_id",
         F.lower(F.coalesce(F.col("s.kind"), F.lit(""))).alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
-        F.col("s.offset").alias("offset"),
+        F.coalesce(F.col("s.offset"), F.lit(0)).alias("offset"),
     )
     # F1 allow-list (case-insensitive, default.conf:14) — pushed upstream of
     # the blob join and the UDF so disallowed kinds never cost a decode.

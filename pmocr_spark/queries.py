@@ -726,8 +726,14 @@ def _norm_embeddings(spark, sf_dir):
     """Normalized embeddings, CACHED per (session, sf_dir): q20/q22 read
     this frame 3+ times each (centroids, assignment, queries, candidates)
     — without the cache every branch re-scans and re-normalizes
-    (measured: ~3x the q22 wall time)."""
-    key = (id(spark), sf_dir)
+    (measured: ~3x the q22 wall time). Keyed by applicationId, NOT
+    id(spark): a new session allocated at a dead session's address would
+    otherwise be handed a DataFrame bound to the stopped context. Entries
+    from other applications are evicted (their persisted blocks died
+    with their session)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for k in [k for k in _NORM_CACHE if k[0] != key[0]]:
+        del _NORM_CACHE[k]
     if key in _NORM_CACHE:
         return _NORM_CACHE[key]
     e = _t(spark, sf_dir, "embeddings")
@@ -1595,6 +1601,7 @@ def q50_dup_components(spark, sf_dir):
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(20):  # >= max diameter; convergence check exits early
         prop = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -1614,6 +1621,15 @@ def q50_dup_components(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silent cap would return WRONG component labels for any
+        # component whose diameter exceeds the iteration budget (a
+        # 25-link boilerplate chain, say) — fail loudly instead; raise
+        # the budget or switch to large-star/small-star for such graphs
+        raise RuntimeError(
+            f"q50 connected components did not converge in 20 rounds "
+            f"({changed} labels still changing)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("component_id"),

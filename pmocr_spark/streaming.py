@@ -108,8 +108,11 @@ def monitor(
         lineage = ckpt.read_checkpoint(spark, lineage_dir)
         if lineage is not None:
             # replay safety: epoch E's own rows must not anti-join E's
-            # docs away (the replay would overwrite output with nothing)
-            lineage = lineage.filter(F.col("run_id") != epoch_run)
+            # docs away (the replay would overwrite output with nothing).
+            # persist: the resume filter AND checkpoint_rows' retry-count
+            # lookup each aggregate this ever-growing table — one scan,
+            # not two per epoch.
+            lineage = lineage.filter(F.col("run_id") != epoch_run).persist()
         results = pipeline.run_batch(
             spark, batch_df, media_blobs, checkpoint=lineage, job_ts=epoch_ts
         )
@@ -139,6 +142,8 @@ def monitor(
                 alert.write.mode("overwrite").parquet(f"{alerts_dir}/epoch-{epoch_id}")
         finally:
             results.unpersist()
+            if lineage is not None:
+                lineage.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

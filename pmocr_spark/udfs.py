@@ -49,28 +49,37 @@ def _decode_one(work, budget_s: float, hard: bool) -> tuple[str | None, str | No
     Default (soft) mode measures the decode and converts an over-budget
     blob into an error struct after the fact — zero hot-path overhead.
     hard=True (PMOCR_HARD_TIMEOUT=1) additionally runs the decode on a
-    helper thread and abandons it at the deadline, so a pathologically
-    hung blob cannot pin the task — at ~50us/blob thread overhead, so it
+    DAEMON thread and abandons it at the deadline: the task is never
+    pinned and python-worker shutdown is never blocked (a
+    ThreadPoolExecutor would join its non-daemon threads at interpreter
+    exit and hang on a truly stuck decode). Caveat: pure-python code
+    cannot be killed, so an abandoned spinning decode keeps consuming a
+    core until the worker process dies — hard mode bounds latency and
+    liveness, not that residual CPU. ~100us/blob thread overhead, so it
     is opt-in for corpora known to contain runaway inputs.
     """
     t0 = time.monotonic()
     try:
         if hard and budget_s > 0:
-            from concurrent.futures import ThreadPoolExecutor
-            from concurrent.futures import TimeoutError as FutTimeout
+            import threading
 
-            # no context manager: shutdown(wait=True) would block on the
-            # hung thread — abandon it instead (daemonized via shutdown)
-            ex = ThreadPoolExecutor(max_workers=1)
-            try:
-                return ex.submit(work).result(timeout=budget_s), None
-            except FutTimeout:
-                ex.shutdown(wait=False)
+            box: dict = {}
+
+            def runner():
+                try:
+                    box["text"] = work()
+                except Exception as e:  # noqa: BLE001
+                    box["err"] = e
+
+            t = threading.Thread(target=runner, daemon=True)
+            t.start()
+            t.join(timeout=budget_s)
+            if t.is_alive():
                 return None, f"TimeoutError: decode exceeded {budget_s}s budget (hard kill)"
-            except Exception as e:  # noqa: BLE001
+            if "err" in box:
+                e = box["err"]
                 return None, f"{type(e).__name__}: {e}"
-            finally:
-                ex.shutdown(wait=False)
+            return box.get("text"), None
         text = work()
     except Exception as e:  # noqa: BLE001 — error-as-data, never fail the batch
         return None, f"{type(e).__name__}: {e}"

@@ -48,6 +48,25 @@ def test_config_json_and_mode_override(tmp_path):
     assert a.batch and not a.service
 
 
+def test_config_typed_coercion(tmp_path):
+    """Config values are strings; they must coerce to each flag's type:
+    truthy-default options stay overridable (suffix), store_true flags
+    parse booleans ('false' must not be a truthy string), typed options
+    (num_partitions int) apply their argparse type."""
+    conf = tmp_path / "typed.conf"
+    conf.write_text(
+        "batch=true\ninput=i\nblobs=b\noutput=o\nlineage=l\n"
+        "suffix=_CONVERTED\nno_suffix=false\nnum_partitions=8\ndelete_input=true\n"
+    )
+    a = cli.parse_args(["--config", str(conf)])
+    assert a.suffix == "_CONVERTED"
+    assert a.no_suffix is False
+    assert a.num_partitions == 8 and isinstance(a.num_partitions, int)
+    assert a.delete_input is True
+    # explicit CLI still beats the config value
+    assert cli.parse_args(["--config", str(conf), "--suffix", "_X"]).suffix == "_X"
+
+
 def test_config_revision_gate(tmp_path):
     conf = tmp_path / "old.conf"
     conf.write_text("config_revision=0.9\nbatch=true\n")

@@ -29,7 +29,7 @@ span_st = st.fixed_dictionaries(
     }
 )
 
-doc_st = st.lists(span_st, min_size=1, max_size=5)
+doc_st = st.lists(span_st, min_size=0, max_size=5)  # min 0: empty docs must checkpoint too
 corpus_st = st.lists(doc_st, min_size=1, max_size=4)
 
 
