@@ -144,6 +144,10 @@ def test_disallowed_kind_and_case(spark):
                 "doc_id": "d2",
                 "spans": [{"kind": "zip", "text": None, "media_ref": "z", "offset": 0}],
             },
+            # empty spans array: must still checkpoint (one skipped
+            # pseudo-span via explode_outer), never vanish into an
+            # infinite-resume loop
+            {"doc_id": "d3", "spans": []},
         ],
         schema=corpus.DOCUMENTS_SCHEMA,
     )
@@ -158,7 +162,7 @@ def test_disallowed_kind_and_case(spark):
         schema=corpus.BLOBS_SCHEMA,
     )
     got, exp = _run_both(spark, docs_t, blobs_t)
-    assert set(got) == {"d1", "d2"}
+    assert set(got) == {"d1", "d2", "d3"}
     for doc_id in got:
         gs = [(s["order"], s["kind"], s["text"], s["media_ref"]) for s in got[doc_id]["spans"]]
         assert gs == exp[doc_id]["spans"], doc_id
@@ -168,6 +172,7 @@ def test_disallowed_kind_and_case(spark):
     assert got["d1"]["status"] == "done"
     # all-skipped doc: terminal 'skipped' status (still checkpointed)
     assert got["d2"]["status"] == "skipped" and got["d2"]["span_count"] == 1
+    assert got["d3"]["status"] == "skipped" and got["d3"]["txt"] == ""
 
 
 def test_two_corrupt_spans_first_error(spark):
