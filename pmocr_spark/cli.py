@@ -196,16 +196,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 
 
 def main(argv: list[str] | None = None) -> None:
+    from datetime import datetime
+
     from pyspark.sql import functions as F
 
     from . import checkpoint as ckpt
-    from . import pipeline, streaming, udfs
+    from . import pipeline, streaming
     from .session import get_spark
 
     args = parse_args(argv)
     targets = args.target_list
     spark = get_spark(app="pmocr_spark_job", master=args.master)
     job_ts = args.job_ts.replace("T", " ").replace("Z", "")
+    suffix = "" if args.no_suffix else args.suffix
 
     if args.service:
         blobs = spark.read.parquet(args.blobs)
@@ -220,6 +223,11 @@ def main(argv: list[str] | None = None) -> None:
             job_ts=job_ts,
             trigger={"processingTime": "30 seconds"},  # poller interval parity
             alerts_dir=args.alerts,
+            targets=targets,
+            suffix=suffix,
+            filename_addition=args.filename_addition,
+            broadcast_spans=(args.span_join != "shuffle"),
+            num_partitions=args.num_partitions,
         )
         q.awaitTermination()
         return
@@ -228,13 +236,19 @@ def main(argv: list[str] | None = None) -> None:
     blobs = spark.read.parquet(args.blobs)
     lineage = ckpt.read_checkpoint(spark, args.lineage)
     if lineage is not None:
+        # one scan for the warning + resume filter + retry-count lookup
+        lineage = lineage.persist()
         # P2 retry runs on the deterministic job clock: if --job-ts does
         # not advance past the last run's, failed docs stay postponed
         # forever and retry-with-postponement silently never fires
         import sys
 
         last = lineage.agg(F.max("ts").alias("t")).collect()[0]["t"]
-        if last is not None and job_ts <= last.strftime("%Y-%m-%d %H:%M:%S"):
+        try:
+            job_dt = datetime.fromisoformat(job_ts)
+        except ValueError:
+            job_dt = None  # odd-but-castable format: skip the advisory
+        if last is not None and job_dt is not None and job_dt <= last:
             print(
                 f"pmocr-spark: warning: --job-ts {job_ts!r} does not advance "
                 f"past the lineage's last run ({last}); failed docs remain "
@@ -250,36 +264,19 @@ def main(argv: list[str] | None = None) -> None:
         broadcast_spans=(args.span_join != "shuffle"),
         job_ts=job_ts,
     )
-    results = results.persist()
-    # F7 output-name projection (doc_id is unique, so F8 collision
-    # resolution is a no-op here; q06 exercises the windowed variant)
-    from . import functions as fx
-
-    suffix = "" if args.no_suffix else args.suffix
-    results = results.withColumn(
-        "output_name",
-        fx.output_name(
-            F.col("doc_id"),
-            job_ts.replace(" ", "T"),
-            suffix=suffix,
-            ext=f".{targets[0]}",
-            addition=args.filename_addition,
-        ),
+    cached = results.persist()
+    # F7 output-name projection + Q1 multi-target fan-out (doc_id is
+    # unique, so F8 collision resolution is a no-op here; q06 exercises
+    # the windowed variant)
+    out = pipeline.project_targets(
+        cached, targets, job_ts, suffix=suffix, addition=args.filename_addition
     )
-    cols = ["doc_id", "output_name", "spans", "span_count", "error_count", "status"]
-    cols += [t for t in ("txt", "csv") if t in targets]
-    if "pdf" in targets:
-        # pdf target = a real container blob assembled from the extracted
-        # spans (one page per non-error span); decode(pdf) == txt exactly
-        ok_pages = F.transform(
-            F.filter("spans", lambda s: s["text"].isNotNull()), lambda s: s["text"]
-        )
-        results = results.withColumn("pdf", udfs.encode_pdf_pages(F.col("doc_id"), ok_pages))
-        cols.append("pdf")
-    results.select(*cols).write.mode("append").parquet(args.output)
-    rows = ckpt.checkpoint_rows(results, run_id=args.run_id, job_ts=job_ts, prior=lineage)
+    out.write.mode("append").parquet(args.output)
+    rows = ckpt.checkpoint_rows(cached, run_id=args.run_id, job_ts=job_ts, prior=lineage)
     ckpt.append_checkpoint(rows, args.lineage)
-    results.unpersist()
+    cached.unpersist()
+    if lineage is not None:
+        lineage.unpersist()
 
 
 if __name__ == "__main__":

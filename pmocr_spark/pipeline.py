@@ -269,6 +269,41 @@ def reassemble(span_results: DataFrame) -> DataFrame:
     ).drop("_skipped_count")
 
 
+def project_targets(
+    results: DataFrame,
+    targets: list[str],
+    job_ts: str,
+    suffix: str = "_OCR",
+    addition: str | None = None,
+) -> DataFrame:
+    """Q1 multi-target projection shared by batch CLI and the streaming
+    monitor: output_name column (F7) + per-target columns, one OCR pass.
+    The pdf target is a REAL container blob (udfs.encode_pdf_pages);
+    decode(pdf) == txt round-trips."""
+    from . import functions as fx
+    from . import udfs
+
+    out = results.withColumn(
+        "output_name",
+        fx.output_name(
+            F.col("doc_id"),
+            job_ts.replace(" ", "T"),
+            suffix=suffix,
+            ext=f".{targets[0]}" if targets else ".txt",
+            addition=addition,
+        ),
+    )
+    cols = ["doc_id", "output_name", "spans", "span_count", "error_count", "status"]
+    cols += [t for t in ("txt", "csv") if t in targets]
+    if "pdf" in targets:
+        ok_pages = F.transform(
+            F.filter("spans", lambda s: s["text"].isNotNull()), lambda s: s["text"]
+        )
+        out = out.withColumn("pdf", udfs.encode_pdf_pages(F.col("doc_id"), ok_pages))
+        cols.append("pdf")
+    return out.select(*cols)
+
+
 def run_batch(
     spark: SparkSession,
     documents: DataFrame,

@@ -726,14 +726,30 @@ def _norm_embeddings(spark, sf_dir):
     """Normalized embeddings, CACHED per (session, sf_dir): q20/q22 read
     this frame 3+ times each (centroids, assignment, queries, candidates)
     — without the cache every branch re-scans and re-normalizes
-    (measured: ~3x the q22 wall time). Keyed by applicationId, NOT
-    id(spark): a new session allocated at a dead session's address would
-    otherwise be handed a DataFrame bound to the stopped context. Entries
-    from other applications are evicted (their persisted blocks died
-    with their session)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    for k in [k for k in _NORM_CACHE if k[0] != key[0]]:
-        del _NORM_CACHE[k]
+    (measured: ~3x the q22 wall time). Keyed by (applicationId, path,
+    file mtime): applicationId not id(spark) — a new session allocated
+    at a dead session's address would otherwise get a DataFrame bound to
+    the stopped context; the mtime invalidates the cache if the parquet
+    at sf_dir is regenerated mid-session. Stale entries are unpersisted
+    before eviction."""
+    import os as _os
+
+    try:
+        mtime = _os.path.getmtime(f"{sf_dir}/embeddings.parquet")
+    except OSError:
+        mtime = None  # non-local FS: no mtime probe, path-only key
+    key = (spark.sparkContext.applicationId, sf_dir, mtime)
+    for k in list(_NORM_CACHE):
+        if k == key:
+            continue
+        if k[0] != key[0]:  # dead application: blocks died with its session
+            del _NORM_CACHE[k]
+        elif k[1] == key[1]:  # same path, stale mtime: regenerated data
+            try:
+                _NORM_CACHE[k].unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+            del _NORM_CACHE[k]
     if key in _NORM_CACHE:
         return _NORM_CACHE[key]
     e = _t(spark, sf_dir, "embeddings")

@@ -62,6 +62,11 @@ def monitor(
     alerts_dir: str | None = None,
     alert_threshold: int = 1,
     epoch_ts_step_s: int = 30,
+    targets: list[str] | None = None,
+    suffix: str = "_OCR",
+    filename_addition: str | None = None,
+    broadcast_spans: bool = True,
+    num_partitions: int | None = None,
 ):
     """Start the streaming monitor over a landing directory of parquet
     document files. Returns the StreamingQuery.
@@ -98,7 +103,10 @@ def monitor(
     base_ts = datetime.fromisoformat(job_ts.replace("T", " ").replace("Z", ""))
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        epoch_run = f"{run_id}-{epoch_id}"
+        # '#e<N>' epoch tag: unambiguous suffix for the replay filter (a
+        # plain '-<N>' could false-match a batch run_id like 'run-0'
+        # sharing the lineage dir)
+        epoch_run = f"{run_id}#e{epoch_id}"
         # deterministic epoch clock (see docstring): monotonic across
         # epochs so the retry backoff can actually elapse, identical on
         # replay of the same epoch
@@ -109,37 +117,53 @@ def monitor(
         if lineage is not None:
             # replay safety: epoch E's own rows must not anti-join E's
             # docs away (the replay would overwrite output with nothing).
+            # Match the EPOCH SUFFIX, not the exact run_id: a restart
+            # with a different --run-id while epoch E sat uncommitted
+            # would otherwise keep the crashed attempt's rows, exclude
+            # every doc, and overwrite epoch E with empty tables.
             # persist: the resume filter AND checkpoint_rows' retry-count
             # lookup each aggregate this ever-growing table — one scan,
             # not two per epoch.
-            lineage = lineage.filter(F.col("run_id") != epoch_run).persist()
+            lineage = lineage.filter(~F.col("run_id").rlike(f"#e{epoch_id}$")).persist()
         results = pipeline.run_batch(
-            spark, batch_df, media_blobs, checkpoint=lineage, job_ts=epoch_ts
+            spark,
+            batch_df,
+            media_blobs,
+            checkpoint=lineage,
+            num_partitions=num_partitions,
+            broadcast_spans=broadcast_spans,
+            job_ts=epoch_ts,
         )
         results.persist()
         try:
-            (
-                results.select(
-                    "doc_id", "spans", "span_count", "error_count", "status", "txt", "csv"
-                )
-                .write.mode("overwrite")
-                .parquet(f"{output_dir}/epoch-{epoch_id}")
+            out = pipeline.project_targets(
+                results,
+                list(targets) if targets else ["txt", "csv"],
+                epoch_ts,
+                suffix=suffix,
+                addition=filename_addition,
             )
+            out.write.mode("overwrite").parquet(f"{output_dir}/epoch-{epoch_id}")
             rows = ckpt.checkpoint_rows(results, run_id=epoch_run, job_ts=epoch_ts, prior=lineage)
             rows.write.mode("overwrite").parquet(f"{lineage_dir}/epoch-{epoch_id}")
             if alerts_dir is not None:
-                failed = results.filter(F.col("status") == "failed")
-                alert = failed.agg(
-                    F.count("*").alias("failed_docs"),
-                    F.min_by("error", "doc_id").alias("first_error"),
-                ).select(
-                    F.lit(run_id).alias("run_id"),
-                    F.lit(epoch_id).cast("long").alias("epoch_id"),
-                    "failed_docs",
-                    "first_error",
-                    F.lit(epoch_ts).cast("timestamp").alias("ts"),
-                ).filter(F.col("failed_docs") >= alert_threshold)
-                alert.write.mode("overwrite").parquet(f"{alerts_dir}/epoch-{epoch_id}")
+                n_failed = results.filter(F.col("status") == "failed").count()
+                if n_failed >= alert_threshold:  # no empty epoch-N dirs
+                    alert = (
+                        results.filter(F.col("status") == "failed")
+                        .agg(
+                            F.count("*").alias("failed_docs"),
+                            F.min_by("error", "doc_id").alias("first_error"),
+                        )
+                        .select(
+                            F.lit(run_id).alias("run_id"),
+                            F.lit(epoch_id).cast("long").alias("epoch_id"),
+                            "failed_docs",
+                            "first_error",
+                            F.lit(epoch_ts).cast("timestamp").alias("ts"),
+                        )
+                    )
+                    alert.write.mode("overwrite").parquet(f"{alerts_dir}/epoch-{epoch_id}")
         finally:
             results.unpersist()
             if lineage is not None:

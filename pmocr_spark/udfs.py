@@ -39,8 +39,14 @@ OCR_RESULT_TYPE = T.StructType(
 def _decode_budget_s() -> float:
     """P3 per-blob time budget (pmOCR kills a runaway conversion after
     OCR_TIMEOUT, pmocr.sh:926-987). Read from env so executors pick it up
-    without plan changes; 0 disables."""
-    return float(os.environ.get("PMOCR_DOC_TIME_BUDGET", "60"))
+    without plan changes. DISABLED (0) by default: a wall-clock budget
+    makes doc status depend on host speed — a slow-but-successful decode
+    would be quarantined on a throttled run and succeed on a replay,
+    breaking the engine's determinism invariant and the streaming
+    byte-identical-replay guarantee. Opt in (like pmOCR's OCR_TIMEOUT
+    config) only for corpora with genuinely runaway inputs, accepting
+    that timeout verdicts are then load-dependent."""
+    return float(os.environ.get("PMOCR_DOC_TIME_BUDGET", "0"))
 
 
 def _decode_one(work, budget_s: float, hard: bool) -> tuple[str | None, str | None]:

@@ -149,7 +149,7 @@ def test_streaming_retry_on_epoch_clock(spark, dirs, tmp_path):
     rows = sorted(
         (r["run_id"], r["status"], r["retry_count"]) for r in lineage.collect()
     )
-    assert rows == [("stream-0", "failed", 1), ("stream-2", "done", 1)], rows
+    assert rows == [("stream#e0", "failed", 1), ("stream#e2", "done", 1)], rows
     out = _read_epochs(spark, dirs["output"]).filter("status = 'done'").collect()
     assert len(out) == 1 and out[0]["txt"] == "recovered text"
 
