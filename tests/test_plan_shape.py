@@ -117,6 +117,45 @@ def test_q53_sample_single_exchange(spark):
     assert shape.count_exchanges(df) <= 1, shape.formatted_plan(df)
 
 
+def test_q54_rank_partition_invariant(spark):
+    """The two-pass global rank must not contain a single-partition global
+    Window sort, and its ranks must be identical under any input
+    partitioning (offsets derive from actual partition sizes, so the
+    range sampler's boundary choices cannot leak into results)."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import _t, q54_global_rank_scalable
+
+    base = {r["o_orderkey"]: r["rnk"] for r in q54_global_rank_scalable(spark, SF).collect()}
+    o = _t(spark, SF, "orders").repartition(7, "o_orderdate")
+
+    # same algorithm inline over the reshuffled input
+    key = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    parts = o.select("o_orderkey", "o_totalprice").repartitionByRange(16, *key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from pyspark.sql import Window as W
+
+    local = parts.withColumn("_lr", F.row_number().over(W.partitionBy("_pid").orderBy(*key)))
+    sizes = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_n").over(W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("_off"),
+    )
+    again = {
+        r["o_orderkey"]: r["rnk"]
+        for r in local.join(F.broadcast(offsets), "_pid")
+        .select("o_orderkey", (F.col("_lr") + F.col("_off")).cast("long").alias("rnk"))
+        .collect()
+    }
+    assert again == base
+    # and the plan has no unpartitioned Window (the q49 shape)
+    plan = shape.formatted_plan(q54_global_rank_scalable(spark, SF))
+    assert "Window [" not in plan or "_pid" in plan, plan
+
+
 def test_bucketed_join_no_exchange(spark, corpus_dir):
     """The 10^12-scale blob join: bucketed tables join with ZERO
     exchanges — neither blob bytes nor spans shuffle."""
