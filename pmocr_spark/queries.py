@@ -113,14 +113,23 @@ def q02_kind_filter(spark, sf_dir):
     "q03_anti_join_resume",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def q03_anti_join_resume(spark, sf_dir):
     """F2 already-processed exclusion as LEFT ANTI join — the resume
-    primitive (pmocr.sh:2126-2144; checkpoint.resume_filter)."""
+    primitive (pmocr.sh:2126-2144; checkpoint.resume_filter). The
+    'urgent' predicate on the excluded side keeps the complement
+    non-empty at every test SF (every customer has SOME order, so the
+    unfiltered anti-join passed vacuously on 0 rows)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
@@ -1191,14 +1200,19 @@ def q32_percentiles(spark, sf_dir):
     """
     SELECT user_id FROM events WHERE event_type = 'click'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180
     """,
 )
 def q33_except_op(spark, sf_dir):
-    """EXCEPT set op (the poller snapshot diff's other half, W2)."""
+    """EXCEPT set op (the poller snapshot diff's other half, W2).
+    The value floor on the subtracted side keeps the difference
+    non-empty at every test SF (every clicker also purchased, so the
+    unfiltered EXCEPT passed vacuously on 0 rows)."""
     ev = _t(spark, sf_dir, "events")
     a = ev.filter(F.col("event_type") == "click").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 180)
+    ).select("user_id")
     return a.subtract(b)  # EXCEPT (set semantics; exceptAll would be bag)
 
 
@@ -1389,8 +1403,9 @@ def q41_grouping_sets(spark, sf_dir):
     SELECT o.o_orderkey, count(*) AS n_events
     FROM orders o JOIN events e
       ON e.user_id = o.o_custkey % 150
-     AND e.ts >= o.o_orderdate
-     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+     AND e.ts >= TIMESTAMP '2024-01-01' + INTERVAL 1 DAY * (o.o_orderkey % 24)
+     AND e.ts <  TIMESTAMP '2024-01-01' + INTERVAL 1 DAY * (o.o_orderkey % 24)
+                 + INTERVAL 7 DAY
     GROUP BY o.o_orderkey
     """,
 )
@@ -1398,14 +1413,22 @@ def q42_range_join(spark, sf_dir):
     """Range join (pyspark_guide 'As-of / range join'): equi-key on the
     derived user bucket carries the join; the time-range predicate is a
     residual filter — never a cartesian. At scale: bucketize the range
-    key further if the equi-key is low-cardinality."""
+    key further if the equi-key is low-cardinality.
+
+    The per-order 7-day window is anchored inside the events table's
+    actual time range (2024-01, staggered by o_orderkey % 24 days) — the
+    earlier o_orderdate anchor (1995-2001) could never overlap any event,
+    so the join passed vacuously on 0 rows at every SF."""
     o = _t(spark, sf_dir, "orders")
     e = _t(spark, sf_dir, "events")
+    anchor = F.to_timestamp(F.lit("2024-01-01")) + F.make_dt_interval(
+        days=o.o_orderkey % 24
+    )
     joined = o.join(
         e,
         (e.user_id == o.o_custkey % 150)
-        & (e.ts >= o.o_orderdate)
-        & (e.ts < F.date_add(o.o_orderdate, 7)),
+        & (e.ts >= anchor)
+        & (e.ts < anchor + F.make_dt_interval(days=F.lit(7))),
     )
     return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_events"))
 
@@ -1913,6 +1936,82 @@ def q54_global_rank_scalable(spark, sf_dir):
         local.join(F.broadcast(offsets), "_pid")
         .select("o_orderkey", (F.col("_lr") + F.col("_off")).cast("long").alias("rnk"))
     )
+
+
+@query(
+    "q55_pipeline_roundtrip",
+    """
+    WITH c AS (
+      SELECT cast(doc_id AS VARCHAR) AS doc_id,
+             trim(regexp_replace(text, '[^ -~]', '', 'g')) AS clean
+      FROM documents)
+    SELECT doc_id,
+           'done'              AS status,
+           cast(2 AS INTEGER)  AS span_count,
+           cast(0 AS INTEGER)  AS error_count,
+           clean || chr(10) || clean                            AS txt,
+           regexp_replace(clean || chr(10) || clean, '  +', ';', 'g') AS csv
+    FROM c
+    """,
+)
+def q55_pipeline_roundtrip(spark, sf_dir):
+    """The FLAGSHIP pipeline (pipeline.run_batch), made SQL-oracle-able:
+    each document is lifted into the interleaved span shape used by
+    entry() — one text span + one synthetic TIFF media span carrying the
+    same cleaned text — and run through the full engine (explode ->
+    route -> fused pandas-UDF OCR decode -> windowed reassembly ->
+    txt/csv targets + status). Because decode(encode(x)) == x (the q27
+    invariant, extended here to spans/status per the round-2 brief),
+    plain SQL can state the expected output exactly: both spans
+    reassemble to the cleaned text, so txt == clean+'\\n'+clean,
+    status == 'done', span_count == 2, error_count == 0. This retires
+    q28's permanent no_oracle row as the only unoracled pipeline signal
+    (q28's exact span-sequence pytest gate stays as defense in depth).
+    pmOCR analog: the end-to-end batch conversion run (pmocr.sh:2546-2593
+    -> OCR_Dispatch -> OCR), fixture-checked by run_tests.sh:336-351."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from . import codecs, pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace("text", "[^ -~]", ""))
+
+    @F.pandas_udf(T.BinaryType())
+    def encode_blob(text):
+        return pd.Series(
+            [codecs.encode_image(t, "tiff", salt="q55") for t in text], dtype=object
+        )
+
+    base = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        clean.alias("clean_text"),
+        F.concat(F.lit("m:"), F.col("doc_id").cast("string")).alias("media_ref"),
+    )
+    docs = base.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("clean_text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("tiff").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.col("media_ref").alias("media_ref"),
+                F.lit(1).cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    blobs = base.select(
+        "media_ref",
+        F.lit("tiff").alias("kind"),
+        encode_blob(F.col("clean_text")).alias("content"),
+    )
+    out = pipeline.run_batch(spark, docs, blobs)
+    return out.select("doc_id", "status", "span_count", "error_count", "txt", "csv")
 
 
 # q50/q51 oracles compose other SQL, so they register after definition
