@@ -41,8 +41,13 @@ def checkpoint_rows(
 
     `prior` is the checkpoint table as of this run's resume read; a doc's
     retry_count = prior failed attempts + 1 if this attempt failed too.
-    The prior lookup is an aggregated doc_id->count map — tiny relative
-    to the batch, broadcast by AQE in practice.
+    The prior table is SEMI-JOINED down to this batch's doc_ids before
+    the groupBy: lineage grows without bound (streaming re-reads it every
+    epoch), so aggregating the whole history per batch would invert the
+    'tiny lookup map' assumption over time — after the semi-join the
+    aggregate is bounded by the batch size regardless of lineage age.
+    (Periodic compaction to latest-row-per-doc is the complementary
+    100 TB hygiene; the semi-join keeps each epoch correct without it.)
     """
     rows = results.select(
         F.spark_partition_id().alias("partition_id"),
@@ -57,8 +62,10 @@ def checkpoint_rows(
     if prior is None:
         prior_rc = None
     else:
-        prior_rc = prior.groupBy("doc_id").agg(
-            F.coalesce(F.max("retry_count"), F.lit(0)).alias("_prior_rc")
+        prior_rc = (
+            prior.join(results.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.coalesce(F.max("retry_count"), F.lit(0)).alias("_prior_rc"))
         )
     if prior_rc is not None:
         rows = rows.join(prior_rc, "doc_id", "left")

@@ -43,7 +43,15 @@ def load_config(path: str) -> dict:
         raw = f.read()
     stripped = raw.lstrip()
     if stripped.startswith("{"):
-        cfg = json.loads(raw)
+        # JSON keys get the SAME normalization as key=value files
+        # ('span-join' -> 'span_join'); a JSON list value (natural for
+        # e.g. targets) is joined to the comma form the CLI parses
+        cfg = {
+            k.strip().lower().replace("-", "_"): (
+                ",".join(str(x) for x in v) if isinstance(v, (list, tuple)) else v
+            )
+            for k, v in json.loads(raw).items()
+        }
     else:
         cfg = {}
         for line in raw.splitlines():
@@ -109,6 +117,25 @@ def build_parser() -> argparse.ArgumentParser:
         "tables are immutable and the lineage anti-join already excludes "
         "processed docs (the table-native analog of deleting the input)",
     )
+    p.add_argument(
+        "-k",
+        "--skip-txt-pdf",
+        action="store_true",
+        help="accepted for pmOCR flag parity (-k/--skip-txt-pdf, "
+        "pmocr.sh:2352-2356 / CHECK_PDF in default.conf); a no-op here — "
+        "the searchable-text bypass (F5) is ALWAYS on: text spans never "
+        "enter the OCR path (pipeline.extract_spans routes them to JVM "
+        "normalization), which is semantically stronger than the "
+        "reference's optional pdffonts probe",
+    )
+    p.add_argument(
+        "--metrics",
+        default=None,
+        help="per-partition skew report dir: after each batch run, writes "
+        "checkpoint.partition_metrics over the full lineage table — the "
+        "north-rule observability story (docs/spans/errors per partition "
+        "proves the salted repartition broke media-heavy-doc skew)",
+    )
     p.add_argument("--alerts", default=None, help="alert table dir (S7; service mode)")
     p.add_argument("--stream-checkpoint", default=None, help="streaming offsets dir (service)")
     p.add_argument("--master", default=None, help="override spark master (default from env)")
@@ -171,8 +198,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             cfg.pop("batch", None)
             cfg.pop("service", None)
         layered.update(_coerce_config_types(parser, cfg))
+    # an option is "unset on the CLI" when it is None — except store_true
+    # flags, whose unset state is False. Testing `in (None, False)` for
+    # everything would treat an EXPLICIT falsy value (--num-partitions 0)
+    # as unset because 0 == False.
+    flag_dests = {
+        a.dest for a in parser._actions if isinstance(a.const, bool) or isinstance(a.default, bool)
+    }
     for k, v in layered.items():
-        if getattr(args, k, None) in (None, False):
+        cur = getattr(args, k, None)
+        if cur is None or (k in flag_dests and cur is False):
             setattr(args, k, v)
     if not (args.batch or args.service):
         parser.error("one of --batch / --service is required (flag or config)")
@@ -277,6 +312,11 @@ def main(argv: list[str] | None = None) -> None:
     cached.unpersist()
     if lineage is not None:
         lineage.unpersist()
+    if args.metrics:
+        # re-read AFTER the append so the report covers this run too;
+        # overwrite — the report is a derived view of the lineage table
+        full = ckpt.read_checkpoint(spark, args.lineage)
+        ckpt.partition_metrics(full).write.mode("overwrite").parquet(args.metrics)
 
 
 if __name__ == "__main__":

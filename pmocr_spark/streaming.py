@@ -48,6 +48,23 @@ DOCUMENTS_SCHEMA = T.StructType(
 )
 
 
+def _has_committed_offsets(spark: SparkSession, checkpoint_dir: str) -> bool:
+    """True when the streaming offsets checkpoint has committed batches
+    (i.e. a restart would CONTINUE epoch ids rather than restart at 0).
+    Probes through the Hadoop FS API so hdfs://, s3a://, ... work; falls
+    back to a driver-local os.path probe."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/offsets")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath)) and len(fs.listStatus(jpath)) > 0
+    except Exception:  # noqa: BLE001 — non-JVM-resolvable path scheme
+        import os
+
+        d = os.path.join(checkpoint_dir, "offsets")
+        return os.path.isdir(d) and bool(os.listdir(d))
+
+
 def monitor(
     spark: SparkSession,
     input_dir: str,
@@ -67,6 +84,7 @@ def monitor(
     filename_addition: str | None = None,
     broadcast_spans: bool = True,
     num_partitions: int | None = None,
+    allow_lineage_takeover: bool = False,
 ):
     """Start the streaming monitor over a landing directory of parquet
     document files. Returns the StreamingQuery.
@@ -93,6 +111,35 @@ def monitor(
       (run_id, epoch_id, failed_docs, docs, first_error, ts) is written —
       idempotent per epoch, same overwrite scheme.
     """
+    # Epoch-collision guard: run_id is the STREAM IDENTITY. A stream
+    # restarted on a FRESH offsets checkpoint restarts epoch ids at 0;
+    # if the lineage dir already holds another identity's epoch rows,
+    # the per-epoch replay filter would hide them from the resume
+    # anti-join and the epoch-N overwrite would destroy that run's
+    # results for every colliding epoch. Refuse that combination —
+    # only a true replay of the SAME stream (same run_id, e.g. wiped
+    # offsets over unchanged input) or a checkpoint-continuing restart
+    # (offsets present, epoch ids keep advancing — crash recovery may
+    # legitimately change run_id there) proceeds; pass
+    # allow_lineage_takeover=True to override deliberately.
+    if not _has_committed_offsets(spark, checkpoint_dir):
+        prior = ckpt.read_checkpoint(spark, lineage_dir)
+        if prior is not None:
+            foreign = prior.filter(
+                F.col("run_id").rlike("#e\\d+$")
+                & ~F.col("run_id").startswith(f"{run_id}#e")
+            )
+            if not allow_lineage_takeover and foreign.limit(1).count() > 0:
+                raise ValueError(
+                    f"lineage at {lineage_dir!r} contains epoch rows from a "
+                    f"different stream identity than run_id={run_id!r}, and the "
+                    f"offsets checkpoint {checkpoint_dir!r} is fresh — epoch ids "
+                    "would restart at 0 and overwrite that stream's epoch "
+                    "output/lineage. Reuse the prior --stream-checkpoint (or the "
+                    "prior --run-id for a true replay), point at fresh "
+                    "lineage/output dirs, or pass allow_lineage_takeover=True."
+                )
+
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -147,6 +194,7 @@ def monitor(
             rows = ckpt.checkpoint_rows(results, run_id=epoch_run, job_ts=epoch_ts, prior=lineage)
             rows.write.mode("overwrite").parquet(f"{lineage_dir}/epoch-{epoch_id}")
             if alerts_dir is not None:
+                n_docs = results.count()
                 n_failed = results.filter(F.col("status") == "failed").count()
                 if n_failed >= alert_threshold:  # no empty epoch-N dirs
                     alert = (
@@ -159,6 +207,7 @@ def monitor(
                             F.lit(run_id).alias("run_id"),
                             F.lit(epoch_id).cast("long").alias("epoch_id"),
                             "failed_docs",
+                            F.lit(n_docs).cast("long").alias("docs"),
                             "first_error",
                             F.lit(epoch_ts).cast("timestamp").alias("ts"),
                         )

@@ -192,3 +192,62 @@ def test_batch_pdf_target_roundtrip(spark, corpus_dir, expected, tmp_path):
     for r in rows:
         assert r["pdf"] is not None
         assert codecs.decode_blob(r["pdf"]) == r["txt"], r["doc_id"]
+
+
+def test_explicit_falsy_cli_value_beats_config(tmp_path):
+    """An EXPLICIT falsy CLI value (--num-partitions 0) is not 'unset':
+    the layered-precedence check must test `is None` for valued options
+    (0 == False would otherwise hand the win back to the config)."""
+    conf = tmp_path / "c.conf"
+    conf.write_text("batch=true\ninput=i\nblobs=b\noutput=o\nlineage=l\nnum_partitions=16\n")
+    assert cli.parse_args(["--config", str(conf)]).num_partitions == 16
+    assert cli.parse_args(["--config", str(conf), "--num-partitions", "0"]).num_partitions == 0
+
+
+def test_json_config_key_normalization_and_list_targets(tmp_path):
+    """JSON configs get the same key normalization as key=value files
+    ('span-join' -> span_join) and accept natural list-valued targets."""
+    conf = tmp_path / "j.json"
+    conf.write_text(
+        '{"batch": true, "input": "i", "blobs": "b", "output": "o", '
+        '"lineage": "l", "span-join": "shuffle", "targets": ["txt", "pdf"]}'
+    )
+    a = cli.parse_args(["--config", str(conf)])
+    assert a.span_join == "shuffle"
+    assert a.target_list == ["txt", "pdf"]
+
+
+def test_skip_txt_pdf_parity_flag():
+    """pmOCR -k/--skip-txt-pdf (pmocr.sh:2352-2356) is accepted; the F5
+    text bypass is always-on here, so the flag is a documented no-op."""
+    a = cli.parse_args(["--batch", "-k", "--input", "i", "--blobs", "b",
+                        "--output", "o", "--lineage", "l"])
+    assert a.skip_txt_pdf is True
+    a = cli.parse_args(["--batch", "--skip-txt-pdf", "--input", "i", "--blobs", "b",
+                        "--output", "o", "--lineage", "l"])
+    assert a.skip_txt_pdf is True
+
+
+def test_metrics_flag_writes_partition_report(spark, corpus_dir, tmp_path):
+    """--metrics DIR writes the per-partition skew report (P8 /
+    north-rule observability) after the run."""
+    out = str(tmp_path / "out")
+    metrics = str(tmp_path / "metrics")
+    cli.main(
+        [
+            "--batch",
+            "--input", f"{corpus_dir}/documents.parquet",
+            "--blobs", f"{corpus_dir}/media_blobs.parquet",
+            "--output", out,
+            "--lineage", str(tmp_path / "lineage"),
+            "--metrics", metrics,
+        ]
+    )
+    rep = spark.read.parquet(metrics).collect()
+    assert {r["run_id"] for r in rep} == {"run-0"}
+    assert sum(r["docs"] for r in rep) == 120  # every corpus doc accounted for
+    assert sum(r["failed_docs"] for r in rep) >= 1  # the poison pill shows up
+    for r in rep:
+        assert set(r.asDict()) == {
+            "run_id", "partition_id", "docs", "spans", "errors", "failed_docs"
+        }

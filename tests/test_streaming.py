@@ -242,3 +242,80 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     # only gamma is newly emitted; alpha's duplicate updates state silently
     assert len(rows2) == 3
     assert {r["keep_id"] for r in rows2} == {"a1", "b1", "c1"}
+
+
+def test_fresh_checkpoint_foreign_lineage_refused(spark, dirs, tmp_path):
+    """Replay-safety guard: a FRESH offsets checkpoint restarts epoch ids
+    at 0; against a lineage dir holding ANOTHER stream identity's epoch
+    rows, monitor() must refuse (the epoch-N overwrite would destroy that
+    stream's results) unless allow_lineage_takeover=True. A restart with
+    the SAME run_id (true replay) stays allowed — pinned by
+    test_monitor_processes_drops' wipe-offsets rerun."""
+    import pyarrow as pa
+
+    docs_t, blobs_t = corpus.generate(n_docs=6, seed=3)
+    pq.write_table(blobs_t, f"{tmp_path}/blobs.parquet")
+    media_blobs = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    pq.write_table(docs_t, f"{dirs['landing']}/drop.parquet")
+
+    def run(run_id, ckpt_dir, **kw):
+        q = streaming.monitor(
+            spark, dirs["landing"], media_blobs, dirs["output"],
+            ckpt_dir, dirs["lineage"], run_id=run_id,
+            trigger={"availableNow": True}, **kw,
+        )
+        q.awaitTermination(120)
+
+    run("streamA", dirs["stream_ckpt"])
+    lineage = ckpt.read_checkpoint(spark, dirs["lineage"])
+    assert lineage.filter(F.col("run_id") == "streamA#e0").count() == 6
+
+    # new identity + fresh checkpoint -> refused before any write
+    with pytest.raises(ValueError, match="different stream identity"):
+        run("streamB", os.path.join(dirs["stream_ckpt"], "..", "fresh_ckpt"))
+    # output untouched by the refused run
+    assert _read_epochs(spark, dirs["output"]).count() == 6
+
+    # explicit override proceeds (deliberate takeover)
+    run(
+        "streamB",
+        os.path.join(dirs["stream_ckpt"], "..", "fresh_ckpt2"),
+        allow_lineage_takeover=True,
+    )
+
+
+def test_alert_row_has_docs_total(spark, dirs, tmp_path):
+    """S7 alert contract: (run_id, epoch_id, failed_docs, docs,
+    first_error, ts) — `docs` is the batch's total doc count."""
+    import pyarrow as pa
+
+    from pmocr_spark import codecs
+
+    rows = [
+        {"doc_id": "ok-1",
+         "spans": [{"kind": "text", "text": "fine", "media_ref": None, "offset": 0}]},
+        {"doc_id": "bad-1",
+         "spans": [{"kind": "tif", "text": None, "media_ref": "b:x", "offset": 0}]},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=corpus.DOCUMENTS_SCHEMA),
+        f"{dirs['landing']}/drop.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"media_ref": "b:x", "kind": "tif", "content": codecs.encode_corrupt("b:x")}],
+            schema=corpus.BLOBS_SCHEMA,
+        ),
+        f"{tmp_path}/blobs.parquet",
+    )
+    q = streaming.monitor(
+        spark, dirs["landing"], spark.read.parquet(f"{tmp_path}/blobs.parquet"),
+        dirs["output"], dirs["stream_ckpt"], dirs["lineage"],
+        trigger={"availableNow": True}, alerts_dir=dirs["alerts"],
+    )
+    q.awaitTermination(120)
+    alerts = _read_epochs(spark, dirs["alerts"]).collect()
+    assert len(alerts) == 1
+    a = alerts[0].asDict()
+    assert set(a) == {"run_id", "epoch_id", "failed_docs", "docs", "first_error", "ts"}
+    assert a["failed_docs"] == 1 and a["docs"] == 2 and a["first_error"]
