@@ -136,6 +136,21 @@ def build_parser() -> argparse.ArgumentParser:
         "north-rule observability story (docs/spans/errors per partition "
         "proves the salted repartition broke media-heavy-doc skew)",
     )
+    p.add_argument(
+        "--monitor",
+        action="append",
+        default=None,
+        metavar="DIR=TARGETS",
+        help="repeatable, service mode: per-dir monitor with its own target "
+        "set — pmOCR runs one OCR_service subshell per configured dir, each "
+        "hard-wired to one output format (W7, pmocr.sh:2519-2537). Each DIR "
+        "gets an INDEPENDENT streaming query (own epoch clock, own "
+        "exactly-once seen-map) sharing one SparkSession; its output/lineage/"
+        "offsets/alerts land under <output>/<name>/ etc., where <name> is "
+        "the dir basename. TARGETS is a comma list (txt,csv,pdf). With "
+        "--monitor given, --input is not required. In a config file use a "
+        "JSON list of specs or a ';'-separated string.",
+    )
     p.add_argument("--alerts", default=None, help="alert table dir (S7; service mode)")
     p.add_argument("--stream-checkpoint", default=None, help="streaming offsets dir (service)")
     p.add_argument("--master", default=None, help="override spark master (default from env)")
@@ -183,6 +198,37 @@ def _coerce_config_types(parser: argparse.ArgumentParser, cfg: dict) -> dict:
     return out
 
 
+def _parse_monitor_specs(value) -> list[tuple[str, str]]:
+    """Normalize --monitor values to [(dir, targets_csv)].
+
+    CLI gives a list of 'DIR=t1,t2' strings (action=append). Config files
+    may give a JSON list (load_config joins it with ',') or a
+    ';'-separated string — so a comma-joined blob like
+    'd1=txt,csv;d2=pdf' or even 'd1=txt,csv,d2=pdf' must re-split
+    correctly: tokens WITHOUT '=' belong to the previous spec's target
+    list (a dir path never contains '=' in practice; targets never do)."""
+    pieces: list[str] = []
+    items = value if isinstance(value, (list, tuple)) else [value]
+    for item in items:
+        for part in str(item).split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            for tok in part.split(","):
+                tok = tok.strip()
+                if "=" in tok or not pieces:
+                    pieces.append(tok)
+                else:
+                    pieces[-1] += "," + tok
+    specs = []
+    for piece in pieces:
+        if "=" not in piece:
+            raise ValueError(f"monitor spec {piece!r} is not DIR=TARGETS")
+        d, _, tgts = piece.partition("=")
+        specs.append((d.strip(), tgts.strip()))
+    return specs
+
+
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     """Three-layer precedence: built-in defaults < config file < CLI."""
     parser = build_parser()
@@ -213,21 +259,88 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         parser.error("one of --batch / --service is required (flag or config)")
     if args.batch and args.service:
         parser.error("--batch and --service are mutually exclusive")
-    for req in ("input", "blobs", "output", "lineage"):
+    if args.monitor and not args.service:
+        parser.error("--monitor requires --service (pmOCR's per-dir OCR_service)")
+    # with per-dir monitors each spec carries its own input dir
+    required = ("blobs", "output", "lineage") if args.monitor else (
+        "input", "blobs", "output", "lineage")
+    for req in required:
         if not getattr(args, req):
             parser.error(f"--{req} is required (flag or config)")
-    targets = [t.strip() for t in str(args.targets).split(",") if t.strip()]
-    for t in targets:
-        if t in ABBYY_ONLY_TARGETS:
-            parser.error(
-                f"target '{t}' requires the ABBYY engine in the reference "
-                "(pmocr.sh:2571-2581, default.conf:122-126) and has no "
-                f"tesseract-analog here; supported: {','.join(SUPPORTED_TARGETS)}"
-            )
-        if t not in SUPPORTED_TARGETS:
-            parser.error(f"unknown target '{t}'; supported: {','.join(SUPPORTED_TARGETS)}")
-    args.target_list = targets
+
+    def validate_targets(csv: str) -> list[str]:
+        targets = [t.strip() for t in str(csv).split(",") if t.strip()]
+        for t in targets:
+            if t in ABBYY_ONLY_TARGETS:
+                parser.error(
+                    f"target '{t}' requires the ABBYY engine in the reference "
+                    "(pmocr.sh:2571-2581, default.conf:122-126) and has no "
+                    f"tesseract-analog here; supported: {','.join(SUPPORTED_TARGETS)}"
+                )
+            if t not in SUPPORTED_TARGETS:
+                parser.error(f"unknown target '{t}'; supported: {','.join(SUPPORTED_TARGETS)}")
+        return targets
+
+    args.target_list = validate_targets(args.targets)
+    args.monitor_list = []
+    if args.monitor:
+        import os
+
+        try:
+            specs = _parse_monitor_specs(args.monitor)
+        except ValueError as e:
+            parser.error(str(e))
+        names: list[str] = []
+        for d, tgts in specs:
+            name = os.path.basename(os.path.normpath(d)) or "root"
+            if name in names:  # two dirs sharing a basename
+                name = f"{name}-{len(names)}"
+            names.append(name)
+            args.monitor_list.append((name, d, validate_targets(tgts)))
     return args
+
+
+def launch_monitors(spark, args, blobs, job_ts: str, suffix: str, trigger: dict):
+    """Start every service-mode streaming query; returns [(name, query)].
+
+    W7 parity (pmOCR spawns one OCR_service subshell per configured dir,
+    each hard-wired to one target format, pmocr.sh:2519-2537): with
+    --monitor specs, each dir becomes an INDEPENDENT streaming query in
+    the shared SparkSession — its own file-source seen-map, epoch clock,
+    and exactly-once lineage — with output/offsets/lineage/alerts
+    namespaced per monitor name under the corresponding base dirs.
+    Without --monitor, the single --input dir is one query over the base
+    dirs directly (unchanged layout)."""
+    from . import streaming
+
+    specs = (
+        [(name, d, tgts) for name, d, tgts in args.monitor_list]
+        if getattr(args, "monitor_list", None)
+        else [(None, args.input, args.target_list)]
+    )
+    ckpt_base = args.stream_checkpoint or args.lineage + "_offsets"
+    queries = []
+    for name, input_dir, tgts in specs:
+        sub = (lambda base: f"{base}/{name}") if name is not None else (lambda base: base)
+        q = streaming.monitor(
+            spark,
+            input_dir,
+            blobs,
+            sub(args.output),
+            sub(ckpt_base),
+            sub(args.lineage),
+            run_id=f"{args.run_id}-{name}" if name is not None else args.run_id,
+            job_ts=job_ts,
+            trigger=trigger,
+            alerts_dir=sub(args.alerts) if args.alerts else None,
+            targets=tgts,
+            suffix=suffix,
+            filename_addition=args.filename_addition,
+            broadcast_spans=(args.span_join != "shuffle"),
+            num_partitions=args.num_partitions,
+        )
+        queries.append((name, q))
+    return queries
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -247,24 +360,15 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.service:
         blobs = spark.read.parquet(args.blobs)
-        q = streaming.monitor(
-            spark,
-            args.input,
-            blobs,
-            args.output,
-            args.stream_checkpoint or args.lineage + "_offsets",
-            args.lineage,
-            run_id=args.run_id,
-            job_ts=job_ts,
-            trigger={"processingTime": "30 seconds"},  # poller interval parity
-            alerts_dir=args.alerts,
-            targets=targets,
-            suffix=suffix,
-            filename_addition=args.filename_addition,
-            broadcast_spans=(args.span_join != "shuffle"),
-            num_partitions=args.num_partitions,
+        # poller interval parity (INOTIFY_POLLER_INTERVAL, default.conf:33)
+        queries = launch_monitors(
+            spark, args, blobs, job_ts, suffix, trigger={"processingTime": "30 seconds"}
         )
-        q.awaitTermination()
+        # all queries run concurrently; blocking on each in turn = block
+        # until every monitor stops (pmOCR parks in its sleep loop while
+        # the per-dir OCR_service subshells run, pmocr.sh:2540-2544)
+        for _name, q in queries:
+            q.awaitTermination()
         return
 
     docs = spark.read.parquet(args.input)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import tempfile
+from datetime import datetime, timedelta
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -148,3 +149,61 @@ def test_partition_metrics(spark, corpus_dir):
         m = ckpt.partition_metrics(cp).collect()
         assert sum(r["docs"] for r in m) == cp.count()
         assert all(r["spans"] > 0 for r in m)
+
+
+def test_retry_boundary_grid(spark):
+    """Pin the EXACT P2 boundaries (pmocr.sh:816-817, 1154-1193) on the
+    batch path, one doc per cell of the full grid:
+
+      backoff:    job_ts == last_ts + 299s  -> postponed
+                  job_ts == last_ts + 300s  -> readmitted (>= is inclusive)
+      quarantine: retry_count == MAX_RETRIES     -> readmitted once more
+                  retry_count == MAX_RETRIES + 1 -> quarantined forever
+      status:     done/skipped are terminal regardless of rc/backoff
+
+    The streaming epoch-clock twin of the backoff boundary lives in
+    test_streaming_retry_on_epoch_clock (epoch 2 at exactly +300s)."""
+    last_ts = "2024-01-01 00:00:00"
+    job_base = datetime.fromisoformat(last_ts)
+    mr = pipeline.MAX_RETRIES
+    cells = []  # (doc_id, status, rc, offset_s, expect_admitted)
+    for status in ("failed", "done", "skipped"):
+        for rc in (mr, mr + 1):
+            for off in (299, 300, 301):
+                admitted = status == "failed" and rc <= mr and off >= 300
+                cells.append((f"{status}-rc{rc}-off{off}", status, rc, off, admitted))
+
+    lineage = spark.createDataFrame(
+        [(d, s, rc, last_ts) for d, s, rc, _off, _a in cells],
+        "doc_id string, status string, retry_count int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    docs = spark.createDataFrame([(d,) for d, *_ in cells], "doc_id string")
+
+    # one resume_filter call per distinct offset (job_ts is per-run)
+    for off in (299, 300, 301):
+        job_ts = (job_base + timedelta(seconds=off)).strftime("%Y-%m-%d %H:%M:%S")
+        got = {
+            r["doc_id"]
+            for r in pipeline.resume_filter(docs, lineage, job_ts=job_ts).collect()
+        }
+        for d, _s, _rc, cell_off, admitted in cells:
+            if cell_off != off:
+                continue
+            assert (d in got) == admitted, (d, off)
+
+
+def test_resume_latest_status_ts_tie_deterministic(spark):
+    """Two lineage rows for one doc at the SAME ts (a same-job-ts re-run
+    the CLI only warns about): the latest-status lookup must not pick an
+    arbitrary row — terminal success wins the tie, so the doc is
+    excluded from the next run no matter the rows' physical order."""
+    for order in (("failed", "done"), ("done", "failed")):
+        lineage = spark.createDataFrame(
+            [("doc-t", s, 1, "2024-01-01 00:00:00") for s in order],
+            "doc_id string, status string, retry_count int, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        docs = spark.createDataFrame([("doc-t",)], "doc_id string")
+        got = pipeline.resume_filter(
+            docs, lineage, job_ts="2024-01-02 00:00:00"
+        ).collect()
+        assert got == [], order  # done wins the tie -> excluded

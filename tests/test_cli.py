@@ -251,3 +251,48 @@ def test_metrics_flag_writes_partition_report(spark, corpus_dir, tmp_path):
         assert set(r.asDict()) == {
             "run_id", "partition_id", "docs", "spans", "errors", "failed_docs"
         }
+
+
+def test_monitor_spec_parsing():
+    """W7: repeated --monitor DIR=TARGETS; per-spec target validation;
+    --input not required when every monitor carries its own dir."""
+    a = cli.parse_args(
+        ["--service", "--monitor", "/land/txtdir=txt", "--monitor", "/land/csvdir=csv,pdf",
+         "--blobs", "/b", "--output", "/o", "--lineage", "/l"]
+    )
+    assert a.monitor_list == [
+        ("txtdir", "/land/txtdir", ["txt"]),
+        ("csvdir", "/land/csvdir", ["csv", "pdf"]),
+    ]
+    # basename collision -> disambiguated name, both monitors kept
+    a = cli.parse_args(
+        ["--service", "--monitor", "/x/in=txt", "--monitor", "/y/in=csv",
+         "--blobs", "/b", "--output", "/o", "--lineage", "/l"]
+    )
+    assert [m[0] for m in a.monitor_list] == ["in", "in-1"]
+
+
+def test_monitor_spec_from_config_and_errors(tmp_path):
+    """Config-file monitors: JSON list (comma-joined by load_config) and
+    ';'-separated strings both re-split correctly; --monitor with
+    --batch and bad targets are rejected."""
+    conf = tmp_path / "srv.json"
+    conf.write_text(
+        '{"service": true, "blobs": "/b", "output": "/o", "lineage": "/l",'
+        ' "monitor": ["/d/a=txt,csv", "/d/b=pdf"]}'
+    )
+    a = cli.parse_args(["--config", str(conf)])
+    assert a.monitor_list == [("a", "/d/a", ["txt", "csv"]), ("b", "/d/b", ["pdf"])]
+    conf2 = tmp_path / "srv.conf"
+    conf2.write_text(
+        "service=true\nblobs=/b\noutput=/o\nlineage=/l\n"
+        "monitor=/d/a=txt,csv;/d/b=pdf\n"
+    )
+    a = cli.parse_args(["--config", str(conf2)])
+    assert a.monitor_list == [("a", "/d/a", ["txt", "csv"]), ("b", "/d/b", ["pdf"])]
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--batch", "--monitor", "/d=txt",
+                        "--input", "/i", "--blobs", "/b", "--output", "/o", "--lineage", "/l"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--service", "--monitor", "/d=docx",
+                        "--blobs", "/b", "--output", "/o", "--lineage", "/l"])

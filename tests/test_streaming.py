@@ -319,3 +319,67 @@ def test_alert_row_has_docs_total(spark, dirs, tmp_path):
     a = alerts[0].asDict()
     assert set(a) == {"run_id", "epoch_id", "failed_docs", "docs", "first_error", "ts"}
     assert a["failed_docs"] == 1 and a["docs"] == 2 and a["first_error"]
+
+
+def test_per_dir_monitors_independent(spark, dirs, tmp_path):
+    """W7 exact parity (pmocr.sh:2519-2537): two landing dirs, each
+    hard-wired to its own target via --monitor, running as two
+    independent streaming queries in one SparkSession — independent
+    lineage/output namespaces, per-dir target columns, and exactly-once
+    per dir across a second trigger."""
+    import pyarrow as pa
+
+    from pmocr_spark import cli
+
+    docs_t, blobs_t = corpus.generate(n_docs=20, seed=13)
+    pq.write_table(blobs_t, f"{tmp_path}/blobs.parquet")
+    blobs = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+
+    d_txt = os.path.join(dirs["landing"], "txtland")
+    d_csv = os.path.join(dirs["landing"], "csvland")
+    os.makedirs(d_txt)
+    os.makedirs(d_csv)
+    pq.write_table(docs_t.slice(0, 12), f"{d_txt}/drop.parquet")
+    pq.write_table(docs_t.slice(12, 8), f"{d_csv}/drop.parquet")
+
+    args = cli.parse_args(
+        ["--service",
+         "--monitor", f"{d_txt}=txt", "--monitor", f"{d_csv}=csv",
+         "--blobs", f"{tmp_path}/blobs.parquet",
+         "--output", dirs["output"], "--lineage", dirs["lineage"],
+         "--stream-checkpoint", dirs["stream_ckpt"]]
+    )
+
+    def run_all():
+        qs = cli.launch_monitors(
+            spark, args, blobs, "2024-01-01 00:00:00", "_OCR",
+            trigger={"availableNow": True},
+        )
+        for _name, q in qs:
+            q.awaitTermination(120)
+
+    run_all()
+
+    out_txt = _read_epochs(spark, f"{dirs['output']}/txtland")
+    out_csv = _read_epochs(spark, f"{dirs['output']}/csvland")
+    assert out_txt.count() == 12 and out_csv.count() == 8
+    # per-dir target wiring: txt monitor emits txt (no csv) and vice versa
+    assert "txt" in out_txt.columns and "csv" not in out_txt.columns
+    assert "csv" in out_csv.columns and "txt" not in out_csv.columns
+    # independent lineage namespaces, disjoint docs
+    lin_txt = ckpt.read_checkpoint(spark, f"{dirs['lineage']}/txtland")
+    lin_csv = ckpt.read_checkpoint(spark, f"{dirs['lineage']}/csvland")
+    ids_txt = {r["doc_id"] for r in lin_txt.select("doc_id").collect()}
+    ids_csv = {r["doc_id"] for r in lin_csv.select("doc_id").collect()}
+    assert len(ids_txt) == 12 and len(ids_csv) == 8 and not (ids_txt & ids_csv)
+
+    # second trigger with one new doc per dir: exactly-once per dir
+    extra = pa.Table.from_pylist(
+        [{"doc_id": "extra-txt",
+          "spans": [{"kind": "text", "text": "late txt", "media_ref": None, "offset": 0}]}],
+        schema=corpus.DOCUMENTS_SCHEMA,
+    )
+    pq.write_table(extra, f"{d_txt}/drop2.parquet")
+    run_all()
+    assert _read_epochs(spark, f"{dirs['output']}/txtland").count() == 13
+    assert _read_epochs(spark, f"{dirs['output']}/csvland").count() == 8
