@@ -83,6 +83,10 @@ HEADLINE = [
     "q29_hourly_rollup",
     "q50_dup_components",
     "q51_ann_ivf_kmeans",
+    "q57_repetition_quality",
+    "q58_bigram_lm_topk",
+    "q59_contamination",
+    "q60_pack_sequences",
 ]
 
 

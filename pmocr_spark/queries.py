@@ -1987,3 +1987,278 @@ def q55_pipeline_roundtrip(spark, sf_dir):
 # q50/q51 oracles compose other SQL, so they register after definition
 ORACLES["q50_dup_components"] = _Q50_ORACLE.format(q18=ORACLES["q18_minhash_lsh"])
 ORACLES["q51_ann_ivf_kmeans"] = _q51_oracle()
+
+
+# =====================================================================
+# 6. Round-3 training-data operators: PII redaction, repetition quality,
+#    n-gram LM counts, benchmark contamination, sequence packing
+# =====================================================================
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query(
+    "q56_pii_redact",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || doc_id || '@example.com or 555-'
+                       || lpad(cast(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                       || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')                  AS redacted,
+           cast(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)   AS n_emails,
+           cast(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)   AS n_phones
+    FROM p
+    """,
+)
+def q56_pii_redact(spark, sf_dir):
+    """PII redaction for training corpora: replace emails/phones with
+    typed placeholder tokens and count removals per doc. The synthetic
+    corpus contains no PII, so every 7th doc is first ENRICHED with a
+    deterministic email+phone derived from its doc_id (identically on
+    both oracle sides) — the operator under test is the redaction, the
+    enrichment is scaffolding that keeps the query non-vacuous.
+
+    Scale: pure JVM regexp expressions inside whole-stage codegen — zero
+    shuffles, zero Python; at 100 TB this is a map-only pass bounded by
+    scan + regex throughput. pmOCR analog: X1-family sed post-processing
+    (pmocr.sh:2013-2043) generalized to content hygiene."""
+    d = _t(spark, sf_dir, "documents")
+    pid = F.col("doc_id") % 1000
+    pid4 = F.col("doc_id") % 10000
+    enriched = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(pid.cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(pid4.cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    t = F.col("t")
+    return d.select("doc_id", enriched.alias("t")).select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+@query(
+    "q57_repetition_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+    c AS (SELECT doc_id, unnest(w) tok FROM t),
+    g AS (SELECT doc_id, tok, count(*) cnt FROM c GROUP BY doc_id, tok),
+    s AS (SELECT doc_id,
+                 cast(sum(cnt) AS BIGINT)  n_tokens,
+                 cast(count(*) AS BIGINT)  n_distinct,
+                 cast(max(cnt) AS BIGINT)  top_cnt
+          FROM g GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(1 - n_distinct / cast(n_tokens AS DOUBLE), 6)   AS dup_word_frac,
+           round(top_cnt / cast(n_tokens AS DOUBLE), 6)          AS top_word_frac,
+           CASE WHEN top_cnt / cast(n_tokens AS DOUBLE) <= 0.125
+                THEN 1 ELSE 0 END                                AS keep
+    FROM s
+    """,
+)
+def q57_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    duplicate-word fraction and top-word fraction per document, plus the
+    keep decision at the 12.5% top-word threshold. (The published rules
+    use line/paragraph duplication; the synthetic corpus has no line
+    structure, so the same statistics are computed at word granularity.)
+
+    Scale: explode -> two keyed aggregations, both with map-side partial
+    agg; the (doc_id, tok) key is near-unique so neither shuffle skews.
+    No Python anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.select("doc_id", F.explode(_toks_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    s = g.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    ratio_top = F.col("top_cnt") / F.col("n_tokens").cast("double")
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(1 - F.col("n_distinct") / F.col("n_tokens").cast("double"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(ratio_top, 6).alias("top_word_frac"),
+        F.when(ratio_top <= 0.125, 1).otherwise(0).alias("keep"),
+    )
+
+
+@query(
+    "q58_bigram_lm_topk",
+    """
+    WITH t AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) bg
+      FROM t)
+    SELECT bg AS bigram, cast(count(*) AS BIGINT) AS cnt
+    FROM g GROUP BY bg
+    ORDER BY cnt DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def q58_bigram_lm_topk(spark, sf_dir):
+    """Corpus-level n-gram LM counts (the classic training-data statistic):
+    top-20 bigrams by frequency, ties broken lexically so the cut is
+    deterministic.
+
+    Scale: bigrams come from the shuffle-free arrays_zip construction
+    (each doc's adjacency lives in its own row — no window Exchange, see
+    _shingles_df); the count is one hash aggregation with map-side
+    partial agg, and orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-20 heaps merged on the driver, never a global
+    sort. At 100 TB the reduce side sees only (distinct bigrams), and
+    the final collect is 20 rows."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(F.col("w"))
+    z = F.arrays_zip(
+        F.col("w").alias("t0"),
+        F.slice("w", 2, F.greatest(n - 1, F.lit(0))).alias("t1"),
+    )
+    return (
+        d.select(_toks_col().alias("w"))
+        .select(F.explode(z).alias("s"))
+        .filter(F.col("s.t1").isNotNull())
+        .select(F.concat_ws(" ", "s.t0", "s.t1").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q59_contamination",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) ng
+      FROM t),
+    b AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
+    SELECT doc_id, cast(count(*) AS BIGINT) AS n_hits
+    FROM g JOIN b USING (ng)
+    GROUP BY doc_id
+    """,
+)
+def q59_contamination(spark, sf_dir):
+    """Benchmark-contamination detection: flag corpus documents sharing
+    any 4-gram with the benchmark set (here: every 97th doc stands in
+    for the eval benchmark; a real run would read the benchmark table).
+    Output = (doc_id, number of distinct contaminated 4-grams) — the
+    decontamination pass drops these docs before training.
+
+    Scale: the benchmark n-gram set is tiny relative to the corpus
+    (benchmarks are fixed-size; the corpus is 100 TB), so it is
+    broadcast — the corpus side streams map-only through the hash join,
+    then one groupBy(doc_id). distinct-per-doc n-grams bound the join
+    fan-out per row; never doc x doc."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(F.col("w"))
+    z = F.arrays_zip(
+        F.col("w").alias("t0"),
+        F.slice("w", 2, F.greatest(n - 1, F.lit(0))).alias("t1"),
+        F.slice("w", 3, F.greatest(n - 2, F.lit(0))).alias("t2"),
+        F.slice("w", 4, F.greatest(n - 3, F.lit(0))).alias("t3"),
+    )
+    grams = (
+        d.select("doc_id", _toks_col().alias("w"))
+        .select("doc_id", F.explode(z).alias("s"))
+        .filter(F.col("s.t3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "s.t0", "s.t1", "s.t2", "s.t3").alias("ng"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    return (
+        grams.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "q60_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM t)
+    SELECT doc_id, n_tokens, cum_before,
+           cast(floor(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS bin
+    FROM c
+    """,
+)
+def q60_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM training: assign documents (in doc_id
+    order) to fixed token-budget bins via a global running token count —
+    bin = floor(cum_tokens_before / budget). The oracle states it as a
+    single global window; the Spark plan must NOT (that window would
+    pull 10^12 rows through one partition). Same two-pass shape as q54:
+
+      1. repartitionByRange(doc_id) — ordered, co-located ranges;
+      2. per-partition running sum (window PARTITIONED by partition id);
+      3. global offset = sum of earlier partitions' totals, a 16-row
+         aggregate joined back broadcast.
+
+    Deterministic wherever the range sampler draws boundaries: offsets
+    come from actual partition totals and doc_id is unique."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    parts = t.repartitionByRange(16, F.col("doc_id").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("_pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    local = parts.withColumn("_lcum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)))
+    sizes = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_n"))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_lcum") + F.col("_off")).cast("long").alias("cum_before"),
+            F.floor((F.col("_lcum") + F.col("_off")) / F.lit(_PACK_BUDGET)).cast("long").alias("bin"),
+        )
+    )

@@ -170,3 +170,68 @@ def test_bucketed_join_no_exchange(spark, corpus_dir):
     n_spans = joined.count()
     n_matched = joined.filter(F.col("content").isNotNull()).count()
     assert n_spans == n_matched > 0
+
+
+def test_q56_redact_map_only(spark):
+    """PII redaction is a pure map: zero exchanges, codegen'd regexps."""
+    df = QUERY_FNS["q56_pii_redact"](spark, SF)
+    assert shape.count_exchanges(df) == 0, shape.formatted_plan(df)
+    plan = shape.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q58_topk_no_global_sort(spark):
+    """Top-k bigram counts must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global Sort of the count table."""
+    df = QUERY_FNS["q58_bigram_lm_topk"](spark, SF)
+    plan = shape.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert shape.count_exchanges(df) <= 1, plan  # one agg shuffle only
+
+
+def test_q59_contamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram side is bounded; it must broadcast so the
+    corpus side streams map-only through the join — and the join must
+    be a hash join on the n-gram, never nested-loop/cartesian."""
+    df = QUERY_FNS["q59_contamination"](spark, SF)
+    plan = shape.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q60_pack_partition_invariant(spark):
+    """Sequence packing's running sum must come from the two-pass shape
+    (no unpartitioned Window over the big frame), and bins must be
+    identical under any input partitioning."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import _PACK_BUDGET, _t
+
+    df = QUERY_FNS["q60_pack_sequences"](spark, SF)
+    base = {r["doc_id"]: (r["cum_before"], r["bin"]) for r in df.collect()}
+
+    # oracle recomputation from an adversarially repartitioned input,
+    # via the plain (non-scalable) window — results must coincide
+    t = (
+        _t(spark, SF, "documents")
+        .repartition(7, "lang")
+        .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    again = {
+        r["doc_id"]: (r["c"], r["b"])
+        for r in t.select(
+            "doc_id",
+            F.coalesce(F.sum("n").over(w), F.lit(0)).alias("c"),
+            F.floor(F.coalesce(F.sum("n").over(w), F.lit(0)) / F.lit(_PACK_BUDGET))
+            .cast("long")
+            .alias("b"),
+        ).collect()
+    }
+    assert again == base
+    # the big-frame Window must be partitioned by _pid; the only
+    # unpartitioned window is the 16-row offset frame
+    plan = shape.formatted_plan(df)
+    assert "Window [" not in plan or "_pid" in plan, plan
