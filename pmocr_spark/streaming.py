@@ -11,7 +11,9 @@ subsumed by Structured Streaming micro-batches:
   W4 forced periodic run   -> Trigger.AvailableNow reconciliation pass
   W5 liveness/recovery     -> checkpointLocation + query restart
   W6 in-use file deferral  -> file source only lists complete files
-  W7 per-dir monitors      -> one query per target (or one + foreachBatch)
+  W7 per-dir monitors      -> one independent query per landing dir,
+                              shared session (cli.launch_monitors,
+                              repeatable --monitor DIR=TARGETS)
 
 The per-batch transform is EXACTLY the batch plan (pipeline.extract_spans
 / reassemble) applied inside foreachBatch — identical semantics, one
