@@ -123,6 +123,96 @@ def append_checkpoint(rows: DataFrame, path: str) -> None:
     rows.write.mode("append").parquet(path)
 
 
+def latest_row_order():
+    """The canonical 'which lineage row is latest' ordering, shared by
+    resume_filter and compaction so they can never disagree: ts first,
+    then terminal success beats 'failed' on a ts tie, then lexical
+    status — fully deterministic for any row multiset."""
+    return F.struct(
+        F.col("ts").alias("ts"),
+        F.when(F.col("status") == "failed", F.lit(0)).otherwise(F.lit(1)).alias("p"),
+        F.col("status").alias("s"),
+    )
+
+
+def compact_rows(checkpoint: DataFrame) -> DataFrame:
+    """Latest-row-per-doc view of the lineage table (same schema).
+
+    Keeps each doc's winning row (latest_row_order) verbatim — so the
+    winning status/ts/run_id survive, including the streaming '#eN'
+    epoch tag the replay filter keys on — with retry_count lifted to the
+    doc's GLOBAL max, which is exactly what resume_filter and
+    checkpoint_rows aggregate. Resume/retry/backoff behavior over the
+    compacted table is therefore identical to the full history.
+
+    One groupBy(doc_id) — the same shuffle resume_filter already pays
+    per run, paid once to make every FUTURE run's lineage scan O(docs)
+    instead of O(runs x docs)."""
+    win = checkpoint.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct(*[c for c in checkpoint.columns if c != "doc_id"]),
+            latest_row_order(),
+        ).alias("w"),
+        F.coalesce(F.max("retry_count"), F.lit(0)).alias("_rc"),
+    )
+    return win.select(
+        F.col("w.partition_id").alias("partition_id"),
+        "doc_id",
+        F.col("w.status").alias("status"),
+        F.col("w.span_count").alias("span_count"),
+        F.col("w.error_count").alias("error_count"),
+        F.col("w.error").alias("error"),
+        F.col("_rc").cast("int").alias("retry_count"),
+        F.col("w.run_id").alias("run_id"),
+        F.col("w.ts").alias("ts"),
+    )
+
+
+def compact_checkpoint(spark: SparkSession, path: str) -> int:
+    """Rewrite the lineage table at `path` to latest-row-per-doc.
+
+    The 100 TB hygiene pass the per-epoch semi-join defers (see
+    checkpoint_rows): an append-only lineage grows one row per doc per
+    run forever; every resume re-scans it. Compaction bounds the table
+    at one row per doc. Returns the compacted row count.
+
+    Swap protocol (scheme-agnostic via the Hadoop FS API, so hdfs://
+    and s3a:// work): write to <path>.compact.tmp, rename the old dir
+    to <path>.compact.bak, rename tmp into place, delete bak. A crash
+    between the renames leaves the .bak to restore by hand — never a
+    half-written table at `path`.
+
+    Run this with no concurrent writer (batch: between runs; streaming:
+    stream stopped, last epoch committed). Compacting UNDER a stream
+    that later crash-replays an old epoch would re-derive that epoch's
+    retry counts from the compacted row only.
+    """
+    full = read_checkpoint(spark, path)
+    if full is None:
+        return 0
+    tmp, bak = f"{path}.compact.tmp", f"{path}.compact.bak"
+    compacted = compact_rows(full).persist()
+    n = compacted.count()  # materialize BEFORE touching `path` (read is lazy)
+    compacted.write.mode("overwrite").parquet(tmp)
+    compacted.unpersist()
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    hp = jvm.org.apache.hadoop.fs.Path
+    fs = hp(path).getFileSystem(conf)
+    if fs.exists(hp(bak)):
+        raise RuntimeError(
+            f"{bak} exists — a previous compaction did not finish; "
+            "restore or remove it before compacting again"
+        )
+    if not fs.rename(hp(path), hp(bak)):
+        raise RuntimeError(f"could not move {path} aside to {bak}")
+    if not fs.rename(hp(tmp), hp(path)):
+        fs.rename(hp(bak), hp(path))  # roll back
+        raise RuntimeError(f"could not move compacted table into {path}")
+    fs.delete(hp(bak), True)
+    return n
+
+
 def partition_metrics(checkpoint: DataFrame) -> DataFrame:
     """Per-partition lineage metrics (north_rule: prove skew is broken).
 

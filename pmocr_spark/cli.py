@@ -151,6 +151,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--monitor given, --input is not required. In a config file use a "
         "JSON list of specs or a ';'-separated string.",
     )
+    p.add_argument(
+        "--compact-lineage",
+        action="store_true",
+        help="batch mode: after the run, rewrite the lineage table to "
+        "latest-row-per-doc (checkpoint.compact_checkpoint). Append-only "
+        "lineage grows one row per doc per run; every resume re-scans "
+        "it — compaction bounds it at one row per doc with identical "
+        "resume/retry semantics. Run with no concurrent writer.",
+    )
     p.add_argument("--alerts", default=None, help="alert table dir (S7; service mode)")
     p.add_argument("--stream-checkpoint", default=None, help="streaming offsets dir (service)")
     p.add_argument("--master", default=None, help="override spark master (default from env)")
@@ -421,6 +430,10 @@ def main(argv: list[str] | None = None) -> None:
         # overwrite — the report is a derived view of the lineage table
         full = ckpt.read_checkpoint(spark, args.lineage)
         ckpt.partition_metrics(full).write.mode("overwrite").parquet(args.metrics)
+    if args.compact_lineage:
+        # after metrics: the per-run partition report needs the full
+        # history; compaction keeps only each doc's winning row
+        ckpt.compact_checkpoint(spark, args.lineage)
 
 
 if __name__ == "__main__":

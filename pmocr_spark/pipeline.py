@@ -104,14 +104,13 @@ def resume_filter(
     # warns about) would make a bare max_by("status","ts") pick an
     # ARBITRARY row; break ties deterministically: terminal success
     # ('done'/'skipped') beats 'failed', then lexical status, so a doc
-    # that ever succeeded at that instant never reprocesses
-    _ts_order = F.struct(
-        F.col("ts").alias("ts"),
-        F.when(F.col("status") == "failed", F.lit(0)).otherwise(F.lit(1)).alias("p"),
-        F.col("status").alias("s"),
-    )
+    # that ever succeeded at that instant never reprocesses. The same
+    # ordering drives lineage compaction (checkpoint.compact_rows), so
+    # resume over a compacted table is bit-identical.
+    from .checkpoint import latest_row_order
+
     latest = checkpoint.groupBy("doc_id").agg(
-        F.max_by("status", _ts_order).alias("status"),
+        F.max_by("status", latest_row_order()).alias("status"),
         F.coalesce(F.max("retry_count"), F.lit(0)).alias("retry_count"),
         F.max("ts").alias("last_ts"),
     )

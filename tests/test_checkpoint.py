@@ -207,3 +207,67 @@ def test_resume_latest_status_ts_tie_deterministic(spark):
             docs, lineage, job_ts="2024-01-02 00:00:00"
         ).collect()
         assert got == [], order  # done wins the tie -> excluded
+
+
+def _synthetic_history(spark):
+    """Multi-run lineage: doc-a done after a failure, doc-b still
+    failing (rc grows), doc-c done first try, doc-d failed+quarantined."""
+    rows = [
+        # (doc, status, rc, ts, run)
+        ("doc-a", "failed", 1, "2024-01-01 00:00:00", "r1"),
+        ("doc-a", "done",   1, "2024-01-01 01:00:00", "r2"),
+        ("doc-b", "failed", 1, "2024-01-01 00:00:00", "r1"),
+        ("doc-b", "failed", 2, "2024-01-01 01:00:00", "r2"),
+        ("doc-c", "done",   0, "2024-01-01 00:00:00", "r1"),
+        ("doc-d", "failed", 4, "2024-01-01 01:00:00", "r2#e3"),
+    ]
+    return spark.createDataFrame(
+        [
+            (7, d, s, 2, 1 if s == "failed" else 0, None, rc, run, ts)
+            for d, s, rc, ts, run in rows
+        ],
+        "partition_id int, doc_id string, status string, span_count int, "
+        "error_count int, error string, retry_count int, run_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_compact_rows_semantics(spark):
+    """Compaction keeps each doc's WINNING row verbatim (status, ts,
+    run_id — incl. the streaming '#eN' tag) with retry_count lifted to
+    the global max, and resume over the compacted table admits exactly
+    the docs the full history admits at every probe ts."""
+    full = _synthetic_history(spark)
+    comp = ckpt.compact_rows(full)
+    got = {r["doc_id"]: r.asDict() for r in comp.collect()}
+    assert len(got) == 4
+    assert got["doc-a"]["status"] == "done" and got["doc-a"]["run_id"] == "r2"
+    assert got["doc-b"]["status"] == "failed" and got["doc-b"]["retry_count"] == 2
+    assert got["doc-d"]["run_id"] == "r2#e3"  # epoch tag survives (replay filter)
+    docs = spark.createDataFrame([(d,) for d in got], "doc_id string")
+    for probe in ("2024-01-01 01:02:00", "2024-01-01 01:05:00", "2024-01-02 00:00:00"):
+        a = {r["doc_id"] for r in pipeline.resume_filter(docs, full, job_ts=probe).collect()}
+        b = {r["doc_id"] for r in pipeline.resume_filter(docs, comp, job_ts=probe).collect()}
+        assert a == b, probe
+    # quarantined doc-d (rc=4 > MAX_RETRIES) never readmitted either way
+    late = {r["doc_id"] for r in pipeline.resume_filter(docs, comp, job_ts="2024-02-01 00:00:00").collect()}
+    assert late == {"doc-b"}
+
+
+def test_compact_checkpoint_on_disk(spark, tmp_path):
+    """On-disk swap: the table shrinks to one row per doc, tmp/bak are
+    cleaned up, and a follow-up run resumes identically."""
+    lineage = str(tmp_path / "lineage")
+    _synthetic_history(spark).write.mode("append").parquet(lineage)
+    # streaming-style epoch subdir must be folded in too
+    _synthetic_history(spark).limit(1).write.parquet(f"{lineage}/epoch-9")
+    n = ckpt.compact_checkpoint(spark, lineage)
+    assert n == 4
+    back = ckpt.read_checkpoint(spark, lineage)
+    assert back.count() == 4
+    assert back.groupBy("doc_id").count().filter("count > 1").count() == 0
+    import os
+
+    assert not os.path.exists(lineage + ".compact.tmp")
+    assert not os.path.exists(lineage + ".compact.bak")
+    # missing table -> 0, no-op
+    assert ckpt.compact_checkpoint(spark, str(tmp_path / "absent")) == 0
