@@ -264,10 +264,27 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         cur = getattr(args, k, None)
         if cur is None or (k in flag_dests and cur is False):
             setattr(args, k, v)
+    # maintenance mode: --compact-lineage alone (no --batch/--service)
+    # compacts the lineage table and exits — the way to compact a
+    # STOPPED stream's lineage without running any pipeline
+    args.compact_only = args.compact_lineage and not (args.batch or args.service)
+    if args.compact_only:
+        if not args.lineage:
+            parser.error("--lineage is required with --compact-lineage")
+        args.target_list = []
+        args.monitor_list = []
+        return args
     if not (args.batch or args.service):
         parser.error("one of --batch / --service is required (flag or config)")
     if args.batch and args.service:
         parser.error("--batch and --service are mutually exclusive")
+    if args.service and args.compact_lineage:
+        parser.error(
+            "--compact-lineage cannot run under --service: compacting a "
+            "LIVE stream's lineage loses retry history on crash-replay "
+            "of an old epoch — stop the stream, then run "
+            "--compact-lineage --lineage DIR standalone"
+        )
     if args.monitor and not args.service:
         parser.error("--monitor requires --service (pmOCR's per-dir OCR_service)")
     # with per-dir monitors each spec carries its own input dir
@@ -364,6 +381,10 @@ def main(argv: list[str] | None = None) -> None:
     args = parse_args(argv)
     targets = args.target_list
     spark = get_spark(app="pmocr_spark_job", master=args.master)
+    if getattr(args, "compact_only", False):
+        n = ckpt.compact_checkpoint(spark, args.lineage)
+        print(f"pmocr-spark: compacted lineage at {args.lineage} to {n} rows")
+        return
     job_ts = args.job_ts.replace("T", " ").replace("Z", "")
     suffix = "" if args.no_suffix else args.suffix
 

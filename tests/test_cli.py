@@ -296,3 +296,58 @@ def test_monitor_spec_from_config_and_errors(tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--service", "--monitor", "/d=docx",
                         "--blobs", "/b", "--output", "/o", "--lineage", "/l"])
+
+
+def test_compact_lineage_modes(spark, tmp_path):
+    """--compact-lineage: standalone maintenance mode (no --batch)
+    compacts and exits; rejected under --service (live-stream hazard);
+    requires --lineage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lineage = str(tmp_path / "lin")
+    rows = [
+        {"partition_id": 0, "doc_id": "d1", "status": "failed", "span_count": 1,
+         "error_count": 1, "error": "x", "retry_count": 1, "run_id": "r1",
+         "ts": "2024-01-01 00:00:00"},
+        {"partition_id": 0, "doc_id": "d1", "status": "done", "span_count": 1,
+         "error_count": 0, "error": None, "retry_count": 1, "run_id": "r2",
+         "ts": "2024-01-01 01:00:00"},
+    ]
+    from datetime import datetime
+
+    for r in rows:
+        r["ts"] = datetime.fromisoformat(r["ts"])
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("partition_id", pa.int32()),
+                ("doc_id", pa.string()),
+                ("status", pa.string()),
+                ("span_count", pa.int32()),
+                ("error_count", pa.int32()),
+                ("error", pa.string()),
+                ("retry_count", pa.int32()),
+                ("run_id", pa.string()),
+                ("ts", pa.timestamp("us")),
+            ]
+        ),
+    )
+    import os
+
+    os.makedirs(lineage)
+    pq.write_table(t, f"{lineage}/part.parquet")
+    # standalone mode parses without input/blobs/output/mode
+    a = cli.parse_args(["--compact-lineage", "--lineage", lineage])
+    assert a.compact_only
+    cli.main(["--compact-lineage", "--lineage", lineage, "--master", "local[2]"])
+    import duckdb
+
+    got = duckdb.sql(f"select status, retry_count from read_parquet('{lineage}/*.parquet')").fetchall()
+    assert got == [("done", 1)]
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--service", "--compact-lineage", "--input", "/i",
+                        "--blobs", "/b", "--output", "/o", "--lineage", "/l"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--compact-lineage"])
