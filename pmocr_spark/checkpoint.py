@@ -107,6 +107,28 @@ def read_checkpoint(spark: SparkSession, path: str) -> DataFrame | None:
         )
     except Exception as e:  # AnalysisException: PATH_NOT_FOUND on first run
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            # a missing table is only a first run if no interrupted
+            # compaction left the real table parked at .compact.bak —
+            # treating that as 'first run' would silently reprocess the
+            # whole corpus and drop all retry/quarantine history
+            bak = f"{path}.compact.bak"
+            try:
+                jvm = spark._jvm  # noqa: SLF001
+                hp = jvm.org.apache.hadoop.fs.Path(bak)
+                fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+                bak_exists = bool(fs.exists(hp))
+            except Exception:  # noqa: BLE001 — non-JVM-resolvable scheme
+                import os
+
+                bak_exists = os.path.exists(bak)
+            if bak_exists:
+                raise RuntimeError(
+                    f"lineage table {path!r} is missing but {bak!r} exists — "
+                    "a compaction was interrupted between its two renames. "
+                    f"Restore it (rename {bak!r} back to {path!r}) before "
+                    "running; proceeding would reprocess every doc and lose "
+                    "retry/quarantine history."
+                ) from e
             return None
         raise
 
@@ -148,10 +170,21 @@ def compact_rows(checkpoint: DataFrame) -> DataFrame:
     One groupBy(doc_id) — the same shuffle resume_filter already pays
     per run, paid once to make every FUTURE run's lineage scan O(docs)
     instead of O(runs x docs)."""
+    # latest_row_order alone can tie (same ts AND same status — e.g. a
+    # batch run and a stream epoch stamped with one job_ts); rows tied
+    # there have identical status, so resume_filter is already
+    # deterministic, but the WHOLE-ROW winner here must be too — extend
+    # the ordering with run_id (then partition_id) so compaction keeps
+    # the same row on every run over the same multiset
+    full_order = F.struct(
+        latest_row_order().alias("o"),
+        F.col("run_id").alias("r"),
+        F.col("partition_id").alias("pid"),
+    )
     win = checkpoint.groupBy("doc_id").agg(
         F.max_by(
             F.struct(*[c for c in checkpoint.columns if c != "doc_id"]),
-            latest_row_order(),
+            full_order,
         ).alias("w"),
         F.coalesce(F.max("retry_count"), F.lit(0)).alias("_rc"),
     )

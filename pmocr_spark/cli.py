@@ -45,13 +45,16 @@ def load_config(path: str) -> dict:
     if stripped.startswith("{"):
         # JSON keys get the SAME normalization as key=value files
         # ('span-join' -> 'span_join'); a JSON list value (natural for
-        # e.g. targets) is joined to the comma form the CLI parses
-        cfg = {
-            k.strip().lower().replace("-", "_"): (
-                ",".join(str(x) for x in v) if isinstance(v, (list, tuple)) else v
-            )
-            for k, v in json.loads(raw).items()
-        }
+        # e.g. targets) is joined to the comma form the CLI parses —
+        # EXCEPT 'monitor', whose specs may themselves contain commas
+        # (DIR=txt,csv): its list structure is preserved end-to-end so
+        # no re-splitting heuristic is needed for JSON configs
+        cfg = {}
+        for k, v in json.loads(raw).items():
+            k = k.strip().lower().replace("-", "_")
+            if isinstance(v, (list, tuple)) and k != "monitor":
+                v = ",".join(str(x) for x in v)
+            cfg[k] = v
     else:
         cfg = {}
         for line in raw.splitlines():
@@ -131,10 +134,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--metrics",
         default=None,
-        help="per-partition skew report dir: after each batch run, writes "
-        "checkpoint.partition_metrics over the full lineage table — the "
-        "north-rule observability story (docs/spans/errors per partition "
-        "proves the salted repartition broke media-heavy-doc skew)",
+        help="per-partition skew report dir: writes checkpoint."
+        "partition_metrics over the full lineage table — after each batch "
+        "run, or after every epoch in service mode (per-monitor subdirs "
+        "with --monitor). The north-rule observability story "
+        "(docs/spans/errors per partition proves the salted repartition "
+        "broke media-heavy-doc skew)",
     )
     p.add_argument(
         "--monitor",
@@ -210,27 +215,31 @@ def _coerce_config_types(parser: argparse.ArgumentParser, cfg: dict) -> dict:
 def _parse_monitor_specs(value) -> list[tuple[str, str]]:
     """Normalize --monitor values to [(dir, targets_csv)].
 
-    CLI gives a list of 'DIR=t1,t2' strings (action=append). Config files
-    may give a JSON list (load_config joins it with ',') or a
-    ';'-separated string — so a comma-joined blob like
-    'd1=txt,csv;d2=pdf' or even 'd1=txt,csv,d2=pdf' must re-split
-    correctly: tokens WITHOUT '=' belong to the previous spec's target
-    list (a dir path never contains '=' in practice; targets never do)."""
-    pieces: list[str] = []
-    items = value if isinstance(value, (list, tuple)) else [value]
-    for item in items:
-        for part in str(item).split(";"):
-            part = part.strip()
-            if not part:
-                continue
+    CLI gives a list of 'DIR=t1,t2' strings (action=append); JSON configs
+    give a list that load_config preserves as-is — in both, each item is
+    exactly ONE spec, split on the FIRST '=' only, so commas (and
+    further '='s) in paths or target lists are safe. key=value configs
+    give one string of ';'-separated specs; for robustness a
+    comma-joined blob like 'd1=txt,csv,d2=pdf' also re-splits correctly
+    there: tokens WITHOUT '=' belong to the previous spec's target list
+    (only in the string form does a '='-in-path need quoting as a JSON
+    list instead)."""
+    if isinstance(value, (list, tuple)):
+        pieces = [str(v) for v in value]
+    else:
+        pieces = []
+        for part in str(value).split(";"):
             for tok in part.split(","):
                 tok = tok.strip()
+                if not tok:
+                    continue
                 if "=" in tok or not pieces:
                     pieces.append(tok)
                 else:
                     pieces[-1] += "," + tok
     specs = []
     for piece in pieces:
+        piece = piece.strip()
         if "=" not in piece:
             raise ValueError(f"monitor spec {piece!r} is not DIR=TARGETS")
         d, _, tgts = piece.partition("=")
@@ -318,9 +327,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error(str(e))
         names: list[str] = []
         for d, tgts in specs:
-            name = os.path.basename(os.path.normpath(d)) or "root"
-            if name in names:  # two dirs sharing a basename
-                name = f"{name}-{len(names)}"
+            base = os.path.basename(os.path.normpath(d)) or "root"
+            # uniquify until free: a single suffix attempt could still
+            # collide with an explicit basename like 'x-2'
+            name, i = base, 1
+            while name in names:
+                name = f"{base}-{i}"
+                i += 1
             names.append(name)
             args.monitor_list.append((name, d, validate_targets(tgts)))
     return args
@@ -359,6 +372,7 @@ def launch_monitors(spark, args, blobs, job_ts: str, suffix: str, trigger: dict)
             job_ts=job_ts,
             trigger=trigger,
             alerts_dir=sub(args.alerts) if args.alerts else None,
+            metrics_dir=sub(args.metrics) if args.metrics else None,
             targets=tgts,
             suffix=suffix,
             filename_addition=args.filename_addition,

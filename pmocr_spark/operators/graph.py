@@ -41,6 +41,12 @@ def iter_checkpoint(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     reliable=None resolves from the PMOCR_RELIABLE_CHECKPOINT env var so
     a cluster deployment flips every iterative query (q50/q51) to the
     cluster-safe path without code changes.
+
+    Disk hygiene on the reliable path: session.get_spark sets
+    spark.cleaner.referenceTracking.cleanCheckpoints=true, so each
+    round's checkpoint files are deleted once the previous round's
+    frame is unreferenced — a 15-round run does not hold 15 edge-set
+    copies on HDFS/S3.
     """
     if reliable is None:
         reliable = os.environ.get("PMOCR_RELIABLE_CHECKPOINT", "").lower() in (

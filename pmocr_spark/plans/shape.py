@@ -70,6 +70,54 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
+def unpartitioned_window_args(df: DataFrame) -> list[str]:
+    """Arguments lines of Window operators whose PARTITION BY spec is
+    empty — the single-partition global-window shape that cannot scale.
+    A partitioned Window prints
+    `Arguments: [<exprs>], [<partition cols>], [<order cols>]`; an
+    unpartitioned one omits the partition group entirely
+    (`Arguments: [<exprs>], [<order cols>]`) — detect both that and an
+    explicitly empty group. Tests assert that any such window only
+    touches a bounded side frame (e.g. the 16-row offset table of the
+    two-pass rank/cumsum pattern), never the big data columns."""
+    import re
+
+    out: list[str] = []
+    lines = formatted_plan(df).splitlines()
+    for i, line in enumerate(lines):
+        if not re.match(r"\(\d+\) Window", line.strip()):
+            continue
+        for j in range(i + 1, min(i + 8, len(lines))):
+            arg = lines[j].strip()
+            if arg.startswith("Arguments:"):
+                groups = _bracket_groups(arg)
+                if len(groups) == 2 or (
+                    len(groups) >= 3 and groups[-2].strip() == ""
+                ):
+                    out.append(arg)
+                break
+    return out
+
+
+def _bracket_groups(line: str) -> list[str]:
+    """Top-level [...] groups of a plan Arguments line."""
+    groups, depth, cur = [], 0, ""
+    for ch in line:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
 def python_udf_after_filter(df: DataFrame) -> bool:
     """Crude ordering check: in the formatted plan tree the scan-side
     Filter must appear below (after) ArrowEvalPython — i.e. filters are

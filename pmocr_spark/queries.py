@@ -418,33 +418,41 @@ def _toks_col():
     return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
 
-def _shingles_df(spark, sf_dir, max_doc: int | None = None):
-    """Distinct 3-gram word shingles as exploded rows (doc_id, shingle).
+def _ngram_rows(d: DataFrame, n_words: int, alias: str = "ng") -> DataFrame:
+    """Exploded word n-grams of `documents` rows: (doc_id, <alias>).
 
-    Shuffle-free construction: zip the token array against its own
-    1- and 2-shifted slices (arrays_zip + slice — codegen'd array ops),
-    explode, drop the null-padded tail. All tokens of a doc live in its
+    Shuffle-free construction shared by shingling (n=3), bigram LM
+    counts (q58, n=2), and contamination 4-grams (q59): zip the token
+    array against its own 1..n-1-shifted slices (arrays_zip + slice —
+    codegen'd array ops), explode, drop the null-padded tail (which
+    also drops docs with < n tokens). All tokens of a doc live in its
     one input row, so no Window/shuffle is needed to pair neighbors —
     the earlier posexplode + window-lead version paid an Exchange on
-    doc_id purely to re-establish adjacency the array already had.
+    doc_id purely to re-establish adjacency the array already had."""
+    n = F.size(F.col("w"))
+    fields = [F.col("w").alias("t0")] + [
+        F.slice("w", k + 1, F.greatest(n - k, F.lit(0))).alias(f"t{k}")
+        for k in range(1, n_words)
+    ]
+    return (
+        d.select("doc_id", _toks_col().alias("w"))
+        .select("doc_id", F.explode(F.arrays_zip(*fields)).alias("s"))
+        .filter(F.col(f"s.t{n_words - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[f"s.t{k}" for k in range(n_words)]).alias(alias),
+        )
+    )
+
+
+def _shingles_df(spark, sf_dir, max_doc: int | None = None):
+    """Distinct 3-gram word shingles as exploded rows (doc_id, shingle).
     distinct() is the only shuffle, and the downstream aggs need one on
     (doc_id/shingle) anyway."""
     d = _t(spark, sf_dir, "documents")
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
-    n = F.size(F.col("w"))
-    z = F.arrays_zip(
-        F.col("w").alias("t0"),
-        F.slice("w", 2, F.greatest(n - 1, F.lit(0))).alias("t1"),
-        F.slice("w", 3, F.greatest(n - 2, F.lit(0))).alias("t2"),
-    )
-    return (
-        d.select("doc_id", _toks_col().alias("w"))
-        .select("doc_id", F.explode(z).alias("s"))
-        .filter(F.col("s.t2").isNotNull())  # drops docs with <3 tokens too
-        .select("doc_id", F.concat_ws(" ", "s.t0", "s.t1", "s.t2").alias("shingle"))
-        .distinct()
-    )
+    return _ngram_rows(d, 3, "shingle").distinct()
 
 
 @query(
@@ -2135,16 +2143,9 @@ def q58_bigram_lm_topk(spark, sf_dir):
     sort. At 100 TB the reduce side sees only (distinct bigrams), and
     the final collect is 20 rows."""
     d = _t(spark, sf_dir, "documents")
-    n = F.size(F.col("w"))
-    z = F.arrays_zip(
-        F.col("w").alias("t0"),
-        F.slice("w", 2, F.greatest(n - 1, F.lit(0))).alias("t1"),
-    )
     return (
-        d.select(_toks_col().alias("w"))
-        .select(F.explode(z).alias("s"))
-        .filter(F.col("s.t1").isNotNull())
-        .select(F.concat_ws(" ", "s.t0", "s.t1").alias("bigram"))
+        _ngram_rows(d, 2, "bigram")
+        .select("bigram")  # doc_id pruned out of the scan by Catalyst
         .groupBy("bigram")
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
@@ -2181,20 +2182,7 @@ def q59_contamination(spark, sf_dir):
     then one groupBy(doc_id). distinct-per-doc n-grams bound the join
     fan-out per row; never doc x doc."""
     d = _t(spark, sf_dir, "documents")
-    n = F.size(F.col("w"))
-    z = F.arrays_zip(
-        F.col("w").alias("t0"),
-        F.slice("w", 2, F.greatest(n - 1, F.lit(0))).alias("t1"),
-        F.slice("w", 3, F.greatest(n - 2, F.lit(0))).alias("t2"),
-        F.slice("w", 4, F.greatest(n - 3, F.lit(0))).alias("t3"),
-    )
-    grams = (
-        d.select("doc_id", _toks_col().alias("w"))
-        .select("doc_id", F.explode(z).alias("s"))
-        .filter(F.col("s.t3").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "s.t0", "s.t1", "s.t2", "s.t3").alias("ng"))
-        .distinct()
-    )
+    grams = _ngram_rows(d, 4, "ng").distinct()
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
     return (
         grams.join(F.broadcast(bench), "ng")

@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "4")
         .config("spark.speculation.quantile", "0.9")
+        # iterative queries (q50 CC, q51 k-means) checkpoint per round;
+        # on the reliable path (PMOCR_RELIABLE_CHECKPOINT=1 +
+        # setCheckpointDir) each round's files would otherwise pile up
+        # on HDFS/S3 until application exit — let the ContextCleaner
+        # delete a round's checkpoint once its RDD is unreferenced
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -87,6 +87,7 @@ def monitor(
     broadcast_spans: bool = True,
     num_partitions: int | None = None,
     allow_lineage_takeover: bool = False,
+    metrics_dir: str | None = None,
 ):
     """Start the streaming monitor over a landing directory of parquet
     document files. Returns the StreamingQuery.
@@ -196,7 +197,10 @@ def monitor(
             rows = ckpt.checkpoint_rows(results, run_id=epoch_run, job_ts=epoch_ts, prior=lineage)
             rows.write.mode("overwrite").parquet(f"{lineage_dir}/epoch-{epoch_id}")
             if alerts_dir is not None:
-                n_docs = results.count()
+                # the batch's TOTAL drop count (the S7 contract), not the
+                # post-resume-filter result count — '1 of 6 dropped files
+                # failed' must not read as '100% of a 1-doc batch failed'
+                n_docs = batch_df.count()
                 n_failed = results.filter(F.col("status") == "failed").count()
                 if n_failed >= alert_threshold:  # no empty epoch-N dirs
                     alert = (
@@ -215,6 +219,12 @@ def monitor(
                         )
                     )
                     alert.write.mode("overwrite").parquet(f"{alerts_dir}/epoch-{epoch_id}")
+            if metrics_dir is not None:
+                # per-partition skew report over the full lineage (incl.
+                # this epoch) — the north-rule observability story for
+                # the long-running mode; overwrite: it is a derived view
+                full = ckpt.read_checkpoint(spark, lineage_dir)
+                ckpt.partition_metrics(full).write.mode("overwrite").parquet(metrics_dir)
         finally:
             results.unpersist()
             if lineage is not None:

@@ -271,3 +271,17 @@ def test_compact_checkpoint_on_disk(spark, tmp_path):
     assert not os.path.exists(lineage + ".compact.bak")
     # missing table -> 0, no-op
     assert ckpt.compact_checkpoint(spark, str(tmp_path / "absent")) == 0
+
+
+def test_read_checkpoint_detects_interrupted_compaction(spark, tmp_path):
+    """A missing lineage dir with a leftover .compact.bak is an
+    INTERRUPTED compaction, not a first run — read_checkpoint must
+    refuse loudly instead of silently reprocessing the whole corpus."""
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "lin")
+    os.makedirs(path + ".compact.bak")
+    with pytest.raises(RuntimeError, match="compaction was interrupted"):
+        ckpt.read_checkpoint(spark, path)

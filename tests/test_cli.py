@@ -351,3 +351,34 @@ def test_compact_lineage_modes(spark, tmp_path):
                         "--blobs", "/b", "--output", "/o", "--lineage", "/l"])
     with pytest.raises(SystemExit):
         cli.parse_args(["--compact-lineage"])
+
+
+def test_monitor_name_uniquify_chain():
+    """Disambiguated names must not collide with an explicit basename:
+    x-2, x, x -> x-2, x, x-1 (never two monitors sharing dirs)."""
+    a = cli.parse_args(
+        ["--service", "--monitor", "/a/x-2=txt", "--monitor", "/b/x=txt",
+         "--monitor", "/c/x=csv",
+         "--blobs", "/b", "--output", "/o", "--lineage", "/l"]
+    )
+    names = [m[0] for m in a.monitor_list]
+    assert len(set(names)) == 3, names
+
+
+def test_monitor_spec_preserves_commas_in_list_form(tmp_path):
+    """From the CLI (append) and JSON configs (list preserved end-to-end)
+    each item is ONE spec split on the first '=', so commas in dir paths
+    are safe; only the key=value string form needs the re-split
+    heuristic."""
+    a = cli.parse_args(
+        ["--service", "--monitor", "/data/x,y=csv",
+         "--blobs", "/b", "--output", "/o", "--lineage", "/l"]
+    )
+    assert a.monitor_list == [("x,y", "/data/x,y", ["csv"])]
+    conf = tmp_path / "m.json"
+    conf.write_text(
+        '{"service": true, "blobs": "/b", "output": "/o", "lineage": "/l",'
+        ' "monitor": ["/data/x,y=csv", "/d/b=txt,pdf"]}'
+    )
+    a = cli.parse_args(["--config", str(conf)])
+    assert a.monitor_list == [("x,y", "/data/x,y", ["csv"]), ("b", "/d/b", ["txt", "pdf"])]

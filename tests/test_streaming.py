@@ -383,3 +383,50 @@ def test_per_dir_monitors_independent(spark, dirs, tmp_path):
     run_all()
     assert _read_epochs(spark, f"{dirs['output']}/txtland").count() == 13
     assert _read_epochs(spark, f"{dirs['output']}/csvland").count() == 8
+
+
+def test_alert_docs_counts_full_batch_and_metrics_report(spark, dirs, tmp_path):
+    """(a) The S7 alert's `docs` field is the batch's TOTAL drop count —
+    a re-dropped doc excluded by the resume filter still counts, so
+    '1 of 2 dropped failed' never reads as '100% of a 1-doc batch'.
+    (b) metrics_dir writes the per-partition skew report every epoch."""
+    import pyarrow as pa
+
+    from pmocr_spark import codecs
+
+    def doc(doc_id, ref):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": "tif", "text": None, "media_ref": ref, "offset": 0}]}
+
+    blobs = [
+        {"media_ref": "b:p1", "kind": "tif", "content": codecs.encode_corrupt("b:p1")},
+        {"media_ref": "b:p2", "kind": "tif", "content": codecs.encode_corrupt("b:p2")},
+    ]
+    pq.write_table(pa.Table.from_pylist(blobs, schema=corpus.BLOBS_SCHEMA),
+                   f"{tmp_path}/blobs.parquet")
+    media = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    metrics = str(tmp_path / "metrics")
+
+    def run(drop_name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=corpus.DOCUMENTS_SCHEMA),
+                       f"{dirs['landing']}/{drop_name}.parquet")
+        q = streaming.monitor(
+            spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+            dirs["lineage"], trigger={"availableNow": True},
+            alerts_dir=dirs["alerts"], metrics_dir=metrics,
+        )
+        q.awaitTermination(120)
+
+    # epoch 0: poison p1 fails -> alert docs=1, failed=1
+    run("drop0", [doc("poison-1", "b:p1")])
+    # epoch 1 (+30s, inside backoff): re-drop poison-1 (postponed by the
+    # resume filter) + fresh poison-2 (fails) -> docs=2, failed=1
+    run("drop1", [doc("poison-1", "b:p1"), doc("poison-2", "b:p2")])
+
+    alerts = {r["epoch_id"]: r.asDict() for r in _read_epochs(spark, dirs["alerts"]).collect()}
+    assert alerts[0]["docs"] == 1 and alerts[0]["failed_docs"] == 1
+    assert alerts[1]["docs"] == 2 and alerts[1]["failed_docs"] == 1, alerts[1]
+    # (b) the skew report exists and covers the full lineage
+    m = spark.read.parquet(metrics).collect()
+    assert sum(r["docs"] for r in m) == 2  # poison-1 (e0) + poison-2 (e1)
+    assert all(r["failed_docs"] >= 0 for r in m)
