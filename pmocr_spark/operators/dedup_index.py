@@ -1,0 +1,160 @@
+"""Incremental MinHash/LSH dedup against a persisted index.
+
+A training-data pipeline rarely deduplicates one static corpus once: new
+crawl batches arrive and must be checked against EVERYTHING ingested so
+far. Recomputing signatures for the whole corpus per batch is O(corpus)
+per batch; the right shape is a persisted banded-signature index:
+
+    index = build_index(corpus_docs)          # once, O(corpus)
+    ...store index (parquet/Iceberg, ideally bucketed by (band, key))...
+    hits  = probe_index(new_docs, index)      # per batch, O(batch)
+    index = merge_index(index, build_index(new_keepers))
+
+Scale notes (100 TB): the index has n_bands rows per doc and is joined
+on (band, key) — store it bucketed by those columns (see
+operators/bucketed.py) and the probe's shuffle disappears on the index
+side; the new-batch side is small and broadcasts. Hot buckets
+(boilerplate floods) are capped exactly like the one-shot q18 path: a
+bucket with > max_bucket members is near-pure false-positive mass and
+would cost k²/2 join fan-out.
+
+This module is also the single home of the shingle/minhash/band
+construction — queries.py (q17/q18/q58/q59 and the shingle helper)
+delegates here so the subtle arrays_zip/null-tail idiom exists once.
+
+pmOCR has no content-dedup analog (its work-avoidance is path identity,
+pmocr.sh:2126-2144); this is a training-data-pipeline operator per the
+build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: one-shot q18 parity: 12 hashes in 4 bands of 3, buckets capped at 100
+N_MINHASH = 12
+BAND_SIZE = 3
+MAX_BAND_BUCKET = 100
+
+
+def tokens_col(text_col: str = "text"):
+    """Lower-cased whitespace tokens of a text column (the engine's
+    canonical tokenization — mirrors the DuckDB oracle's
+    string_split_regex(lower(trim(text)), '\\s+'))."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def ngram_rows(
+    d: DataFrame, n_words: int, alias: str = "ng", id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exploded word n-grams: (id_col, <alias>).
+
+    Shuffle-free construction shared by shingling (n=3), bigram LM
+    counts (n=2) and contamination 4-grams: zip the token array against
+    its own 1..n-1-shifted slices (arrays_zip + slice — codegen'd array
+    ops), explode, drop the null-padded tail (which also drops docs with
+    < n tokens). All tokens of a doc live in its one input row, so no
+    Window/shuffle is needed to pair neighbors."""
+    n = F.size(F.col("w"))
+    fields = [F.col("w").alias("t0")] + [
+        F.slice("w", k + 1, F.greatest(n - k, F.lit(0))).alias(f"t{k}")
+        for k in range(1, n_words)
+    ]
+    return (
+        d.select(F.col(id_col).alias(id_col), tokens_col(text_col).alias("w"))
+        .select(id_col, F.explode(F.arrays_zip(*fields)).alias("s"))
+        .filter(F.col(f"s.t{n_words - 1}").isNotNull())
+        .select(
+            id_col,
+            F.concat_ws(" ", *[f"s.t{k}" for k in range(n_words)]).alias(alias),
+        )
+    )
+
+
+def minhash_bands(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+    n_hashes: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Banded MinHash signature rows (id, band, key) from exploded
+    shingles. One groupBy(id) computes all n_hashes min-hashes as agg
+    columns (no row amplification); bands of band_size hashes md5-fold
+    into one key. Buckets with > max_bucket members are dropped (None
+    disables the cap) — they are boilerplate floods whose k²/2 join
+    fan-out buys almost no true positives."""
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}|"), F.col(shingle_col)).cast("binary"))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sig = shingles.groupBy(id_col).agg(*mins)
+    band_cols = []
+    for b in range(n_hashes // band_size):
+        parts = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.lit(f"{b}|"), *parts).cast("binary")).alias("key"),
+            )
+        )
+    bands = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    if max_bucket is not None:
+        big = (
+            bands.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        bands = bands.join(big, ["band", "key"], "left_anti")
+    return bands
+
+
+def build_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", **band_kwargs
+) -> DataFrame:
+    """(id, band, key) index rows for a document frame: 3-gram shingles
+    -> banded MinHash. Persist the result as the corpus dedup index
+    (bucket by (band, key) for shuffle-free probes at scale)."""
+    sh = ngram_rows(docs, 3, "shingle", id_col=id_col, text_col=text_col).distinct()
+    return minhash_bands(sh, id_col=id_col, **band_kwargs)
+
+
+def probe_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **band_kwargs,
+) -> DataFrame:
+    """Near-dup hits of a NEW batch against the persisted index:
+    (doc_id, dup_of, n_bands) — one row per (new doc, indexed doc) pair
+    sharing >= 1 band bucket, with the shared-bucket count as a crude
+    confidence. The new batch is small relative to the corpus, so its
+    band rows broadcast and the index side streams through the join
+    map-only (with a (band,key)-bucketed index: no shuffle at all).
+    Self-matches (same id on both sides, e.g. probing the corpus
+    against its own index) are excluded."""
+    new_bands = build_index(new_docs, id_col=id_col, text_col=text_col, **band_kwargs)
+    idx = index.select(
+        F.col(id_col).alias("dup_of"), F.col("band").alias("band"), F.col("key").alias("key")
+    )
+    return (
+        idx.join(F.broadcast(new_bands), ["band", "key"])
+        .filter(F.col(id_col) != F.col("dup_of"))
+        .groupBy(id_col, "dup_of")
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
+def merge_index(index: DataFrame, new_index: DataFrame) -> DataFrame:
+    """Union the existing index with a new batch's rows (idempotent:
+    duplicate (id, band, key) rows collapse). With an Iceberg/bucketed
+    table this is an append + periodic compaction instead."""
+    return index.unionByName(new_index).distinct()

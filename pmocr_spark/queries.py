@@ -420,29 +420,13 @@ def _toks_col():
 
 def _ngram_rows(d: DataFrame, n_words: int, alias: str = "ng") -> DataFrame:
     """Exploded word n-grams of `documents` rows: (doc_id, <alias>).
+    Single implementation lives in operators.dedup_index.ngram_rows
+    (shuffle-free arrays_zip construction, shared with the incremental
+    dedup index); shingling (n=3), bigram LM counts (q58, n=2) and
+    contamination 4-grams (q59) all route through it."""
+    from .operators.dedup_index import ngram_rows
 
-    Shuffle-free construction shared by shingling (n=3), bigram LM
-    counts (q58, n=2), and contamination 4-grams (q59): zip the token
-    array against its own 1..n-1-shifted slices (arrays_zip + slice —
-    codegen'd array ops), explode, drop the null-padded tail (which
-    also drops docs with < n tokens). All tokens of a doc live in its
-    one input row, so no Window/shuffle is needed to pair neighbors —
-    the earlier posexplode + window-lead version paid an Exchange on
-    doc_id purely to re-establish adjacency the array already had."""
-    n = F.size(F.col("w"))
-    fields = [F.col("w").alias("t0")] + [
-        F.slice("w", k + 1, F.greatest(n - k, F.lit(0))).alias(f"t{k}")
-        for k in range(1, n_words)
-    ]
-    return (
-        d.select("doc_id", _toks_col().alias("w"))
-        .select("doc_id", F.explode(F.arrays_zip(*fields)).alias("s"))
-        .filter(F.col(f"s.t{n_words - 1}").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[f"s.t{k}" for k in range(n_words)]).alias(alias),
-        )
-    )
+    return ngram_rows(d, n_words, alias)
 
 
 def _shingles_df(spark, sf_dir, max_doc: int | None = None):
@@ -585,31 +569,15 @@ def q18_minhash_lsh(spark, sf_dir):
     the self-join: a k-member bucket costs k²/2 pairs, and such buckets
     are near-pure false-positive mass; the cap bounds per-key join
     fan-out (standard LSH practice)."""
+    from .operators.dedup_index import minhash_bands
+
     sh = _shingles_df(spark, sf_dir)
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(f"mh{i}")
-        for i in range(_N_MINHASH)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    band_cols = []
-    for b in range(_N_MINHASH // _BAND_SIZE):
-        parts = [F.col(f"mh{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat(F.lit(f"{b}|"), *parts).cast("binary")).alias("key"),
-            )
-        )
-    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    bands = minhash_bands(
+        sh,
+        n_hashes=_N_MINHASH,
+        band_size=_BAND_SIZE,
+        max_bucket=_MAX_BAND_BUCKET,
     )
-    big = (
-        bands.groupBy("band", "key")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > _MAX_BAND_BUCKET)
-        .select("band", "key")
-    )
-    bands = bands.join(big, ["band", "key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (

@@ -1,0 +1,86 @@
+"""Incremental MinHash dedup index (operators/dedup_index.py): build,
+probe a new batch against a persisted index, merge, hot-bucket cap, and
+parity with the one-shot q18 pair query."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pmocr_spark.operators import dedup_index as di
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+BASE = [
+    ("corp-1", "the quick brown fox jumps over the lazy dog near the river bank today"),
+    ("corp-2", "spark shuffles data between stages when keys move across partitions often"),
+    ("corp-3", "completely unrelated text about cooking pasta with garlic and olive oil"),
+]
+
+
+def test_probe_flags_near_dup_and_ignores_fresh(spark, tmp_path):
+    """A new doc that is a near-copy of an indexed doc is flagged with
+    its keeper; a genuinely new doc is not. The index round-trips
+    through parquet (the persisted-index deployment shape)."""
+    idx_path = str(tmp_path / "index")
+    di.build_index(_docs(spark, BASE)).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    new = _docs(
+        spark,
+        [
+            # near-copy of corp-1 (one word changed at the end)
+            ("new-dup", "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            ("new-fresh", "telescopes gather photons from distant galaxies revealing ancient light"),
+        ],
+    )
+    hits = {r["doc_id"]: r for r in di.probe_index(new, index).collect()}
+    assert "new-dup" in hits and hits["new-dup"]["dup_of"] == "corp-1"
+    assert hits["new-dup"]["n_bands"] >= 1
+    assert "new-fresh" not in hits
+
+
+def test_incremental_merge(spark):
+    """Batch 2 dups a BATCH-1 doc that is only in the index because of
+    merge_index — the incremental flow the one-shot q18 cannot do."""
+    index = di.build_index(_docs(spark, BASE))
+    b1 = _docs(spark, [("b1-new", "neural networks learn representations from large corpora of text data")])
+    assert di.probe_index(b1, index).count() == 0
+    index = di.merge_index(index, di.build_index(b1))
+    b2 = _docs(spark, [("b2-dup", "neural networks learn representations from large corpora of text data")])
+    hits = di.probe_index(b2, index).collect()
+    assert [(h["doc_id"], h["dup_of"]) for h in hits] == [("b2-dup", "b1-new")]
+    # exact duplicate -> every band collides
+    assert hits[0]["n_bands"] == di.N_MINHASH // di.BAND_SIZE
+
+
+def test_hot_bucket_cap(spark):
+    """> max_bucket docs sharing a band bucket (boilerplate flood) are
+    dropped from the index — the k^2/2 pair-bomb guard."""
+    flood = [(f"f-{i}", "identical boilerplate header repeated across many pages verbatim") for i in range(8)]
+    bands = di.build_index(_docs(spark, flood), max_bucket=5)
+    assert bands.count() == 0  # every bucket had 8 > 5 members
+    bands = di.build_index(_docs(spark, flood), max_bucket=None)
+    assert bands.count() == 8 * (di.N_MINHASH // di.BAND_SIZE)
+
+
+def test_matches_oneshot_q18(spark):
+    """Probing the sf0.001 corpus against ITS OWN index reproduces
+    exactly the one-shot q18 candidate pairs (each unordered pair shows
+    up as two ordered hits)."""
+    from pmocr_spark.queries import QUERY_FNS, _t
+
+    SF = "/root/testdata/sf0.001"
+    docs = _t(spark, SF, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    index = di.build_index(docs)
+    hits = di.probe_index(docs, index).collect()
+    got = {tuple(sorted((h["doc_id"], h["dup_of"]))) for h in hits}
+    q18 = QUERY_FNS["q18_minhash_lsh"](spark, SF).collect()
+    expect = {(str(r["doc_a"]), str(r["doc_b"])) for r in q18}
+    expect = {tuple(sorted(p)) for p in expect}
+    assert got == expect
