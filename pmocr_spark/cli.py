@@ -83,6 +83,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--input", help="documents table / landing dir (parquet)")
     p.add_argument("--blobs", help="media_blobs table (parquet)")
+    p.add_argument(
+        "--raw",
+        default=None,
+        metavar="DIR",
+        help="batch mode: ingest a RAW directory tree of media files "
+        "(pmOCR's native input, `pmocr.sh --batch -c /some/path`) instead "
+        "of --input/--blobs parquet tables — files are listed with the "
+        "extension allow-list pushed into the scan (binaryFile "
+        "pathGlobFilter; sources/binary.py) and lifted to one-span "
+        "documents. Batch-only: Spark has no binaryFile streaming "
+        "source, so service mode consumes parquet document drops.",
+    )
     p.add_argument("--output", help="results table dir")
     p.add_argument("--lineage", help="checkpoint/lineage table dir")
     p.add_argument(
@@ -296,9 +308,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         )
     if args.monitor and not args.service:
         parser.error("--monitor requires --service (pmOCR's per-dir OCR_service)")
-    # with per-dir monitors each spec carries its own input dir
-    required = ("blobs", "output", "lineage") if args.monitor else (
-        "input", "blobs", "output", "lineage")
+    if args.raw and args.service:
+        parser.error(
+            "--raw is batch-only (no binaryFile streaming source); "
+            "service mode consumes parquet document drops"
+        )
+    if args.raw and (args.input or args.blobs):
+        parser.error("--raw replaces --input/--blobs; give one or the other")
+    # per-dir monitors carry their own input dirs; --raw carries its own
+    # input tree and derives blobs from it
+    if args.monitor or args.raw:
+        required = ("blobs", "output", "lineage") if args.monitor else ("output", "lineage")
+    else:
+        required = ("input", "blobs", "output", "lineage")
     for req in required:
         if not getattr(args, req):
             parser.error(f"--{req} is required (flag or config)")
@@ -415,8 +437,14 @@ def main(argv: list[str] | None = None) -> None:
             q.awaitTermination()
         return
 
-    docs = spark.read.parquet(args.input)
-    blobs = spark.read.parquet(args.blobs)
+    if args.raw:
+        from .sources.binary import lift_to_documents, read_media_dir
+
+        blobs = read_media_dir(spark, args.raw)
+        docs = lift_to_documents(blobs)
+    else:
+        docs = spark.read.parquet(args.input)
+        blobs = spark.read.parquet(args.blobs)
     lineage = ckpt.read_checkpoint(spark, args.lineage)
     if lineage is not None:
         # one scan for the warning + resume filter + retry-count lookup

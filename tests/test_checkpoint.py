@@ -285,3 +285,47 @@ def test_read_checkpoint_detects_interrupted_compaction(spark, tmp_path):
     os.makedirs(path + ".compact.bak")
     with pytest.raises(RuntimeError, match="compaction was interrupted"):
         ckpt.read_checkpoint(spark, path)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [11, 22, 33])
+def test_compact_resume_equivalence_random(spark, seed):
+    """Property (seeded-random): for ANY lineage history, resume over
+    compact_rows(history) admits exactly the docs resume over the full
+    history admits, at every probe timestamp — compaction can never
+    change what runs next."""
+    import random
+
+    rng = random.Random(seed)
+    statuses = ["done", "failed", "skipped"]
+    rows = []
+    docs = [f"d{i}" for i in range(30)]
+    for d in docs:
+        for j in range(rng.randint(1, 5)):
+            rows.append(
+                (
+                    rng.randint(0, 3),
+                    d,
+                    rng.choice(statuses),
+                    1,
+                    0,
+                    None,
+                    rng.randint(0, pipeline.MAX_RETRIES + 2),
+                    rng.choice(["r1", "r2", "s#e0", "s#e3"]),
+                    f"2024-01-01 {rng.randint(0, 5):02d}:{rng.choice([0, 0, 30]):02d}:00",
+                )
+            )
+    full = spark.createDataFrame(
+        rows,
+        "partition_id int, doc_id string, status string, span_count int, "
+        "error_count int, error string, retry_count int, run_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    comp = ckpt.compact_rows(full).persist()
+    d = spark.createDataFrame([(x,) for x in docs], "doc_id string")
+    for probe in ("2024-01-01 03:04:59", "2024-01-01 03:05:00", "2024-01-02 00:00:00", None):
+        a = {r["doc_id"] for r in pipeline.resume_filter(d, full, job_ts=probe).collect()}
+        b = {r["doc_id"] for r in pipeline.resume_filter(d, comp, job_ts=probe).collect()}
+        assert a == b, (seed, probe, a ^ b)
+    comp.unpersist()

@@ -382,3 +382,44 @@ def test_monitor_spec_preserves_commas_in_list_form(tmp_path):
     )
     a = cli.parse_args(["--config", str(conf)])
     assert a.monitor_list == [("x,y", "/data/x,y", ["csv"]), ("b", "/d/b", ["txt", "pdf"])]
+
+
+def test_raw_dir_ingest_end_to_end(spark, tmp_path):
+    """pmOCR's native input shape (`--batch -c /some/path`): a raw
+    directory of media files, no parquet anywhere on the input side.
+    Files are lifted to one-span documents, OCR'd, and the extracted
+    text must match the codec's deterministic content; disallowed
+    extensions never enter the run."""
+    import os
+
+    from pmocr_spark import codecs
+
+    raw = tmp_path / "tree" / "sub"
+    os.makedirs(raw)
+    texts = {"a.tif": "alpha bravo", "b.png": "charlie delta"}
+    for name, text in texts.items():
+        ref = str(raw / name)
+        kind = name.split(".")[-1]
+        with open(ref, "wb") as f:
+            f.write(codecs.encode_image(text, kind, salt=f"file:{ref}"))
+    (raw / "notes.txt").write_text("not media")  # allow-list must skip
+
+    out = str(tmp_path / "out")
+    cli.main(
+        ["--batch", "--raw", str(tmp_path / "tree"), "--output", out,
+         "--lineage", str(tmp_path / "lineage"), "--targets", "txt",
+         "--master", "local[4]"]
+    )
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 2
+    for name, text in texts.items():
+        (doc_id,) = [d for d in rows if d.endswith(name)]
+        assert rows[doc_id]["status"] == "done"
+        assert rows[doc_id]["txt"] == text
+
+    # flag validation
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--service", "--raw", "/r", "--output", "/o", "--lineage", "/l"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--batch", "--raw", "/r", "--input", "/i",
+                        "--output", "/o", "--lineage", "/l"])
