@@ -273,6 +273,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         if args.batch or args.service:
             cfg.pop("batch", None)
             cfg.pop("service", None)
+        # same for the input-source choice: --raw on the CLI displaces a
+        # config's input/blobs (and vice versa) instead of colliding
+        if args.raw:
+            cfg.pop("input", None)
+            cfg.pop("blobs", None)
+        if args.input or args.blobs:
+            cfg.pop("raw", None)
         layered.update(_coerce_config_types(parser, cfg))
     # an option is "unset on the CLI" when it is None — except store_true
     # flags, whose unset state is False. Testing `in (None, False)` for

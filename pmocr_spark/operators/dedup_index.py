@@ -5,10 +5,16 @@ crawl batches arrive and must be checked against EVERYTHING ingested so
 far. Recomputing signatures for the whole corpus per batch is O(corpus)
 per batch; the right shape is a persisted banded-signature index:
 
-    index = build_index(corpus_docs)          # once, O(corpus)
+    index = build_index(corpus_docs)            # once, O(corpus)
     ...store index (parquet/Iceberg, ideally bucketed by (band, key))...
-    hits  = probe_index(new_docs, index)      # per batch, O(batch)
-    index = merge_index(index, build_index(new_keepers))
+    new_bands = build_index(new_docs)           # per batch, O(batch)
+    hits = probe_index(new_docs, index, new_bands=new_bands)
+    keep = new_bands.join(dups, "doc_id", "left_anti")
+    index = merge_index(index, keep)            # re-applies the bucket cap
+
+    The index's banding parameters (n_hashes/band_size) are part of its
+    identity: probe with the SAME values it was built with (probe_index
+    validates the band-id range and raises on mismatch).
 
 Scale notes (100 TB): the index has n_bands rows per doc and is joined
 on (band, key) — store it bucketed by those columns (see
@@ -131,6 +137,7 @@ def probe_index(
     index: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    new_bands: DataFrame | None = None,
     **band_kwargs,
 ) -> DataFrame:
     """Near-dup hits of a NEW batch against the persisted index:
@@ -140,8 +147,31 @@ def probe_index(
     band rows broadcast and the index side streams through the join
     map-only (with a (band,key)-bucketed index: no shuffle at all).
     Self-matches (same id on both sides, e.g. probing the corpus
-    against its own index) are excluded."""
-    new_bands = build_index(new_docs, id_col=id_col, text_col=text_col, **band_kwargs)
+    against its own index) are excluded.
+
+    Pass `new_bands` (from build_index over the same docs) to reuse the
+    signature computation across probe and merge — the docstring recipe
+    would otherwise pay the shingle->minhash->band pipeline twice per
+    batch.
+
+    The banding parameters must match the ones the index was built
+    with; a band-id range mismatch (different n_hashes/band_size) is
+    detected and raised rather than silently returning no hits. (Equal
+    band counts from different parameterizations are indistinguishable
+    post-hash — record the parameters next to a persisted index.)"""
+    if new_bands is None:
+        new_bands = build_index(new_docs, id_col=id_col, text_col=text_col, **band_kwargs)
+    # mismatch guard: compare the two sides' actual band-id ranges (one
+    # pruned single-column agg per side; the probe side is batch-sized)
+    idx_max = index.agg(F.max("band").alias("m")).collect()[0]["m"]
+    new_max = new_bands.agg(F.max("band").alias("m")).collect()[0]["m"]
+    if idx_max is not None and new_max is not None and idx_max != new_max:
+        raise ValueError(
+            f"index has band ids 0..{idx_max} but the probe side has "
+            f"0..{new_max} — the index was built with different "
+            "n_hashes/band_size; probe with the parameters it was built "
+            "with"
+        )
     idx = index.select(
         F.col(id_col).alias("dup_of"), F.col("band").alias("band"), F.col("key").alias("key")
     )
@@ -153,8 +183,24 @@ def probe_index(
     )
 
 
-def merge_index(index: DataFrame, new_index: DataFrame) -> DataFrame:
+def merge_index(
+    index: DataFrame, new_index: DataFrame, max_bucket: int | None = MAX_BAND_BUCKET
+) -> DataFrame:
     """Union the existing index with a new batch's rows (idempotent:
-    duplicate (id, band, key) rows collapse). With an Iceberg/bucketed
-    table this is an append + periodic compaction instead."""
-    return index.unionByName(new_index).distinct()
+    duplicate (id, band, key) rows collapse) and RE-APPLY the hot-bucket
+    cap to the merged table: per-batch caps cannot see a boilerplate
+    flood arriving 90 docs per batch across 50 batches, so without this
+    a merged bucket grows unbounded and every future probe against it
+    fans out k-fold — the join bomb the cap exists to prevent. With an
+    Iceberg/bucketed table this is an append + periodic compaction that
+    runs the same cap."""
+    merged = index.unionByName(new_index).distinct()
+    if max_bucket is not None:
+        big = (
+            merged.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        merged = merged.join(big, ["band", "key"], "left_anti")
+    return merged

@@ -21,8 +21,13 @@ def read_media_dir(spark: SparkSession, path: str, recursive: bool = True) -> Da
     The extension allow-list (F1) is applied BOTH as a pathGlobFilter
     (prunes at listing time — never reads disallowed bytes, the analog
     of pmOCR pushing the regex into find) and as a residual kind filter.
+    The reference's regex is CASE-INSENSITIVE (`find -iregex`,
+    pmocr.sh:2183) — scanner output is routinely SCAN001.TIF — so each
+    extension becomes a [tT][iI][fF]-style character-class glob; the
+    residual filter lowercases, so mixed case flows through end to end.
     """
-    glob = "*.{" + ",".join(MEDIA_KINDS) + "}"
+    ci = lambda ext: "".join(f"[{c}{c.upper()}]" for c in ext)  # noqa: E731
+    glob = "*.{" + ",".join(ci(k) for k in MEDIA_KINDS) + "}"
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)

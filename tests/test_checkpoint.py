@@ -7,6 +7,7 @@ from datetime import datetime, timedelta
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 
 from pmocr_spark import checkpoint as ckpt
@@ -279,18 +280,13 @@ def test_read_checkpoint_detects_interrupted_compaction(spark, tmp_path):
     refuse loudly instead of silently reprocessing the whole corpus."""
     import os
 
-    import pytest
-
     path = str(tmp_path / "lin")
     os.makedirs(path + ".compact.bak")
     with pytest.raises(RuntimeError, match="compaction was interrupted"):
         ckpt.read_checkpoint(spark, path)
 
 
-import pytest as _pytest
-
-
-@_pytest.mark.parametrize("seed", [11, 22, 33])
+@pytest.mark.parametrize("seed", [11, 22, 33])
 def test_compact_resume_equivalence_random(spark, seed):
     """Property (seeded-random): for ANY lineage history, resume over
     compact_rows(history) admits exactly the docs resume over the full

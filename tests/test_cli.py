@@ -423,3 +423,17 @@ def test_raw_dir_ingest_end_to_end(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--batch", "--raw", "/r", "--input", "/i",
                         "--output", "/o", "--lineage", "/l"])
+
+
+def test_raw_cli_displaces_config_input(tmp_path):
+    """defaults < config < CLI holds for the input-source choice too:
+    a config carrying input/blobs must not make a CLI --raw collide."""
+    conf = tmp_path / "b.conf"
+    conf.write_text("batch=true\ninput=/cfg/in\nblobs=/cfg/b\noutput=/o\nlineage=/l\n")
+    a = cli.parse_args(["--config", str(conf), "--raw", "/tree"])
+    assert a.raw == "/tree" and a.input is None and a.blobs is None
+    # and the converse: CLI --input displaces a config's raw
+    conf2 = tmp_path / "r.conf"
+    conf2.write_text("batch=true\nraw=/cfg/tree\noutput=/o\nlineage=/l\n")
+    a = cli.parse_args(["--config", str(conf2), "--input", "/i", "--blobs", "/b"])
+    assert a.raw is None and a.input == "/i"

@@ -84,3 +84,42 @@ def test_matches_oneshot_q18(spark):
     expect = {(str(r["doc_a"]), str(r["doc_b"])) for r in q18}
     expect = {tuple(sorted(p)) for p in expect}
     assert got == expect
+
+
+def test_merge_reapplies_bucket_cap(spark):
+    """A boilerplate flood arriving in small batches (each under the
+    cap) must still be capped in the MERGED index — per-batch caps
+    cannot see cross-batch accumulation."""
+    def batch(tag, n):
+        return _docs(spark, [
+            (f"{tag}-{i}", "identical boilerplate header repeated across many pages verbatim")
+            for i in range(n)
+        ])
+
+    index = di.build_index(batch("b0", 4), max_bucket=5)
+    assert index.count() > 0  # 4 <= 5: uncapped per batch
+    index = di.merge_index(index, di.build_index(batch("b1", 4), max_bucket=5), max_bucket=5)
+    # merged bucket has 8 members > 5 -> dropped
+    assert index.count() == 0
+
+
+def test_probe_rejects_mismatched_banding(spark):
+    """Probing an index built with different n_hashes/band_size raises
+    instead of silently returning no hits."""
+    index = di.build_index(_docs(spark, BASE), n_hashes=24, band_size=4)  # 6 bands
+    with pytest.raises(ValueError, match="band ids"):
+        di.probe_index(_docs(spark, BASE[:1]), index)  # default: 4 bands
+
+
+def test_probe_accepts_precomputed_bands(spark):
+    """The incremental recipe reuses one build_index result for both
+    probe and merge — passing new_bands must give identical hits."""
+    index = di.build_index(_docs(spark, BASE))
+    new = _docs(spark, [("n1", BASE[0][1])])  # exact dup of corp-1
+    nb = di.build_index(new)
+    a = sorted((r["doc_id"], r["dup_of"]) for r in di.probe_index(new, index).collect())
+    b = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in di.probe_index(new, index, new_bands=nb).collect()
+    )
+    assert a == b == [("n1", "corp-1")]

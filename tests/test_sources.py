@@ -31,8 +31,10 @@ def media_dir(tmp_path_factory):
 def test_read_media_dir_allowlist(spark, media_dir):
     blobs = src.read_media_dir(spark, media_dir)
     kinds = {os.path.basename(r["media_ref"]): r["kind"] for r in blobs.collect()}
-    assert set(kinds) == {"a.tif", "b.png", "c.pdf"}  # txt excluded; .TIFF glob-cased out
+    # txt excluded; .TIFF ingested case-insensitively (find -iregex parity)
+    assert set(kinds) == {"a.tif", "b.png", "c.pdf", "d.TIFF"}
     assert kinds["c.pdf"] == "pdf"
+    assert kinds["d.TIFF"] == "tiff"
 
 
 def test_lift_and_extract_end_to_end(spark, media_dir):
@@ -43,3 +45,23 @@ def test_lift_and_extract_end_to_end(spark, media_dir):
     assert got["a.tif"] == "alpha doc"
     assert got["b.png"] == "beta doc"
     assert got["c.pdf"] == "gamma page"
+
+
+def test_read_media_dir_case_insensitive(spark, tmp_path):
+    """pmOCR's allow-list is case-insensitive (`find -iregex`,
+    pmocr.sh:2183): SCAN001.TIF must be ingested, with kind normalized
+    to lowercase."""
+    import os
+
+    from pmocr_spark import codecs
+    from pmocr_spark.sources import binary as src
+
+    d = tmp_path / "tree"
+    os.makedirs(d)
+    with open(d / "SCAN001.TIF", "wb") as f:
+        f.write(codecs.encode_image("upper case scan", "tif", salt="s1"))
+    with open(d / "lower.tif", "wb") as f:
+        f.write(codecs.encode_image("lower case scan", "tif", salt="s2"))
+    blobs = src.read_media_dir(spark, str(d)).collect()
+    assert len(blobs) == 2
+    assert {b["kind"] for b in blobs} == {"tif"}
