@@ -2239,3 +2239,54 @@ def q60_pack_sequences(spark, sf_dir):
             F.floor((F.col("_lcum") + F.col("_off")) / F.lit(_PACK_BUDGET)).cast("long").alias("bin"),
         )
     )
+
+
+@query(
+    "q61_dedup_index_probe",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents WHERE len({_TOKS_SQL}) >= 3
+    ),
+    sig AS (SELECT doc_id, {_minhash_exprs_sql()} FROM sh GROUP BY doc_id),
+    bands0 AS (
+      SELECT doc_id, 0 AS band, md5('0|' || mh0 || mh1 || mh2)  AS key FROM sig UNION ALL
+      SELECT doc_id, 1,         md5('1|' || mh3 || mh4 || mh5)         FROM sig UNION ALL
+      SELECT doc_id, 2,         md5('2|' || mh6 || mh7 || mh8)         FROM sig UNION ALL
+      SELECT doc_id, 3,         md5('3|' || mh9 || mh10 || mh11)       FROM sig
+    ),
+    bands AS (
+      SELECT * FROM bands0 b0 WHERE NOT EXISTS (
+        SELECT 1 FROM bands0 g WHERE g.band = b0.band AND g.key = b0.key
+        GROUP BY g.band, g.key HAVING count(*) > {_MAX_BAND_BUCKET})
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(count(*) AS BIGINT)    AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q61_dedup_index_probe(spark, sf_dir):
+    """The incremental dedup index (operators/dedup_index.py) under the
+    driver gate: build the corpus's banded-MinHash index, probe the
+    corpus against it, and report each candidate pair with its
+    shared-bucket count (the crude LSH confidence). Collapses the
+    probe's two ordered directions to (min, max) pairs so the output is
+    the q18 candidate set ANNOTATED with n_bands — this is exactly the
+    per-batch operation of the persisted-index flow (build once, probe
+    each new batch, merge keepers), here driven self-referentially so
+    plain SQL can state the expected result."""
+    from .operators.dedup_index import build_index, probe_index
+
+    d = _t(spark, sf_dir, "documents")
+    index = build_index(d)
+    hits = probe_index(d, index, new_bands=index)
+    return (
+        hits.select(
+            F.least("doc_id", "dup_of").alias("doc_a"),
+            F.greatest("doc_id", "dup_of").alias("doc_b"),
+            "n_bands",
+        )
+        .distinct()
+    )
