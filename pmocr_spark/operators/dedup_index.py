@@ -183,6 +183,66 @@ def probe_index(
     )
 
 
+def write_index(
+    index: DataFrame,
+    path: str,
+    n_hashes: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an index WITH its banding parameters: the (band, key)
+    values are meaningless without n_hashes/band_size (probing with
+    different ones silently finds nothing), so they travel as a
+    `_dedup_index_meta.json` sidecar inside the table dir — Spark
+    ignores underscore-prefixed files on read, and read_index hands the
+    params back so later batch jobs probe with the right ones."""
+    import json
+
+    index.write.mode(mode).parquet(path)
+    meta = {"n_hashes": n_hashes, "band_size": band_size, "max_bucket": max_bucket}
+    spark = index.sparkSession
+    jvm = spark._jvm  # noqa: SLF001
+    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/_dedup_index_meta.json")
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    out = fs.create(hp, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode()))
+    finally:
+        out.close()
+
+
+def read_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a persisted index and its banding parameters. Returns
+    (index, params); pass `**params` (minus max_bucket if probing an
+    uncapped build) as band_kwargs to probe_index/build_index so the
+    new batch is banded the way the index was. A pre-sidecar index
+    reads with the defaults and a params['source']='defaults' marker."""
+    import json
+
+    df = spark.read.parquet(path)
+    jvm = spark._jvm  # noqa: SLF001
+    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/_dedup_index_meta.json")
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if fs.exists(hp):
+        stream = fs.open(hp)
+        try:
+            raw = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        params = json.loads(raw.decode())
+    else:
+        params = {
+            "n_hashes": N_MINHASH,
+            "band_size": BAND_SIZE,
+            "max_bucket": MAX_BAND_BUCKET,
+            "source": "defaults",
+        }
+    return df, params
+
+
 def merge_index(
     index: DataFrame, new_index: DataFrame, max_bucket: int | None = MAX_BAND_BUCKET
 ) -> DataFrame:

@@ -123,3 +123,27 @@ def test_probe_accepts_precomputed_bands(spark):
         for r in di.probe_index(new, index, new_bands=nb).collect()
     )
     assert a == b == [("n1", "corp-1")]
+
+
+def test_write_read_index_roundtrip_params(spark, tmp_path):
+    """The banding parameters travel with the persisted index (sidecar
+    the parquet reader ignores); probing with the recovered params
+    works where defaults would have raised."""
+    path = str(tmp_path / "idx")
+    idx = di.build_index(_docs(spark, BASE), n_hashes=24, band_size=4)
+    di.write_index(idx, path, n_hashes=24, band_size=4)
+    loaded, params = di.read_index(spark, path)
+    assert params["n_hashes"] == 24 and params["band_size"] == 4
+    assert loaded.count() == idx.count()
+    new = _docs(spark, [("n1", BASE[0][1])])
+    hits = di.probe_index(
+        new, loaded,
+        n_hashes=params["n_hashes"], band_size=params["band_size"],
+        max_bucket=params["max_bucket"],
+    ).collect()
+    assert [(h["doc_id"], h["dup_of"]) for h in hits] == [("n1", "corp-1")]
+    # a pre-sidecar table reads with defaults + a marker
+    plain = str(tmp_path / "plain")
+    di.build_index(_docs(spark, BASE)).write.parquet(plain)
+    _df, p2 = di.read_index(spark, plain)
+    assert p2["source"] == "defaults" and p2["n_hashes"] == di.N_MINHASH
