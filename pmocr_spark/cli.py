@@ -177,6 +177,16 @@ def build_parser() -> argparse.ArgumentParser:
         "it — compaction bounds it at one row per doc with identical "
         "resume/retry semantics. Run with no concurrent writer.",
     )
+    p.add_argument(
+        "--once",
+        action="store_true",
+        help="service mode: run ONE Trigger.AvailableNow reconciliation "
+        "pass over everything currently in the landing dir(s) and exit, "
+        "instead of the resident 30s poller — pmOCR's forced periodic "
+        "run (W4: MAX_WAIT/MAX_TIME, pmocr.sh:24-26, 2269). Schedule it "
+        "from cron against the same --stream-checkpoint and it picks up "
+        "exactly the files the resident monitor has not seen.",
+    )
     p.add_argument("--alerts", default=None, help="alert table dir (S7; service mode)")
     p.add_argument("--stream-checkpoint", default=None, help="streaming offsets dir (service)")
     p.add_argument("--master", default=None, help="override spark master (default from env)")
@@ -315,6 +325,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         )
     if args.monitor and not args.service:
         parser.error("--monitor requires --service (pmOCR's per-dir OCR_service)")
+    if args.once and not args.service:
+        parser.error("--once is a service-mode reconciliation pass (W4); use with --service")
     if args.raw and args.service:
         parser.error(
             "--raw is batch-only (no binaryFile streaming source); "
@@ -433,10 +445,11 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.service:
         blobs = spark.read.parquet(args.blobs)
-        # poller interval parity (INOTIFY_POLLER_INTERVAL, default.conf:33)
-        queries = launch_monitors(
-            spark, args, blobs, job_ts, suffix, trigger={"processingTime": "30 seconds"}
-        )
+        # default: poller interval parity (INOTIFY_POLLER_INTERVAL,
+        # default.conf:33); --once: W4 reconciliation pass that drains
+        # the landing dir(s) and terminates
+        trigger = {"availableNow": True} if args.once else {"processingTime": "30 seconds"}
+        queries = launch_monitors(spark, args, blobs, job_ts, suffix, trigger=trigger)
         # all queries run concurrently; blocking on each in turn = block
         # until every monitor stops (pmOCR parks in its sleep loop while
         # the per-dir OCR_service subshells run, pmocr.sh:2540-2544)

@@ -437,3 +437,38 @@ def test_raw_cli_displaces_config_input(tmp_path):
     conf2.write_text("batch=true\nraw=/cfg/tree\noutput=/o\nlineage=/l\n")
     a = cli.parse_args(["--config", str(conf2), "--input", "/i", "--blobs", "/b"])
     assert a.raw is None and a.input == "/i"
+
+
+def test_service_once_reconciliation(spark, tmp_path):
+    """--service --once: one AvailableNow pass drains the landing dir
+    and EXITS (pmOCR's W4 forced periodic run) — no resident poller;
+    a second --once against the same offsets checkpoint picks up only
+    files the first pass hasn't seen (cron-able reconciliation)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pmocr_spark import corpus
+
+    docs_t, blobs_t = corpus.generate(n_docs=10, seed=21)
+    pq.write_table(blobs_t, f"{tmp_path}/blobs.parquet")
+    land = tmp_path / "land"
+    os.makedirs(land)
+    pq.write_table(docs_t.slice(0, 6), f"{land}/d1.parquet")
+
+    argv = ["--service", "--once", "--input", str(land),
+            "--blobs", f"{tmp_path}/blobs.parquet",
+            "--output", str(tmp_path / "out"), "--lineage", str(tmp_path / "lin"),
+            "--stream-checkpoint", str(tmp_path / "ck"), "--master", "local[4]"]
+    cli.main(argv)  # returns (does not block) — that IS the assertion
+    read = lambda: spark.read.option("recursiveFileLookup", "true").parquet(
+        str(tmp_path / "out")
+    )
+    assert read().count() == 6
+    pq.write_table(docs_t.slice(6, 4), f"{land}/d2.parquet")
+    cli.main(argv)
+    assert read().count() == 10
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--batch", "--once", "--input", "i", "--blobs", "b",
+                        "--output", "o", "--lineage", "l"])
