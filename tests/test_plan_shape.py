@@ -240,3 +240,14 @@ def test_q60_pack_partition_invariant(spark):
     # sanity: the detector is not vacuous — the offset window IS there
     # (it can print more than once when the plan tree repeats the frame)
     assert len(unparted) >= 1, unparted
+
+
+def test_q61_index_probe_broadcasts(spark):
+    """The index probe joins the (small) new-batch band rows against
+    the (huge) index side: must be a broadcast hash join, never
+    nested-loop/cartesian, and no row-at-a-time Python."""
+    df = QUERY_FNS["q61_dedup_index_probe"](spark, SF)
+    plan = shape.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
