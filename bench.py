@@ -82,11 +82,11 @@ HEADLINE = [
     "q27_media_roundtrip",
     "q29_hourly_rollup",
     "q50_dup_components",
-    "q51_ann_ivf_kmeans",
-    "q57_repetition_quality",
-    "q58_bigram_lm_topk",
-    "q59_contamination",
-    "q60_pack_sequences",
+    "q33_ann_ivf_kmeans",
+    "q41_repetition_quality",
+    "q44_bigram_lm_topk",
+    "q45_contamination",
+    "q46_pack_sequences",
 ]
 
 

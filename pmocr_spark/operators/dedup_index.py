@@ -19,7 +19,9 @@ per batch; the right shape is a persisted banded-signature index:
 Scale notes (100 TB): the index has n_bands rows per doc and is joined
 on (band, key) — store it bucketed by those columns (see
 operators/bucketed.py) and the probe's shuffle disappears on the index
-side; the new-batch side is small and broadcasts. Hot buckets
+side; a batch-small probe side broadcasts (broadcast_probe=True), a
+corpus-sized one (backfill, self-probe) must NOT — default to no hint
+and let AQE pick at runtime. Hot buckets
 (boilerplate floods) are capped exactly like the one-shot q18 path: a
 bucket with > max_bucket members is near-pure false-positive mass and
 would cost k²/2 join fan-out.
@@ -138,16 +140,27 @@ def probe_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     new_bands: DataFrame | None = None,
+    broadcast_probe: bool | None = None,
+    index_params: dict | None = None,
     **band_kwargs,
 ) -> DataFrame:
     """Near-dup hits of a NEW batch against the persisted index:
     (doc_id, dup_of, n_bands) — one row per (new doc, indexed doc) pair
     sharing >= 1 band bucket, with the shared-bucket count as a crude
-    confidence. The new batch is small relative to the corpus, so its
-    band rows broadcast and the index side streams through the join
-    map-only (with a (band,key)-bucketed index: no shuffle at all).
-    Self-matches (same id on both sides, e.g. probing the corpus
-    against its own index) are excluded.
+    confidence. Self-matches (same id on both sides, e.g. probing the
+    corpus against its own index) are excluded.
+
+    Join strategy — `broadcast_probe` (the round-3 verdict's scale fix;
+    the old unconditional broadcast OOMs when a backfill batch is
+    corpus-sized):
+      * True  — force-broadcast the probe side. Right when the batch is
+        known-small (the steady-state incremental regime).
+      * False/None (default) — no hint: AQE picks broadcast at runtime
+        iff the built probe side is actually under the threshold, else a
+        shuffled join. With a (band,key)-bucketed index table the index
+        side still never shuffles (operators/bucketed.py recipe).
+        Corpus-sized probes (q47's self-probe, backfills) MUST take
+        this path.
 
     Pass `new_bands` (from build_index over the same docs) to reuse the
     signature computation across probe and merge — the docstring recipe
@@ -155,28 +168,42 @@ def probe_index(
     batch.
 
     The banding parameters must match the ones the index was built
-    with; a band-id range mismatch (different n_hashes/band_size) is
-    detected and raised rather than silently returning no hits. (Equal
-    band counts from different parameterizations are indistinguishable
-    post-hash — record the parameters next to a persisted index.)"""
+    with. Pass `index_params` (the dict read_index returns) to validate
+    exactly — catches same-band-count mismatches like 12/3 vs 8/2 that
+    the range check cannot. Without it (sidecar-less index) the guard
+    falls back to comparing the two sides' band-id ranges."""
+    effective = {
+        "n_hashes": band_kwargs.get("n_hashes", N_MINHASH),
+        "band_size": band_kwargs.get("band_size", BAND_SIZE),
+    }
+    if index_params is not None and index_params.get("source") != "defaults":
+        stored = {k: index_params.get(k) for k in ("n_hashes", "band_size")}
+        if stored != effective:
+            raise ValueError(
+                f"index was built with {stored} but the probe uses "
+                f"{effective} — probe with the parameters the index was "
+                "built with (read_index returns them)"
+            )
     if new_bands is None:
         new_bands = build_index(new_docs, id_col=id_col, text_col=text_col, **band_kwargs)
-    # mismatch guard: compare the two sides' actual band-id ranges (one
-    # pruned single-column agg per side; the probe side is batch-sized)
-    idx_max = index.agg(F.max("band").alias("m")).collect()[0]["m"]
-    new_max = new_bands.agg(F.max("band").alias("m")).collect()[0]["m"]
-    if idx_max is not None and new_max is not None and idx_max != new_max:
-        raise ValueError(
-            f"index has band ids 0..{idx_max} but the probe side has "
-            f"0..{new_max} — the index was built with different "
-            "n_hashes/band_size; probe with the parameters it was built "
-            "with"
-        )
+    if index_params is None:
+        # sidecar-less fallback: compare actual band-id ranges (one
+        # pruned single-column agg per side)
+        idx_max = index.agg(F.max("band").alias("m")).collect()[0]["m"]
+        new_max = new_bands.agg(F.max("band").alias("m")).collect()[0]["m"]
+        if idx_max is not None and new_max is not None and idx_max != new_max:
+            raise ValueError(
+                f"index has band ids 0..{idx_max} but the probe side has "
+                f"0..{new_max} — the index was built with different "
+                "n_hashes/band_size; probe with the parameters it was "
+                "built with"
+            )
     idx = index.select(
         F.col(id_col).alias("dup_of"), F.col("band").alias("band"), F.col("key").alias("key")
     )
+    probe_side = F.broadcast(new_bands) if broadcast_probe else new_bands
     return (
-        idx.join(F.broadcast(new_bands), ["band", "key"])
+        idx.join(probe_side, ["band", "key"])
         .filter(F.col(id_col) != F.col("dup_of"))
         .groupBy(id_col, "dup_of")
         .agg(F.count("*").cast("long").alias("n_bands"))
@@ -243,24 +270,43 @@ def read_index(spark, path: str) -> tuple[DataFrame, dict]:
     return df, params
 
 
+def cap_index(index: DataFrame, max_bucket: int | None = MAX_BAND_BUCKET) -> DataFrame:
+    """Drop rows in hot (band, key) buckets with > max_bucket members —
+    the periodic compaction pass. One groupBy over the index plus an
+    anti-join; run it every N merges, not per merge (see merge_index)."""
+    if max_bucket is None:
+        return index
+    big = (
+        index.groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("band", "key")
+    )
+    return index.join(big, ["band", "key"], "left_anti")
+
+
 def merge_index(
-    index: DataFrame, new_index: DataFrame, max_bucket: int | None = MAX_BAND_BUCKET
+    index: DataFrame,
+    new_index: DataFrame,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+    apply_cap: bool = True,
 ) -> DataFrame:
     """Union the existing index with a new batch's rows (idempotent:
-    duplicate (id, band, key) rows collapse) and RE-APPLY the hot-bucket
-    cap to the merged table: per-batch caps cannot see a boilerplate
-    flood arriving 90 docs per batch across 50 batches, so without this
-    a merged bucket grows unbounded and every future probe against it
-    fans out k-fold — the join bomb the cap exists to prevent. With an
-    Iceberg/bucketed table this is an append + periodic compaction that
-    runs the same cap."""
+    duplicate (id, band, key) rows collapse). With apply_cap=True
+    (default, matches the original semantics) the hot-bucket cap is
+    RE-APPLIED to the merged table: per-batch caps cannot see a
+    boilerplate flood arriving 90 docs per batch across 50 batches, so
+    without a merged-table cap such a bucket grows unbounded and every
+    future probe against it fans out k-fold — the join bomb the cap
+    exists to prevent.
+
+    The cap pass is an O(index) groupBy, so steady-state batch merges
+    should pass apply_cap=False (append-cheap: union + distinct only)
+    and run cap_index() as a periodic compaction every N batches — hit
+    parity with always-cap holds as long as a compaction runs before
+    the index is probed (tests/test_dedup_index.py pins this). This is
+    the round-3 verdict's steady-state-merge-cost fix."""
     merged = index.unionByName(new_index).distinct()
-    if max_bucket is not None:
-        big = (
-            merged.groupBy("band", "key")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > max_bucket)
-            .select("band", "key")
-        )
-        merged = merged.join(big, ["band", "key"], "left_anti")
+    if apply_cap:
+        merged = cap_index(merged, max_bucket)
     return merged

@@ -342,33 +342,114 @@ def q12_pivot_counts(spark, sf_dir):
 @query(
     "q13_rollup",
     """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    SELECT 'rollup' AS part, l_returnflag AS k1, l_linestatus AS k2,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube', event_type, cast(day_bucket AS VARCHAR), count(*),
+           cast(NULL AS DOUBLE)
+    FROM (SELECT event_type,
+                 cast(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket
+          FROM events)
+    GROUP BY CUBE(event_type, day_bucket)
+    UNION ALL
+    SELECT 'gsets', event_type, cast(user_bucket AS VARCHAR), count(*),
+           cast(NULL AS DOUBLE)
+    FROM (SELECT event_type, user_id % 10 AS user_bucket FROM events)
+    GROUP BY GROUPING SETS ((event_type), (user_bucket), (event_type, user_bucket))
     """,
 )
 def q13_rollup(spark, sf_dir):
+    """Multi-dimensional grouping family in ONE gate slot: ROLLUP
+    (lineitem), CUBE (events x day) and explicit GROUPING SETS (events x
+    user bucket), each normalized to (part, k1, k2, n, sum_qty) and
+    unioned. One aggregation shuffle per part; partial (map-side) agg
+    applies to all three — grouping-set expansion happens inside the
+    Expand operator before the exchange, so at 100 TB each part remains
+    a single keyed shuffle of pre-combined rows. (Folded q13/q34/q41
+    per the round-3 verdict to free gate-visible slots.)"""
     li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    ev = _t(spark, sf_dir, "events")
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    ).select(
+        F.lit("rollup").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "n",
+        "sum_qty",
     )
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_bucket")
+    cube = (
+        ev.select("event_type", day)
+        .cube("event_type", "day_bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("cube").alias("part"),
+            F.col("event_type").alias("k1"),
+            F.col("day_bucket").cast("string").alias("k2"),
+            "n",
+            F.lit(None).cast("double").alias("sum_qty"),
+        )
+    )
+    ev.select("event_type", (F.col("user_id") % 10).alias("user_bucket")).createOrReplaceTempView(
+        "q13_events"
+    )
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS part, event_type AS k1,
+               cast(user_bucket AS STRING) AS k2, count(*) AS n,
+               cast(NULL AS DOUBLE) AS sum_qty
+        FROM q13_events
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), (event_type, user_bucket))
+        """
+    )
+    return rollup.unionAll(cube).unionAll(gsets)
 
 
 @query(
     "q14_set_ops",
     """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT 'intersect' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'except', user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180)
+    UNION ALL
+    SELECT 'union', user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      UNION
+      SELECT user_id FROM events WHERE event_type = 'view')
     """,
 )
 def q14_set_ops(spark, sf_dir):
-    """Set operation (the poller's snapshot diff is a set-difference,
-    pmocr.sh:1626; INTERSECT shown here, EXCEPT in tests)."""
+    """Set-operation family in ONE gate slot (the poller's snapshot diff
+    is a set-difference, pmocr.sh:1626): INTERSECT, EXCEPT and UNION
+    (distinct), each tagged with an `op` discriminator. The EXCEPT arm
+    keeps a value floor on the subtracted side so the difference is
+    non-empty at every test SF (every clicker also purchased — the
+    unfiltered EXCEPT passed vacuously on 0 rows). (Folded q14/q33/q46
+    per the round-3 verdict to free gate-visible slots.)"""
     ev = _t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return a.intersect(b)
+    click = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchase = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    big_purchase = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 180)
+    ).select("user_id")
+    view = ev.filter(F.col("event_type") == "view").select("user_id")
+
+    def tag(df, op):
+        return df.select(F.lit(op).alias("op"), "user_id")
+
+    return (
+        tag(click.intersect(purchase), "intersect")
+        .unionAll(tag(click.subtract(big_purchase), "except"))
+        .unionAll(tag(click.union(view).distinct(), "union"))
+    )
 
 
 @query(
@@ -377,20 +458,26 @@ def q14_set_ops(spark, sf_dir):
     SELECT event_id, user_id,
            last_value(CASE WHEN event_type = 'error' THEN cast(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_epoch,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
     FROM events
     """,
 )
 def q15_asof_last_error(spark, sf_dir):
     """As-of join (self): for each event, the most recent prior-or-equal
     'error' ts for the same user — last_value IGNORE NULLS window
-    (pyspark_guide 'As-of join')."""
+    (pyspark_guide 'As-of join') — plus the bounded sliding-frame op
+    (7-row moving average) over the SAME window spec, so both frame
+    shapes share one sort/exchange (folded q47 per the round-3 verdict;
+    Spark plans a single Window operator for both)."""
     ev = _t(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    w7 = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
     return ev.select(
         "event_id",
         "user_id",
@@ -400,6 +487,7 @@ def q15_asof_last_error(spark, sf_dir):
         )
         .over(w)
         .alias("last_error_epoch"),
+        F.round(F.avg("value").over(w7), 4).alias("ma7"),
     )
 
 
@@ -422,8 +510,8 @@ def _ngram_rows(d: DataFrame, n_words: int, alias: str = "ng") -> DataFrame:
     """Exploded word n-grams of `documents` rows: (doc_id, <alias>).
     Single implementation lives in operators.dedup_index.ngram_rows
     (shuffle-free arrays_zip construction, shared with the incremental
-    dedup index); shingling (n=3), bigram LM counts (q58, n=2) and
-    contamination 4-grams (q59) all route through it."""
+    dedup index); shingling (n=3), bigram LM counts (q44, n=2) and
+    contamination 4-grams (q45) all route through it."""
     from .operators.dedup_index import ngram_rows
 
     return ngram_rows(d, n_words, alias)
@@ -721,7 +809,7 @@ def _cached_df(spark, sf_dir: str, dep_file: str, name: str, build):
     mid-session. Stale entries are unpersisted before eviction.
 
     Used where several catalog queries share one expensive intermediate:
-    normalized embeddings (q20/q21/q22/q51 re-read it 3+ times each) and
+    normalized embeddings (q20/q21/q22/q33 re-read it 3+ times each) and
     the MinHash candidate edges (computed by q18, consumed again by
     q50's connected components)."""
     import os as _os
@@ -1140,12 +1228,37 @@ def q29_hourly_rollup(spark, sf_dir):
 @query(
     "q30_distinct_sources",
     """
-    SELECT DISTINCT source, lang FROM documents
+    SELECT 'pairs' AS part, source AS k1, lang AS k2, cast(1 AS BIGINT) AS n
+    FROM (SELECT DISTINCT source, lang FROM documents)
+    UNION ALL
+    SELECT 'nusers', event_type, '', count(DISTINCT user_id)
+    FROM events GROUP BY event_type
     """,
 )
 def q30_distinct_sources(spark, sf_dir):
-    """DISTINCT (dedup special case: whole-row)."""
-    return _t(spark, sf_dir, "documents").select("source", "lang").distinct()
+    """Distinct family in ONE gate slot: whole-row DISTINCT (dedup
+    special case) plus exact per-group COUNT(DISTINCT) — the
+    approx_count_distinct sketch is the 100 TB path; the exact op is the
+    oracle-checked one. (Folded q30/q35 per the round-3 verdict.)"""
+    d = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    pairs = (
+        d.select("source", "lang")
+        .distinct()
+        .select(
+            F.lit("pairs").alias("part"),
+            F.col("source").alias("k1"),
+            F.col("lang").alias("k2"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    nusers = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).select(
+        F.lit("nusers").alias("part"),
+        F.col("event_type").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return pairs.unionAll(nusers)
 
 
 # =====================================================================
@@ -1156,15 +1269,28 @@ def q30_distinct_sources(spark, sf_dir):
 @query(
     "q31_json_extract",
     """
-    SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS BIGINT)       AS k,
+           coalesce(nullif(event_type, 'error'), 'ERR')            AS kind_or_err,
+           CASE WHEN value > 100 THEN value ELSE NULL END          AS high_value,
+           coalesce(CASE WHEN value > 100 THEN value END, 0.0)     AS high_or_zero
     FROM events WHERE props IS NOT NULL
     """,
 )
 def q31_json_extract(spark, sf_dir):
-    """JSON field extraction from a string column (semi-structured op)."""
+    """Semi-structured + NULL-handling scalar battery over events in ONE
+    gate slot: JSON field extraction from a string column, plus
+    nullif/coalesce/conditional-null expressions — all map-side, one
+    codegen stage, zero shuffles. (Folded q31/q40 per the round-3
+    verdict.)"""
     ev = _t(spark, sf_dir, "events")
+    high = F.when(F.col("value") > 100, F.col("value"))
     return ev.filter(F.col("props").isNotNull()).select(
-        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("kind_or_err"),
+        high.alias("high_value"),
+        F.coalesce(high, F.lit(0.0)).alias("high_or_zero"),
     )
 
 
@@ -1190,57 +1316,6 @@ def q32_percentiles(spark, sf_dir):
         F.round(F.min("value"), 4).alias("vmin"),
         F.round(F.max("value"), 4).alias("vmax"),
     )
-
-
-@query(
-    "q33_except_op",
-    """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180
-    """,
-)
-def q33_except_op(spark, sf_dir):
-    """EXCEPT set op (the poller snapshot diff's other half, W2).
-    The value floor on the subtracted side keeps the difference
-    non-empty at every test SF (every clicker also purchased, so the
-    unfiltered EXCEPT passed vacuously on 0 rows)."""
-    ev = _t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select("user_id")
-    b = ev.filter(
-        (F.col("event_type") == "purchase") & (F.col("value") > 180)
-    ).select("user_id")
-    return a.subtract(b)  # EXCEPT (set semantics; exceptAll would be bag)
-
-
-@query(
-    "q34_cube",
-    """
-    SELECT event_type, cast(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket,
-           count(*) AS n
-    FROM events GROUP BY CUBE(event_type, day_bucket)
-    """,
-)
-def q34_cube(spark, sf_dir):
-    """CUBE grouping sets."""
-    ev = _t(spark, sf_dir, "events")
-    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_bucket")
-    return ev.select("event_type", day).cube("event_type", "day_bucket").agg(
-        F.count("*").alias("n")
-    )
-
-
-@query(
-    "q35_distinct_count",
-    """
-    SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
-    """,
-)
-def q35_distinct_count(spark, sf_dir):
-    """Exact distinct count per group (approx_count_distinct is the
-    scale path; the exact op is the oracle-checked one)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
 
 
 @query(
@@ -1281,24 +1356,6 @@ def q36_asof_grouped_pandas(spark, sf_dir):
 
 
 @query(
-    "q37_sort_limit",
-    """
-    SELECT o_orderkey, o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
-    """,
-)
-def q37_sort_limit(spark, sf_dir):
-    """Global top-N: Spark plans TakeOrderedAndProject — per-partition
-    top-N then a single tiny merge, never a full sort at scale."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .limit(20)
-    )
-
-
-@query(
     "q38_string_funcs",
     """
     SELECT c_custkey,
@@ -1306,12 +1363,17 @@ def q37_sort_limit(spark, sf_dir):
            lpad(cast(c_custkey AS varchar), 8, '0')         AS padded,
            translate(c_mktsegment, 'AEIOU', 'aeiou')        AS translated,
            substr(c_name, 1, 8)                             AS prefix,
-           length(c_name)                                   AS name_len
+           length(c_name)                                   AS name_len,
+           regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 1) AS name_word,
+           cast(regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 2) AS BIGINT)
+                                                            AS name_num
     FROM customer
     """,
 )
 def q38_string_funcs(spark, sf_dir):
-    """String function battery (X2/X4 analogs)."""
+    """String function battery (X2/X4 analogs) + regexp group extraction
+    (X-ops family) in ONE gate slot — all map-side codegen expressions.
+    (Folded q38/q45 per the round-3 verdict.)"""
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -1320,77 +1382,8 @@ def q38_string_funcs(spark, sf_dir):
         F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
         F.substring("c_name", 1, 8).alias("prefix"),
         F.length("c_name").cast("long").alias("name_len"),
-    )
-
-
-@query(
-    "q39_date_funcs",
-    """
-    SELECT o_orderkey,
-           cast(extract(year FROM o_orderdate) AS INT)     AS yr,
-           cast(extract(month FROM o_orderdate) AS INT)    AS mo,
-           cast(extract(day FROM o_orderdate) AS INT)      AS dy,
-           cast(extract(quarter FROM o_orderdate) AS INT)  AS qtr,
-           cast(dayofweek(o_orderdate) AS INT)             AS dow
-    FROM orders WHERE o_orderkey < 1000
-    """,
-)
-def q39_date_funcs(spark, sf_dir):
-    """Date part extraction (X10 timestamp family). NB Spark dayofweek
-    is 1=Sunday, DuckDB 0=Sunday — normalized to DuckDB's convention."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").cast("int").alias("yr"),
-        F.month("o_orderdate").cast("int").alias("mo"),
-        F.dayofmonth("o_orderdate").cast("int").alias("dy"),
-        F.quarter("o_orderdate").cast("int").alias("qtr"),
-        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
-    )
-
-
-@query(
-    "q40_null_handling",
-    """
-    SELECT event_id,
-           coalesce(nullif(event_type, 'error'), 'ERR')            AS kind_or_err,
-           CASE WHEN value > 100 THEN value ELSE NULL END          AS high_value,
-           coalesce(CASE WHEN value > 100 THEN value END, 0.0)     AS high_or_zero
-    FROM events
-    """,
-)
-def q40_null_handling(spark, sf_dir):
-    """NULL-handling battery: nullif/coalesce/conditional nulls."""
-    ev = _t(spark, sf_dir, "events")
-    high = F.when(F.col("value") > 100, F.col("value"))
-    return ev.select(
-        "event_id",
-        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("kind_or_err"),
-        high.alias("high_value"),
-        F.coalesce(high, F.lit(0.0)).alias("high_or_zero"),
-    )
-
-
-@query(
-    "q41_grouping_sets",
-    """
-    SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n
-    FROM events
-    GROUP BY GROUPING SETS ((event_type), (user_bucket), (event_type, user_bucket))
-    """,
-)
-def q41_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS (beyond rollup/cube)."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", (F.col("user_id") % 10).alias("user_bucket")
-    )
-    ev.createOrReplaceTempView("q41_events")
-    return spark.sql(
-        """
-        SELECT event_type, user_bucket, count(*) AS n
-        FROM q41_events
-        GROUP BY GROUPING SETS ((event_type), (user_bucket), (event_type, user_bucket))
-        """
+        F.regexp_extract("c_name", "([A-Za-z]+)#([0-9]+)", 1).alias("name_word"),
+        F.regexp_extract("c_name", "([A-Za-z]+)#([0-9]+)", 2).cast("long").alias("name_num"),
     )
 
 
@@ -1436,96 +1429,31 @@ def q42_range_join(spark, sf_dir):
     SELECT user_id,
            max_by(event_id, ts || '|' || cast(event_id AS varchar)) AS last_event_id,
            min_by(event_id, ts || '|' || cast(event_id AS varchar)) AS first_event_id,
-           count(*) AS n
+           count(*) AS n,
+           array_to_string(list(event_type ORDER BY ts, event_id), ',') AS journey
     FROM events GROUP BY user_id
     """,
 )
 def q43_min_max_by(spark, sf_dir):
-    """min_by/max_by with a deterministic composite ordering key
-    (ts alone can tie; the event_id suffix breaks ties identically on
-    both engines)."""
+    """Ordered-aggregate family in ONE gate slot: min_by/max_by with a
+    deterministic composite ordering key (ts alone can tie; the event_id
+    suffix breaks ties identically on both engines), plus the
+    deterministically ordered array agg — the reassembly primitive
+    (§7.4.1): sort_array(collect_list(struct)) -> projected -> joined.
+    All four aggregates share ONE groupBy shuffle. (Folded q43/q44 per
+    the round-3 verdict; the journey string is bounded by per-group
+    cardinality, the same bound the span-reassembly op carries.)"""
     ev = _t(spark, sf_dir, "events")
     key = F.concat(F.col("ts").cast("string"), F.lit("|"), F.col("event_id").cast("string"))
+    packed = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
     return ev.groupBy("user_id").agg(
         F.max_by("event_id", key).alias("last_event_id"),
         F.min_by("event_id", key).alias("first_event_id"),
         F.count("*").alias("n"),
-    )
-
-
-@query(
-    "q44_sorted_array_agg",
-    """
-    SELECT user_id,
-           array_to_string(list(event_type ORDER BY ts, event_id), ',') AS journey
-    FROM events WHERE user_id < 20 GROUP BY user_id
-    """,
-)
-def q44_sorted_array_agg(spark, sf_dir):
-    """Deterministically ordered array agg (the reassembly primitive,
-    §7.4.1): sort_array(collect_list(struct)) -> projected -> joined."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    packed = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
-    return ev.groupBy("user_id").agg(
         F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(packed)), lambda x: x["event_type"]
-            ),
+            F.transform(F.sort_array(F.collect_list(packed)), lambda x: x["event_type"]),
             ",",
-        ).alias("journey")
-    )
-
-
-@query(
-    "q45_regexp_extract",
-    """
-    SELECT doc_id,
-           regexp_extract(source, '([a-z]+)([0-9]+)', 1) AS src_name,
-           cast(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS BIGINT) AS src_num
-    FROM documents
-    """,
-)
-def q45_regexp_extract(spark, sf_dir):
-    """Regexp group extraction (X-ops family)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.regexp_extract("source", "([a-z]+)([0-9]+)", 1).alias("src_name"),
-        F.regexp_extract("source", "([a-z]+)([0-9]+)", 2).cast("long").alias("src_num"),
-    )
-
-
-@query(
-    "q46_union_distinct",
-    """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    UNION
-    SELECT user_id FROM events WHERE event_type = 'view'
-    """,
-)
-def q46_union_distinct(spark, sf_dir):
-    """UNION (distinct) set op."""
-    ev = _t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select("user_id")
-    b = ev.filter(F.col("event_type") == "view").select("user_id")
-    return a.union(b).distinct()
-
-
-@query(
-    "q47_moving_avg",
-    """
-    SELECT event_id, user_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
-    FROM events
-    """,
-)
-def q47_moving_avg(spark, sf_dir):
-    """Sliding window frame (7-row moving average)."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
-    return ev.select(
-        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("ma7")
+        ).alias("journey"),
     )
 
 
@@ -1561,18 +1489,28 @@ def q48_correlated_subquery(spark, sf_dir):
            cast(rank() OVER w AS BIGINT)         AS rnk,
            cast(dense_rank() OVER w AS BIGINT)   AS drnk,
            cast(ntile(4) OVER w AS BIGINT)       AS quartile,
-           round(percent_rank() OVER w, 6)       AS prank
+           round(percent_rank() OVER w, 6)       AS prank,
+           cast(extract(year FROM o_orderdate) AS INT)     AS yr,
+           cast(extract(month FROM o_orderdate) AS INT)    AS mo,
+           cast(extract(day FROM o_orderdate) AS INT)      AS dy,
+           cast(extract(quarter FROM o_orderdate) AS INT)  AS qtr,
+           cast(dayofweek(o_orderdate) AS INT)             AS dow
     FROM orders
     WHERE o_orderkey < 500
     WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
 def q49_rank_family(spark, sf_dir):
-    """Ranking window family: rank / dense_rank / ntile / percent_rank.
+    """Ranking window family (rank / dense_rank / ntile / percent_rank)
+    plus the date-part extraction battery (X10 timestamp family) over
+    the same filtered orders — the date parts are map-side expressions
+    riding the window stage for free. NB Spark dayofweek is 1=Sunday,
+    DuckDB 0=Sunday — normalized to DuckDB's convention. (Folded
+    q49/q39 per the round-3 verdict.)
 
     The window is deliberately UNPARTITIONED (global ranking is the
     semantic) — safe ONLY because the pushed o_orderkey < 500 filter
-    bounds the single-partition sort to <500 rows; q54 implements the
+    bounds the single-partition sort to <500 rows; q37 implements the
     two-pass range-partitioned rank that survives an unbounded table."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     w = W.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -1582,6 +1520,11 @@ def q49_rank_family(spark, sf_dir):
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dy"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
     )
 
 
@@ -1631,14 +1574,14 @@ def q50_dup_components(spark, sf_dir):
     )
 
 
-#: q51 kmeans-IVF parameters: embeddings are 64-d at every SF; centroids
+#: q33 kmeans-IVF parameters: embeddings are 64-d at every SF; centroids
 #: are rounded to 6 decimals after each Lloyd mean so the Spark and
 #: DuckDB float summation orders cannot flip an argmax assignment.
 _EMB_DIM = 64
 _KMEANS_ITERS = 2
 
 
-def _q51_oracle() -> str:
+def _q33_oracle() -> str:
     dot = "list_sum(list_transform(range(1, {d}+1), i -> n.e[i] * c.ce[i]))".format(d=_EMB_DIM)
     cnrm = "sqrt(list_sum(list_transform(c.ce, x -> x*x)))"
     mean_list = ", ".join(f"round(avg(n.e[{i}]), 6)" for i in range(1, _EMB_DIM + 1))
@@ -1684,8 +1627,8 @@ def _q51_oracle() -> str:
     return sql
 
 
-@query("q51_ann_ivf_kmeans")  # oracle registered below (SQL built by helper)
-def q51_ann_ivf_kmeans(spark, sf_dir):
+@query("q33_ann_ivf_kmeans")  # oracle registered below (SQL built by helper)
+def q33_ann_ivf_kmeans(spark, sf_dir):
     """IVF-ANN with LEARNED centroids: deterministic Lloyd k-means
     (init = first 8 vectors, exactly _KMEANS_ITERS iterations, no RNG)
     instead of q22's fixed centroids. Each iteration is a broadcast-
@@ -1739,7 +1682,7 @@ def q51_ann_ivf_kmeans(spark, sf_dir):
     # materialize the FINAL assignment once: the query and candidate
     # branches below both consume it, and without this each branch
     # re-runs the full crossJoin+window assignment pass (3 passes total
-    # for 2 Lloyd iters — the round-2 verdict's q51 perf item). The
+    # for 2 Lloyd iters — the round-2 verdict's q51(now q33) perf item). The
     # frame is (vec_id, cluster_id) — tiny relative to the embeddings.
     assign = iter_checkpoint(assign_to(cent))
     va = v.join(assign, "vec_id")
@@ -1767,7 +1710,7 @@ def q51_ann_ivf_kmeans(spark, sf_dir):
 
 
 @query(
-    "q52_training_corpus",
+    "q34_training_corpus",
     """
     WITH keep AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
@@ -1791,7 +1734,7 @@ def q51_ann_ivf_kmeans(spark, sf_dir):
       AND n_tokens >= 5
     """,
 )
-def q52_training_corpus(spark, sf_dir):
+def q34_training_corpus(spark, sf_dir):
     """Composed training-data corpus filter — the shape a real pretraining
     pipeline materializes: exact-dedup keepers (q16) JOIN quality score
     (q24 logistic) with a quality floor and a minimum length. One extra
@@ -1822,13 +1765,13 @@ def q52_training_corpus(spark, sf_dir):
     )
 
 
-#: q53 sampling rate, percent — deterministic md5-bucket membership, the
+#: q35 sampling rate, percent — deterministic md5-bucket membership, the
 #: standard reproducible-sample trick (no RNG, stable under reshuffles)
 _SAMPLE_PCT = 20
 
 
 @query(
-    "q53_stratified_sample",
+    "q35_stratified_sample",
     f"""
     WITH b AS (
       SELECT lang, source,
@@ -1842,7 +1785,7 @@ _SAMPLE_PCT = 20
     FROM b GROUP BY lang, source
     """,
 )
-def q53_stratified_sample(spark, sf_dir):
+def q35_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling for training-data curation:
     membership = md5(doc_id) bucket < rate — reproducible on any engine,
     partition-layout-independent, and joinable (the same predicate
@@ -1866,14 +1809,14 @@ def q53_stratified_sample(spark, sf_dir):
 
 
 @query(
-    "q54_global_rank_scalable",
+    "q37_global_rank_scalable",
     """
     SELECT o_orderkey,
            cast(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
     FROM orders
     """,
 )
-def q54_global_rank_scalable(spark, sf_dir):
+def q37_global_rank_scalable(spark, sf_dir):
     """Global ranking over an UNBOUNDED table without the single-partition
     window (the scalable twin of q49, which is only safe under its pushed
     filter). Two-pass pattern:
@@ -1906,7 +1849,7 @@ def q54_global_rank_scalable(spark, sf_dir):
 
 
 @query(
-    "q55_pipeline_roundtrip",
+    "q39_pipeline_roundtrip",
     """
     WITH c AS (
       SELECT cast(doc_id AS VARCHAR) AS doc_id,
@@ -1921,7 +1864,7 @@ def q54_global_rank_scalable(spark, sf_dir):
     FROM c
     """,
 )
-def q55_pipeline_roundtrip(spark, sf_dir):
+def q39_pipeline_roundtrip(spark, sf_dir):
     """The FLAGSHIP pipeline (pipeline.run_batch), made SQL-oracle-able:
     each document is lifted into the interleaved span shape used by
     entry() — one text span + one synthetic TIFF media span carrying the
@@ -1981,9 +1924,9 @@ def q55_pipeline_roundtrip(spark, sf_dir):
     return out.select("doc_id", "status", "span_count", "error_count", "txt", "csv")
 
 
-# q50/q51 oracles compose other SQL, so they register after definition
+# q50/q33 oracles compose other SQL, so they register after definition
 ORACLES["q50_dup_components"] = _Q50_ORACLE.format(q18=ORACLES["q18_minhash_lsh"])
-ORACLES["q51_ann_ivf_kmeans"] = _q51_oracle()
+ORACLES["q33_ann_ivf_kmeans"] = _q33_oracle()
 
 
 # =====================================================================
@@ -1996,7 +1939,7 @@ _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 
 
 @query(
-    "q56_pii_redact",
+    "q40_pii_redact",
     f"""
     WITH p AS (
       SELECT doc_id,
@@ -2014,7 +1957,7 @@ _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
     FROM p
     """,
 )
-def q56_pii_redact(spark, sf_dir):
+def q40_pii_redact(spark, sf_dir):
     """PII redaction for training corpora: replace emails/phones with
     typed placeholder tokens and count removals per doc. The synthetic
     corpus contains no PII, so every 7th doc is first ENRICHED with a
@@ -2053,7 +1996,7 @@ def q56_pii_redact(spark, sf_dir):
 
 
 @query(
-    "q57_repetition_quality",
+    "q41_repetition_quality",
     """
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
@@ -2072,7 +2015,7 @@ def q56_pii_redact(spark, sf_dir):
     FROM s
     """,
 )
-def q57_repetition_quality(spark, sf_dir):
+def q41_repetition_quality(spark, sf_dir):
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
     duplicate-word fraction and top-word fraction per document, plus the
     keep decision at the 12.5% top-word threshold. (The published rules
@@ -2106,7 +2049,7 @@ def q57_repetition_quality(spark, sf_dir):
 
 
 @query(
-    "q58_bigram_lm_topk",
+    "q44_bigram_lm_topk",
     """
     WITH t AS (
       SELECT string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
@@ -2119,7 +2062,7 @@ def q57_repetition_quality(spark, sf_dir):
     LIMIT 20
     """,
 )
-def q58_bigram_lm_topk(spark, sf_dir):
+def q44_bigram_lm_topk(spark, sf_dir):
     """Corpus-level n-gram LM counts (the classic training-data statistic):
     top-20 bigrams by frequency, ties broken lexically so the cut is
     deterministic.
@@ -2143,7 +2086,7 @@ def q58_bigram_lm_topk(spark, sf_dir):
 
 
 @query(
-    "q59_contamination",
+    "q45_contamination",
     """
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
@@ -2158,7 +2101,7 @@ def q58_bigram_lm_topk(spark, sf_dir):
     GROUP BY doc_id
     """,
 )
-def q59_contamination(spark, sf_dir):
+def q45_contamination(spark, sf_dir):
     """Benchmark-contamination detection: flag corpus documents sharing
     any 4-gram with the benchmark set (here: every 97th doc stands in
     for the eval benchmark; a real run would read the benchmark table).
@@ -2184,7 +2127,7 @@ _PACK_BUDGET = 512
 
 
 @query(
-    "q60_pack_sequences",
+    "q46_pack_sequences",
     f"""
     WITH t AS (
       SELECT doc_id,
@@ -2201,12 +2144,12 @@ _PACK_BUDGET = 512
     FROM c
     """,
 )
-def q60_pack_sequences(spark, sf_dir):
+def q46_pack_sequences(spark, sf_dir):
     """Sequence packing for LLM training: assign documents (in doc_id
     order) to fixed token-budget bins via a global running token count —
     bin = floor(cum_tokens_before / budget). The oracle states it as a
     single global window; the Spark plan must NOT (that window would
-    pull 10^12 rows through one partition). Same two-pass shape as q54:
+    pull 10^12 rows through one partition). Same two-pass shape as q37:
 
       1. repartitionByRange(doc_id) — ordered, co-located ranges;
       2. per-partition running sum (window PARTITIONED by partition id);
@@ -2242,7 +2185,7 @@ def q60_pack_sequences(spark, sf_dir):
 
 
 @query(
-    "q61_dedup_index_probe",
+    "q47_dedup_index_probe",
     f"""
     WITH sh AS (
       SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
@@ -2267,7 +2210,7 @@ def q60_pack_sequences(spark, sf_dir):
     GROUP BY a.doc_id, b.doc_id
     """,
 )
-def q61_dedup_index_probe(spark, sf_dir):
+def q47_dedup_index_probe(spark, sf_dir):
     """The incremental dedup index (operators/dedup_index.py) under the
     driver gate: build the corpus's banded-MinHash index, probe the
     corpus against it, and report each candidate pair with its
@@ -2276,7 +2219,13 @@ def q61_dedup_index_probe(spark, sf_dir):
     the q18 candidate set ANNOTATED with n_bands — this is exactly the
     per-batch operation of the persisted-index flow (build once, probe
     each new batch, merge keepers), here driven self-referentially so
-    plain SQL can state the expected result."""
+    plain SQL can state the expected result.
+
+    The probe side here is CORPUS-sized (the self-probe), so it takes
+    probe_index's default non-broadcast path — the round-3 verdict's
+    scale fix; forcing broadcast_probe=True on a corpus-sized side is
+    the driver/executor OOM regime. Plan pinned by
+    tests/test_plan_shape.py::test_q47_selfprobe_not_broadcast."""
     from .operators.dedup_index import build_index, probe_index
 
     d = _t(spark, sf_dir, "documents")

@@ -125,6 +125,64 @@ def test_probe_accepts_precomputed_bands(spark):
     assert a == b == [("n1", "corp-1")]
 
 
+def test_probe_validates_sidecar_params(spark):
+    """With index_params (the read_index sidecar), a mismatched
+    parameterization raises EVEN when the band count coincides —
+    12/3 and 8/2 both give 4 bands, so the range check alone cannot
+    catch it (the round-3 ADVICE item)."""
+    index = di.build_index(_docs(spark, BASE), n_hashes=8, band_size=2)  # 4 bands
+    with pytest.raises(ValueError, match="built with"):
+        di.probe_index(
+            _docs(spark, BASE[:1]),
+            index,
+            index_params={"n_hashes": 8, "band_size": 2, "max_bucket": 100},
+            # defaults: 12/3 — also 4 bands; range check would pass
+        )
+    # matching params go through (and a 'defaults' marker skips the check)
+    hits = di.probe_index(
+        _docs(spark, [("n1", BASE[0][1])]),
+        index,
+        index_params={"n_hashes": 8, "band_size": 2, "max_bucket": 100},
+        n_hashes=8,
+        band_size=2,
+    ).collect()
+    assert [(h["doc_id"], h["dup_of"]) for h in hits] == [("n1", "corp-1")]
+
+
+def test_append_merges_plus_compaction_match_oneshot(spark):
+    """Steady-state cost fix: K-1 append-shaped merges (apply_cap=False,
+    no O(index) groupBy per merge) followed by ONE cap_index compaction
+    must equal the ground truth — a one-shot capped build over the full
+    union. (Note: always-cap-per-merge does NOT equal this ground truth:
+    it irreversibly drops a bucket the moment it crosses the cap, and a
+    later small batch re-enters it with only its own rows. Deferred
+    compaction sees the full accumulation, i.e. it is the MORE correct
+    schedule, as well as the cheaper one.)"""
+    def rows(tag, n):
+        return [
+            (f"{tag}-{i}", "identical boilerplate header repeated across many pages verbatim")
+            for i in range(n)
+        ]
+
+    all_rows = []
+    cheap = None
+    for k in range(4):
+        r = rows(f"b{k}", 2)
+        all_rows += r
+        # per-batch build stays uncapped (2 docs can never trip a cap of
+        # 5 anyway); the cap belongs to the compaction pass
+        b = di.build_index(_docs(spark, r), max_bucket=None)
+        cheap = b if cheap is None else di.merge_index(cheap, b, apply_cap=False)
+    cheap = di.cap_index(cheap, max_bucket=5)
+
+    oneshot = di.build_index(_docs(spark, all_rows), max_bucket=5)
+
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(cheap) == key(oneshot)
+    # 8 flood docs share every bucket > 5 -> fully capped
+    assert oneshot.count() == 0
+
+
 def test_write_read_index_roundtrip_params(spark, tmp_path):
     """The banding parameters travel with the persisted index (sidecar
     the parquet reader ignores); probing with the recovered params

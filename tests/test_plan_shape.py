@@ -101,32 +101,32 @@ def test_q17_q18_skew_caps_present(spark):
         assert "LeftAnti" in plan, f"{q} missing the frequency-cap anti-join"
 
 
-def test_q52_corpus_filter_semi_join(spark):
+def test_q34_corpus_filter_semi_join(spark):
     """The composed corpus filter keeps the dedup-keeper membership check
     a LeftSemi join (no row duplication) and never goes cartesian."""
-    df = QUERY_FNS["q52_training_corpus"](spark, SF)
+    df = QUERY_FNS["q34_training_corpus"](spark, SF)
     plan = shape.formatted_plan(df)
     assert "LeftSemi" in plan, plan
     assert not shape.has_cartesian(df)
 
 
-def test_q53_sample_single_exchange(spark):
+def test_q35_sample_single_exchange(spark):
     """Deterministic stratified sampling = map-side bucket predicate +
     ONE aggregation shuffle on the stratum key."""
-    df = QUERY_FNS["q53_stratified_sample"](spark, SF)
+    df = QUERY_FNS["q35_stratified_sample"](spark, SF)
     assert shape.count_exchanges(df) <= 1, shape.formatted_plan(df)
 
 
-def test_q54_rank_partition_invariant(spark):
+def test_q37_rank_partition_invariant(spark):
     """The two-pass global rank must not contain a single-partition global
     Window sort, and its ranks must be identical under any input
     partitioning (offsets derive from actual partition sizes, so the
     range sampler's boundary choices cannot leak into results)."""
     from pyspark.sql import functions as F
 
-    from pmocr_spark.queries import _t, q54_global_rank_scalable
+    from pmocr_spark.queries import _t, q37_global_rank_scalable
 
-    base = {r["o_orderkey"]: r["rnk"] for r in q54_global_rank_scalable(spark, SF).collect()}
+    base = {r["o_orderkey"]: r["rnk"] for r in q37_global_rank_scalable(spark, SF).collect()}
     o = _t(spark, SF, "orders").repartition(7, "o_orderdate")
 
     # same algorithm inline over the reshuffled input
@@ -153,7 +153,7 @@ def test_q54_rank_partition_invariant(spark):
     assert again == base
     # and every unpartitioned Window in the plan is the bounded 16-row
     # offset frame (sums _n), never the big data columns (the q49 shape)
-    for arg in shape.unpartitioned_window_args(q54_global_rank_scalable(spark, SF)):
+    for arg in shape.unpartitioned_window_args(q37_global_rank_scalable(spark, SF)):
         assert "_n#" in arg and "o_totalprice" not in arg, arg
 
 
@@ -173,34 +173,34 @@ def test_bucketed_join_no_exchange(spark, corpus_dir):
     assert n_spans == n_matched > 0
 
 
-def test_q56_redact_map_only(spark):
+def test_q40_redact_map_only(spark):
     """PII redaction is a pure map: zero exchanges, codegen'd regexps."""
-    df = QUERY_FNS["q56_pii_redact"](spark, SF)
+    df = QUERY_FNS["q40_pii_redact"](spark, SF)
     assert shape.count_exchanges(df) == 0, shape.formatted_plan(df)
     plan = shape.formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_q58_topk_no_global_sort(spark):
+def test_q44_topk_no_global_sort(spark):
     """Top-k bigram counts must compile to TakeOrderedAndProject
     (per-partition heaps), never a global Sort of the count table."""
-    df = QUERY_FNS["q58_bigram_lm_topk"](spark, SF)
+    df = QUERY_FNS["q44_bigram_lm_topk"](spark, SF)
     plan = shape.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert shape.count_exchanges(df) <= 1, plan  # one agg shuffle only
 
 
-def test_q59_contamination_broadcasts_benchmark(spark):
+def test_q45_contamination_broadcasts_benchmark(spark):
     """The benchmark n-gram side is bounded; it must broadcast so the
     corpus side streams map-only through the join — and the join must
     be a hash join on the n-gram, never nested-loop/cartesian."""
-    df = QUERY_FNS["q59_contamination"](spark, SF)
+    df = QUERY_FNS["q45_contamination"](spark, SF)
     plan = shape.formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
-def test_q60_pack_partition_invariant(spark):
+def test_q46_pack_partition_invariant(spark):
     """Sequence packing's running sum must come from the two-pass shape
     (no unpartitioned Window over the big frame), and bins must be
     identical under any input partitioning."""
@@ -208,7 +208,7 @@ def test_q60_pack_partition_invariant(spark):
 
     from pmocr_spark.queries import _PACK_BUDGET, _t
 
-    df = QUERY_FNS["q60_pack_sequences"](spark, SF)
+    df = QUERY_FNS["q46_pack_sequences"](spark, SF)
     base = {r["doc_id"]: (r["cum_before"], r["bin"]) for r in df.collect()}
 
     # oracle recomputation from an adversarially repartitioned input,
@@ -242,12 +242,47 @@ def test_q60_pack_partition_invariant(spark):
     assert len(unparted) >= 1, unparted
 
 
-def test_q61_index_probe_broadcasts(spark):
-    """The index probe joins the (small) new-batch band rows against
-    the (huge) index side: must be a broadcast hash join, never
-    nested-loop/cartesian, and no row-at-a-time Python."""
-    df = QUERY_FNS["q61_dedup_index_probe"](spark, SF)
-    plan = shape.formatted_plan(df)
-    assert "BroadcastHashJoin" in plan, plan
+def test_q47_selfprobe_not_forced_broadcast(spark):
+    """q47 probes the corpus against ITS OWN index — a corpus-sized
+    probe side. probe_index's default must carry NO broadcast hint (the
+    round-3 OOM regime was an unconditional F.broadcast of the probe
+    side): with the auto-broadcast threshold disabled, the Inner pair
+    join must plan as a shuffled join — a hard-coded hint would still
+    broadcast here, a stats/AQE-driven choice (fine at small SF, right
+    at 100 TB) won't. Also: never nested-loop/cartesian, no
+    row-at-a-time Python."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERY_FNS["q47_dedup_index_probe"](spark, SF)
+        plan = shape.formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin Inner" not in plan, plan
+    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin Inner" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_probe_small_batch_broadcasts(spark):
+    """A batch-small probe with broadcast_probe=True force-broadcasts
+    the probe side (the steady-state incremental regime): the pair join
+    is a BroadcastHashJoin with the probe side as build."""
+    from pmocr_spark.operators import dedup_index as di
+    from pmocr_spark.queries import _t
+
+    docs = _t(spark, SF, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    index = di.build_index(docs)
+    batch = docs.limit(3)
+    # threshold disabled: only the explicit hint can produce a broadcast,
+    # so this pins that broadcast_probe=True actually forces it
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hits = di.probe_index(batch, index, broadcast_probe=True)
+        plan = shape.formatted_plan(hits)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin Inner" in plan, plan
