@@ -427,6 +427,42 @@ def _warm_python_workers(spark, corpus_dir: str) -> None:
     _force(pipeline.run_batch(spark, small, blobs))
 
 
+#: minimum acceptable ANN recall@5 vs brute-force ground truth. IVF with
+#: nprobe=1 trades recall for a bounded candidate set; below this floor
+#: the centroid layout has degenerated and the index needs re-tuning.
+ANN_RECALL_FLOOR = float(os.environ.get("PMOCR_ANN_RECALL_FLOOR", "0.6"))
+
+
+def _ann_recall_at5(spark, sf_dir: str) -> dict[str, float]:
+    """recall@5 of the IVF ANN queries (q22 fixed centroids, q33 learned
+    k-means centroids) against q21's brute-force ground truth, same
+    query set (round-3 verdict item #5: the ANN entries trade recall
+    for cost but nothing measured it). Result frames are 10 queries x
+    top-5 — collect is trivially bounded."""
+    from pmocr_spark.queries import QUERY_FNS
+
+    def topk(name):
+        out = {}
+        for r in QUERY_FNS[name](spark, sf_dir).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk("q21_ann_bruteforce")
+    recalls = {}
+    for name in ("q22_ann_ivf", "q33_ann_ivf_kmeans"):
+        approx = topk(name)
+        per_q = [
+            len(approx.get(q, set()) & hits) / len(hits) for q, hits in truth.items() if hits
+        ]
+        recalls[name] = round(sum(per_q) / len(per_q), 4) if per_q else 0.0
+        if recalls[name] < ANN_RECALL_FLOOR:
+            _log(
+                f"WARNING: {name} recall@5 {recalls[name]} below floor "
+                f"{ANN_RECALL_FLOOR} — IVF centroid layout degenerated?"
+            )
+    return recalls
+
+
 def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from pmocr_spark.queries import QUERY_FNS
 
@@ -464,11 +500,15 @@ def main() -> None:
         _log(f"headline ocr {ocr['sec']}s")
         qtimes = _bench_queries(spark, sf_dir)
         _log(f"headline queries done: {qtimes}")
+        recall = _ann_recall_at5(spark, sf_dir)
+        _log(f"ann recall@5 vs q21 brute force: {recall}")
         spark.stop()
 
         result["queries"] = {"ocr_pipeline": ocr["sec"], **qtimes}
         result["value"] = round(sum(result["queries"].values()), 3)
         result["ocr_docs_per_sec"] = ocr["docs_per_sec"]
+        result["ann_recall_at5"] = recall
+        result["ann_recall_floor"] = ANN_RECALL_FLOOR
 
     if write_md and scaling:
         _write_md(result)
@@ -589,6 +629,14 @@ def _write_md(result: dict) -> None:
         "the same workload with 100% span-sequence equality.",
         "",
         f"Headline suite at sf{result['sf']}: {json.dumps(result['queries'])}",
+        "",
+        "## ANN recall (approximate-search quality, not just speed)",
+        "",
+        "| query | recall@5 vs q21 brute force | floor |",
+        "|---|---|---|",
+    ] + [
+        f"| {name} | {val} | {result.get('ann_recall_floor', 0.6)} |"
+        for name, val in result.get("ann_recall_at5", {}).items()
     ]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:

@@ -209,11 +209,14 @@ def compact_checkpoint(spark: SparkSession, path: str) -> int:
     run forever; every resume re-scans it. Compaction bounds the table
     at one row per doc. Returns the compacted row count.
 
-    Swap protocol (scheme-agnostic via the Hadoop FS API, so hdfs://
-    and s3a:// work): write to <path>.compact.tmp, rename the old dir
-    to <path>.compact.bak, rename tmp into place, delete bak. A crash
-    between the renames leaves the .bak to restore by hand — never a
-    half-written table at `path`.
+    Swap protocol (replace_dir): write to <path>.compact.tmp, rename
+    the old dir to <path>.compact.bak, rename tmp into place, delete
+    bak. A crash between the renames leaves the .bak to restore by
+    hand — never a half-written table at `path` ON RENAME-ATOMIC
+    FILESYSTEMS (HDFS, local). On object stores (s3a://) dir 'rename'
+    is a non-atomic copy, so the guarantee degrades to
+    eventually-consistent-with-bak — prefer an Iceberg table commit
+    there.
 
     Run this with no concurrent writer (batch: between runs; streaming:
     stream stopped, last epoch committed). Compacting UNDER a stream
@@ -223,27 +226,47 @@ def compact_checkpoint(spark: SparkSession, path: str) -> int:
     full = read_checkpoint(spark, path)
     if full is None:
         return 0
-    tmp, bak = f"{path}.compact.tmp", f"{path}.compact.bak"
     compacted = compact_rows(full).persist()
     n = compacted.count()  # materialize BEFORE touching `path` (read is lazy)
-    compacted.write.mode("overwrite").parquet(tmp)
+    replace_dir(spark, compacted, path, tag=".compact")
     compacted.unpersist()
+    return n
+
+
+def replace_dir(spark: SparkSession, df: DataFrame, path: str, tag: str = ".swap") -> None:
+    """Replace the table dir at `path` with `df` via write-aside + rename
+    (scheme-agnostic through the Hadoop FS API; ATOMIC only where dir
+    rename is — HDFS/local, not object stores, see compact_checkpoint).
+
+    IMPORTANT: `df` must already be materialized (persisted + counted,
+    or read from elsewhere) — it is written BEFORE `path` is touched,
+    but a lazy plan still scanning `path` would race its own rename.
+
+    Orphan hygiene (round-3 ADVICE): a stale <path><tag>.tmp from a
+    crashed earlier run is deleted up front, the bak-exists refusal
+    happens BEFORE the (expensive) tmp write, and the tmp is removed on
+    every failure path so no run leaves both artifacts behind."""
+    tmp, bak = f"{path}{tag}.tmp", f"{path}{tag}.bak"
     jvm = spark._jvm  # noqa: SLF001
     conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
     hp = jvm.org.apache.hadoop.fs.Path
     fs = hp(path).getFileSystem(conf)
     if fs.exists(hp(bak)):
         raise RuntimeError(
-            f"{bak} exists — a previous compaction did not finish; "
-            "restore or remove it before compacting again"
+            f"{bak} exists — a previous swap did not finish; "
+            "restore or remove it before retrying"
         )
+    if fs.exists(hp(tmp)):
+        fs.delete(hp(tmp), True)  # orphan from a crashed run
+    df.write.mode("overwrite").parquet(tmp)
     if not fs.rename(hp(path), hp(bak)):
+        fs.delete(hp(tmp), True)
         raise RuntimeError(f"could not move {path} aside to {bak}")
     if not fs.rename(hp(tmp), hp(path)):
         fs.rename(hp(bak), hp(path))  # roll back
-        raise RuntimeError(f"could not move compacted table into {path}")
+        fs.delete(hp(tmp), True)
+        raise RuntimeError(f"could not move new table into {path}")
     fs.delete(hp(bak), True)
-    return n
 
 
 def partition_metrics(checkpoint: DataFrame) -> DataFrame:

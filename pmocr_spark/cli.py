@@ -178,6 +178,48 @@ def build_parser() -> argparse.ArgumentParser:
         "resume/retry semantics. Run with no concurrent writer.",
     )
     p.add_argument(
+        "--build-dedup-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode (standalone, like --compact-lineage): "
+        "build the banded-MinHash dedup index over --input documents "
+        "and persist it (with its params sidecar) at DIR "
+        "(operators/dedup_index.build_index/write_index)",
+    )
+    p.add_argument(
+        "--probe-dedup-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: probe the --input batch against the "
+        "persisted index at DIR (params from its sidecar) and write "
+        "(doc_id, dup_of, n_bands) hits to --output",
+    )
+    p.add_argument(
+        "--merge-dedup-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: band the --input batch with the index's "
+        "persisted params and merge it into DIR append-cheap (no "
+        "O(index) cap pass — run --compact-dedup-index periodically)",
+    )
+    p.add_argument(
+        "--compact-dedup-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: re-apply the hot-bucket cap over the "
+        "whole index at DIR (the periodic compaction that keeps "
+        "steady-state merges cheap) and rewrite it in place",
+    )
+    p.add_argument(
+        "--probe-broadcast",
+        choices=("auto", "force"),
+        default=None,
+        help="--probe-dedup-index join strategy: 'auto' (default; no "
+        "hint — AQE broadcasts iff the batch is actually small) or "
+        "'force' (hint the broadcast; only for batches KNOWN to fit "
+        "executor memory)",
+    )
+    p.add_argument(
         "--once",
         action="store_true",
         help="service mode: run ONE Trigger.AvailableNow reconciliation "
@@ -186,6 +228,16 @@ def build_parser() -> argparse.ArgumentParser:
         "run (W4: MAX_WAIT/MAX_TIME, pmocr.sh:24-26, 2269). Schedule it "
         "from cron against the same --stream-checkpoint and it picks up "
         "exactly the files the resident monitor has not seen.",
+    )
+    p.add_argument(
+        "--engine",
+        default=None,
+        help="OCR engine adapter (pmOCR OCR_ENGINE, pmocr.sh:1825-1852): "
+        "'codec' (default; the deterministic synthetic codec — the only "
+        "oracle-checkable engine) or 'tesseract' (real OCR via "
+        "pytesseract+Pillow; requires them plus the tesseract binary on "
+        "every executor). Additional engines via "
+        "engines.register_engine().",
     )
     p.add_argument("--alerts", default=None, help="alert table dir (S7; service mode)")
     p.add_argument("--stream-checkpoint", default=None, help="streaming offsets dir (service)")
@@ -213,6 +265,7 @@ _DEFAULTS = {
     "job_ts": "2024-01-01T00:00:00Z",
     "span_join": "broadcast",
     "suffix": "_OCR",
+    "engine": "codec",
 }
 
 
@@ -312,6 +365,27 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
+    # dedup-index maintenance modes (standalone, like --compact-lineage):
+    # build / probe / merge / compact against a persisted index dir
+    dedup_ops = [
+        (op, getattr(args, f"{op}_dedup_index"))
+        for op in ("build", "probe", "merge", "compact")
+        if getattr(args, f"{op}_dedup_index")
+    ]
+    if len(dedup_ops) > 1:
+        parser.error("give exactly one --{build,probe,merge,compact}-dedup-index")
+    args.dedup_index_op = dedup_ops[0] if dedup_ops else None
+    if args.dedup_index_op:
+        op, _dir = args.dedup_index_op
+        if args.batch or args.service:
+            parser.error(f"--{op}-dedup-index is a standalone maintenance mode")
+        if op in ("build", "probe", "merge") and not args.input:
+            parser.error(f"--input is required with --{op}-dedup-index")
+        if op == "probe" and not args.output:
+            parser.error("--output is required with --probe-dedup-index")
+        args.target_list = []
+        args.monitor_list = []
+        return args
     if not (args.batch or args.service):
         parser.error("one of --batch / --service is required (flag or config)")
     if args.batch and args.service:
@@ -380,7 +454,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return args
 
 
-def launch_monitors(spark, args, blobs, job_ts: str, suffix: str, trigger: dict):
+def launch_monitors(spark, args, blobs, job_ts: str, suffix: str, trigger: dict, ocr_udf=None):
     """Start every service-mode streaming query; returns [(name, query)].
 
     W7 parity (pmOCR spawns one OCR_service subshell per configured dir,
@@ -419,9 +493,62 @@ def launch_monitors(spark, args, blobs, job_ts: str, suffix: str, trigger: dict)
             filename_addition=args.filename_addition,
             broadcast_spans=(args.span_join != "shuffle"),
             num_partitions=args.num_partitions,
+            ocr_udf=ocr_udf,
         )
         queries.append((name, q))
     return queries
+
+
+def _run_dedup_index_op(spark, args) -> None:
+    """Dedup-index lifecycle maintenance (round-3 verdict item #4): the
+    persisted-index recipe from operators/dedup_index's module docstring
+    as CLI modes. build writes index+sidecar; probe/merge band the new
+    batch with the SIDECAR's params (never the defaults — a mismatched
+    banding silently finds nothing, which probe_index now rejects);
+    merge is append-cheap (apply_cap=False); compact runs the periodic
+    hot-bucket cap. merge/compact rewrite the index dir via
+    checkpoint.replace_dir (write-aside + rename; atomic on
+    rename-atomic filesystems) and restore the params sidecar the swap
+    discarded."""
+    from . import checkpoint as ckpt
+    from .operators import dedup_index as di
+
+    op, idx_dir = args.dedup_index_op
+    if op == "build":
+        docs = spark.read.parquet(args.input)
+        di.write_index(di.build_index(docs), idx_dir)
+        print(f"pmocr-spark: built dedup index at {idx_dir}")
+        return
+    index, params = di.read_index(spark, idx_dir)
+    band_kwargs = {
+        "n_hashes": params["n_hashes"],
+        "band_size": params["band_size"],
+        "max_bucket": params["max_bucket"],
+    }
+    if op == "probe":
+        docs = spark.read.parquet(args.input)
+        hits = di.probe_index(
+            docs,
+            index,
+            broadcast_probe=(args.probe_broadcast == "force") or None,
+            index_params=params,
+            **band_kwargs,
+        )
+        hits.write.mode("overwrite").parquet(args.output)
+        print(f"pmocr-spark: probe hits written to {args.output}")
+        return
+    if op == "merge":
+        docs = spark.read.parquet(args.input)
+        new_bands = di.build_index(docs, **band_kwargs)
+        merged = di.merge_index(index, new_bands, apply_cap=False).persist()
+        n = merged.count()  # materialize before replacing the dir it reads
+    else:  # compact
+        merged = di.cap_index(index, params["max_bucket"]).persist()
+        n = merged.count()
+    ckpt.replace_dir(spark, merged, idx_dir, tag=".dedup")
+    merged.unpersist()
+    di.write_meta(spark, idx_dir, params)
+    print(f"pmocr-spark: {op} rewrote dedup index at {idx_dir} ({n} rows)")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -435,10 +562,22 @@ def main(argv: list[str] | None = None) -> None:
 
     args = parse_args(argv)
     targets = args.target_list
+    # resolve the engine BEFORE any Spark work: a missing tesseract
+    # install (or an unknown name) fails fast at the CLI, not deep in an
+    # executor task. 'codec' resolves to None = the env-driven default
+    # UDF instance (identical behavior/plan to pre---engine builds).
+    ocr_udf = None
+    if getattr(args, "engine", "codec") != "codec":
+        from . import engines
+
+        ocr_udf = engines.ocr_udf_for(args.engine)
     spark = get_spark(app="pmocr_spark_job", master=args.master)
     if getattr(args, "compact_only", False):
         n = ckpt.compact_checkpoint(spark, args.lineage)
         print(f"pmocr-spark: compacted lineage at {args.lineage} to {n} rows")
+        return
+    if getattr(args, "dedup_index_op", None):
+        _run_dedup_index_op(spark, args)
         return
     job_ts = args.job_ts.replace("T", " ").replace("Z", "")
     suffix = "" if args.no_suffix else args.suffix
@@ -449,7 +588,9 @@ def main(argv: list[str] | None = None) -> None:
         # default.conf:33); --once: W4 reconciliation pass that drains
         # the landing dir(s) and terminates
         trigger = {"availableNow": True} if args.once else {"processingTime": "30 seconds"}
-        queries = launch_monitors(spark, args, blobs, job_ts, suffix, trigger=trigger)
+        queries = launch_monitors(
+            spark, args, blobs, job_ts, suffix, trigger=trigger, ocr_udf=ocr_udf
+        )
         # all queries run concurrently; blocking on each in turn = block
         # until every monitor stops (pmOCR parks in its sleep loop while
         # the per-dir OCR_service subshells run, pmocr.sh:2540-2544)
@@ -494,6 +635,7 @@ def main(argv: list[str] | None = None) -> None:
         num_partitions=args.num_partitions,
         broadcast_spans=(args.span_join != "shuffle"),
         job_ts=job_ts,
+        ocr_udf=ocr_udf,
     )
     cached = results.persist()
     # F7 output-name projection + Q1 multi-target fan-out (doc_id is

@@ -224,11 +224,22 @@ def write_index(
     `_dedup_index_meta.json` sidecar inside the table dir — Spark
     ignores underscore-prefixed files on read, and read_index hands the
     params back so later batch jobs probe with the right ones."""
+    index.write.mode(mode).parquet(path)
+    write_meta(
+        index.sparkSession,
+        path,
+        {"n_hashes": n_hashes, "band_size": band_size, "max_bucket": max_bucket},
+    )
+
+
+def write_meta(spark, path: str, meta: dict) -> None:
+    """Write/refresh the `_dedup_index_meta.json` params sidecar inside
+    an index table dir (also used after in-place maintenance rewrites —
+    e.g. the CLI's merge/compact modes replace the dir and must restore
+    the sidecar the swap discarded)."""
     import json
 
-    index.write.mode(mode).parquet(path)
-    meta = {"n_hashes": n_hashes, "band_size": band_size, "max_bucket": max_bucket}
-    spark = index.sparkSession
+    meta = {k: v for k, v in meta.items() if k != "source"}
     jvm = spark._jvm  # noqa: SLF001
     hp = jvm.org.apache.hadoop.fs.Path(f"{path}/_dedup_index_meta.json")
     fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001

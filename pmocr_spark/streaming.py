@@ -88,6 +88,7 @@ def monitor(
     num_partitions: int | None = None,
     allow_lineage_takeover: bool = False,
     metrics_dir: str | None = None,
+    ocr_udf=None,
 ):
     """Start the streaming monitor over a landing directory of parquet
     document files. Returns the StreamingQuery.
@@ -183,6 +184,7 @@ def monitor(
             num_partitions=num_partitions,
             broadcast_spans=broadcast_spans,
             job_ts=epoch_ts,
+            ocr_udf=ocr_udf,
         )
         results.persist()
         try:

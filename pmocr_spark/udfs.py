@@ -99,6 +99,7 @@ def make_ocr_extract(
     budget_s: float | None = None,
     hard: bool | None = None,
     test_delay: float = 0.0,
+    decode_fn=None,
 ):
     """Build the batched decode UDF with an explicit P3 policy.
 
@@ -108,12 +109,18 @@ def make_ocr_extract(
     the UDF closure (what the tests use; env set mid-session never
     reaches already-spawned python workers). test_delay simulates a
     runaway document — the sandbox codec is too fast to overrun a real
-    budget."""
+    budget.
+
+    decode_fn is the ENGINE seam (pmOCR's OCR_ENGINE switch,
+    pmocr.sh:1825-1852): any `bytes -> str` callable; default is the
+    deterministic codec. Use engines.ocr_udf_for(name) rather than
+    passing one directly — the registry owns the import guards."""
 
     @F.pandas_udf(OCR_RESULT_TYPE)
     def _ocr_extract(content: pd.Series) -> pd.DataFrame:
         budget = _decode_budget_s() if budget_s is None else budget_s
         use_hard = (os.environ.get("PMOCR_HARD_TIMEOUT", "") == "1") if hard is None else hard
+        decode = codecs.decode_blob if decode_fn is None else decode_fn
         texts: list[str | None] = []
         errors: list[str | None] = []
         for blob in content:
@@ -125,7 +132,7 @@ def make_ocr_extract(
             def work(blob=blob):
                 if test_delay:  # inside the timed/killable region
                     time.sleep(test_delay)
-                return codecs.decode_blob(blob)
+                return decode(blob)
 
             text, err = _decode_one(work, budget, use_hard)
             texts.append(text)

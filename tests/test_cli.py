@@ -472,3 +472,59 @@ def test_service_once_reconciliation(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--batch", "--once", "--input", "i", "--blobs", "b",
                         "--output", "o", "--lineage", "l"])
+
+
+def test_dedup_index_lifecycle_cli(spark, tmp_path):
+    """Round-3 verdict item #4: the persisted dedup-index lifecycle as
+    CLI maintenance modes. build(b1) -> probe(b2) finds the cross-batch
+    dup; merge(b2) -> compact; probing the UNION against the maintained
+    index then yields exactly the hits of a one-shot build+probe over
+    the union (the q18 invariant, incrementally)."""
+    from pmocr_spark.operators import dedup_index as di
+
+    b1 = [
+        ("a1", "the quick brown fox jumps over the lazy dog near the river bank today"),
+        ("a2", "completely unrelated text about cooking pasta with garlic and olive oil"),
+    ]
+    b2 = [
+        ("b1", "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        ("b2", "telescopes gather photons from distant galaxies revealing ancient light"),
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id string, text string")  # noqa: E731
+    mk(b1).write.parquet(str(tmp_path / "b1"))
+    mk(b2).write.parquet(str(tmp_path / "b2"))
+    mk(b1 + b2).write.parquet(str(tmp_path / "all"))
+    idx = str(tmp_path / "idx")
+
+    cli.main(["--build-dedup-index", idx, "--input", str(tmp_path / "b1"),
+              "--master", "local[4]"])
+    cli.main(["--probe-dedup-index", idx, "--input", str(tmp_path / "b2"),
+              "--output", str(tmp_path / "hits"), "--probe-broadcast", "force",
+              "--master", "local[4]"])
+    hits = {(r["doc_id"], r["dup_of"]) for r in
+            spark.read.parquet(str(tmp_path / "hits")).collect()}
+    assert hits == {("b1", "a1")}  # cross-batch near-dup, fresh doc clean
+
+    cli.main(["--merge-dedup-index", idx, "--input", str(tmp_path / "b2"),
+              "--master", "local[4]"])
+    cli.main(["--compact-dedup-index", idx, "--master", "local[4]"])
+
+    # maintained index == one-shot over the union: identical probe hits
+    index, params = di.read_index(spark, idx)
+    assert params["n_hashes"] == di.N_MINHASH  # sidecar survived the swaps
+    union = spark.read.parquet(str(tmp_path / "all"))
+    got = {(r["doc_id"], r["dup_of"]) for r in
+           di.probe_index(union, index, index_params=params).collect()}
+    oneshot_idx = di.build_index(union)
+    want = {(r["doc_id"], r["dup_of"]) for r in
+            di.probe_index(union, oneshot_idx, new_bands=oneshot_idx).collect()}
+    assert got == want and ("b1", "a1") in got
+
+    # mutually exclusive / missing-arg validation
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--build-dedup-index", idx, "--merge-dedup-index", idx])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--probe-dedup-index", idx, "--input", "x"])  # no --output
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--batch", "--build-dedup-index", idx, "--input", "x",
+                        "--blobs", "b", "--output", "o", "--lineage", "l"])

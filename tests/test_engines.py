@@ -1,0 +1,115 @@
+"""OCR engine adapters (pmocr_spark.engines): pmOCR's OCR_ENGINE switch
+(pmocr.sh:1825-1852 SetOCREngineOptions) as a registry of per-blob
+decode callables plugged into the fused extraction UDF. Tests drive the
+FULL CLI through an injected fake engine; the real tesseract adapter is
+exercised when its deps exist and pinned to a clear fast failure when
+they don't."""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from pmocr_spark import cli, codecs, engines
+
+
+def _have_tesseract() -> bool:
+    try:
+        import pytesseract  # noqa: F401
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return False
+    return shutil.which("tesseract") is not None
+
+
+def test_registry_and_unknown_engine():
+    names = engines.engine_names()
+    assert "codec" in names and "tesseract" in names
+    with pytest.raises(ValueError, match="unknown OCR engine"):
+        engines.decode_fn_for("abbyy")
+
+
+def test_codec_engine_is_the_default_codec():
+    fn = engines.decode_fn_for("codec")
+    blob = codecs.encode_image("hello engine", "png", salt="t")
+    assert fn(blob) == "hello engine"
+
+
+def test_tesseract_guarded_import():
+    """Without pytesseract/Pillow the adapter must fail FAST with an
+    actionable message (driver-side, not deep in an executor task)."""
+    if _have_tesseract():
+        pytest.skip("tesseract deps present; guarded-import path not reachable")
+    with pytest.raises(RuntimeError, match="pytesseract"):
+        engines.decode_fn_for("tesseract")
+
+
+@pytest.mark.skipif(not _have_tesseract(), reason="pytesseract/Pillow/tesseract absent")
+def test_tesseract_real_decode():  # pragma: no cover - env-dependent
+    """Real-OCR smoke: render a word with Pillow, recognize it back."""
+    import io
+
+    from PIL import Image, ImageDraw
+
+    img = Image.new("L", (220, 60), 255)
+    ImageDraw.Draw(img).text((10, 10), "HELLO", fill=0)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    out = engines.decode_fn_for("tesseract")(buf.getvalue())
+    assert "HELLO" in out.upper()
+
+
+def test_cli_engine_flag_runs_injected_fake_engine(corpus_dir, tmp_path):
+    """--engine routes the WHOLE batch pipeline through the selected
+    adapter: a registered fake engine (codec decode + a marker suffix)
+    must show up in every successfully OCR'd media span's output, and
+    the poison pill must still quarantine (error-as-data is engine-
+    independent)."""
+
+    def _fake_factory():
+        def decode(blob: bytes) -> str:
+            return codecs.decode_blob(blob) + " [fake-engine]"
+
+        return decode
+
+    engines.register_engine("fake", _fake_factory)
+    out, lineage = str(tmp_path / "out"), str(tmp_path / "lineage")
+    cli.main(
+        [
+            "--batch",
+            "--input", f"{corpus_dir}/documents.parquet",
+            "--blobs", f"{corpus_dir}/media_blobs.parquet",
+            "--output", out,
+            "--lineage", lineage,
+            "--targets", "txt",
+            "--engine", "fake",
+            "--master", "local[4]",
+        ]
+    )
+    rows = duckdb.sql(
+        f"SELECT status, txt FROM read_parquet('{out}/*.parquet')"
+    ).fetchall()
+    done = [t for s, t in rows if s == "done"]
+    assert len(done) > 0
+    # every done doc with a media span carries the fake engine's marker
+    marked = [t for t in done if "[fake-engine]" in t]
+    assert marked, "fake engine output never reached the txt target"
+    # poison pill still fails cleanly under a custom engine
+    assert any(s == "failed" for s, _t in rows)
+
+
+def test_cli_unknown_engine_fails_fast(corpus_dir, tmp_path):
+    with pytest.raises(ValueError, match="unknown OCR engine"):
+        cli.main(
+            [
+                "--batch",
+                "--input", f"{corpus_dir}/documents.parquet",
+                "--blobs", f"{corpus_dir}/media_blobs.parquet",
+                "--output", str(tmp_path / "o"),
+                "--lineage", str(tmp_path / "l"),
+                "--engine", "nope",
+                "--master", "local[2]",
+            ]
+        )
