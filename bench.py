@@ -396,6 +396,114 @@ def _run_scaling(tmp: str) -> dict:
     }
 
 
+# ------------------------------------------------------- span-join regimes
+
+#: corpus multiplier for the regime comparison (10x the headline bench:
+#: big enough that the span side is past comfortable-broadcast at real
+#: executor memory ratios, small enough to run per-round)
+REGIME_REPLICATE = int(os.environ.get("PMOCR_REGIME_REPLICATE", "10"))
+
+
+def _run_span_regimes(tmp: str, cpus: int) -> dict:
+    """Round-3 verdict item #6: exercise the POST-broadcast span-join
+    regimes at a larger corpus — the same media-span/blob join + fused
+    decode in its three strategies:
+
+      broadcast — spans broadcast, blob bytes stay in place (the
+                  default while the per-batch span set fits);
+      shuffle   — both sides exchange on media_ref (the naive
+                  full-corpus fallback; blob BYTES cross the wire);
+      bucketed  — both tables pre-bucketed by media_ref: the join runs
+                  Exchange-free (the 10^12-doc substrate).
+
+    Evidence recorded per regime: wall sec, shuffle-write MB from the
+    stage-metric delta (the blob-bytes-never-shuffle proof: broadcast
+    and bucketed stay near zero while shuffle carries the blob corpus),
+    and for bucketed the plan's Exchange count (must be 0) plus the
+    one-off bucket-write setup cost."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark import corpus as _corpus
+    from pmocr_spark import pipeline, udfs
+    from pmocr_spark.operators import bucketed as bk
+    from pmocr_spark.plans import shape
+
+    big = os.path.join(tmp, "regime")
+    n_docs = _corpus.write_replicated(
+        big, base_docs=OCR_BENCH_DOCS, times=REGIME_REPLICATE, seed=42
+    )
+    spark = _make_spark(
+        cpus, extra={"spark.ui.enabled": "true", "spark.ui.showConsoleProgress": "false"}
+    )
+    _warm_python_workers(spark, big)
+    docs = spark.read.parquet(f"{big}/documents.parquet")
+    blobs = spark.read.parquet(f"{big}/media_blobs.parquet")
+    media_spans = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+        .filter(F.col("kind") != "text")
+    )
+    blob_cols = blobs.select("media_ref", "content")
+
+    def decode_force(joined) -> None:
+        _force(
+            joined.withColumn("ocr", udfs.ocr_extract(F.col("content"))).select(
+                "doc_id", "offset", F.col("ocr.text").alias("text")
+            )
+        )
+
+    def joined_for(regime):
+        if regime == "broadcast":
+            return blob_cols.join(F.broadcast(media_spans), "media_ref", "inner")
+        if regime == "shuffle":
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            salted = pipeline.salted_repartition(media_spans, n_part, "doc_id", "offset")
+            return salted.join(blob_cols, "media_ref", "inner")
+        return bk.bucketed_join(spark, *_bucket_tables)
+
+    out: dict = {"docs": n_docs, "replicate": REGIME_REPLICATE}
+    t0 = time.time()
+    _bucket_tables = bk.write_bucketed(spark, docs, blobs, n_buckets=max(cpus, 8))
+    out["bucketed_setup_sec"] = round(time.time() - t0, 3)
+    for regime in ("broadcast", "shuffle", "bucketed"):
+        # shuffle/bucketed ARE the post-broadcast regimes: kill the
+        # auto-broadcast threshold there so AQE cannot quietly rescue
+        # the small bench corpus with a span broadcast — at 10^12 docs
+        # there is nothing to rescue with, and the measurement must show
+        # what each strategy actually moves (broadcast regime keeps the
+        # default threshold: the hinted span broadcast IS its plan)
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            "10485760" if regime == "broadcast" else "-1",
+        )
+        j = joined_for(regime)
+        if regime == "bucketed":
+            out["bucketed_join_exchanges"] = shape.count_exchanges(j)
+        before = _stage_snapshot(spark)
+        t0 = time.time()
+        decode_force(j)
+        dt = time.time() - t0
+        time.sleep(0.5)
+        delta = _stage_delta(spark, before, _stage_snapshot(spark))
+        out[regime] = {
+            "sec": round(dt, 3),
+            "spans_per_sec": round(4 * n_docs / dt, 1),
+            "shuffle_write_mb": delta["shuffle_write_mb"],
+            "tasks": delta["tasks"],
+        }
+        _log(
+            f"span-regime {regime}: {dt:.2f}s, "
+            f"shuffle {delta['shuffle_write_mb']} MB"
+        )
+    spark.stop()
+    return out
+
+
 def _prep_ocr_corpus(tmp: str, n_docs: int) -> None:
     from pmocr_spark import corpus
 
@@ -481,12 +589,19 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scaling = "--scaling" in sys.argv
     write_md = "--write-md" in sys.argv
+    span_regimes = "--span-regimes" in sys.argv
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     with tempfile.TemporaryDirectory(prefix="pmocr_bench_") as tmp:
         _prep_ocr_corpus(tmp, OCR_BENCH_DOCS)
 
         result: dict = {"metric": "headline_suite_sec", "unit": "sec", "sf": sf}
+
+        if span_regimes:
+            result["span_regimes"] = _run_span_regimes(tmp, cpus)
+            os.makedirs("BENCH", exist_ok=True)
+            with open("BENCH/span_regimes.json", "w") as f:
+                json.dump(result["span_regimes"], f, indent=1)
 
         if scaling:
             result["scaling"] = _run_scaling(tmp)

@@ -1831,10 +1831,20 @@ def q37_global_rank_scalable(spark, sf_dir):
 
     Deterministic regardless of where the range sampler draws boundaries:
     the offsets are computed from the actual partition sizes, and the
-    (o_totalprice, o_orderkey) key is unique so row_number == rank."""
+    (o_totalprice, o_orderkey) key is unique so row_number == rank.
+
+    `parts` is MATERIALIZED (iter_checkpoint) before the two consuming
+    branches: both `local` and the offsets agg must see the SAME range
+    exchange — planned separately, the range sampler could draw
+    different boundaries per branch and misalign _pid against _off
+    (round-3 ADVICE)."""
+    from .operators.graph import iter_checkpoint
+
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     key = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
-    parts = o.repartitionByRange(16, *key).withColumn("_pid", F.spark_partition_id())
+    parts = iter_checkpoint(
+        o.repartitionByRange(16, *key).withColumn("_pid", F.spark_partition_id())
+    )
     w_local = W.partitionBy("_pid").orderBy(*key)
     local = parts.withColumn("_lr", F.row_number().over(w_local))
     sizes = local.groupBy("_pid").agg(F.count("*").alias("_n"))
@@ -2163,8 +2173,15 @@ def q46_pack_sequences(spark, sf_dir):
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
     )
-    parts = t.repartitionByRange(16, F.col("doc_id").asc()).withColumn(
-        "_pid", F.spark_partition_id()
+    # materialized before the two consuming branches so both see the
+    # same range boundaries / _pid assignment (round-3 ADVICE; same
+    # pinning as q37)
+    from .operators.graph import iter_checkpoint
+
+    parts = iter_checkpoint(
+        t.repartitionByRange(16, F.col("doc_id").asc()).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     w_local = W.partitionBy("_pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
     local = parts.withColumn("_lcum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)))

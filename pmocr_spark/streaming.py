@@ -224,8 +224,14 @@ def monitor(
             if metrics_dir is not None:
                 # per-partition skew report over the full lineage (incl.
                 # this epoch) — the north-rule observability story for
-                # the long-running mode; overwrite: it is a derived view
-                full = ckpt.read_checkpoint(spark, lineage_dir)
+                # the long-running mode; overwrite: it is a derived view.
+                # Reuse the ALREADY-READ prior lineage (persisted above,
+                # replay-filtered) + this epoch's rows instead of
+                # re-reading the whole table — the re-read was an
+                # O(total history) scan per epoch, the same unbounded
+                # growth the checkpoint_rows semi-join avoids (round-3
+                # ADVICE).
+                full = rows if lineage is None else lineage.unionByName(rows)
                 ckpt.partition_metrics(full).write.mode("overwrite").parquet(metrics_dir)
         finally:
             results.unpersist()

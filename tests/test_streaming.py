@@ -430,3 +430,104 @@ def test_alert_docs_counts_full_batch_and_metrics_report(spark, dirs, tmp_path):
     m = spark.read.parquet(metrics).collect()
     assert sum(r["docs"] for r in m) == 2  # poison-1 (e0) + poison-2 (e1)
     assert all(r["failed_docs"] >= 0 for r in m)
+
+
+@pytest.mark.parametrize("n_dirs", [1, 2])
+def test_once_vs_processing_time_parity(spark, tmp_path, n_dirs):
+    """Round-3 verdict item #8: a --once (AvailableNow) reconciliation
+    pass must emit the SAME per-epoch alert rows, lineage verdicts and
+    partition-metrics totals as the resident ProcessingTime poller, per
+    monitored dir — the cron-able W4 pass is a drop-in for the W2
+    poller, not a different pipeline. Parametrized over 1 monitored dir
+    (--input) and 2 (--monitor), both through the real CLI wiring
+    (launch_monitors)."""
+    import pyarrow as pa
+
+    from pmocr_spark import cli, codecs
+
+    def doc(doc_id, ref=None, text=None):
+        kind = "text" if text is not None else "tif"
+        return {"doc_id": doc_id,
+                "spans": [{"kind": kind, "text": text, "media_ref": ref, "offset": 0}]}
+
+    blobs_rows = [
+        {"media_ref": "b:ok", "kind": "tif", "content": codecs.encode_image("fine", "tiff", salt="x")},
+        {"media_ref": "b:poison", "kind": "tif", "content": codecs.encode_corrupt("b:poison")},
+    ]
+    pq.write_table(pa.Table.from_pylist(blobs_rows, schema=corpus.BLOBS_SCHEMA),
+                   f"{tmp_path}/blobs.parquet")
+    blobs = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    drop_rows = [doc("ok-1", ref="b:ok"), doc("bad-1", ref="b:poison"),
+                 doc("txt-1", text="plain span")]
+
+    def run(mode):
+        base = tmp_path / mode
+        lands = []
+        for i in range(n_dirs):
+            land = base / f"land{i}"
+            os.makedirs(land)
+            pq.write_table(pa.Table.from_pylist(drop_rows, schema=corpus.DOCUMENTS_SCHEMA),
+                           f"{land}/drop.parquet")
+            lands.append(str(land))
+        argv = ["--service", "--blobs", f"{tmp_path}/blobs.parquet",
+                "--output", str(base / "out"), "--lineage", str(base / "lin"),
+                "--stream-checkpoint", str(base / "ck"),
+                "--alerts", str(base / "alerts"), "--metrics", str(base / "metrics")]
+        if n_dirs == 1:
+            argv += ["--input", lands[0]]
+        else:
+            argv += [f"--monitor={lands[0]}=txt,csv", f"--monitor={lands[1]}=txt,csv"]
+        args = cli.parse_args(argv)
+        trigger = ({"availableNow": True} if mode == "once"
+                   else {"processingTime": "1 second"})
+        qs = cli.launch_monitors(spark, args, blobs, "2024-01-01 00:00:00", "_OCR",
+                                 trigger=trigger)
+        if mode == "once":
+            for _name, q in qs:
+                q.awaitTermination(120)
+        else:
+            import time
+
+            deadline = time.time() + 120
+            names = [n or "" for n, _q in qs]
+            want = [str(base / "alerts" / n) if n else str(base / "alerts") for n in names]
+            while time.time() < deadline and not all(
+                os.path.isdir(f"{w}/epoch-0") and
+                any(f.endswith(".parquet") for f in os.listdir(f"{w}/epoch-0"))
+                for w in want
+            ):
+                time.sleep(1)
+            for _name, q in qs:
+                q.stop()
+        sub = lambda base_, n: f"{base_}/{n}" if n else str(base_)  # noqa: E731
+        out = {}
+        for name in ([None] if n_dirs == 1 else [os.path.basename(d) for d in lands]):
+            n = name or ""
+            lin = ckpt.read_checkpoint(spark, sub(base / "lin", n))
+            out[n or "solo", "lineage"] = sorted(
+                (r["doc_id"], r["status"], r["error"], r["retry_count"])
+                for r in lin.collect()
+            )
+            alerts = _read_epochs(spark, sub(base / "alerts", n))
+            out[n or "solo", "alerts"] = sorted(
+                (r["epoch_id"], r["docs"], r["failed_docs"], r["first_error"])
+                for r in alerts.collect()
+            )
+            m = spark.read.parquet(sub(base / "metrics", n)).collect()
+            out[n or "solo", "metrics"] = (
+                sum(r["docs"] for r in m),
+                sum(r["spans"] for r in m),
+                sum(r["failed_docs"] for r in m),
+            )
+        return out
+
+    once, proc = run("once"), run("proc")
+    assert once == proc, f"\nonce: {once}\nproc: {proc}"
+    # and the content is the expected verdicts, not vacuous equality
+    for (_n, kind), v in once.items():
+        if kind == "lineage":
+            assert {d: s for d, s, _e, _rc in v} == {
+                "ok-1": "done", "bad-1": "failed", "txt-1": "done"
+            }
+        elif kind == "alerts":
+            assert [(e, d, f) for e, d, f, _err in v] == [(0, 3, 1)]
