@@ -856,26 +856,50 @@ def _norm_embeddings(spark, sf_dir):
     return _cached_df(spark, sf_dir, "embeddings.parquet", "norm_embeddings", build)
 
 
+def _argmax_assign(v, cent):
+    """Map-side nearest-centroid assignment (round 4; replaces the
+    crossJoin -> k-fold row blowup -> Window(vec_id) shuffle -> rn=1
+    shape): ALL centroids pack into ONE array column (single-row
+    collect_list agg, broadcast), and each vector computes its argmax
+    with array expressions — cosine per centroid via zip_with/aggregate,
+    then array_max over (csim, -cent_id, cent_id) structs, whose
+    lexicographic ordering reproduces the old window's exact tie-break
+    (highest csim, then smallest cent_id). The assignment stage is now
+    PURE MAP: zero shuffles, zero row amplification — at 10^12 vectors
+    the old shape shuffled k x corpus window rows per assignment pass;
+    this shape shuffles nothing. (Spark MLlib's k-means broadcasts
+    centroid arrays the same way.)
+
+    `cent` must have (cent_id, ce, cn) = id, vector, norm."""
+    packed = cent.agg(F.collect_list(F.struct("cent_id", "ce", "cn")).alias("cs"))
+
+    def score(c):
+        dot = F.aggregate(
+            F.zip_with(F.col("e"), c["ce"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            (dot / (F.col("nrm") * c["cn"])).alias("csim"),
+            (-c["cent_id"]).alias("ncid"),
+            c["cent_id"].alias("cid"),
+        )
+
+    best = F.array_max(F.transform(F.col("cs"), score))
+    return v.crossJoin(F.broadcast(packed)).select(
+        "vec_id", best["cid"].alias("cluster_id")
+    )
+
+
 def _ivf_assign(v, n_cent: int = 8):
     """IVF cluster assignment: nearest of the first n_cent vectors as
-    fixed centroids (deterministic — no kmeans RNG). Broadcast-centroid
-    cross product + per-vector argmax: map-side only, no shuffle of the
-    embedding table. Shared by q20 (near-dup blocking) and q22 (ANN)."""
+    fixed centroids (deterministic — no kmeans RNG), via the map-side
+    argmax (_argmax_assign). Shared by q20 (near-dup blocking) and q22
+    (ANN)."""
     cent = v.filter(F.col("vec_id") < n_cent).select(
         F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
-    dot_c = F.aggregate(
-        F.zip_with("e", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    scored = v.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cent_id", (dot_c / (F.col("nrm") * F.col("cn"))).alias("csim")
-    )
-    wbest = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cent_id")
-    return (
-        scored.select("vec_id", "cent_id", F.row_number().over(wbest).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cluster_id"))
-    )
+    return _argmax_assign(v, cent)
 
 
 _ANN_ORACLE_COMMON = """
@@ -1647,20 +1671,15 @@ def q33_ann_ivf_kmeans(spark, sf_dir):
     v = _norm_embeddings(spark, sf_dir)
 
     def assign_to(cent):
-        dot_c = F.aggregate(
-            F.zip_with("e", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
+        # map-side argmax assignment (_argmax_assign): each Lloyd pass
+        # is now shuffle-free — the old crossJoin+Window shape paid an
+        # 8x row blowup plus one Window(vec_id) exchange PER ITERATION
         cnrm = F.sqrt(
             F.aggregate(F.transform("ce", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
         )
-        scored = v.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cid", (dot_c / (F.col("nrm") * cnrm)).alias("csim")
-        )
-        wbest = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
-        return (
-            scored.select("vec_id", "cid", F.row_number().over(wbest).alias("rn"))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("cluster_id"))
+        return _argmax_assign(
+            v,
+            cent.select(F.col("cid").alias("cent_id"), "ce", cnrm.alias("cn")),
         )
 
     cent = v.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))

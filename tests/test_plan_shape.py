@@ -84,6 +84,16 @@ def test_q20_neardup_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_assign_no_window(spark):
+    """Round-4 argmax assignment: nearest-centroid assignment is a pure
+    map (array_max over a broadcast centroid array), so q20 — whose only
+    window before was the assignment's rn=1 — must plan with ZERO Window
+    operators. The old crossJoin+Window shape shuffled k x corpus rows
+    per assignment pass."""
+    plan = shape.formatted_plan(QUERY_FNS["q20_embedding_neardup"](spark, SF))
+    assert "Window" not in plan, plan
+
+
 def test_shingles_no_window_exchange(spark):
     """Shingle construction pairs neighbors via array ops inside the scan
     stage — a Window(doc_id) here would add a whole Exchange purely to
