@@ -239,6 +239,17 @@ def build_parser() -> argparse.ArgumentParser:
         "every executor). Additional engines via "
         "engines.register_engine().",
     )
+    p.add_argument(
+        "--dedup-index",
+        default=None,
+        metavar="DIR",
+        help="service mode: cross-epoch near-dup suppression — each "
+        "epoch's extracted docs are probed against the persisted "
+        "banded-MinHash index at DIR (built up epoch by epoch, "
+        "replay-idempotent); near-dup docs get a non-null dup_of column "
+        "in the epoch output. Per-monitor subdirs with --monitor. "
+        "Compact periodically with --compact-dedup-index DIR.",
+    )
     p.add_argument("--alerts", default=None, help="alert table dir (S7; service mode)")
     p.add_argument("--stream-checkpoint", default=None, help="streaming offsets dir (service)")
     p.add_argument("--master", default=None, help="override spark master (default from env)")
@@ -401,6 +412,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         parser.error("--monitor requires --service (pmOCR's per-dir OCR_service)")
     if args.once and not args.service:
         parser.error("--once is a service-mode reconciliation pass (W4); use with --service")
+    if args.dedup_index and not args.service:
+        parser.error(
+            "--dedup-index is the service-mode cross-epoch near-dup pass; "
+            "batch runs use the standalone --build/--probe-dedup-index modes"
+        )
     if args.raw and args.service:
         parser.error(
             "--raw is batch-only (no binaryFile streaming source); "
@@ -494,6 +510,7 @@ def launch_monitors(spark, args, blobs, job_ts: str, suffix: str, trigger: dict,
             broadcast_spans=(args.span_join != "shuffle"),
             num_partitions=args.num_partitions,
             ocr_udf=ocr_udf,
+            dedup_index_dir=sub(args.dedup_index) if args.dedup_index else None,
         )
         queries.append((name, q))
     return queries

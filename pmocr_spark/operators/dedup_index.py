@@ -258,7 +258,10 @@ def read_index(spark, path: str) -> tuple[DataFrame, dict]:
     reads with the defaults and a params['source']='defaults' marker."""
     import json
 
-    df = spark.read.parquet(path)
+    # recursiveFileLookup: the streaming monitor's index accumulates one
+    # epoch-keyed subdir per trigger (replay-idempotent overwrites);
+    # flat (CLI-built / compacted) layouts read identically under it
+    df = spark.read.option("recursiveFileLookup", "true").parquet(path)
     jvm = spark._jvm  # noqa: SLF001
     hp = jvm.org.apache.hadoop.fs.Path(f"{path}/_dedup_index_meta.json")
     fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001

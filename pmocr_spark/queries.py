@@ -1067,9 +1067,14 @@ def q23_lang_id(spark, sf_dir):
     return s.select("doc_id", pred.alias("pred_lang"))
 
 
+#: corpus-LM vocabulary size for q24's coverage score: a doc's bigrams
+#: are checked against the corpus's top-K most frequent bigrams
+_LM_VOCAB_K = 1000
+
+
 @query(
     "q24_quality_score",
-    """
+    f"""
     WITH f AS (
       SELECT doc_id,
              n_chars,
@@ -1077,19 +1082,45 @@ def q23_lang_id(spark, sf_dir):
              len(regexp_extract_all(text, '[.,;:!?]'))              AS n_punct,
              cast(floor((length(lower(text)) - length(replace(lower(text), ' the ', '')))
                   / 5) AS BIGINT)                                   AS n_stop
-      FROM documents)
-    SELECT doc_id, n_tokens,
+      FROM documents),
+    t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) bg
+      FROM t),
+    topv AS (
+      SELECT bg FROM (
+        SELECT bg, row_number() OVER (ORDER BY count(*) DESC, bg ASC) AS rn
+        FROM g GROUP BY bg) WHERE rn <= {_LM_VOCAB_K}),
+    pd AS (SELECT doc_id, count(*) AS n_bg FROM g GROUP BY doc_id),
+    hit AS (SELECT doc_id, count(*) AS n_hit FROM g JOIN topv USING (bg) GROUP BY doc_id)
+    SELECT f.doc_id, n_tokens,
            round(n_punct * 1.0 / n_tokens, 4)                       AS punct_ratio,
            round(n_stop * 1.0 / n_tokens, 4)                        AS stop_ratio,
            round(n_chars * 1.0 / n_tokens, 4)                       AS avg_tok_len,
            round(1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * (n_stop * 1.0 / n_tokens)
-                 - 1.5 * (n_punct * 1.0 / n_tokens) - 0.5))), 4)    AS quality
-    FROM f
+                 - 1.5 * (n_punct * 1.0 / n_tokens) - 0.5))), 4)    AS quality,
+           round(coalesce(n_hit, 0) * 1.0 / n_bg, 4)                AS common_bigram_frac
+    FROM f LEFT JOIN pd ON f.doc_id = pd.doc_id
+           LEFT JOIN hit ON f.doc_id = hit.doc_id
     """,
 )
 def q24_quality_score(spark, sf_dir):
-    """Quality scoring: length/punct/stopword features -> logistic score
-    (Gopher/C4-style heuristic filters, deterministic arithmetic)."""
+    """Quality scoring family: length/punct/stopword features ->
+    logistic score (Gopher/C4-style heuristic filters, deterministic
+    arithmetic) PLUS a corpus-LM coverage score (round 4) — the
+    CCNet-style 'how typical is this document under the corpus language
+    model' signal, stated as the fraction of the doc's bigram
+    occurrences found in the corpus's top-1000 bigram vocabulary.
+    Gibberish/OCR-garbage docs score near 0, ordinary prose high. The
+    coverage form keeps exact cross-engine parity: integer counts and
+    ONE division per doc — a log-prob sum would be float-summation-
+    order-dependent and could never hash-match the oracle.
+
+    Scale: vocabulary = one count agg + TakeOrderedAndProject (q44's
+    top-k shape, never a global sort) -> broadcast to the per-doc
+    membership join; two keyed aggs on near-unique (doc) keys. Docs
+    with < 2 tokens have no bigrams -> NULL coverage (both engines)."""
     d = _t(spark, sf_dir, "documents")
     lt = F.lower(F.col("text"))
     f = d.select(
@@ -1101,6 +1132,24 @@ def q24_quality_score(spark, sf_dir):
         .cast("long")
         .alias("n_stop"),
     )
+    grams = _ngram_rows(d, 2, "bg")
+    topv = (
+        grams.groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bg").asc())
+        .limit(_LM_VOCAB_K)
+        .select("bg")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_bg"))
+    hits = grams.join(F.broadcast(topv), "bg").groupBy("doc_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    coverage = per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_bg"), 4).alias(
+            "common_bigram_frac"
+        ),
+    )
     punct_ratio = F.col("n_punct") / F.col("n_tokens")
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
     quality = 1.0 / (
@@ -1109,13 +1158,14 @@ def q24_quality_score(spark, sf_dir):
             -(0.002 * F.col("n_chars") + 2.0 * stop_ratio - 1.5 * punct_ratio - 0.5)
         )
     )
-    return f.select(
+    return f.join(coverage, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias("avg_tok_len"),
         F.round(quality, 4).alias("quality"),
+        "common_bigram_frac",
     )
 
 

@@ -67,6 +67,71 @@ def _has_committed_offsets(spark: SparkSession, checkpoint_dir: str) -> bool:
         return os.path.isdir(d) and bool(os.listdir(d))
 
 
+def _epoch_dedup(spark, results: DataFrame, index_dir: str, epoch_id: int) -> DataFrame:
+    """Cross-epoch near-dup pass for one streaming micro-batch (see the
+    monitor docstring): probe this epoch's successfully extracted txt
+    against the prior-epoch band index, persist this epoch's bands, and
+    return (doc_id, dup_of) for the batch's near-dup docs.
+
+    Replay idempotence: bands carry an `epoch` column and land in an
+    epoch-keyed subdir with mode=overwrite; the probe filters
+    epoch < epoch_id, so a crash-replay of epoch E neither sees E's
+    crashed bands nor duplicates them. The index accumulates one subdir
+    per epoch; the CLI's --compact-dedup-index flattens and caps it
+    (read_index uses recursiveFileLookup, so both layouts read)."""
+    from .operators import dedup_index as di
+
+    txt_docs = results.filter(F.col("status") == "done").select(
+        "doc_id", F.col("txt").alias("text")
+    )
+    try:
+        prior, params = di.read_index(spark, index_dir)
+        if "epoch" in prior.columns:  # CLI-built flat indexes have no epoch col
+            prior = prior.filter(F.col("epoch") < epoch_id)
+        have_index = True
+    except Exception:  # noqa: BLE001 — first epoch: no index dir yet
+        prior, params = None, {
+            "n_hashes": di.N_MINHASH,
+            "band_size": di.BAND_SIZE,
+            "max_bucket": di.MAX_BAND_BUCKET,
+        }
+        have_index = False
+    band_kwargs = {
+        k: params[k] for k in ("n_hashes", "band_size", "max_bucket") if k in params
+    }
+    new_bands = di.build_index(txt_docs, **band_kwargs).persist()
+    if have_index:
+        hits = di.probe_index(
+            txt_docs,
+            prior,
+            new_bands=new_bands,
+            broadcast_probe=True,  # one micro-batch: the small regime
+            index_params=params,
+            **band_kwargs,
+        )
+        # deterministic keeper per dup doc: the smallest matched id
+        dup_map = hits.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
+    else:
+        dup_map = spark.createDataFrame([], "doc_id string, dup_of string")
+    dup_map = dup_map.persist()
+    dup_map.count()  # materialize BEFORE the index gains this epoch's rows
+    keepers = new_bands.join(dup_map.select("doc_id"), "doc_id", "left_anti")
+    (
+        keepers.withColumn("epoch", F.lit(epoch_id).cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/epoch-{epoch_id}")
+    )
+    # drop the session's cached file listing for the index path: a
+    # replayed epoch's overwrite replaces part files, and a stale
+    # FileStatusCache entry would make the next epoch's read fail with
+    # FILE_NOT_EXIST on the old file names
+    spark.catalog.refreshByPath(index_dir)
+    if not have_index:
+        di.write_meta(spark, index_dir, params)
+    new_bands.unpersist()
+    return dup_map
+
+
 def monitor(
     spark: SparkSession,
     input_dir: str,
@@ -89,6 +154,7 @@ def monitor(
     allow_lineage_takeover: bool = False,
     metrics_dir: str | None = None,
     ocr_udf=None,
+    dedup_index_dir: str | None = None,
 ):
     """Start the streaming monitor over a landing directory of parquet
     document files. Returns the StreamingQuery.
@@ -114,6 +180,21 @@ def monitor(
       >= alert_threshold failed docs and alerts_dir is set, one alert row
       (run_id, epoch_id, failed_docs, docs, first_error, ts) is written —
       idempotent per epoch, same overwrite scheme.
+    - cross-epoch near-dup suppression (round 4): with dedup_index_dir
+      set, every epoch's successfully extracted documents are probed
+      against the persisted banded-MinHash index (operators/dedup_index)
+      built from ALL PRIOR epochs; near-dup docs get a non-null `dup_of`
+      column in the epoch output (annotate, not drop — downstream
+      filters on dup_of IS NULL), and the batch's keeper bands are added
+      to the index. Replay-idempotent: bands land in an `epoch-E`
+      subdir with mode=overwrite and carry an `epoch` column, and the
+      probe reads only rows with epoch < E — a crash-replay of E can
+      never see its own crashed attempt's bands, so dup verdicts are
+      byte-identical on replay. Within-epoch dups are deliberately NOT
+      flagged here (the one-shot q18 path and the stateful exact dedup
+      cover intra-batch); this index catches the re-crawl across
+      triggers/days. Maintain the index with the CLI's
+      --compact-dedup-index (hot-bucket cap over the accumulated rows).
     """
     # Epoch-collision guard: run_id is the STREAM IDENTITY. A stream
     # restarted on a FRESH offsets checkpoint restarts epoch ids at 0;
@@ -187,6 +268,7 @@ def monitor(
             ocr_udf=ocr_udf,
         )
         results.persist()
+        dup_map = None
         try:
             out = pipeline.project_targets(
                 results,
@@ -195,6 +277,11 @@ def monitor(
                 suffix=suffix,
                 addition=filename_addition,
             )
+            if dedup_index_dir is not None:
+                dup_map = _epoch_dedup(
+                    spark, results, dedup_index_dir, epoch_id
+                )
+                out = out.join(dup_map, "doc_id", "left")
             out.write.mode("overwrite").parquet(f"{output_dir}/epoch-{epoch_id}")
             rows = ckpt.checkpoint_rows(results, run_id=epoch_run, job_ts=epoch_ts, prior=lineage)
             rows.write.mode("overwrite").parquet(f"{lineage_dir}/epoch-{epoch_id}")
@@ -235,6 +322,8 @@ def monitor(
                 ckpt.partition_metrics(full).write.mode("overwrite").parquet(metrics_dir)
         finally:
             results.unpersist()
+            if dup_map is not None:
+                dup_map.unpersist()
             if lineage is not None:
                 lineage.unpersist()
 

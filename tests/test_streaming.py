@@ -531,3 +531,76 @@ def test_once_vs_processing_time_parity(spark, tmp_path, n_dirs):
             }
         elif kind == "alerts":
             assert [(e, d, f) for e, d, f, _err in v] == [(0, 3, 1)]
+
+
+def test_cross_epoch_dedup_index(spark, dirs, tmp_path):
+    """Round-4: --dedup-index in service mode. Epoch 0 establishes the
+    index from its extracted docs; epoch 1 drops a near-copy of an
+    epoch-0 doc plus a fresh doc — the near-copy gets dup_of pointing
+    at the epoch-0 keeper, the fresh doc stays null, and the verdicts
+    are byte-identical on a replay of the same epoch (band rows carry
+    the epoch id; the probe reads strictly-earlier epochs only)."""
+    import pyarrow as pa
+
+    A = "the quick brown fox jumps over the lazy dog near the river bank today"
+    A2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    B = "completely unrelated text about cooking pasta with garlic and olive oil"
+    C = "telescopes gather photons from distant galaxies revealing ancient light"
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]}
+
+    pq.write_table(pa.Table.from_pylist([], schema=corpus.BLOBS_SCHEMA),
+                   f"{tmp_path}/blobs.parquet")
+    media = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    idx_dir = str(tmp_path / "dedup_idx")
+
+    def run(drop_name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=corpus.DOCUMENTS_SCHEMA),
+                       f"{dirs['landing']}/{drop_name}.parquet")
+        q = streaming.monitor(
+            spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+            dirs["lineage"], trigger={"availableNow": True},
+            dedup_index_dir=idx_dir,
+        )
+        q.awaitTermination(120)
+
+    run("drop0", [doc("e0-a", A), doc("e0-b", B)])
+    e0 = {r["doc_id"]: r["dup_of"]
+          for r in spark.read.parquet(f"{dirs['output']}/epoch-0").collect()}
+    assert e0 == {"e0-a": None, "e0-b": None}
+
+    run("drop1", [doc("e1-dup", A2), doc("e1-new", C)])
+    e1 = {r["doc_id"]: r["dup_of"]
+          for r in spark.read.parquet(f"{dirs['output']}/epoch-1").collect()}
+    assert e1 == {"e1-dup": "e0-a", "e1-new": None}
+
+    # the index accumulated both epochs' keeper bands (dup doc excluded)
+    from pmocr_spark.operators import dedup_index as di
+
+    idx, params = di.read_index(spark, idx_dir)
+    assert set(r["doc_id"] for r in idx.select("doc_id").distinct().collect()) == {
+        "e0-a", "e0-b", "e1-new"
+    }
+    assert params["n_hashes"] == di.N_MINHASH  # sidecar written on first epoch
+    assert {r["epoch"] for r in idx.select("epoch").distinct().collect()} == {0, 1}
+    # snapshot NOW: the replay below rewrites epoch-0's part files, so
+    # this pre-replay DataFrame's file listing goes stale by design
+    idx_count = idx.count()
+
+    # replay of epoch 1 (wiped offsets, same input, same run_id) is
+    # byte-identical: same dup verdicts, no duplicated band rows
+    import shutil as _sh
+
+    _sh.rmtree(dirs["stream_ckpt"])
+    q = streaming.monitor(
+        spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+        dirs["lineage"], trigger={"availableNow": True}, dedup_index_dir=idx_dir,
+    )
+    q.awaitTermination(120)
+    e0r = {r["doc_id"]: r["dup_of"]
+           for r in spark.read.parquet(f"{dirs['output']}/epoch-0").collect()}
+    assert e0r == e0
+    idx2, _ = di.read_index(spark, idx_dir)
+    assert idx2.count() == idx_count  # overwrite, not append-duplicate
