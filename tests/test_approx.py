@@ -43,3 +43,35 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     }
     missed = exact - cand
     assert not missed, f"LSH missed high-sim pairs: {missed}"
+
+
+def test_argmax_assign_matches_window_argmax(spark):
+    """Property: the map-side _argmax_assign (array_max over packed
+    centroids) reproduces the old crossJoin+Window argmax exactly —
+    same nearest centroid, same (csim desc, cent_id asc) tie-break —
+    on the real embeddings table."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import _argmax_assign, _norm_embeddings
+
+    v = _norm_embeddings(spark, "/root/testdata/sf0.001")
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    got = {r["vec_id"]: r["cluster_id"] for r in _argmax_assign(v, cent).collect()}
+
+    dot = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", (dot / (F.col("nrm") * F.col("cn"))).alias("csim")
+    )
+    wbest = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cent_id")
+    want = {
+        r["vec_id"]: r["cent_id"]
+        for r in scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want and len(got) > 0

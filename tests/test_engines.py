@@ -113,3 +113,37 @@ def test_cli_unknown_engine_fails_fast(corpus_dir, tmp_path):
                 "--master", "local[2]",
             ]
         )
+
+
+def test_cli_engine_flag_service_mode(corpus_dir, tmp_path):
+    """--engine also routes every service-mode monitor: a --once pass
+    with the fake engine marks extracted media spans in epoch output."""
+    import os
+    import shutil
+
+    def _fake_factory():
+        def decode(blob: bytes) -> str:
+            return codecs.decode_blob(blob) + " [fake-engine]"
+
+        return decode
+
+    engines.register_engine("fake2", _fake_factory)
+    land = tmp_path / "land"
+    os.makedirs(land)
+    shutil.copy(f"{corpus_dir}/documents.parquet", land / "drop.parquet")
+    cli.main(
+        [
+            "--service", "--once",
+            "--input", str(land),
+            "--blobs", f"{corpus_dir}/media_blobs.parquet",
+            "--output", str(tmp_path / "out"),
+            "--lineage", str(tmp_path / "lin"),
+            "--stream-checkpoint", str(tmp_path / "ck"),
+            "--engine", "fake2",
+            "--master", "local[4]",
+        ]
+    )
+    rows = duckdb.sql(
+        f"SELECT status, txt FROM read_parquet('{tmp_path}/out/epoch-0/*.parquet')"
+    ).fetchall()
+    assert any("[fake-engine]" in t for s, t in rows if s == "done" and t)
