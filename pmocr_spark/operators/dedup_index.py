@@ -129,8 +129,13 @@ def build_index(
 ) -> DataFrame:
     """(id, band, key) index rows for a document frame: 3-gram shingles
     -> banded MinHash. Persist the result as the corpus dedup index
-    (bucket by (band, key) for shuffle-free probes at scale)."""
-    sh = ngram_rows(docs, 3, "shingle", id_col=id_col, text_col=text_col).distinct()
+    (bucket by (band, key) for shuffle-free probes at scale).
+
+    No shingle distinct (round 4): duplicate shingles cannot change a
+    min-hash, and the signature groupBy's map-side combiner absorbs them
+    — the former .distinct() was a full exchange of the largest
+    intermediate for identical output."""
+    sh = ngram_rows(docs, 3, "shingle", id_col=id_col, text_col=text_col)
     return minhash_bands(sh, id_col=id_col, **band_kwargs)
 
 

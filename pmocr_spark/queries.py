@@ -517,14 +517,22 @@ def _ngram_rows(d: DataFrame, n_words: int, alias: str = "ng") -> DataFrame:
     return ngram_rows(d, n_words, alias)
 
 
-def _shingles_df(spark, sf_dir, max_doc: int | None = None):
-    """Distinct 3-gram word shingles as exploded rows (doc_id, shingle).
-    distinct() is the only shuffle, and the downstream aggs need one on
-    (doc_id/shingle) anyway."""
+def _shingles_df(spark, sf_dir, max_doc: int | None = None, distinct: bool = True):
+    """3-gram word shingles as exploded rows (doc_id, shingle).
+
+    distinct=True (q17's Jaccard) gives SET semantics — intersection /
+    union counts change with duplicates, so the dedup shuffle is part of
+    the operator. distinct=False (q18's MinHash, round 4) skips it:
+    duplicate shingles cannot change a min-hash, so the distinct was a
+    full exchange of the largest intermediate bought for nothing — the
+    groupBy(doc_id) signature agg's map-side combiner absorbs the
+    duplicates for free. (Both DuckDB oracles already state the
+    matching semantics: q17's CTE dedups, q18's does not.)"""
     d = _t(spark, sf_dir, "documents")
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
-    return _ngram_rows(d, 3, "shingle").distinct()
+    sh = _ngram_rows(d, 3, "shingle")
+    return sh.distinct() if distinct else sh
 
 
 @query(
@@ -659,7 +667,7 @@ def q18_minhash_lsh(spark, sf_dir):
     fan-out (standard LSH practice)."""
     from .operators.dedup_index import minhash_bands
 
-    sh = _shingles_df(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir, distinct=False)  # min() ignores dups
     bands = minhash_bands(
         sh,
         n_hashes=_N_MINHASH,
