@@ -604,3 +604,68 @@ def test_cross_epoch_dedup_index(spark, dirs, tmp_path):
     assert e0r == e0
     idx2, _ = di.read_index(spark, idx_dir)
     assert idx2.count() == idx_count  # overwrite, not append-duplicate
+
+
+def test_dedup_index_per_monitor_namespacing(spark, dirs, tmp_path):
+    """--dedup-index with --monitor: each monitored dir gets its OWN
+    index namespace (like output/lineage/alerts) — a doc that dups an
+    epoch-0 doc of monitor A is flagged in A but a copy landing in
+    monitor B (whose index never saw it) is not."""
+    import pyarrow as pa
+
+    from pmocr_spark import cli
+
+    A = "the quick brown fox jumps over the lazy dog near the river bank today"
+    A2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]}
+
+    pq.write_table(pa.Table.from_pylist([], schema=corpus.BLOBS_SCHEMA),
+                   f"{tmp_path}/blobs.parquet")
+    blobs = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    d_a = os.path.join(dirs["landing"], "ma")
+    d_b = os.path.join(dirs["landing"], "mb")
+    os.makedirs(d_a)
+    os.makedirs(d_b)
+    idx_base = str(tmp_path / "didx")
+
+    args = cli.parse_args(
+        ["--service",
+         "--monitor", f"{d_a}=txt", "--monitor", f"{d_b}=txt",
+         "--blobs", f"{tmp_path}/blobs.parquet",
+         "--output", dirs["output"], "--lineage", dirs["lineage"],
+         "--stream-checkpoint", dirs["stream_ckpt"],
+         "--dedup-index", idx_base]
+    )
+
+    def run_all():
+        qs = cli.launch_monitors(
+            spark, args, blobs, "2024-01-01 00:00:00", "_OCR",
+            trigger={"availableNow": True},
+        )
+        for _name, q in qs:
+            q.awaitTermination(120)
+
+    # epoch 0: A's corpus gets the original; B gets something unrelated
+    pq.write_table(pa.Table.from_pylist([doc("a-orig", A)], schema=corpus.DOCUMENTS_SCHEMA),
+                   f"{d_a}/drop0.parquet")
+    pq.write_table(pa.Table.from_pylist(
+        [doc("b-other", "completely unrelated text about cooking pasta tonight")],
+        schema=corpus.DOCUMENTS_SCHEMA), f"{d_b}/drop0.parquet")
+    run_all()
+    # epoch 1: the SAME near-copy lands in both monitors
+    pq.write_table(pa.Table.from_pylist([doc("a-dup", A2)], schema=corpus.DOCUMENTS_SCHEMA),
+                   f"{d_a}/drop1.parquet")
+    pq.write_table(pa.Table.from_pylist([doc("b-dup", A2)], schema=corpus.DOCUMENTS_SCHEMA),
+                   f"{d_b}/drop1.parquet")
+    run_all()
+
+    out_a = {r["doc_id"]: r["dup_of"]
+             for r in _read_epochs(spark, f"{dirs['output']}/ma").collect()}
+    out_b = {r["doc_id"]: r["dup_of"]
+             for r in _read_epochs(spark, f"{dirs['output']}/mb").collect()}
+    assert out_a["a-dup"] == "a-orig"      # flagged in A's namespace
+    assert out_b["b-dup"] is None          # B's index never saw A
+    assert os.path.isdir(f"{idx_base}/ma") and os.path.isdir(f"{idx_base}/mb")
