@@ -65,3 +65,46 @@ def test_read_media_dir_case_insensitive(spark, tmp_path):
     blobs = src.read_media_dir(spark, str(d)).collect()
     assert len(blobs) == 2
     assert {b["kind"] for b in blobs} == {"tif"}
+
+
+def test_package_zip_importable_for_py_files(tmp_path, corpus_dir):
+    """The spark-submit deployment story (README 'Deployment'): the
+    package must work imported FROM A ZIP exactly as --py-files ships
+    it — no __file__-relative resources, no import-time filesystem
+    assumptions. A subprocess puts ONLY the zip on sys.path and runs a
+    real (tiny) batch pipeline through it."""
+    import subprocess
+    import sys
+    import zipfile
+
+    zpath = tmp_path / "pmocr_spark.zip"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(os.path.join(root, "pmocr_spark")):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    src = f"""
+import sys
+sys.path.insert(0, {str(zpath)!r})
+import pmocr_spark  # from the zip
+assert pmocr_spark.__file__.startswith({str(zpath)!r}), pmocr_spark.__file__
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from pmocr_spark import pipeline
+docs = spark.read.parquet({f"{corpus_dir}/documents.parquet"!r}).limit(8)
+blobs = spark.read.parquet({f"{corpus_dir}/media_blobs.parquet"!r})
+out = pipeline.run_batch(spark, docs, blobs)
+n = out.count()
+assert n == 8, n
+print("ZIP-OK", n)
+spark.stop()
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", src], capture_output=True, text=True, timeout=300
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "ZIP-OK 8" in r.stdout
