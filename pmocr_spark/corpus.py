@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from . import codecs
+from .operators import html_extract
 
 WORDS = (
     "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
@@ -230,7 +231,7 @@ def reference_convert(documents: pa.Table, media_blobs: pa.Table) -> dict:
     blob_by_ref = {
         r["media_ref"]: r["content"] for r in media_blobs.to_pylist()
     }
-    allowed = set(codecs.MEDIA_KINDS) | {"text"}
+    allowed = set(codecs.MEDIA_KINDS) | set(html_extract.HTML_KINDS) | {"text"}
     out = {}
     for row in documents.to_pylist():
         doc_id = row["doc_id"]
@@ -254,7 +255,12 @@ def reference_convert(documents: pa.Table, media_blobs: pa.Table) -> dict:
                 try:
                     if blob is None:
                         raise codecs.CodecError("null media content (missing blob)")
-                    text = codecs.decode_blob(blob)
+                    # same content-magic dispatch as the fused UDF
+                    # (udfs.make_ocr_extract): html blobs -> extractor
+                    if html_extract.sniff_html(blob):
+                        text = html_extract.extract_main_blob(blob)
+                    else:
+                        text = codecs.decode_blob(blob)
                 except Exception as e:  # same exception surface as the UDF
                     # first-by-offset error convention (engine: F.get(..., 0))
                     if error is None:

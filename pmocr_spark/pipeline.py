@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .codecs import MEDIA_KINDS
+from .operators.html_extract import HTML_KINDS
 from .udfs import ocr_extract
 
 #: Spark-side mirror of codecs.normalize_text (JVM regex, no UDF).
@@ -168,7 +169,10 @@ def extract_spans(
     # Disallowed spans become kind='skipped' rows (no text, no error): the
     # doc still reassembles and checkpoints instead of vanishing from both
     # output and lineage (which would make resume reprocess it forever).
-    allowed = list(MEDIA_KINDS) + ["text"]
+    # html spans ride the media route (blob join -> fused UDF, which
+    # magic-dispatches them to the boilerplate-strip extractor) — same
+    # plan, zero extra scans (operators/html_extract.py)
+    allowed = list(MEDIA_KINDS) + list(HTML_KINDS) + ["text"]
     skipped = spans.filter(~F.col("kind").isin(allowed)).select(
         "doc_id",
         "offset",

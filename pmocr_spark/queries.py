@@ -1944,32 +1944,39 @@ def q37_global_rank_scalable(spark, sf_dir):
       FROM documents)
     SELECT doc_id,
            'done'              AS status,
-           cast(2 AS INTEGER)  AS span_count,
+           cast(3 AS INTEGER)  AS span_count,
            cast(0 AS INTEGER)  AS error_count,
-           clean || chr(10) || clean                            AS txt,
-           regexp_replace(clean || chr(10) || clean, '  +', ';', 'g') AS csv
+           clean || chr(10) || clean || chr(10) || clean        AS txt,
+           regexp_replace(clean || chr(10) || clean || chr(10) || clean,
+                          '  +', ';', 'g')                      AS csv
     FROM c
     """,
 )
 def q39_pipeline_roundtrip(spark, sf_dir):
     """The FLAGSHIP pipeline (pipeline.run_batch), made SQL-oracle-able:
     each document is lifted into the interleaved span shape used by
-    entry() — one text span + one synthetic TIFF media span carrying the
-    same cleaned text — and run through the full engine (explode ->
-    route -> fused pandas-UDF OCR decode -> windowed reassembly ->
-    txt/csv targets + status). Because decode(encode(x)) == x (the q27
-    invariant, extended here to spans/status per the round-2 brief),
-    plain SQL can state the expected output exactly: both spans
-    reassemble to the cleaned text, so txt == clean+'\\n'+clean,
-    status == 'done', span_count == 2, error_count == 0. This retires
-    q28's permanent no_oracle row as the only unoracled pipeline signal
-    (q28's exact span-sequence pytest gate stays as defense in depth).
-    pmOCR analog: the end-to-end batch conversion run (pmocr.sh:2546-2593
-    -> OCR_Dispatch -> OCR), fixture-checked by run_tests.sh:336-351."""
+    entry() — one text span, one synthetic TIFF media span AND one html
+    span whose blob wraps the same cleaned text in deterministic
+    boilerplate (template keyed on doc_id, all three layouts exercised)
+    — and run through the full engine (explode -> route -> fused
+    pandas-UDF decode: OCR for media, DOM-heuristic boilerplate strip
+    for html -> windowed reassembly -> txt/csv targets + status).
+    Because decode(encode(x)) == x (the q27 invariant) AND
+    extract(wrap(x)) == x (the html analog, operators/html_extract.py),
+    plain SQL can state the expected output exactly: all three spans
+    reassemble to the cleaned text, so txt == clean+'\\n'+clean+'\\n'+
+    clean, status == 'done', span_count == 3, error_count == 0. This
+    retires q28's permanent no_oracle row as the only unoracled pipeline
+    signal (q28's exact span-sequence pytest gate stays as defense in
+    depth). pmOCR analog: the end-to-end batch conversion run
+    (pmocr.sh:2546-2593 -> OCR_Dispatch -> OCR), fixture-checked by
+    run_tests.sh:336-351; the html route is the north rule's
+    "HTML boilerplate strip / DOM heuristics" stage, absent in pmOCR."""
     import pandas as pd
     from pyspark.sql import types as T
 
     from . import codecs, pipeline
+    from .operators import html_extract
 
     d = _t(spark, sf_dir, "documents")
     clean = F.trim(F.regexp_replace("text", "[^ -~]", ""))
@@ -1980,10 +1987,21 @@ def q39_pipeline_roundtrip(spark, sf_dir):
             [codecs.encode_image(t, "tiff", salt="q55") for t in text], dtype=object
         )
 
+    @F.pandas_udf(T.BinaryType())
+    def encode_html(doc_id, text):
+        return pd.Series(
+            [
+                html_extract.wrap_boilerplate(t, doc_id=int(i)).encode("utf-8")
+                for i, t in zip(doc_id, text)
+            ],
+            dtype=object,
+        )
+
     base = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         clean.alias("clean_text"),
         F.concat(F.lit("m:"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.concat(F.lit("h:"), F.col("doc_id").cast("string")).alias("html_ref"),
     )
     docs = base.select(
         "doc_id",
@@ -2000,12 +2018,24 @@ def q39_pipeline_roundtrip(spark, sf_dir):
                 F.col("media_ref").alias("media_ref"),
                 F.lit(1).cast("int").alias("offset"),
             ),
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.col("html_ref").alias("media_ref"),
+                F.lit(2).cast("int").alias("offset"),
+            ),
         ).alias("spans"),
     )
     blobs = base.select(
-        "media_ref",
+        F.col("media_ref"),
         F.lit("tiff").alias("kind"),
         encode_blob(F.col("clean_text")).alias("content"),
+    ).unionByName(
+        base.select(
+            F.col("html_ref").alias("media_ref"),
+            F.lit("html").alias("kind"),
+            encode_html(F.col("doc_id"), F.col("clean_text")).alias("content"),
+        )
     )
     out = pipeline.run_batch(spark, docs, blobs)
     return out.select("doc_id", "status", "span_count", "error_count", "txt", "csv")

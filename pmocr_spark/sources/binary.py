@@ -13,6 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..codecs import MEDIA_KINDS
+from ..operators.html_extract import HTML_KINDS
+
+#: raw-ingest allow-list: pmOCR's scanner formats plus the north-rule
+#: html kinds (saved web pages route to the boilerplate-strip extractor)
+INGEST_KINDS = tuple(MEDIA_KINDS) + tuple(HTML_KINDS)
 
 
 def read_media_dir(spark: SparkSession, path: str, recursive: bool = True) -> DataFrame:
@@ -27,7 +32,7 @@ def read_media_dir(spark: SparkSession, path: str, recursive: bool = True) -> Da
     residual filter lowercases, so mixed case flows through end to end.
     """
     ci = lambda ext: "".join(f"[{c}{c.upper()}]" for c in ext)  # noqa: E731
-    glob = "*.{" + ",".join(ci(k) for k in MEDIA_KINDS) + "}"
+    glob = "*.{" + ",".join(ci(k) for k in INGEST_KINDS) + "}"
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -39,7 +44,7 @@ def read_media_dir(spark: SparkSession, path: str, recursive: bool = True) -> Da
         F.col("path").alias("media_ref"),
         kind.alias("kind"),
         F.col("content"),
-    ).filter(kind.isin(*MEDIA_KINDS))
+    ).filter(kind.isin(*INGEST_KINDS))
 
 
 def lift_to_documents(blobs: DataFrame) -> DataFrame:

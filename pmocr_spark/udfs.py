@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import codecs
+from .operators import html_extract
 
 OCR_RESULT_TYPE = T.StructType(
     [
@@ -132,6 +133,13 @@ def make_ocr_extract(
             def work(blob=blob):
                 if test_delay:  # inside the timed/killable region
                     time.sleep(test_delay)
+                # content-magic dispatch, like the codec's PMIMG1/PMPDF1
+                # routing: html blobs go to the boilerplate-strip
+                # extractor under EVERY engine (the engine seam only
+                # sees genuine media bytes); budget + error-as-data
+                # semantics apply identically to both routes
+                if html_extract.sniff_html(blob):
+                    return html_extract.extract_main_blob(blob)
                 return decode(blob)
 
             text, err = _decode_one(work, budget, use_hard)
