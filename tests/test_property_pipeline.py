@@ -13,19 +13,24 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pmocr_spark import codecs, corpus, pipeline
+from pmocr_spark.operators import html_extract
 
-KINDS = ["text", "TEXT", "tif", "TIF", "png", "pdf", "exe", "ZIP", "jpeg", None]
+KINDS = ["text", "TEXT", "tif", "TIF", "png", "pdf", "exe", "ZIP", "jpeg", None,
+         "html", "HTM"]
 
 text_st = st.text(
     alphabet=st.characters(min_codepoint=9, max_codepoint=126),
     max_size=60,
 )
 
+# "htmlbytes": media-labelled span whose blob is actually an HTML page —
+# the fused UDF dispatches by CONTENT MAGIC, so it must extract (and the
+# oracle must agree) even when the kind label says tif/png/pdf
 span_st = st.fixed_dictionaries(
     {
         "kind": st.sampled_from(KINDS),
         "text": text_st,
-        "blob": st.sampled_from(["good", "corrupt", "truncated", "missing"]),
+        "blob": st.sampled_from(["good", "corrupt", "truncated", "missing", "htmlbytes"]),
     }
 )
 
@@ -50,8 +55,22 @@ def _build_tables(doc_specs):
                 # the content)
                 lk = (kind or "").lower()
                 enc_kind = lk if lk in codecs.MEDIA_KINDS else "tif"
-                if spec["blob"] == "corrupt":
+                if lk in html_extract.HTML_KINDS or spec["blob"] == "htmlbytes":
+                    # html route: good page, ascii-truncated page (the
+                    # lenient parser still extracts), or html-magic bytes
+                    # that are not valid UTF-8 (error-as-data both sides)
+                    enc_kind = lk if lk in html_extract.HTML_KINDS else enc_kind
+                    content = html_extract.wrap_boilerplate(
+                        spec["text"], doc_id=len(blobs)
+                    ).encode("utf-8")
+                    if spec["blob"] == "corrupt":
+                        content = b"<!DOCTYPE html>" + bytes([0xFF, 0xFE, 0x9C])
+                    elif spec["blob"] == "truncated":
+                        content = content[: max(15, len(content) // 2)]
+                elif spec["blob"] == "corrupt":
                     content = codecs.encode_corrupt(ref)
+                elif spec["blob"] == "htmlbytes":
+                    raise AssertionError("unreachable")
                 elif enc_kind == "pdf":
                     content = codecs.encode_pdf([spec["text"]], salt=ref)
                     if spec["blob"] == "truncated":
