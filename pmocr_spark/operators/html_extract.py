@@ -130,13 +130,19 @@ class _Extractor(HTMLParser):
             pos = True
         return neg, pos
 
-    def _flush(self, p_bonus: bool = False) -> None:
-        """Close the current atomic block into the current container."""
+    def _flush(self, p_bonus: bool = False, emit_empty: bool = False) -> None:
+        """Close the current atomic block into the current container.
+
+        emit_empty: award the paragraph bonus even for an empty text run
+        — only real block CLOSES do this (an empty <p></p> must outrank
+        penalized boilerplate); interrupt flushes (a nested or excluded
+        element opening mid-block) would otherwise award it once per
+        interruption and inflate the container score."""
         text = "".join(self._parts).strip()
         self._parts.clear()
         link = min(self._link_len, len(text))
         self._link_len = 0
-        if not text and not p_bonus:
+        if not text and not (p_bonus and emit_empty):
             return
         ld = link / len(text) if text else 0.0
         score = len(text) * (1.0 - ld) ** 2
@@ -152,7 +158,8 @@ class _Extractor(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         if tag in _EXCLUDED:
-            self._flush(self._block_tag in _P_TAGS)
+            if not self._excl_depth:
+                self._flush(self._block_tag in _P_TAGS)
             self._excl_depth += 1
             self._stack.append((tag, self._container_idx, self._neg, self._pos))
             return
@@ -187,7 +194,7 @@ class _Extractor(HTMLParser):
             elif not self._excl_depth:
                 # emit even when empty for paragraph tags (P_BONUS keeps
                 # an empty <p> ahead of penalized boilerplate)
-                self._flush(open_tag in _P_TAGS)
+                self._flush(open_tag in _P_TAGS, emit_empty=True)
                 self._container_idx = prev_idx
                 self._neg, self._pos = neg, pos
                 self._block_tag = next(
@@ -205,7 +212,7 @@ class _Extractor(HTMLParser):
             self._link_len += len(data.strip())
 
     def result(self) -> str:
-        self._flush(self._block_tag in _P_TAGS)
+        self._flush(self._block_tag in _P_TAGS, emit_empty=True)
         best = max(self.containers, key=lambda c: c["score"])
         if best["score"] <= 0.0:
             return ""

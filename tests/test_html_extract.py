@@ -108,6 +108,20 @@ def test_multi_paragraph_container_joined_in_order():
     )
 
 
+def test_empty_block_bonus_not_inflated_by_interrupts():
+    """The empty-paragraph bonus is granted once per real block close;
+    a textless <p> stuffed with nested excluded elements must not
+    out-score genuine content elsewhere."""
+    hollow = "<p>" + "<nav></nav>" * 20 + "</p>"
+    page = (
+        "<html><body>"
+        f"<div class='wrap'>{hollow}</div>"
+        "<div><p>short real text</p></div>"
+        "</body></html>"
+    )
+    assert hx.extract_main(page) == "short real text"
+
+
 def test_malformed_html_never_raises():
     for page in (
         "<html><body><p>unclosed everywhere<div><td>stray",
