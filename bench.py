@@ -571,6 +571,50 @@ def _ann_recall_at5(spark, sf_dir: str) -> dict[str, float]:
     return recalls
 
 
+def _bench_html(spark, sf_dir: str) -> dict:
+    """Throughput of the round-4 html route (north rule: boilerplate
+    strip / DOM heuristics): every sf_dir document wrapped in
+    deterministic boilerplate (template keyed on doc_id, all 3 layouts)
+    and extracted through the REAL fused pipeline UDF (content-magic
+    dispatch included). Map-only — the number here is pure per-core
+    extractor cost, which is exactly what scales linearly at 10^12
+    docs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pmocr_spark import udfs
+    from pmocr_spark.operators import html_extract
+
+    @F.pandas_udf(T.BinaryType())
+    def wrap(doc_id, text):
+        return pd.Series(
+            [
+                html_extract.wrap_boilerplate(t or "", doc_id=int(i)).encode()
+                for i, t in zip(doc_id, text)
+            ],
+            dtype=object,
+        )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .repartition(int(spark.sparkContext.defaultParallelism) * 2)
+        .withColumn("page", wrap("doc_id", "text"))
+        .persist()
+    )
+    n = docs.count()  # materialize wrapped pages before timing extraction
+    t0 = time.time()
+    _force(
+        docs.withColumn("ocr", udfs.ocr_extract(F.col("page"))).select(
+            "doc_id", F.col("ocr.text").alias("main_text")
+        )
+    )
+    sec = round(time.time() - t0, 3)
+    docs.unpersist()
+    return {"sec": sec, "docs": n, "docs_per_sec": round(n / sec, 2) if sec else 0.0}
+
+
 def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from pmocr_spark.queries import QUERY_FNS
 
@@ -613,15 +657,18 @@ def main() -> None:
         _warm_python_workers(spark, tmp)
         ocr = _bench_ocr(spark, tmp, OCR_BENCH_DOCS)
         _log(f"headline ocr {ocr['sec']}s")
+        html = _bench_html(spark, sf_dir)
+        _log(f"html extraction {html['sec']}s ({html['docs_per_sec']} docs/s)")
         qtimes = _bench_queries(spark, sf_dir)
         _log(f"headline queries done: {qtimes}")
         recall = _ann_recall_at5(spark, sf_dir)
         _log(f"ann recall@5 vs q21 brute force: {recall}")
         spark.stop()
 
-        result["queries"] = {"ocr_pipeline": ocr["sec"], **qtimes}
+        result["queries"] = {"ocr_pipeline": ocr["sec"], "html_extract": html["sec"], **qtimes}
         result["value"] = round(sum(result["queries"].values()), 3)
         result["ocr_docs_per_sec"] = ocr["docs_per_sec"]
+        result["html_docs_per_sec"] = html["docs_per_sec"]
         result["ann_recall_at5"] = recall
         result["ann_recall_floor"] = ANN_RECALL_FLOOR
 
