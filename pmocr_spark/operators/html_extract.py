@@ -168,6 +168,10 @@ class _Extractor(HTMLParser):
             return
         if tag == "a":
             self._a_depth += 1
+        if tag == "br":
+            # an explicit line break is text content, not structure:
+            # "line1<br>line2" must not fuse into "line1line2"
+            self._parts.append("\n")
         if tag in _BLOCK:
             # text before a nested block belongs to the outer block
             self._flush(self._block_tag in _P_TAGS)

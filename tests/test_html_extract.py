@@ -122,6 +122,14 @@ def test_empty_block_bonus_not_inflated_by_interrupts():
     assert hx.extract_main(page) == "short real text"
 
 
+def test_br_contributes_a_line_break():
+    page = (
+        "<html><body><p>first line<br>second line<br/>third line</p>"
+        "<div class='menu'><a href='/'>Home</a></div></body></html>"
+    )
+    assert hx.extract_main(page) == "first line\nsecond line\nthird line"
+
+
 def test_malformed_html_never_raises():
     for page in (
         "<html><body><p>unclosed everywhere<div><td>stray",
