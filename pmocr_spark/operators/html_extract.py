@@ -89,10 +89,28 @@ _NEG_FACTOR, _POS_FACTOR = 0.1, 3.0
 def sniff_html(blob: bytes | None) -> bool:
     """Content-magic probe: does this blob look like an HTML document?
     Mirrors the codec's PMIMG1/PMPDF1 magic dispatch (codecs.rasterize);
-    checked on the first bytes only so it is O(1) per blob."""
+    checked on a bounded head window only so it is O(1) per blob.
+
+    Real-world saved pages often front-load a UTF-8 BOM, an XML prolog
+    (XHTML), or license/generator comments before the doctype — all of
+    which are skipped here, so allow-listed .html files route to the
+    extractor instead of failing the codec with a bad-magic error."""
     if not blob:
         return False
-    head = bytes(blob[:256]).lstrip().lower()
+    head = bytes(blob[:1024])
+    if head.startswith(b"\xef\xbb\xbf"):
+        head = head[3:]
+    head = head.lstrip().lower()
+    if head.startswith(b"<?xml"):
+        end = head.find(b"?>")
+        if end == -1:
+            return False
+        head = head[end + 2 :].lstrip()
+    while head.startswith(b"<!--"):
+        end = head.find(b"-->")
+        if end == -1:
+            return False
+        head = head[end + 3 :].lstrip()
     return head.startswith((b"<!doctype", b"<html"))
 
 
@@ -133,11 +151,12 @@ class _Extractor(HTMLParser):
     def _flush(self, p_bonus: bool = False, emit_empty: bool = False) -> None:
         """Close the current atomic block into the current container.
 
-        emit_empty: award the paragraph bonus even for an empty text run
-        — only real block CLOSES do this (an empty <p></p> must outrank
-        penalized boilerplate); interrupt flushes (a nested or excluded
-        element opening mid-block) would otherwise award it once per
-        interruption and inflate the container score."""
+        The paragraph bonus is awarded ONLY at real block closes
+        (emit_empty=True callers): a paragraph fragmented by nested or
+        excluded elements would otherwise accrue one bonus per interrupt
+        flush and inflate its container's score; the single close-time
+        flush still grants it exactly once per paragraph — including for
+        an empty <p></p>, which must outrank penalized boilerplate."""
         text = "".join(self._parts).strip()
         self._parts.clear()
         link = min(self._link_len, len(text))
@@ -159,7 +178,7 @@ class _Extractor(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in _EXCLUDED:
             if not self._excl_depth:
-                self._flush(self._block_tag in _P_TAGS)
+                self._flush()
             self._excl_depth += 1
             self._stack.append((tag, self._container_idx, self._neg, self._pos))
             return
@@ -174,7 +193,8 @@ class _Extractor(HTMLParser):
             self._parts.append("\n")
         if tag in _BLOCK:
             # text before a nested block belongs to the outer block
-            self._flush(self._block_tag in _P_TAGS)
+            # (no bonus: this is an interrupt flush, not the close)
+            self._flush()
             self._stack.append((tag, self._container_idx, self._neg, self._pos))
             self._neg, self._pos = self._hints(tag, attrs)
             self._block_tag = tag
@@ -183,7 +203,10 @@ class _Extractor(HTMLParser):
                 self._container_idx = len(self.containers) - 1
 
     def handle_endtag(self, tag):
-        if tag == "a" and self._a_depth:
+        # an </a> inside an excluded region never had its open counted
+        # (the exclusion branch returns before the <a> increment), so
+        # it must not decrement an OUTER anchor's depth
+        if tag == "a" and self._a_depth and not self._excl_depth:
             self._a_depth -= 1
         if tag not in _BLOCK and tag not in _EXCLUDED:
             return

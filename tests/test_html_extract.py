@@ -122,6 +122,31 @@ def test_empty_block_bonus_not_inflated_by_interrupts():
     assert hx.extract_main(page) == "short real text"
 
 
+def test_fragment_interrupts_award_no_per_fragment_bonus():
+    """A paragraph fragmented by excluded elements accrues the close-time
+    paragraph bonus ONCE — penalized boilerplate stuffed with short text
+    fragments around excluded elements must not out-score genuine
+    content through per-interrupt bonuses (40 fragments would otherwise
+    collect 40 bonuses and win here)."""
+    frag = "<div class='comments'><p>" + "x<nav></nav>" * 40 + "</p></div>"
+    page = f"<html><body>{frag}<div><p>ok here</p></div></body></html>"
+    assert hx.extract_main(page) == "ok here"
+
+
+def test_anchor_depth_survives_excluded_nested_anchors():
+    """An </a> inside an excluded region never had its open counted, so
+    it must not close an OUTER anchor: text after the excluded region is
+    still link text and the link-heavy block scores ~0."""
+    page = (
+        "<html><body>"
+        "<div><a href='/s'>Shop<nav><a href='/m'>m</a></nav>"
+        "BUY NOW CLICK HERE GREAT DEALS TODAY</a></div>"
+        "<div><p>genuine prose.</p></div>"
+        "</body></html>"
+    )
+    assert hx.extract_main(page) == "genuine prose."
+
+
 def test_br_contributes_a_line_break():
     page = (
         "<html><body><p>first line<br>second line<br/>third line</p>"
@@ -150,6 +175,21 @@ def test_sniff_is_content_based():
     assert not hx.sniff_html(codecs.encode_image("x", "tif", salt="s"))
     assert not hx.sniff_html(b"")
     assert not hx.sniff_html(None)
+
+
+def test_sniff_skips_bom_prolog_and_comments():
+    """Saved pages front-load BOMs, XML prologs (XHTML) and license/
+    generator comments before the doctype; the magic probe must see
+    through all of them — and still reject non-html with the same
+    prefixes."""
+    page = hx.wrap_boilerplate("x", 0).encode()
+    assert hx.sniff_html(b"\xef\xbb\xbf" + page)
+    assert hx.sniff_html(b"<?xml version='1.0' encoding='utf-8'?>\n<!DOCTYPE html><html/>")
+    assert hx.sniff_html(b"<!-- saved from url=(0042)https://example.com -->\n<!DOCTYPE html>")
+    assert hx.sniff_html(b"\xef\xbb\xbf<!--a-->\n<!--b--><HTML><body>")
+    assert not hx.sniff_html(b'\xef\xbb\xbf{"json": true}')
+    assert not hx.sniff_html(b"<?xml version='1.0'?><svg xmlns='http://www.w3.org/2000/svg'/>")
+    assert not hx.sniff_html(b"<!-- comment --><rss version='2.0'>")
 
 
 def test_fused_udf_routes_html_and_media_by_magic(spark):
