@@ -526,14 +526,24 @@ def _run_dedup_index_op(spark, args) -> None:
     hot-bucket cap. merge/compact rewrite the index dir via
     checkpoint.replace_dir (write-aside + rename; atomic on
     rename-atomic filesystems) and restore the params sidecar the swap
-    discarded."""
+    discarded.
+
+    Cap discipline: the hot-bucket cap is a POLICY (recorded in the
+    sidecar), never applied to rows the index STORES — build and merge
+    write uncapped band rows, compact enforces the cap, and probe caps
+    its view of the index transiently. Capping stored rows per batch
+    drops them irreversibly, so a later compaction would disagree with
+    a one-shot build over the union of all batches (the parity
+    tests/test_dedup_index.py and test_cli.py pin)."""
     from . import checkpoint as ckpt
     from .operators import dedup_index as di
 
     op, idx_dir = args.dedup_index_op
     if op == "build":
         docs = spark.read.parquet(args.input)
-        di.write_index(di.build_index(docs), idx_dir)
+        # uncapped rows on disk (see cap discipline above); the sidecar
+        # written by write_index records the default cap as the policy
+        di.write_index(di.build_index(docs, max_bucket=None), idx_dir)
         print(f"pmocr-spark: built dedup index at {idx_dir}")
         return
     index, params = di.read_index(spark, idx_dir)
@@ -544,9 +554,12 @@ def _run_dedup_index_op(spark, args) -> None:
     }
     if op == "probe":
         docs = spark.read.parquet(args.input)
+        # transient capped VIEW of the index: protects the join from
+        # hot buckets even when no compaction has run yet, and makes
+        # probe hits identical to probing a freshly compacted index
         hits = di.probe_index(
             docs,
-            index,
+            di.cap_index(index, params["max_bucket"]),
             broadcast_probe=(args.probe_broadcast == "force") or None,
             index_params=params,
             **band_kwargs,
@@ -556,7 +569,17 @@ def _run_dedup_index_op(spark, args) -> None:
         return
     if op == "merge":
         docs = spark.read.parquet(args.input)
-        new_bands = di.build_index(docs, **band_kwargs)
+        # no per-batch cap (max_bucket=None): capping a single batch at
+        # merge time drops rows IRREVERSIBLY, so a later compaction sees
+        # a smaller bucket than a one-shot build over the union would —
+        # the deferred-cap design puts the cap ONLY in the compaction
+        # pass (tests/test_dedup_index.py pins maintained == one-shot)
+        new_bands = di.build_index(
+            docs,
+            n_hashes=params["n_hashes"],
+            band_size=params["band_size"],
+            max_bucket=None,
+        )
         merged = di.merge_index(index, new_bands, apply_cap=False).persist()
         n = merged.count()  # materialize before replacing the dir it reads
     else:  # compact

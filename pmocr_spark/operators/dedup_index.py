@@ -255,6 +255,26 @@ def write_meta(spark, path: str, meta: dict) -> None:
         out.close()
 
 
+def index_exists(spark, path: str) -> bool:
+    """Does a persisted index (any data beyond hidden sidecars) exist at
+    `path`? The streaming monitor uses this instead of try/except around
+    read_index: a bare except turned ANY read failure (corrupt footer,
+    transient FS error, permissions) into 'first epoch, no index yet' —
+    silently probing nothing and then overwriting the params sidecar
+    with defaults. With an explicit probe, read errors on an existing
+    index propagate loudly."""
+    jvm = spark._jvm  # noqa: SLF001
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(hp):
+        return False
+    for st in fs.listStatus(hp):
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def read_index(spark, path: str) -> tuple[DataFrame, dict]:
     """Load a persisted index and its banding parameters. Returns
     (index, params); pass `**params` (minus max_bucket if probing an
@@ -265,8 +285,19 @@ def read_index(spark, path: str) -> tuple[DataFrame, dict]:
 
     # recursiveFileLookup: the streaming monitor's index accumulates one
     # epoch-keyed subdir per trigger (replay-idempotent overwrites);
-    # flat (CLI-built / compacted) layouts read identically under it
-    df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    # flat (CLI-built / compacted) layouts read identically under it.
+    # mergeSchema: a CLI-seeded flat index (no epoch column) plus the
+    # stream's epoch-N subdirs (epoch column) is a MIXED-schema table —
+    # without the merge, single-footer inference either drops the epoch
+    # column (replay filter silently skipped) or reads flat rows with
+    # epoch=NULL under a filter that drops them (seeded corpus silently
+    # excluded from every probe). Index footers are small; the merge
+    # cost is negligible next to the probe join.
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(path)
+    )
     jvm = spark._jvm  # noqa: SLF001
     hp = jvm.org.apache.hadoop.fs.Path(f"{path}/_dedup_index_meta.json")
     fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
@@ -324,8 +355,14 @@ def merge_index(
     and run cap_index() as a periodic compaction every N batches — hit
     parity with always-cap holds as long as a compaction runs before
     the index is probed (tests/test_dedup_index.py pins this). This is
-    the round-3 verdict's steady-state-merge-cost fix."""
-    merged = index.unionByName(new_index).distinct()
+    the round-3 verdict's steady-state-merge-cost fix.
+
+    allowMissingColumns: a streaming-accumulated index carries an
+    `epoch` column that a CLI batch's fresh bands lack — the strict
+    union raised AnalysisException on exactly the indexes the service
+    mode produces. Batch-merged rows read epoch=NULL, which the
+    streaming probe treats as seed rows (visible to every epoch)."""
+    merged = index.unionByName(new_index, allowMissingColumns=True).distinct()
     if apply_cap:
         merged = cap_index(merged, max_bucket)
     return merged

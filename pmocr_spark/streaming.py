@@ -84,18 +84,25 @@ def _epoch_dedup(spark, results: DataFrame, index_dir: str, epoch_id: int) -> Da
     txt_docs = results.filter(F.col("status") == "done").select(
         "doc_id", F.col("txt").alias("text")
     )
-    try:
+    have_index = di.index_exists(spark, index_dir)
+    if have_index:
+        # a read failure on an EXISTING index propagates loudly — it
+        # must not degrade into "first epoch" (zero dup verdicts) and
+        # overwrite the params sidecar with defaults
         prior, params = di.read_index(spark, index_dir)
         if "epoch" in prior.columns:  # CLI-built flat indexes have no epoch col
-            prior = prior.filter(F.col("epoch") < epoch_id)
-        have_index = True
-    except Exception:  # noqa: BLE001 — first epoch: no index dir yet
+            # epoch NULL = seed rows (CLI-built/merged before the stream
+            # started): visible to every epoch. epoch >= epoch_id = this
+            # epoch's own crashed bands on a replay: excluded.
+            prior = prior.filter(
+                F.col("epoch").isNull() | (F.col("epoch") < epoch_id)
+            )
+    else:
         prior, params = None, {
             "n_hashes": di.N_MINHASH,
             "band_size": di.BAND_SIZE,
             "max_bucket": di.MAX_BAND_BUCKET,
         }
-        have_index = False
     band_kwargs = {
         k: params[k] for k in ("n_hashes", "band_size", "max_bucket") if k in params
     }
@@ -126,7 +133,10 @@ def _epoch_dedup(spark, results: DataFrame, index_dir: str, epoch_id: int) -> Da
     # FileStatusCache entry would make the next epoch's read fail with
     # FILE_NOT_EXIST on the old file names
     spark.catalog.refreshByPath(index_dir)
-    if not have_index:
+    if not have_index or params.get("source") == "defaults":
+        # also heals the sidecar after an epoch-0 crash-replay (bands
+        # written, meta not yet) — read_index marks the fallback read
+        # with source='defaults'
         di.write_meta(spark, index_dir, params)
     new_bands.unpersist()
     return dup_map

@@ -606,6 +606,108 @@ def test_cross_epoch_dedup_index(spark, dirs, tmp_path):
     assert idx2.count() == idx_count  # overwrite, not append-duplicate
 
 
+def test_corrupt_dedup_index_fails_loud(spark, dirs, tmp_path):
+    """An EXISTING but unreadable index must fail the epoch loudly — the
+    old bare-except degraded any read failure into 'first epoch': zero
+    dup verdicts and a sidecar overwritten with defaults, masking the
+    corruption forever."""
+    import pyarrow as pa
+
+    from pmocr_spark.operators import dedup_index as di
+
+    idx_dir = tmp_path / "bad_idx"
+    idx_dir.mkdir()
+    (idx_dir / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    assert di.index_exists(spark, str(idx_dir))
+
+    pq.write_table(pa.Table.from_pylist([], schema=corpus.BLOBS_SCHEMA),
+                   f"{tmp_path}/blobs.parquet")
+    media = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    pq.write_table(pa.Table.from_pylist(
+        [{"doc_id": "d1",
+          "spans": [{"kind": "text", "text": "hello world", "media_ref": None,
+                     "offset": 0}]}],
+        schema=corpus.DOCUMENTS_SCHEMA), f"{dirs['landing']}/drop.parquet")
+    q = streaming.monitor(
+        spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+        dirs["lineage"], trigger={"availableNow": True},
+        dedup_index_dir=str(idx_dir),
+    )
+    with pytest.raises(Exception, match="(?i)parquet|magic|footer|corrupt"):
+        q.awaitTermination(120)
+    # and the sidecar was NOT silently replaced with defaults
+    assert not (idx_dir / "_dedup_index_meta.json").exists()
+
+
+def test_seeded_flat_index_survives_epoch_accumulation(spark, dirs, tmp_path):
+    """A CLI-built FLAT index (no epoch column) seeding the service-mode
+    dedup dir: once the stream adds epoch-keyed subdirs the table is
+    mixed-schema, and the seeded rows (reading epoch=NULL under the
+    merged schema) must stay visible to every later epoch's probe — a
+    near-recrawl of a seeded doc is still flagged. The maintenance merge
+    must likewise accept fresh no-epoch bands into the accumulated
+    index (strict union used to raise on exactly this layout)."""
+    import pyarrow as pa
+
+    from pmocr_spark.operators import dedup_index as di
+
+    A = "the quick brown fox jumps over the lazy dog near the river bank today"
+    A2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    B = "completely unrelated text about cooking pasta with garlic and olive oil"
+    C = "telescopes gather photons from distant galaxies revealing ancient light"
+    D = "volcanic islands rise slowly from the ocean floor over countless ages"
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]}
+
+    pq.write_table(pa.Table.from_pylist([], schema=corpus.BLOBS_SCHEMA),
+                   f"{tmp_path}/blobs.parquet")
+    media = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    idx_dir = str(tmp_path / "seeded_idx")
+
+    # seed exactly like --build-dedup-index: flat table + params sidecar
+    seed = spark.createDataFrame([("s-a", A), ("s-b", B)], "doc_id string, text string")
+    di.write_index(di.build_index(seed, max_bucket=None), idx_dir)
+
+    def run(drop_name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=corpus.DOCUMENTS_SCHEMA),
+                       f"{dirs['landing']}/{drop_name}.parquet")
+        q = streaming.monitor(
+            spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+            dirs["lineage"], trigger={"availableNow": True},
+            dedup_index_dir=idx_dir,
+        )
+        q.awaitTermination(120)
+
+    # epoch 0 (flat-only layout): unrelated doc, no dup; adds epoch-0 subdir
+    run("drop0", [doc("e0-x", C)])
+    e0 = {r["doc_id"]: r["dup_of"]
+          for r in spark.read.parquet(f"{dirs['output']}/epoch-0").collect()}
+    assert e0 == {"e0-x": None}
+
+    # epoch 1 (MIXED schema now): near-copy of the SEEDED doc is flagged
+    run("drop1", [doc("e1-dup", A2)])
+    e1 = {r["doc_id"]: r["dup_of"]
+          for r in spark.read.parquet(f"{dirs['output']}/epoch-1").collect()}
+    assert e1 == {"e1-dup": "s-a"}
+
+    # the merged read sees seed rows as epoch NULL next to real epochs
+    # (epoch 1 contributed no keeper bands: its only doc was a dup)
+    idx, params = di.read_index(spark, idx_dir)
+    assert "epoch" in idx.columns
+    epochs = {r["epoch"] for r in idx.select("epoch").distinct().collect()}
+    assert epochs == {None, 0}
+    ids = {r["doc_id"] for r in idx.select("doc_id").distinct().collect()}
+    assert ids == {"s-a", "s-b", "e0-x"}
+
+    # maintenance merge: fresh no-epoch bands into the mixed index
+    more = spark.createDataFrame([("m-c", D)], "doc_id string, text string")
+    merged = di.merge_index(idx, di.build_index(more, max_bucket=None), apply_cap=False)
+    assert merged.filter(merged.doc_id == "m-c").count() > 0
+    assert "epoch" in merged.columns
+
+
 def test_dedup_index_per_monitor_namespacing(spark, dirs, tmp_path):
     """--dedup-index with --monitor: each monitored dir gets its OWN
     index namespace (like output/lineage/alerts) — a doc that dups an
