@@ -488,13 +488,16 @@ def test_once_vs_processing_time_parity(spark, tmp_path, n_dirs):
         else:
             import time
 
+            # wait for batch 0 to COMMIT (lastProgress is only published
+            # after the whole foreachBatch epoch, metrics write included)
+            # before stopping: polling an intermediate output dir raced
+            # q.stop() against the tail of the epoch — on a slow host the
+            # interrupt landed inside the metrics parquet write and
+            # killed the stream thread instead of stopping it cleanly
             deadline = time.time() + 120
-            names = [n or "" for n, _q in qs]
-            want = [str(base / "alerts" / n) if n else str(base / "alerts") for n in names]
             while time.time() < deadline and not all(
-                os.path.isdir(f"{w}/epoch-0") and
-                any(f.endswith(".parquet") for f in os.listdir(f"{w}/epoch-0"))
-                for w in want
+                q.lastProgress is not None and q.lastProgress["batchId"] >= 0
+                for _name, q in qs
             ):
                 time.sleep(1)
             for _name, q in qs:
