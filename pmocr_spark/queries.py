@@ -535,20 +535,94 @@ def _shingles_df(spark, sf_dir, max_doc: int | None = None, distinct: bool = Tru
     return sh.distinct() if distinct else sh
 
 
+#: q16 substring-dedup gram width (operators/substring_dedup.DEFAULT_K):
+#: any cross-document duplicated span of >= this many words is removed.
+_SUBSTR_K = 8
+
+
 @query(
     "q16_dedup_exact",
-    """
-    SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(ws, i, i + {_SUBSTR_K - 1}), ' ')) AS gh
+      FROM w, unnest(range(1, len(ws) - {_SUBSTR_K - 2})) AS t(i)
+      WHERE len(ws) >= {_SUBSTR_K}
+    ),
+    dup AS (
+      SELECT gh, min(doc_id * 1000000 + pos) AS keep_key
+      FROM occ GROUP BY gh HAVING min(doc_id) <> max(doc_id)
+    ),
+    rem AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (gh)
+      WHERE o.doc_id * 1000000 + o.pos <> d.keep_key
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS idx
+      FROM rem, unnest(range(0, {_SUBSTR_K})) AS u(j)
+    ),
+    words AS (
+      SELECT doc_id, i AS idx, ws[i] AS wd
+      FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT wo.doc_id, wo.idx, wo.wd
+      FROM words wo LEFT JOIN cov c ON wo.doc_id = c.doc_id AND wo.idx = c.idx
+      WHERE c.doc_id IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, cast(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(wd, ' ' ORDER BY idx)) AS new_h
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, cast(len(ws) AS BIGINT) AS n_words FROM w)
+    SELECT 'doc' AS part, md5(text) AS key, min(doc_id) AS doc_id,
+           cast(count(*) AS BIGINT) AS n, cast(NULL AS BIGINT) AS m
     FROM documents GROUP BY md5(text)
+    UNION ALL
+    SELECT 'substr' AS part, coalesce(r.new_h, md5('')) AS key, t.doc_id,
+           t.n_words - coalesce(r.n_kept, 0) AS n, coalesce(r.n_kept, 0) AS m
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    WHERE t.n_words - coalesce(r.n_kept, 0) > 0
     """,
 )
 def q16_dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy, keep min doc_id per content hash.
-    At scale: single shuffle on the hash; partial agg map-side."""
+    """Dedup family in ONE gate slot, `part`-discriminated:
+      * part='doc': exact document dedup — hash-groupBy, keep min doc_id
+        per content hash; single shuffle, partial agg map-side.
+      * part='substr': exact substring dedup (Lee et al. ACL'22 at k-gram
+        granularity, operators/substring_dedup.py) — one row per document
+        that lost words, key = md5 of the reconstructed text (pinning the
+        whole reassembly byte-for-byte against the oracle), n = words
+        removed, m = words kept.
+    Both parts stay codegen-only; the substring part's dup detection is
+    min(doc)<>max(doc) per gram (no count-distinct expand)."""
+    from pmocr_spark.operators.substring_dedup import substring_dedup
+
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")
+    doc = d.groupBy(F.md5(F.col("text").cast("binary")).alias("key")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n"),
+    ).select(
+        F.lit("doc").alias("part"),
+        "key",
+        "doc_id",
+        "n",
+        F.lit(None).cast("long").alias("m"),
     )
+    sub = (
+        substring_dedup(d, k=_SUBSTR_K)
+        .filter(F.col("n_removed") > 0)
+        .select(
+            F.lit("substr").alias("part"),
+            F.md5(F.col("new_text").cast("binary")).alias("key"),
+            "doc_id",
+            F.col("n_removed").alias("n"),
+            F.col("n_kept").alias("m"),
+        )
+    )
+    return doc.unionAll(sub)
 
 
 #: q17 stop-shingle document-frequency cap: a shingle present in more
