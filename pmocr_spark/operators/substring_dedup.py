@@ -120,30 +120,24 @@ def substring_dedup(
         id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx")
     ).distinct()
 
+    # single reassembly pass: words LEFT-join the covered set (match =>
+    # removed), then ONE groupBy(doc) computes totals and the kept
+    # reconstruction together — collect_list drops the nulled (removed)
+    # structs, so no second scan or totals join is needed, and docs with
+    # every word removed still surface (their group has only null marks).
     words = w.select(
         id_col, F.posexplode("ws").alias("idx0", "wd")
     ).withColumn("idx", (F.col("idx0") + 1).cast("long")).drop("idx0")
-    kept = words.join(covered, [id_col, "idx"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_kept"),
+    marked = words.join(
+        covered.withColumn("_rm", F.lit(True)), [id_col, "idx"], "left"
+    )
+    keep_struct = F.when(F.col("_rm").isNull(), F.struct("idx", "wd"))
+    return marked.groupBy(id_col).agg(
         F.concat_ws(
             " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "wd"))), lambda s: s["wd"]
-            ),
+            F.transform(F.array_sort(F.collect_list(keep_struct)), lambda s: s["wd"]),
         ).alias("new_text"),
-    )
-
-    totals = w.select(id_col, F.size("ws").cast("long").alias("n_words"))
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("new_text", F.lit("")).alias("new_text"),
-            "n_words",
-            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
-            (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
-                "n_removed"
-            ),
-        )
+        F.count("*").cast("long").alias("n_words"),
+        F.count(keep_struct).cast("long").alias("n_kept"),
+        (F.count("*") - F.count(keep_struct)).cast("long").alias("n_removed"),
     )

@@ -1921,6 +1921,15 @@ def q34_training_corpus(spark, sf_dir):
 _SAMPLE_PCT = 20
 
 
+#: q35 DSIR hashed-feature space: words hash into this many buckets.
+#: A constant-size model (B log-ratio weights), so broadcasting it is
+#: scale-independent — unlike data-sized broadcasts, which we avoid.
+_DSIR_BUCKETS = 64
+#: q35 DSIR target distribution: documents with this lang define
+#: p_target; the full corpus defines p_raw.
+_DSIR_TARGET_LANG = "en"
+
+
 @query(
     "q35_stratified_sample",
     f"""
@@ -1928,34 +1937,136 @@ _SAMPLE_PCT = 20
       SELECT lang, source,
              ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
       FROM documents
+    ),
+    wds AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(wd), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS wd
+            FROM documents)
+    ),
+    db AS (SELECT doc_id, lang, bucket, count(*) AS cnt
+           FROM wds GROUP BY doc_id, lang, bucket),
+    base AS (SELECT unnest(range(0, {_DSIR_BUCKETS})) AS bucket),
+    tc AS (SELECT bucket, count(*) AS ct FROM wds
+           WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS cr FROM wds GROUP BY bucket),
+    tt AS (SELECT count(*) AS n FROM wds WHERE lang = '{_DSIR_TARGET_LANG}'),
+    rt AS (SELECT count(*) AS n FROM wds),
+    wt AS (
+      SELECT b.bucket,
+             round(ln((coalesce(tc.ct, 0) + 1.0) / (tt.n + {_DSIR_BUCKETS}))
+                 - ln((coalesce(rc.cr, 0) + 1.0) / (rt.n + {_DSIR_BUCKETS})), 6) AS lr
+      FROM base b LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tt, rt
+    ),
+    sc AS (
+      SELECT d.doc_id, d.lang, cast(sum(d.cnt) AS BIGINT) AS n_words,
+             cast(round(sum(d.cnt * w.lr) * 1000000, 0) AS BIGINT) AS score_u
+      FROM db d JOIN wt w USING (bucket) GROUP BY d.doc_id, d.lang
     )
-    SELECT lang, source,
-           count(*)                                        AS n_total,
-           cast(sum(CASE WHEN bucket < {_SAMPLE_PCT} THEN 1 ELSE 0 END) AS BIGINT)
-                                                           AS n_sampled
+    SELECT 'stratum' AS part, lang AS k1, source AS k2,
+           cast(count(*) AS BIGINT) AS n1,
+           cast(sum(CASE WHEN bucket < {_SAMPLE_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           cast(NULL AS BIGINT) AS score_u
     FROM b GROUP BY lang, source
+    UNION ALL
+    SELECT 'dsir', lang, doc_id::VARCHAR, n_words,
+           cast(CASE WHEN score_u > 0 THEN 1 ELSE 0 END AS BIGINT), score_u
+    FROM sc
     """,
 )
 def q35_stratified_sample(spark, sf_dir):
-    """Deterministic stratified sampling for training-data curation:
-    membership = md5(doc_id) bucket < rate — reproducible on any engine,
-    partition-layout-independent, and joinable (the same predicate
-    selects the same docs everywhere; Bernoulli sample() would not be
-    cross-engine stable). Output = per-(lang, source) stratum totals vs
-    sampled counts; the per-row predicate is a map-side expression, the
-    stratum report one aggregation shuffle."""
+    """Sampling family in ONE gate slot, `part`-discriminated:
+      * part='stratum': deterministic stratified sampling — membership =
+        md5(doc_id) bucket < rate, reproducible on any engine and
+        partition-layout-independent (Bernoulli sample() would not be
+        cross-engine stable); per-(lang, source) totals vs sampled.
+      * part='dsir': importance weighting for data selection (Xie et al.
+        NeurIPS'23 DSIR, the hashed-n-gram variant at unigram order):
+        each word hashes into one of B=64 buckets; the target corpus
+        (lang='en') and the raw corpus each induce a Laplace-smoothed
+        bucket distribution; a document's score is
+        sum_b n_b(doc) * [ln p_target(b) - ln p_raw(b)], the
+        log importance weight ln(p_t/p_r) of its hashed-feature vector.
+        n2=1 marks docs more target-like than raw (score > 0) — the
+        deterministic stand-in for sampling proportional to weight.
+    Scale shape: the model is B log-ratios — a CONSTANT-size broadcast
+    (independent of corpus size, so the probe_index broadcast lesson
+    does not apply); per-doc scoring is one (doc,bucket) partial agg and
+    one ≤B-term sum. Per-bucket log-ratios are rounded to 6dp BEFORE the
+    per-doc sum on both engines, and the score is emitted as an integer
+    in micro-log-units (the exact decimal sum is a multiple of 1e-6, so
+    nearest-integer at 1e6 scaling absorbs float association-order
+    error — a final round-to-4dp hit half-way ties across engines)."""
     d = _t(spark, sf_dir, "documents")
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10).cast(
         "long"
     ) % 100
-    return (
+    stratum = (
         d.select("lang", "source", bucket.alias("bucket"))
         .groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_total"),
             F.sum(F.when(F.col("bucket") < _SAMPLE_PCT, 1).otherwise(0)).alias("n_sampled"),
         )
+        .select(
+            F.lit("stratum").alias("part"),
+            F.col("lang").alias("k1"),
+            F.col("source").alias("k2"),
+            F.col("n_total").alias("n1"),
+            F.col("n_sampled").alias("n2"),
+            F.lit(None).cast("long").alias("score_u"),
+        )
     )
+
+    B = _DSIR_BUCKETS
+    wbucket = F.conv(F.substring(F.md5(F.col("wd").cast("binary")), 1, 8), 16, 10).cast("long") % B
+    wds = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("wd")
+    ).select("doc_id", "lang", wbucket.alias("bucket"))
+    db = wds.groupBy("doc_id", "lang", "bucket").agg(F.count("*").alias("cnt"))
+    tc = (
+        wds.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    rc = wds.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tt = wds.filter(F.col("lang") == _DSIR_TARGET_LANG).agg(
+        F.count("*").alias("tn")
+    )
+    rt = wds.agg(F.count("*").alias("rn"))
+    base = spark.range(B).select(F.col("id").alias("bucket"))
+    wt = (
+        base.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce("ct", F.lit(0)) + F.lit(1.0)) / (F.col("tn") + B))
+                - F.log((F.coalesce("cr", F.lit(0)) + F.lit(1.0)) / (F.col("rn") + B)),
+                6,
+            ).alias("lr"),
+        )
+    )
+    score = F.round(F.sum(F.col("cnt") * F.col("lr")) * 1000000, 0).cast("long")
+    dsir = (
+        db.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            score.alias("score_u"),
+        )
+        .select(
+            F.lit("dsir").alias("part"),
+            F.col("lang").alias("k1"),
+            F.col("doc_id").cast("string").alias("k2"),
+            F.col("n_words").alias("n1"),
+            F.when(F.col("score_u") > 0, 1).otherwise(0).cast("long").alias("n2"),
+            F.col("score_u"),
+        )
+    )
+    return stratum.unionAll(dsir)
 
 
 
