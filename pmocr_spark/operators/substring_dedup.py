@@ -97,47 +97,59 @@ def substring_dedup(
     span deleted (possibly '' if the whole document was duplicated
     elsewhere's canonical copy).
     """
-    w = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    from pyspark.sql import Window
+
     occ = gram_occurrences(docs, k, id_col, text_col)
 
-    # duplicated grams: present in >1 distinct doc; canonical = global
-    # min (doc_id, pos). min/max partials only — no count-distinct.
-    dup = (
-        occ.groupBy("gh")
-        .agg(
-            F.min(id_col).alias("_mn"),
-            F.max(id_col).alias("_mx"),
-            F.min(_occ_key(F.col(id_col), F.col("pos"))).alias("keep_key"),
+    # Three-shuffle plan (each stage noted):
+    #
+    # (1) duplicated-occurrence detection as ONE window pass over occ
+    # partitioned by gram hash — min/max doc + min occurrence key over
+    # the partition. Versus groupBy+join-back this avoids recomputing
+    # the gram explode a second time and the second occ-sized exchange;
+    # versus collect_list-per-gram it has no per-key memory blowup (a
+    # boilerplate gram with millions of occurrences just sorts/spills).
+    key = _occ_key(F.col(id_col), F.col("pos"))
+    wgh = Window.partitionBy("gh")
+    rem = (
+        occ.withColumn("_mn", F.min(id_col).over(wgh))
+        .withColumn("_mx", F.max(id_col).over(wgh))
+        .withColumn("_kk", F.min(key).over(wgh))
+        .filter((F.col("_mn") != F.col("_mx")) & (key != F.col("_kk")))
+        .select(id_col, "pos")
+    )
+
+    # (2) removed START positions collected per doc — rows here are only
+    # the removed occurrences, tiny relative to occ; the covered-index
+    # expansion (pos..pos+k-1, deduped) happens map-side on the array.
+    cov = rem.groupBy(id_col).agg(F.collect_list("pos").alias("_ps"))
+
+    # (3) reassembly joins docs to their covered-index arrays (one
+    # shuffle of doc-sized rows; unaffected docs null out) and rebuilds
+    # map-side: kept indexes via array_except (hash-set, O(n + removed))
+    # — no per-word join rows, no final groupBy.
+    w = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    joined = w.join(cov, id_col, "left")
+    cov_idx = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("_ps", F.array().cast("array<long>")),
+                lambda p: F.sequence(p, p + F.lit(k - 1)),
+            )
         )
-        .filter(F.col("_mn") != F.col("_mx"))
-        .select("gh", "keep_key")
     )
-
-    rem = occ.join(dup, "gh").filter(
-        _occ_key(F.col(id_col), F.col("pos")) != F.col("keep_key")
+    kept_words = F.expr(
+        "transform(array_except(sequence(1L, cast(size(ws) AS long)), _cov), "
+        "i -> element_at(ws, cast(i AS int)))"
     )
-    covered = rem.select(
-        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx")
-    ).distinct()
-
-    # single reassembly pass: words LEFT-join the covered set (match =>
-    # removed), then ONE groupBy(doc) computes totals and the kept
-    # reconstruction together — collect_list drops the nulled (removed)
-    # structs, so no second scan or totals join is needed, and docs with
-    # every word removed still surface (their group has only null marks).
-    words = w.select(
-        id_col, F.posexplode("ws").alias("idx0", "wd")
-    ).withColumn("idx", (F.col("idx0") + 1).cast("long")).drop("idx0")
-    marked = words.join(
-        covered.withColumn("_rm", F.lit(True)), [id_col, "idx"], "left"
-    )
-    keep_struct = F.when(F.col("_rm").isNull(), F.struct("idx", "wd"))
-    return marked.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(F.array_sort(F.collect_list(keep_struct)), lambda s: s["wd"]),
-        ).alias("new_text"),
-        F.count("*").cast("long").alias("n_words"),
-        F.count(keep_struct).cast("long").alias("n_kept"),
-        (F.count("*") - F.count(keep_struct)).cast("long").alias("n_removed"),
+    return (
+        joined.withColumn("_cov", cov_idx)
+        .withColumn("_kw", kept_words)
+        .select(
+            id_col,
+            F.concat_ws(" ", F.col("_kw")).alias("new_text"),
+            F.size("ws").cast("long").alias("n_words"),
+            F.size("_kw").cast("long").alias("n_kept"),
+            (F.size("ws") - F.size("_kw")).cast("long").alias("n_removed"),
+        )
     )

@@ -94,6 +94,10 @@ def test_plan_codegen_only_no_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the documented 3-shuffle shape: window-by-gram-hash, removed-pos
+    # groupBy(doc), docs-to-covered join; a regression to the
+    # join-back/per-word-join plan doubles the exchange count
+    assert plan.count("Exchange") <= 3, plan
 
 
 def test_removal_is_idempotent(spark):
