@@ -211,6 +211,23 @@ def build_parser() -> argparse.ArgumentParser:
         "steady-state merges cheap) and rewrite it in place",
     )
     p.add_argument(
+        "--dedup-substrings",
+        action="store_true",
+        help="maintenance mode (standalone, like --compact-lineage): "
+        "remove cross-document duplicated spans of >= K words from the "
+        "--input documents table (exact substring dedup, keep-first "
+        "policy; operators/substring_dedup.py) and write the cleaned "
+        "table — text replaced, n_words/n_kept/n_removed appended — "
+        "to --output",
+    )
+    p.add_argument(
+        "--substr-k",
+        type=int,
+        default=None,
+        help="--dedup-substrings gram width K (default 8): duplicated "
+        "spans shorter than K words are not caught",
+    )
+    p.add_argument(
         "--probe-broadcast",
         choices=("auto", "force"),
         default=None,
@@ -385,6 +402,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ]
     if len(dedup_ops) > 1:
         parser.error("give exactly one --{build,probe,merge,compact}-dedup-index")
+    if dedup_ops and args.dedup_substrings:
+        parser.error("--dedup-substrings and --*-dedup-index are separate maintenance modes")
     args.dedup_index_op = dedup_ops[0] if dedup_ops else None
     if args.dedup_index_op:
         op, _dir = args.dedup_index_op
@@ -394,6 +413,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error(f"--input is required with --{op}-dedup-index")
         if op == "probe" and not args.output:
             parser.error("--output is required with --probe-dedup-index")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.dedup_substrings:
+        if args.batch or args.service:
+            parser.error("--dedup-substrings is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --dedup-substrings")
+        if args.substr_k is not None and args.substr_k < 2:
+            parser.error("--substr-k must be >= 2")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -618,6 +647,26 @@ def main(argv: list[str] | None = None) -> None:
         return
     if getattr(args, "dedup_index_op", None):
         _run_dedup_index_op(spark, args)
+        return
+    if getattr(args, "dedup_substrings", False):
+        from .operators.substring_dedup import DEFAULT_K, substring_dedup
+
+        k = args.substr_k or DEFAULT_K
+        docs = spark.read.parquet(args.input)
+        cleaned = substring_dedup(docs, k=k)
+        # cleaned corpus keeps every non-text column; text is replaced
+        # by the deduped reconstruction (doc_id equi-join, one shuffle)
+        out = docs.drop("text").join(
+            cleaned.withColumnRenamed("new_text", "text"), "doc_id"
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).agg(
+            F.sum("n_removed"), F.count("*")
+        ).first()
+        print(
+            f"pmocr-spark: substring dedup (k={k}) wrote {n[1]} docs to "
+            f"{args.output}, {n[0]} duplicated words removed"
+        )
         return
     job_ts = args.job_ts.replace("T", " ").replace("Z", "")
     suffix = "" if args.no_suffix else args.suffix

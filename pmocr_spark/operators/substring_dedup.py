@@ -25,16 +25,16 @@ Semantics (all deterministic):
 Scale shape (the 100 TB contract):
   * one projection to word arrays, one posexplode to gram rows — O(total
     words), no doc x doc product anywhere;
-  * duplicated-gram detection is min(doc_id) <> max(doc_id) per gram
-    hash: a single groupBy shuffle whose partial (map-side) aggregate is
-    just min/max — deliberately NOT count(distinct doc_id), which would
-    need a two-phase expand;
-  * occurrences re-join the dup set by gram-hash equi-join (fan-out is
-    linear in occurrence count); covered-index explode amplifies only
-    REMOVED occurrences by k;
-  * reassembly is one groupBy(doc_id) with a per-doc collect_list bounded
-    by the longest document (documents are bounded; the keeper encoding
-    below assumes < 1e6 words per doc);
+  * duplicated-occurrence detection is min(doc_id) <> max(doc_id) per
+    gram hash — deliberately NOT count(distinct doc_id), which would
+    need a two-phase expand — computed in ONE window pass over gram-hash
+    partitions, so the gram explode is neither recomputed nor exchanged
+    a second time, and a boilerplate gram with millions of occurrences
+    sorts/spills instead of materializing a per-key list;
+  * removed occurrences (typically a small fraction) are collected per
+    doc as start-position arrays; covered-index expansion and the
+    array_except reassembly are map-side, O(doc length) per doc — no
+    per-word join rows, three shuffles total (pinned in the plan test);
   * everything is built-in expressions — whole-stage codegen, no UDFs.
 
 Reference parity: pmOCR has no substring dedup (it is a format converter);
@@ -52,14 +52,14 @@ from pyspark.sql import functions as F
 #: words is removed.
 DEFAULT_K = 8
 
-#: keeper encoding packs (doc_id, pos) into one orderable BIGINT so the
-#: canonical-occurrence argmin is a plain min() (map-side partial).
-#: Requires pos < _POS_RANGE, i.e. documents shorter than 1e6 words.
-_POS_RANGE = 1_000_000
-
 
 def _occ_key(doc_id: Column, pos: Column) -> Column:
-    return doc_id * F.lit(_POS_RANGE) + pos
+    """Canonical-occurrence ordering key: lexicographic (doc_id, pos) as
+    a struct — orderable for numeric AND string document ids, min() has
+    a map-side partial. (The q16 oracle encodes the same ordering as
+    doc_id*1e6+pos because its ids are BIGINT; for numeric ids the two
+    orders coincide.)"""
+    return F.struct(doc_id, pos)
 
 
 def gram_occurrences(

@@ -2024,27 +2024,28 @@ def q35_stratified_sample(spark, sf_dir):
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("wd")
     ).select("doc_id", "lang", wbucket.alias("bucket"))
     db = wds.groupBy("doc_id", "lang", "bucket").agg(F.count("*").alias("cnt"))
-    tc = (
-        wds.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
+    # the model derives ENTIRELY from db (already reduced to one row per
+    # (doc, bucket)) in ONE consumer chain: per-bucket raw/target counts
+    # are one more partial agg, and the corpus totals are single-
+    # partition window sums over those B rows — so the corpus is scanned
+    # once and nothing in the model lineage is recomputed per branch
+    # (separate tc/rc/tt/rt aggregates each re-scanned the corpus; a
+    # window over B=64 rows is free)
+    tcnt = F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("cnt")).otherwise(0))
+    bc = db.groupBy("bucket").agg(
+        F.sum("cnt").alias("cr"), tcnt.alias("ct")
     )
-    rc = wds.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tt = wds.filter(F.col("lang") == _DSIR_TARGET_LANG).agg(
-        F.count("*").alias("tn")
-    )
-    rt = wds.agg(F.count("*").alias("rn"))
     base = spark.range(B).select(F.col("id").alias("bucket"))
+    wtot = W.partitionBy()
+    ct0 = F.coalesce("ct", F.lit(0))
+    cr0 = F.coalesce("cr", F.lit(0))
     wt = (
-        base.join(tc, "bucket", "left")
-        .join(rc, "bucket", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(rt))
+        base.join(bc, "bucket", "left")
         .select(
             "bucket",
             F.round(
-                F.log((F.coalesce("ct", F.lit(0)) + F.lit(1.0)) / (F.col("tn") + B))
-                - F.log((F.coalesce("cr", F.lit(0)) + F.lit(1.0)) / (F.col("rn") + B)),
+                F.log((ct0 + F.lit(1.0)) / (F.sum(ct0).over(wtot) + B))
+                - F.log((cr0 + F.lit(1.0)) / (F.sum(cr0).over(wtot) + B)),
                 6,
             ).alias("lr"),
         )

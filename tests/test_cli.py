@@ -528,3 +528,39 @@ def test_dedup_index_lifecycle_cli(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--batch", "--build-dedup-index", idx, "--input", "x",
                         "--blobs", "b", "--output", "o", "--lineage", "l"])
+
+
+def test_dedup_substrings_cli(spark, tmp_path):
+    """--dedup-substrings maintenance mode: cleaned corpus keeps every
+    non-text column, text is the keep-first substring-deduped
+    reconstruction, and the n_words/n_kept/n_removed stats land."""
+    rows = [
+        ("d1", "x1 x2 a b c d x3 x4", "en"),
+        ("d2", "y1 y2 y3 a b c d y4", "de"),
+        ("d3", "p q r s t u v w", "fr"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id string, text string, lang string"
+    ).write.parquet(str(tmp_path / "docs"))
+
+    cli.main(["--dedup-substrings", "--substr-k", "4",
+              "--input", str(tmp_path / "docs"),
+              "--output", str(tmp_path / "clean"), "--master", "local[4]"])
+    out = {r["doc_id"]: r for r in
+           spark.read.parquet(str(tmp_path / "clean")).collect()}
+    assert out["d1"]["text"] == "x1 x2 a b c d x3 x4"  # canonical copy
+    assert out["d2"]["text"] == "y1 y2 y3 y4" and out["d2"]["n_removed"] == 4
+    assert out["d3"]["text"] == "p q r s t u v w" and out["d3"]["n_removed"] == 0
+    assert out["d2"]["lang"] == "de"  # passthrough column survives
+
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--dedup-substrings", "--input", "x"])  # no --output
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--dedup-substrings", "--substr-k", "1",
+                        "--input", "x", "--output", "y"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--batch", "--dedup-substrings", "--input", "x",
+                        "--blobs", "b", "--output", "o", "--lineage", "l"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--dedup-substrings", "--build-dedup-index", "i",
+                        "--input", "x", "--output", "y"])

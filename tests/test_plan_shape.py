@@ -121,10 +121,16 @@ def test_q34_corpus_filter_semi_join(spark):
 
 
 def test_q35_sample_single_exchange(spark):
-    """Deterministic stratified sampling = map-side bucket predicate +
-    ONE aggregation shuffle on the stratum key."""
+    """q35 family exchange budget: the stratum arm is a map-side bucket
+    predicate + ONE aggregation shuffle; the DSIR arm adds the
+    (doc,bucket) partial agg, the B-row bucket agg, the single-partition
+    window for totals (64 rows — free), and the per-doc score agg. A
+    regression to per-branch corpus re-aggregation (separate tc/rc/tt/rt
+    frames) pushed this to 8+."""
     df = QUERY_FNS["q35_stratified_sample"](spark, SF)
-    assert shape.count_exchanges(df) <= 1, shape.formatted_plan(df)
+    assert shape.count_exchanges(df) <= 6, shape.formatted_plan(df)
+    plan = shape.formatted_plan(df)
+    assert "CartesianProduct" not in plan
 
 
 def test_q37_rank_partition_invariant(spark):
