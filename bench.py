@@ -71,6 +71,11 @@ HEADLINE = [
     "q08_region_revenue",
     "q09_window_topk",
     "q11_sessionize",
+    # round 4: q16 was REDEFINED from the plain hash-groupBy (~0.4-0.6s
+    # at sf0.1 through round 3) to the dedup FAMILY including exact
+    # substring dedup (a window pass over every k-gram occurrence) —
+    # cross-round comparisons of this entry are apples-to-oranges at
+    # that boundary (see BENCH/BASELINE.md)
     "q16_dedup_exact",
     "q17_ngram_jaccard",
     "q18_minhash_lsh",

@@ -387,6 +387,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     # compacts the lineage table and exits — the way to compact a
     # STOPPED stream's lineage without running any pipeline
     args.compact_only = args.compact_lineage and not (args.batch or args.service)
+    if args.compact_only and args.dedup_substrings:
+        # the compact_only early-return below would otherwise silently
+        # swallow the dedup request (same class as the --*-dedup-index
+        # mutual-exclusion errors)
+        parser.error("--dedup-substrings and --compact-lineage are separate maintenance modes")
     if args.compact_only:
         if not args.lineage:
             parser.error("--lineage is required with --compact-lineage")
@@ -655,8 +660,12 @@ def main(argv: list[str] | None = None) -> None:
         docs = spark.read.parquet(args.input)
         cleaned = substring_dedup(docs, k=k)
         # cleaned corpus keeps every non-text column; text is replaced
-        # by the deduped reconstruction (doc_id equi-join, one shuffle)
-        out = docs.drop("text").join(
+        # by the deduped reconstruction (doc_id equi-join, one shuffle).
+        # Drop any pre-existing stat columns from the passthrough side so
+        # the mode is idempotent over its own output (re-running with a
+        # different k must overwrite, not COLUMN_ALREADY_EXISTS-crash on,
+        # the previous pass's stats).
+        out = docs.drop("text", "new_text", "n_words", "n_kept", "n_removed").join(
             cleaned.withColumnRenamed("new_text", "text"), "doc_id"
         )
         out.write.mode("overwrite").parquet(args.output)

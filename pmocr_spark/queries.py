@@ -535,9 +535,12 @@ def _shingles_df(spark, sf_dir, max_doc: int | None = None, distinct: bool = Tru
     return sh.distinct() if distinct else sh
 
 
-#: q16 substring-dedup gram width (operators/substring_dedup.DEFAULT_K):
-#: any cross-document duplicated span of >= this many words is removed.
-_SUBSTR_K = 8
+from pmocr_spark.operators.substring_dedup import DEFAULT_K as _SUBSTR_K
+
+# q16 substring-dedup gram width is the operator's DEFAULT_K (single
+# source of truth — the oracle f-string below and the --dedup-substrings
+# CLI default must never drift apart): any cross-document duplicated
+# span of >= _SUBSTR_K words is removed.
 
 
 @query(

@@ -553,6 +553,19 @@ def test_dedup_substrings_cli(spark, tmp_path):
     assert out["d3"]["text"] == "p q r s t u v w" and out["d3"]["n_removed"] == 0
     assert out["d2"]["lang"] == "de"  # passthrough column survives
 
+    # idempotent over its own output: the stats columns from pass 1 are
+    # overwritten, not COLUMN_ALREADY_EXISTS-collided, and a clean corpus
+    # stays byte-identical
+    cli.main(["--dedup-substrings", "--substr-k", "4",
+              "--input", str(tmp_path / "clean"),
+              "--output", str(tmp_path / "clean2"), "--master", "local[4]"])
+    out2 = {r["doc_id"]: r for r in
+            spark.read.parquet(str(tmp_path / "clean2")).collect()}
+    assert {d: r["text"] for d, r in out2.items()} == {
+        d: r["text"] for d, r in out.items()
+    }
+    assert all(r["n_removed"] == 0 for r in out2.values())
+
     with pytest.raises(SystemExit):
         cli.parse_args(["--dedup-substrings", "--input", "x"])  # no --output
     with pytest.raises(SystemExit):
@@ -564,3 +577,6 @@ def test_dedup_substrings_cli(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--dedup-substrings", "--build-dedup-index", "i",
                         "--input", "x", "--output", "y"])
+    with pytest.raises(SystemExit):  # compact-lineage must not swallow it
+        cli.parse_args(["--dedup-substrings", "--compact-lineage",
+                        "--lineage", "l", "--input", "x", "--output", "y"])
