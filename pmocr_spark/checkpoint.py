@@ -269,6 +269,60 @@ def replace_dir(spark: SparkSession, df: DataFrame, path: str, tag: str = ".swap
     fs.delete(hp(bak), True)
 
 
+def write_sidecar(spark: SparkSession, path: str, name: str, meta: dict) -> None:
+    """Write/refresh an underscore-prefixed JSON params sidecar inside a
+    parquet table dir (invisible to Spark readers; via Hadoop FS so it
+    works on any scheme the table does). The generic version of the
+    dedup-index sidecar pattern — any persisted operator state whose
+    parameters are part of its identity stores them this way."""
+    import json
+
+    jvm = spark._jvm  # noqa: SLF001
+    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    out = fs.create(hp, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode()))
+    finally:
+        out.close()
+
+
+def read_sidecar(spark: SparkSession, path: str, name: str) -> dict | None:
+    """Read a params sidecar written by write_sidecar; None if absent.
+    Read errors on an EXISTING sidecar propagate (corruption must not
+    degrade into 'no params recorded')."""
+    import json
+
+    jvm = spark._jvm  # noqa: SLF001
+    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(hp):
+        return None
+    stream = fs.open(hp)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(raw.decode())
+
+
+def dir_has_data(spark: SparkSession, path: str) -> bool:
+    """Does `path` hold any non-hidden entries (real table data beyond
+    sidecars)? The explicit-probe replacement for try/except around a
+    read — a bare except turns ANY read failure (corrupt footer,
+    transient FS error, permissions) into 'nothing persisted yet'."""
+    jvm = spark._jvm  # noqa: SLF001
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(hp):
+        return False
+    for st in fs.listStatus(hp):
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def partition_metrics(checkpoint: DataFrame) -> DataFrame:
     """Per-partition lineage metrics (north_rule: prove skew is broken).
 

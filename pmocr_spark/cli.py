@@ -267,6 +267,18 @@ def build_parser() -> argparse.ArgumentParser:
         "in the epoch output. Per-monitor subdirs with --monitor. "
         "Compact periodically with --compact-dedup-index DIR.",
     )
+    p.add_argument(
+        "--dedup-substrings-index",
+        default=None,
+        metavar="DIR",
+        help="service mode: cross-epoch substring dedup — each epoch's "
+        "extracted txt is stripped of duplicated >= k-word spans, both "
+        "within the batch and against the persisted gram index at DIR "
+        "(built up epoch by epoch, replay-idempotent; gram width "
+        "recorded in its sidecar); the epoch output gains "
+        "txt_clean/words_removed columns. Per-monitor subdirs with "
+        "--monitor. Batch corpora use the standalone --dedup-substrings.",
+    )
     p.add_argument("--alerts", default=None, help="alert table dir (S7; service mode)")
     p.add_argument("--stream-checkpoint", default=None, help="streaming offsets dir (service)")
     p.add_argument("--master", default=None, help="override spark master (default from env)")
@@ -451,6 +463,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "--dedup-index is the service-mode cross-epoch near-dup pass; "
             "batch runs use the standalone --build/--probe-dedup-index modes"
         )
+    if args.dedup_substrings_index and not args.service:
+        parser.error(
+            "--dedup-substrings-index is the service-mode cross-epoch "
+            "substring pass; batch corpora use the standalone "
+            "--dedup-substrings mode"
+        )
     if args.raw and args.service:
         parser.error(
             "--raw is batch-only (no binaryFile streaming source); "
@@ -545,6 +563,11 @@ def launch_monitors(spark, args, blobs, job_ts: str, suffix: str, trigger: dict,
             num_partitions=args.num_partitions,
             ocr_udf=ocr_udf,
             dedup_index_dir=sub(args.dedup_index) if args.dedup_index else None,
+            substr_index_dir=(
+                sub(args.dedup_substrings_index)
+                if args.dedup_substrings_index
+                else None
+            ),
         )
         queries.append((name, q))
     return queries

@@ -242,17 +242,10 @@ def write_meta(spark, path: str, meta: dict) -> None:
     an index table dir (also used after in-place maintenance rewrites —
     e.g. the CLI's merge/compact modes replace the dir and must restore
     the sidecar the swap discarded)."""
-    import json
+    from pmocr_spark import checkpoint as _ckpt
 
     meta = {k: v for k, v in meta.items() if k != "source"}
-    jvm = spark._jvm  # noqa: SLF001
-    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/_dedup_index_meta.json")
-    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    out = fs.create(hp, True)
-    try:
-        out.write(bytearray(json.dumps(meta).encode()))
-    finally:
-        out.close()
+    _ckpt.write_sidecar(spark, path, "_dedup_index_meta.json", meta)
 
 
 def index_exists(spark, path: str) -> bool:
@@ -263,16 +256,9 @@ def index_exists(spark, path: str) -> bool:
     silently probing nothing and then overwriting the params sidecar
     with defaults. With an explicit probe, read errors on an existing
     index propagate loudly."""
-    jvm = spark._jvm  # noqa: SLF001
-    hp = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    if not fs.exists(hp):
-        return False
-    for st in fs.listStatus(hp):
-        name = st.getPath().getName()
-        if not name.startswith(("_", ".")):
-            return True
-    return False
+    from pmocr_spark import checkpoint as _ckpt
+
+    return _ckpt.dir_has_data(spark, path)
 
 
 def read_index(spark, path: str) -> tuple[DataFrame, dict]:
@@ -281,7 +267,7 @@ def read_index(spark, path: str) -> tuple[DataFrame, dict]:
     uncapped build) as band_kwargs to probe_index/build_index so the
     new batch is banded the way the index was. A pre-sidecar index
     reads with the defaults and a params['source']='defaults' marker."""
-    import json
+    from pmocr_spark import checkpoint as _ckpt
 
     # recursiveFileLookup: the streaming monitor's index accumulates one
     # epoch-keyed subdir per trigger (replay-idempotent overwrites);
@@ -298,19 +284,8 @@ def read_index(spark, path: str) -> tuple[DataFrame, dict]:
         .option("mergeSchema", "true")
         .parquet(path)
     )
-    jvm = spark._jvm  # noqa: SLF001
-    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/_dedup_index_meta.json")
-    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    if fs.exists(hp):
-        stream = fs.open(hp)
-        try:
-            raw = bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            )
-        finally:
-            stream.close()
-        params = json.loads(raw.decode())
-    else:
+    params = _ckpt.read_sidecar(spark, path, "_dedup_index_meta.json")
+    if params is None:
         params = {
             "n_hashes": N_MINHASH,
             "band_size": BAND_SIZE,

@@ -97,21 +97,26 @@ def substring_dedup(
     span deleted (possibly '' if the whole document was duplicated
     elsewhere's canonical copy).
     """
+    occ = gram_occurrences(docs, k, id_col, text_col)
+    rem = _within_batch_removals(occ, id_col)
+    return _reassemble(docs, rem, k, id_col, text_col)
+
+
+def _within_batch_removals(occ: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos) rows for every NON-canonical occurrence of a gram that
+    appears in >1 distinct doc of this frame.
+
+    ONE window pass over occ partitioned by gram hash — min/max doc +
+    min occurrence key over the partition. Versus groupBy+join-back this
+    avoids recomputing the gram explode a second time and the second
+    occ-sized exchange; versus collect_list-per-gram it has no per-key
+    memory blowup (a boilerplate gram with millions of occurrences just
+    sorts/spills)."""
     from pyspark.sql import Window
 
-    occ = gram_occurrences(docs, k, id_col, text_col)
-
-    # Three-shuffle plan (each stage noted):
-    #
-    # (1) duplicated-occurrence detection as ONE window pass over occ
-    # partitioned by gram hash — min/max doc + min occurrence key over
-    # the partition. Versus groupBy+join-back this avoids recomputing
-    # the gram explode a second time and the second occ-sized exchange;
-    # versus collect_list-per-gram it has no per-key memory blowup (a
-    # boilerplate gram with millions of occurrences just sorts/spills).
     key = _occ_key(F.col(id_col), F.col("pos"))
     wgh = Window.partitionBy("gh")
-    rem = (
+    return (
         occ.withColumn("_mn", F.min(id_col).over(wgh))
         .withColumn("_mx", F.max(id_col).over(wgh))
         .withColumn("_kk", F.min(key).over(wgh))
@@ -119,12 +124,20 @@ def substring_dedup(
         .select(id_col, "pos")
     )
 
-    # (2) removed START positions collected per doc — rows here are only
+
+def _reassemble(
+    docs: DataFrame, rem: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild each document with the words covered by any removed
+    occurrence in `rem` (id, start pos) deleted; returns the
+    substring_dedup output shape. Duplicate start positions in rem are
+    harmless (the covered-index array is deduped map-side)."""
+    # removed START positions collected per doc — rows here are only
     # the removed occurrences, tiny relative to occ; the covered-index
     # expansion (pos..pos+k-1, deduped) happens map-side on the array.
     cov = rem.groupBy(id_col).agg(F.collect_list("pos").alias("_ps"))
 
-    # (3) reassembly joins docs to their covered-index arrays (one
+    # reassembly joins docs to their covered-index arrays (one
     # shuffle of doc-sized rows; unaffected docs null out) and rebuilds
     # map-side: kept indexes via array_except (hash-set, O(n + removed))
     # — no per-word join rows, no final groupBy.
@@ -153,3 +166,52 @@ def substring_dedup(
             (F.size("ws") - F.size("_kw")).cast("long").alias("n_removed"),
         )
     )
+
+
+#: params sidecar name for a persisted gram index (see
+#: checkpoint.write_sidecar); records the gram width k, which is part of
+#: the index's identity — probing with a different k finds nothing.
+GRAM_META = "_substr_index_meta.json"
+
+
+def corpus_grams(
+    docs: DataFrame, k: int = DEFAULT_K, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct gram hashes (gh) of a document frame — the rows a
+    persisted gram index stores. Grams are taken from the ORIGINAL text,
+    not the deduped reconstruction: removal creates new word junctions
+    whose k-grams never existed in any real document, and storing those
+    would cause false removals in later batches."""
+    return gram_occurrences(docs, k, id_col, text_col).select("gh").distinct()
+
+
+def substring_dedup_incremental(
+    docs: DataFrame,
+    prior_grams: DataFrame | None,
+    k: int = DEFAULT_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring dedup of a batch against itself AND a historical gram
+    index (the cross-batch/cross-epoch regime: the same boilerplate span
+    re-crawled days later, long after its first batch was processed).
+
+    An occurrence is removed iff it is (a) a non-canonical within-batch
+    duplicate, or (b) its gram exists in `prior_grams` (a frame with a
+    `gh` column — every historical span's first occurrence survived in
+    some earlier batch's output, so history is always the keeper and
+    even this batch's canonical copy is removed).
+
+    Same output shape as substring_dedup; with prior_grams=None it is
+    exactly substring_dedup. The gram explode is consumed twice (window
+    pass + history semi-join) — at scale both consumers recompute from
+    the scan, which beats persisting a corpus-sized occurrence frame.
+    """
+    occ = gram_occurrences(docs, k, id_col, text_col)
+    rem = _within_batch_removals(occ, id_col)
+    if prior_grams is not None:
+        hist = occ.join(
+            prior_grams.select("gh"), "gh", "left_semi"
+        ).select(id_col, "pos")
+        rem = rem.unionByName(hist)
+    return _reassemble(docs, rem, k, id_col, text_col)

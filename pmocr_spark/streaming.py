@@ -142,6 +142,75 @@ def _epoch_dedup(spark, results: DataFrame, index_dir: str, epoch_id: int) -> Da
     return dup_map
 
 
+def _epoch_substr_dedup(
+    spark, results: DataFrame, index_dir: str, epoch_id: int
+) -> DataFrame:
+    """Cross-epoch SUBSTRING dedup for one streaming micro-batch: strip
+    this epoch's extracted txt of (a) within-batch cross-doc duplicated
+    spans and (b) spans whose grams were already seen by ANY earlier
+    epoch (the re-crawled-boilerplate regime — nav chrome and license
+    blocks that DOM-heuristic extraction misses recur across crawls),
+    then append this epoch's distinct gram hashes to the persisted index.
+
+    Same replay discipline as _epoch_dedup: gram rows carry an `epoch`
+    column in epoch-keyed overwrite subdirs; the probe reads only
+    epoch NULL (CLI/maintenance-seeded flat rows) or epoch < E, so a
+    crash-replay of E produces byte-identical cleaned text. The index's
+    gram width k lives in its sidecar (GRAM_META) — probing with a
+    different k finds nothing, so a mismatch is refused loudly.
+
+    Non-destructive: returns (doc_id, txt_clean, words_removed) for the
+    epoch output to LEFT-join — txt stays the exact extraction (the span
+    equality invariant), txt_clean is the curation view."""
+    from . import checkpoint as ckpt
+    from .operators import substring_dedup as sd
+
+    txt_docs = results.filter(F.col("status") == "done").select(
+        "doc_id", F.col("txt").alias("text")
+    )
+    have_index = ckpt.dir_has_data(spark, index_dir)
+    prior = None
+    meta = None
+    if have_index:
+        meta = ckpt.read_sidecar(spark, index_dir, sd.GRAM_META)
+        if meta is not None and meta.get("k") != sd.DEFAULT_K:
+            raise ValueError(
+                f"gram index at {index_dir!r} was built with k={meta.get('k')}, "
+                f"this stream strips with k={sd.DEFAULT_K} — grams are "
+                "incomparable and every probe would silently find nothing"
+            )
+        prior = (
+            spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
+            .parquet(index_dir)
+        )
+        if "epoch" in prior.columns:
+            prior = prior.filter(
+                F.col("epoch").isNull() | (F.col("epoch") < epoch_id)
+            )
+    cleaned = (
+        sd.substring_dedup_incremental(txt_docs, prior, k=sd.DEFAULT_K)
+        .select(
+            "doc_id",
+            F.col("new_text").alias("txt_clean"),
+            F.col("n_removed").alias("words_removed"),
+        )
+        .persist()
+    )
+    cleaned.count()  # materialize BEFORE the index gains this epoch's rows
+    (
+        sd.corpus_grams(txt_docs, k=sd.DEFAULT_K)
+        .withColumn("epoch", F.lit(epoch_id).cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/epoch-{epoch_id}")
+    )
+    # same stale-FileStatusCache hazard as _epoch_dedup's replays
+    spark.catalog.refreshByPath(index_dir)
+    if meta is None:
+        ckpt.write_sidecar(spark, index_dir, sd.GRAM_META, {"k": sd.DEFAULT_K})
+    return cleaned
+
+
 def monitor(
     spark: SparkSession,
     input_dir: str,
@@ -165,6 +234,7 @@ def monitor(
     metrics_dir: str | None = None,
     ocr_udf=None,
     dedup_index_dir: str | None = None,
+    substr_index_dir: str | None = None,
 ):
     """Start the streaming monitor over a landing directory of parquet
     document files. Returns the StreamingQuery.
@@ -205,6 +275,11 @@ def monitor(
       cover intra-batch); this index catches the re-crawl across
       triggers/days. Maintain the index with the CLI's
       --compact-dedup-index (hot-bucket cap over the accumulated rows).
+    - cross-epoch SUBSTRING dedup: with substr_index_dir set, each
+      epoch's extracted txt is stripped of duplicated >= k-word spans —
+      within the batch AND against every prior epoch's gram index
+      (_epoch_substr_dedup) — and the epoch output gains txt_clean /
+      words_removed columns (txt itself stays the exact extraction).
     """
     # Epoch-collision guard: run_id is the STREAM IDENTITY. A stream
     # restarted on a FRESH offsets checkpoint restarts epoch ids at 0;
@@ -279,6 +354,7 @@ def monitor(
         )
         results.persist()
         dup_map = None
+        clean_map = None
         try:
             out = pipeline.project_targets(
                 results,
@@ -292,6 +368,11 @@ def monitor(
                     spark, results, dedup_index_dir, epoch_id
                 )
                 out = out.join(dup_map, "doc_id", "left")
+            if substr_index_dir is not None:
+                clean_map = _epoch_substr_dedup(
+                    spark, results, substr_index_dir, epoch_id
+                )
+                out = out.join(clean_map, "doc_id", "left")
             out.write.mode("overwrite").parquet(f"{output_dir}/epoch-{epoch_id}")
             rows = ckpt.checkpoint_rows(results, run_id=epoch_run, job_ts=epoch_ts, prior=lineage)
             rows.write.mode("overwrite").parquet(f"{lineage_dir}/epoch-{epoch_id}")
@@ -334,6 +415,8 @@ def monitor(
             results.unpersist()
             if dup_map is not None:
                 dup_map.unpersist()
+            if clean_map is not None:
+                clean_map.unpersist()
             if lineage is not None:
                 lineage.unpersist()
 

@@ -774,3 +774,55 @@ def test_dedup_index_per_monitor_namespacing(spark, dirs, tmp_path):
     assert out_a["a-dup"] == "a-orig"      # flagged in A's namespace
     assert out_b["b-dup"] is None          # B's index never saw A
     assert os.path.isdir(f"{idx_base}/ma") and os.path.isdir(f"{idx_base}/mb")
+
+
+def test_cross_epoch_substring_dedup_service(spark, dirs, tmp_path):
+    """--dedup-substrings-index in service mode: epoch 1's extracted txt
+    loses the >= k-word span first seen in epoch 0 (txt_clean column;
+    txt itself stays the exact extraction), fresh docs pass through, and
+    the gram index accumulates epoch-keyed rows with its k sidecar."""
+    import pyarrow as pa
+
+    from pmocr_spark import checkpoint as ckpt
+    from pmocr_spark.operators.substring_dedup import DEFAULT_K, GRAM_META
+
+    span = " ".join(f"s{i}" for i in range(DEFAULT_K))
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]}
+
+    pq.write_table(pa.Table.from_pylist([], schema=corpus.BLOBS_SCHEMA),
+                   f"{tmp_path}/blobs.parquet")
+    media = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    idx_dir = str(tmp_path / "gram_idx")
+
+    def run(drop_name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=corpus.DOCUMENTS_SCHEMA),
+                       f"{dirs['landing']}/{drop_name}.parquet")
+        q = streaming.monitor(
+            spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+            dirs["lineage"], trigger={"availableNow": True},
+            substr_index_dir=idx_dir,
+        )
+        q.awaitTermination(120)
+
+    run("drop0", [doc("e0-a", f"{span} tail0 tail1")])
+    e0 = {r["doc_id"]: r for r in
+          spark.read.parquet(f"{dirs['output']}/epoch-0").collect()}
+    assert e0["e0-a"]["words_removed"] == 0
+    assert e0["e0-a"]["txt_clean"] == f"{span} tail0 tail1"
+
+    run("drop1", [doc("e1-re", f"head0 head1 {span}"), doc("e1-new", "c0 c1 c2 c3")])
+    e1 = {r["doc_id"]: r for r in
+          spark.read.parquet(f"{dirs['output']}/epoch-1").collect()}
+    assert e1["e1-re"]["txt"] == f"head0 head1 {span}"  # extraction untouched
+    assert e1["e1-re"]["txt_clean"] == "head0 head1"
+    assert e1["e1-re"]["words_removed"] == DEFAULT_K
+    assert e1["e1-new"]["txt_clean"] == "c0 c1 c2 c3"
+    assert e1["e1-new"]["words_removed"] == 0
+
+    assert ckpt.read_sidecar(spark, idx_dir, GRAM_META) == {"k": DEFAULT_K}
+    gidx = (spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true").parquet(idx_dir))
+    assert {r["epoch"] for r in gidx.select("epoch").distinct().collect()} == {0, 1}
