@@ -211,6 +211,18 @@ def build_parser() -> argparse.ArgumentParser:
         "steady-state merges cheap) and rewrite it in place",
     )
     p.add_argument(
+        "--compact-substr-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: rewrite the cross-epoch gram index at "
+        "DIR (--dedup-substrings-index) to distinct gram hashes — "
+        "epochs append their gram sets verbatim, so periodic compaction "
+        "reclaims the cross-epoch overlap. Stop the stream first: "
+        "compacted rows read as epoch-less (visible to every epoch), so "
+        "compacting under a live stream changes a replayed epoch's "
+        "verdicts.",
+    )
+    p.add_argument(
         "--dedup-substrings",
         action="store_true",
         help="maintenance mode (standalone, like --compact-lineage): "
@@ -399,11 +411,25 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     # compacts the lineage table and exits — the way to compact a
     # STOPPED stream's lineage without running any pipeline
     args.compact_only = args.compact_lineage and not (args.batch or args.service)
-    if args.compact_only and args.dedup_substrings:
-        # the compact_only early-return below would otherwise silently
-        # swallow the dedup request (same class as the --*-dedup-index
-        # mutual-exclusion errors)
-        parser.error("--dedup-substrings and --compact-lineage are separate maintenance modes")
+    # standalone maintenance modes are mutually exclusive — checked ONCE
+    # before any mode's early return, so no combination is silently
+    # swallowed by whichever mode happens to dispatch first
+    _dedup_index_flags = [
+        f"--{op}-dedup-index"
+        for op in ("build", "probe", "merge", "compact")
+        if getattr(args, f"{op}_dedup_index")
+    ]
+    _maint = _dedup_index_flags + [
+        flag
+        for flag, on in (
+            ("--compact-lineage", args.compact_only),
+            ("--dedup-substrings", args.dedup_substrings),
+            ("--compact-substr-index", args.compact_substr_index),
+        )
+        if on
+    ]
+    if len(_maint) > 1:
+        parser.error(f"{' and '.join(_maint)} are separate maintenance modes")
     if args.compact_only:
         if not args.lineage:
             parser.error("--lineage is required with --compact-lineage")
@@ -419,8 +445,6 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ]
     if len(dedup_ops) > 1:
         parser.error("give exactly one --{build,probe,merge,compact}-dedup-index")
-    if dedup_ops and args.dedup_substrings:
-        parser.error("--dedup-substrings and --*-dedup-index are separate maintenance modes")
     args.dedup_index_op = dedup_ops[0] if dedup_ops else None
     if args.dedup_index_op:
         op, _dir = args.dedup_index_op
@@ -430,6 +454,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error(f"--input is required with --{op}-dedup-index")
         if op == "probe" and not args.output:
             parser.error("--output is required with --probe-dedup-index")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.compact_substr_index:
+        if args.batch or args.service:
+            parser.error("--compact-substr-index is a standalone maintenance mode")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -675,6 +705,24 @@ def main(argv: list[str] | None = None) -> None:
         return
     if getattr(args, "dedup_index_op", None):
         _run_dedup_index_op(spark, args)
+        return
+    if getattr(args, "compact_substr_index", None):
+        from .operators.substring_dedup import GRAM_META
+
+        idx_dir = args.compact_substr_index
+        meta = ckpt.read_sidecar(spark, idx_dir, GRAM_META)
+        gidx = (
+            spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
+            .parquet(idx_dir)
+        )
+        flat = gidx.select("gh").distinct().persist()
+        n = flat.count()  # materialize before replacing the dir it reads
+        ckpt.replace_dir(spark, flat, idx_dir, tag=".substr")
+        flat.unpersist()
+        if meta is not None:  # restore the sidecar the swap discarded
+            ckpt.write_sidecar(spark, idx_dir, GRAM_META, meta)
+        print(f"pmocr-spark: compacted gram index at {idx_dir} to {n} rows")
         return
     if getattr(args, "dedup_substrings", False):
         from .operators.substring_dedup import DEFAULT_K, substring_dedup

@@ -168,10 +168,8 @@ def _epoch_substr_dedup(
     txt_docs = results.filter(F.col("status") == "done").select(
         "doc_id", F.col("txt").alias("text")
     )
-    have_index = ckpt.dir_has_data(spark, index_dir)
-    prior = None
     meta = None
-    if have_index:
+    if ckpt.dir_has_data(spark, index_dir):
         meta = ckpt.read_sidecar(spark, index_dir, sd.GRAM_META)
         if meta is not None and meta.get("k") != sd.DEFAULT_K:
             raise ValueError(
@@ -179,36 +177,37 @@ def _epoch_substr_dedup(
                 f"this stream strips with k={sd.DEFAULT_K} — grams are "
                 "incomparable and every probe would silently find nothing"
             )
-        prior = (
-            spark.read.option("recursiveFileLookup", "true")
-            .option("mergeSchema", "true")
-            .parquet(index_dir)
-        )
-        if "epoch" in prior.columns:
-            prior = prior.filter(
-                F.col("epoch").isNull() | (F.col("epoch") < epoch_id)
-            )
-    cleaned = (
-        sd.substring_dedup_incremental(txt_docs, prior, k=sd.DEFAULT_K)
-        .select(
-            "doc_id",
-            F.col("new_text").alias("txt_clean"),
-            F.col("n_removed").alias("words_removed"),
-        )
-        .persist()
-    )
-    cleaned.count()  # materialize BEFORE the index gains this epoch's rows
+    # WRITE-FIRST ordering: this epoch's grams land before the probe is
+    # even planned. A materialize-then-write order is NOT safe for a
+    # lazy prior: if the cleaned frame is ever re-executed after the
+    # write (cache eviction, executor loss), the probe would re-read the
+    # index WITH this batch's own grams and strip every batch document
+    # to '' — with the write up front, the epoch<E filter below excludes
+    # them deterministically on first execution and on every re-run, and
+    # a crash-replay of E just re-overwrites the same subdir.
     (
         sd.corpus_grams(txt_docs, k=sd.DEFAULT_K)
         .withColumn("epoch", F.lit(epoch_id).cast("long"))
         .write.mode("overwrite")
         .parquet(f"{index_dir}/epoch-{epoch_id}")
     )
-    # same stale-FileStatusCache hazard as _epoch_dedup's replays
+    # drop any stale file listing (replays rewrite part files)
     spark.catalog.refreshByPath(index_dir)
     if meta is None:
         ckpt.write_sidecar(spark, index_dir, sd.GRAM_META, {"k": sd.DEFAULT_K})
-    return cleaned
+    prior = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(index_dir)
+    )
+    # the epoch column always exists here (this epoch's subdir just
+    # landed); compacted/seeded flat rows read as epoch NULL = history
+    prior = prior.filter(F.col("epoch").isNull() | (F.col("epoch") < epoch_id))
+    return sd.substring_dedup_incremental(txt_docs, prior, k=sd.DEFAULT_K).select(
+        "doc_id",
+        F.col("new_text").alias("txt_clean"),
+        F.col("n_removed").alias("words_removed"),
+    )
 
 
 def monitor(

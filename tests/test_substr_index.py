@@ -89,3 +89,42 @@ def test_epoch_hook_refuses_k_mismatch(spark, tmp_path):
     ckpt.write_sidecar(spark, idx, GRAM_META, {"k": DEFAULT_K + 5})
     with pytest.raises(ValueError, match="incomparable"):
         _epoch_substr_dedup(spark, _results(spark, [("b", "v0 v1 v2")]), idx, 1)
+
+
+def test_compact_substr_index_cli(spark, tmp_path):
+    """--compact-substr-index flattens the epoch subdirs to distinct gram
+    hashes, keeps the k sidecar, and a post-compaction epoch still strips
+    spans from the (now epoch-less) history."""
+    from pmocr_spark import checkpoint as ckpt
+    from pmocr_spark import cli
+
+    idx = str(tmp_path / "gidx3")
+    span = " ".join(f"t{i}" for i in range(DEFAULT_K))
+    _epoch_substr_dedup(spark, _results(spark, [("a", f"{span} x0 x1")]), idx, 0)
+    _epoch_substr_dedup(spark, _results(spark, [("b", f"{span} y0 y1")]), idx, 1)
+
+    before = (spark.read.option("recursiveFileLookup", "true")
+              .option("mergeSchema", "true").parquet(idx))
+    n_distinct = before.select("gh").distinct().count()
+    assert before.count() > n_distinct  # epochs overlap on the span's grams
+
+    cli.main(["--compact-substr-index", idx, "--master", "local[4]"])
+    spark.catalog.refreshByPath(idx)
+    after = (spark.read.option("recursiveFileLookup", "true")
+             .option("mergeSchema", "true").parquet(idx))
+    assert after.count() == n_distinct and "epoch" not in after.columns
+    assert ckpt.read_sidecar(spark, idx, GRAM_META) == {"k": DEFAULT_K}
+
+    m = {r["doc_id"]: r for r in _epoch_substr_dedup(
+        spark, _results(spark, [("c", f"z0 z1 {span}")]), idx, 2
+    ).collect()}
+    assert m["c"]["txt_clean"] == "z0 z1"
+    assert m["c"]["words_removed"] == DEFAULT_K
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):  # mutual exclusion, both orders
+        cli.parse_args(["--compact-substr-index", idx, "--compact-lineage",
+                        "--lineage", "l"])
+    with _pytest.raises(SystemExit):
+        cli.parse_args(["--compact-substr-index", idx, "--dedup-substrings",
+                        "--input", "x", "--output", "y"])
