@@ -120,8 +120,15 @@ def _epoch_dedup(spark, results: DataFrame, index_dir: str, epoch_id: int) -> Da
         dup_map = hits.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
     else:
         dup_map = spark.createDataFrame([], "doc_id string, dup_of string")
-    dup_map = dup_map.persist()
-    dup_map.count()  # materialize BEFORE the index gains this epoch's rows
+    # Materialize with the LINEAGE CUT, not just persist+count: a merely
+    # persisted dup_map can be re-executed after the keeper-band write
+    # below (cache eviction, executor loss), and on a flat CLI-seeded
+    # index — whose read has no epoch column, hence no epoch<E replay
+    # filter — the re-executed probe would re-list the index WITH this
+    # epoch's own bands and flag within-batch pairs nondeterministically.
+    # localCheckpoint(eager) pins the verdicts; losing the checkpointed
+    # partitions fails the epoch loudly (replay recovers) instead.
+    dup_map = dup_map.localCheckpoint(eager=True)
     keepers = new_bands.join(dup_map.select("doc_id"), "doc_id", "left_anti")
     (
         keepers.withColumn("epoch", F.lit(epoch_id).cast("long"))
