@@ -547,12 +547,19 @@ ANN_RECALL_FLOOR = float(os.environ.get("PMOCR_ANN_RECALL_FLOOR", "0.6"))
 
 
 def _ann_recall_at5(spark, sf_dir: str) -> dict[str, float]:
-    """recall@5 of the IVF ANN queries (q22 fixed centroids, q33 learned
-    k-means centroids) against q21's brute-force ground truth, same
-    query set (round-3 verdict item #5: the ANN entries trade recall
-    for cost but nothing measured it). Result frames are 10 queries x
-    top-5 — collect is trivially bounded."""
+    """recall@5 of the approximate ANN variants — q22 (IVF, fixed
+    centroids), q33 (IVF, learned k-means centroids) and q21's 'pq' part
+    (product quantization + exact rerank, round 4) — against q21's
+    'brute' part as ground truth, same query set (round-3 verdict item
+    #5: the ANN entries trade recall for cost but nothing measured it).
+    Result frames are 10 queries x top-5 — collect is trivially
+    bounded."""
     from pmocr_spark.queries import QUERY_FNS
+
+    q21 = {}
+    for r in QUERY_FNS["q21_ann_bruteforce"](spark, sf_dir).collect():
+        q21.setdefault(r["part"], {}).setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    truth = q21.get("brute", {})
 
     def topk(name):
         out = {}
@@ -560,10 +567,13 @@ def _ann_recall_at5(spark, sf_dir: str) -> dict[str, float]:
             out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         return out
 
-    truth = topk("q21_ann_bruteforce")
     recalls = {}
-    for name in ("q22_ann_ivf", "q33_ann_ivf_kmeans"):
-        approx = topk(name)
+    approxes = {
+        "q22_ann_ivf": topk("q22_ann_ivf"),
+        "q33_ann_ivf_kmeans": topk("q33_ann_ivf_kmeans"),
+        "q21_pq_rerank": q21.get("pq", {}),
+    }
+    for name, approx in approxes.items():
         per_q = [
             len(approx.get(q, set()) & hits) / len(hits) for q, hits in truth.items() if hits
         ]
@@ -571,7 +581,7 @@ def _ann_recall_at5(spark, sf_dir: str) -> dict[str, float]:
         if recalls[name] < ANN_RECALL_FLOOR:
             _log(
                 f"WARNING: {name} recall@5 {recalls[name]} below floor "
-                f"{ANN_RECALL_FLOOR} — IVF centroid layout degenerated?"
+                f"{ANN_RECALL_FLOOR} — index layout degenerated?"
             )
     return recalls
 

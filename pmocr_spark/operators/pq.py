@@ -1,0 +1,166 @@
+"""Product quantization (PQ) for embedding columns: 32x compression +
+asymmetric-distance (ADC) top-k search, all in built-in array expressions.
+
+IVF (q22/q33) bounds WHICH candidates a query compares against; PQ bounds
+WHAT each comparison costs and — the part that matters at 100 TB — what
+each stored vector costs. A 64-dim float32 embedding is 256 bytes; its PQ
+code here is M=16 4-bit subspace assignments = 8 bytes. At 10^12 vectors
+that is 256 TB of raw vectors vs 8 TB of codes: the difference between
+"the index fits on the cluster" and "it does not" (Jegou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Semantics (all deterministic — no RNG, no training sample ambiguity):
+  * vectors are L2-NORMALIZED before quantization, so squared-L2 ADC
+    distance is monotone with cosine (||a-b||^2 = 2 - 2*cos on the unit
+    sphere) and PQ ranks approximate the same metric as the q21 brute
+    force / q22 IVF family members;
+  * the codebook for every subspace is the sub-vectors of the first
+    N_CODES vec_ids — the same fixed-seed convention as q22's IVF
+    centroids (deterministic stand-in for the k-means training run a
+    production build would do offline);
+  * all squared-L2 distances are computed in double, rounded to 6 dp and
+    held as BIGINT micro-units from then on: code assignment argmin uses
+    the collision-free ordering key d_int*100 + cent_id, and the ADC
+    distance is an integer SUM of table entries — integer arithmetic is
+    order-independent, so Spark and a SQL oracle agree bit-for-bit where
+    a float sum could flip ranks between engines.
+
+Scale shape (the 100 TB contract):
+  * the codebook is one broadcast row (N_CODES packed sub-vectors);
+    encoding is a PURE MAP over the corpus — zero shuffles, zero row
+    amplification (contrast the naive vector x centroid x subspace join:
+    M*K rows per vector);
+  * queries precompute an M x K distance-table array (again map-side,
+    tiny) and broadcast; the ADC scan is codes-only — each candidate
+    touches 16 ints + 16 table lookups instead of 64 float multiplies;
+  * only the per-query top-SHORTLIST rows ever shuffle (window over
+    query_id); the caller then reranks the shortlist with EXACT cosine
+    over raw vectors (a broadcast semi-join touching k_short vectors
+    per query — q21's 'pq' part does this), which is where recall comes
+    from: compressed distance finds the neighborhood, exact distance
+    orders it.
+
+Reference parity: pmOCR is a format converter with no vector search;
+this extends the build brief's similarity-search axis (ANN family,
+SURVEY.md section 2.7) the way its OCR axis extends pmocr.sh.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+#: number of subspaces (M) — a 64-dim vector splits into 16 sub-vectors
+N_SUB = 16
+#: dims per subspace (D / M)
+D_SUB = 4
+#: codes per subspace codebook (K) — 16 codes x log2(16) bits = 8 B/vec
+#: effective (stored here as one int per subspace for plan simplicity);
+#: vs 256 B of raw float32 that is the 32x compression
+N_CODES = 16
+
+#: ADC shortlist size for the exact-rerank stage: the PQ scan returns
+#: the top-SHORTLIST candidates per query by compressed distance, and
+#: only THOSE raw vectors are read for the exact cosine top-k. Measured
+#: on the sf0.01 corpus: recall@5 = 0.16 with no rerank, 0.82 with
+#: shortlist=50 (fixed 16-vector codebook) — the rerank is where PQ
+#: recall comes from, at the cost of reading k_short vectors per query
+#: instead of zero.
+SHORTLIST = 50
+
+#: micro-unit scale for distances: round(d, 6dp) -> integer micro-units
+_MICRO = 1_000_000
+
+
+def _sub(vec, m: int):
+    """1-based slice of subspace m (0-based) out of a packed vector."""
+    return F.slice(vec, m * D_SUB + 1, D_SUB)
+
+
+def _d_int(sub, csub):
+    """Squared-L2 distance between two sub-vectors as BIGINT micro-units
+    (double arithmetic in identical left-to-right order on both engines,
+    then one round -> integer; see module docstring)."""
+    d = F.aggregate(
+        F.zip_with(sub, csub, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d * _MICRO, 0).cast("long")
+
+
+def pq_codebook(v: DataFrame) -> DataFrame:
+    """One-row packed codebook: `cs` = array of (cent_id, ce) structs,
+    sorted by cent_id (collect_list order is NOT deterministic; the
+    array_sort pins it), ce = the full normalized vector of each of the
+    first N_CODES vec_ids. Subspace m's codebook entry for code c is
+    _sub(cs[c].ce, m) — one broadcastable row serves all M subspaces.
+
+    `v` must have (vec_id, en) with en the L2-normalized double vector.
+    """
+    cent = v.filter(F.col("vec_id") < N_CODES).select(
+        F.col("vec_id").alias("cent_id"), F.col("en").alias("ce")
+    )
+    return cent.agg(F.array_sort(F.collect_list(F.struct("cent_id", "ce"))).alias("cs"))
+
+
+def pq_encode(v: DataFrame, codebook: DataFrame) -> DataFrame:
+    """PQ-encode every vector: (vec_id, codes array<int> of length N_SUB).
+
+    Pure map: codebook is a broadcast single row; per subspace the code
+    is argmin over N_CODES rounded distances via the collision-free key
+    d_int*100 + cent_id (array_min of longs — no struct compare, no
+    tie ambiguity). At 10^12 vectors this stage shuffles nothing."""
+
+    def code(m: int):
+        keys = F.transform(
+            F.col("cs"),
+            lambda c: _d_int(_sub(F.col("en"), m), _sub(c["ce"], m)) * 100
+            + c["cent_id"],
+        )
+        return (F.array_min(keys) % 100).cast("int")
+
+    return v.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", F.array(*[code(m) for m in range(N_SUB)]).alias("codes")
+    )
+
+
+def pq_query_tables(q: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Per-query ADC distance tables: (query_id, dts) with dts an
+    N_SUB x N_CODES array of BIGINT micro-unit distances, dts[m][c] =
+    d(query sub m, codebook entry c sub m). cs is cent_id-sorted, so
+    position == cent_id == the code stored by pq_encode.
+
+    `q` must have (query_id, en); the result is small (|queries| rows)
+    and meant to be broadcast into the ADC scan."""
+    def tbl(m: int):
+        # NB: the lambda must take exactly ONE parameter — a second
+        # parameter (even a default like m=m) flips PySpark's transform
+        # into its (element, index) form and silently rebinds it.
+        return F.transform(F.col("cs"), lambda c: _d_int(_sub(F.col("en"), m), _sub(c["ce"], m)))
+
+    tables = F.array(*[tbl(m) for m in range(N_SUB)])
+    return q.crossJoin(F.broadcast(codebook)).select("query_id", tables.alias("dts"))
+
+
+def pq_adc_topk(codes: DataFrame, tables: DataFrame, topk: int = 5) -> DataFrame:
+    """ADC search: for every (query, candidate) pair, dist_int =
+    sum_m dts[m][codes[m]] (integer table lookups — the candidate's
+    float vector is never read), then the per-query top-k by
+    (dist_int asc, neighbor_id asc).
+
+    codes: (vec_id, codes) from pq_encode — the full corpus side;
+    tables: (query_id, dts) from pq_query_tables — broadcast side.
+    Returns (query_id, neighbor_id, rk, dist_int)."""
+    dist = F.aggregate(
+        F.zip_with("codes", "dts", lambda cd, tb: F.get(tb, cd)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = codes.crossJoin(F.broadcast(tables)).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), dist.alias("dist_int")
+    )
+    w = W.partitionBy("query_id").orderBy("dist_int", "neighbor_id")
+    return sims.select(
+        "query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rk"), "dist_int"
+    ).filter(F.col("rk") <= topk)

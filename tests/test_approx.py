@@ -75,3 +75,54 @@ def test_argmax_assign_matches_window_argmax(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark):
+    """Property: a vector that IS a codebook entry has zero quantization
+    error in every subspace, so its code in subspace m is its own
+    cent_id — pins slice arithmetic, the d_int*100+cent_id argmin key,
+    and the cent_id-sorted table layout all at once."""
+    from pmocr_spark.operators.pq import N_CODES, N_SUB, pq_codebook, pq_encode
+    from pmocr_spark.queries import _norm_embeddings
+
+    v = _norm_embeddings(spark, "/root/testdata/sf0.001")
+    vn = v.select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en"))
+    book = pq_codebook(vn)
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(vn.filter(F.col("vec_id") < N_CODES), book).collect()
+    }
+    assert len(got) == N_CODES
+    for vec_id, codes in got.items():
+        assert codes == [vec_id] * N_SUB, (vec_id, codes)
+
+
+def test_pq_rerank_recall_and_exactness(spark):
+    """q21's 'pq' part (ADC shortlist + exact rerank) must (a) clear the
+    bench recall floor vs the 'brute' part on the same queries, and
+    (b) report EXACT cosine scores — any (query, neighbor) pair present
+    in both parts carries the identical score (the rerank reads raw
+    vectors, not compressed distances)."""
+    from pmocr_spark.queries import QUERY_FNS
+
+    rows = QUERY_FNS["q21_ann_bruteforce"](spark, SF).collect()
+    parts: dict = {}
+    scores: dict = {}
+    for r in rows:
+        parts.setdefault((r["part"], r["query_id"]), set()).add(r["neighbor_id"])
+        scores[(r["part"], r["query_id"], r["neighbor_id"])] = r["score"]
+    queries = sorted({q for (p, q) in parts if p == "brute"})
+    assert queries, "brute part empty"
+    rec = [
+        len(parts[("pq", q)] & parts[("brute", q)]) / len(parts[("brute", q)])
+        for q in queries
+    ]
+    assert sum(rec) / len(rec) >= 0.6, rec
+    shared = [
+        (q, n)
+        for (p, q, n) in scores
+        if p == "brute" and ("pq", q, n) in scores
+    ]
+    assert shared, "no overlap between brute and pq top-5s"
+    for q, n in shared:
+        assert scores[("brute", q, n)] == scores[("pq", q, n)], (q, n)

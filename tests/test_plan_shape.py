@@ -302,3 +302,21 @@ def test_probe_small_batch_broadcasts(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin Inner" in plan, plan
+
+
+def test_pq_encode_map_only(spark):
+    """PQ encoding (operators/pq.py) must be a pure map over the vector
+    table: the only shuffle in the plan is the 16-row codebook
+    collect_list agg (Exchange SinglePartition on the tiny side); the
+    corpus side reaches its codes through a single-row broadcast join,
+    with no Python stage anywhere."""
+    from pmocr_spark.operators.pq import pq_codebook, pq_encode
+    from pmocr_spark.queries import _norm_embeddings
+
+    v = _norm_embeddings(spark, SF)
+    vn = v.select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en"))
+    codes = pq_encode(vn, pq_codebook(vn))
+    plan = shape.formatted_plan(codes)
+    assert shape.count_exchanges(codes) <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan, plan
