@@ -101,7 +101,7 @@ def pq_codebook(v: DataFrame) -> DataFrame:
     cent = v.filter(F.col("vec_id") < N_CODES).select(
         F.col("vec_id").alias("cent_id"), F.col("en").alias("ce")
     )
-    return cent.agg(F.array_sort(F.collect_list(F.struct("cent_id", "ce"))).alias("cs"))
+    return _pack_centroids(cent)
 
 
 def pq_encode(v: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -164,3 +164,86 @@ def pq_adc_topk(codes: DataFrame, tables: DataFrame, topk: int = 5) -> DataFrame
     return sims.select(
         "query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rk"), "dist_int"
     ).filter(F.col("rk") <= topk)
+
+
+# ---------------------------------------------------------------------
+# Persisted PQ index: codes table + codebook sidecar
+# ---------------------------------------------------------------------
+#
+# The encode pass is the expensive one (it reads every raw vector); at
+# 10^12 vectors you run it once and persist the 8-byte codes, then every
+# search probes the code table. Codes are meaningless without the EXACT
+# codebook that produced them — same params-identity reasoning as the
+# dedup index's banding sidecar — so the codebook (16 x 64 doubles,
+# trivially bounded) travels as a `_pq_index_meta.json` sidecar inside
+# the codes dir: JSON float repr round-trips IEEE doubles exactly, and
+# Spark readers ignore underscore-prefixed files. Incremental growth is
+# append-shaped: encode the new batch against the SIDECAR's codebook and
+# write mode="append" — per-vector codes are independent, so unlike the
+# dedup index there is no cross-batch cap/compaction to run.
+
+_META_NAME = "_pq_index_meta.json"
+
+
+def _pack_centroids(cent: DataFrame) -> DataFrame:
+    """(cent_id, ce) rows -> the one-row cent_id-sorted packed frame
+    every PQ op consumes (see pq_codebook)."""
+    return cent.agg(F.array_sort(F.collect_list(F.struct("cent_id", "ce"))).alias("cs"))
+
+
+def write_pq_index(codes: DataFrame, codebook: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist PQ codes WITH their codebook. `codebook` is the one-row
+    packed frame from pq_codebook — collected here (N_CODES vectors,
+    bounded) into the sidecar. mode="append" adds a new batch's codes;
+    the caller must have encoded them against THIS index's codebook
+    (read_pq_index hands it back for exactly that)."""
+    codes.write.mode(mode).parquet(path)
+    if mode == "append":
+        # keep the existing sidecar — the append contract is that the
+        # batch was encoded with the already-persisted codebook
+        return
+    packed = codebook.collect()[0]["cs"]
+    meta = {
+        "n_sub": N_SUB,
+        "d_sub": D_SUB,
+        "n_codes": N_CODES,
+        "centroids": [list(c["ce"]) for c in packed],
+    }
+    from pmocr_spark import checkpoint as _ckpt
+
+    _ckpt.write_sidecar(codes.sparkSession, path, _META_NAME, meta)
+
+
+def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """Load persisted codes + rebuild the codebook frame from the
+    sidecar. Returns (codes, codebook, params).
+
+    Loud failures, never defaults: codes without a sidecar are
+    unusable (there is NO sane default codebook — probing with a
+    freshly derived one silently returns garbage ranks), and an index
+    written by a build with different PQ geometry must not be probed
+    with this one's constants."""
+    from pmocr_spark import checkpoint as _ckpt
+
+    codes = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(path)
+    )
+    meta = _ckpt.read_sidecar(spark, path, _META_NAME)
+    if meta is None:
+        raise ValueError(
+            f"PQ index at {path} has no {_META_NAME} sidecar — codes are "
+            "meaningless without the codebook that produced them; rebuild."
+        )
+    if (meta["n_sub"], meta["d_sub"], meta["n_codes"]) != (N_SUB, D_SUB, N_CODES):
+        raise ValueError(
+            f"PQ geometry mismatch: index at {path} was built with "
+            f"(n_sub={meta['n_sub']}, d_sub={meta['d_sub']}, n_codes={meta['n_codes']}), "
+            f"this build uses ({N_SUB}, {D_SUB}, {N_CODES}); re-encode."
+        )
+    cent = spark.createDataFrame(
+        [(i, vec) for i, vec in enumerate(meta["centroids"])],
+        "cent_id long, ce array<double>",
+    )
+    return codes, _pack_centroids(cent), meta
