@@ -211,6 +211,50 @@ def build_parser() -> argparse.ArgumentParser:
         "steady-state merges cheap) and rewrite it in place",
     )
     p.add_argument(
+        "--build-pq-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: PQ-encode the --input embeddings table "
+        "(vec_id, embedding) and persist codes + codebook sidecar at "
+        "DIR (operators/pq.write_pq_index; 32x compression — the "
+        "encode pass reads every raw vector ONCE, then searches probe "
+        "the 8-byte codes)",
+    )
+    p.add_argument(
+        "--append-pq-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: encode the --input batch against the "
+        "index's SIDECAR codebook and append its codes to DIR — "
+        "per-vector codes are independent, so growth is pure append "
+        "(no merge/compaction pass; vec_ids must be new)",
+    )
+    p.add_argument(
+        "--probe-pq-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: ADC top-k search of the --input query "
+        "embeddings against the codes at DIR; writes (query_id, "
+        "neighbor_id, rk, dist_int) to --output. Compressed-distance "
+        "ranks only — pass --rerank-vectors to rerank the shortlist "
+        "with exact cosine (the q21 production shape)",
+    )
+    p.add_argument(
+        "--rerank-vectors",
+        default=None,
+        metavar="PATH",
+        help="--probe-pq-index: raw embeddings table (the index stores "
+        "codes only); the ADC shortlist is reranked by exact cosine "
+        "over just these vectors and the output gains a cos_sim column",
+    )
+    p.add_argument(
+        "--pq-topk",
+        type=int,
+        default=None,
+        help="--probe-pq-index: neighbors per query (default 5 "
+        "reranked; shortlist size without --rerank-vectors)",
+    )
+    p.add_argument(
         "--compact-substr-index",
         default=None,
         metavar="DIR",
@@ -419,7 +463,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         for op in ("build", "probe", "merge", "compact")
         if getattr(args, f"{op}_dedup_index")
     ]
-    _maint = _dedup_index_flags + [
+    _pq_index_flags = [
+        f"--{op}-pq-index"
+        for op in ("build", "append", "probe")
+        if getattr(args, f"{op}_pq_index")
+    ]
+    _maint = _dedup_index_flags + _pq_index_flags + [
         flag
         for flag, on in (
             ("--compact-lineage", args.compact_only),
@@ -457,6 +506,30 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
+    # PQ-index maintenance modes (same standalone contract)
+    pq_ops = [
+        (op, getattr(args, f"{op}_pq_index"))
+        for op in ("build", "append", "probe")
+        if getattr(args, f"{op}_pq_index")
+    ]
+    if len(pq_ops) > 1:
+        parser.error("give exactly one --{build,append,probe}-pq-index")
+    args.pq_index_op = pq_ops[0] if pq_ops else None
+    if args.pq_index_op:
+        op, _dir = args.pq_index_op
+        if args.batch or args.service:
+            parser.error(f"--{op}-pq-index is a standalone maintenance mode")
+        if not args.input:
+            parser.error(f"--input is required with --{op}-pq-index")
+        if op == "probe" and not args.output:
+            parser.error("--output is required with --probe-pq-index")
+        if args.pq_topk is not None and args.pq_topk < 1:
+            parser.error("--pq-topk must be >= 1")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.rerank_vectors:
+        parser.error("--rerank-vectors only applies to --probe-pq-index")
     if args.compact_substr_index:
         if args.batch or args.service:
             parser.error("--compact-substr-index is a standalone maintenance mode")
@@ -678,6 +751,67 @@ def _run_dedup_index_op(spark, args) -> None:
     print(f"pmocr-spark: {op} rewrote dedup index at {idx_dir} ({n} rows)")
 
 
+def _run_pq_index_op(spark, args) -> None:
+    """PQ-index lifecycle maintenance, the ANN twin of
+    _run_dedup_index_op. build encodes the --input embeddings and
+    persists codes + codebook sidecar; append encodes a new batch
+    against the SIDECAR's codebook (never a fresh one — codes from two
+    codebooks are incomparable, which read_pq_index's guards enforce)
+    and appends, no compaction needed (per-vector codes are
+    independent); probe runs the ADC top-k scan, optionally reranked by
+    exact cosine over --rerank-vectors (the scan→shortlist→rerank shape
+    of q21 part='pq' — compressed distance finds the neighborhood,
+    exact distance orders it)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from .operators import pq
+
+    op, idx_dir = args.pq_index_op
+    batch = pq.normalize_embeddings(spark.read.parquet(args.input))
+    if op == "build":
+        book = pq.pq_codebook(batch)
+        pq.write_pq_index(pq.pq_encode(batch, book), book, idx_dir)
+        print(f"pmocr-spark: built pq index at {idx_dir}")
+        return
+    codes, book, _meta = pq.read_pq_index(spark, idx_dir)
+    if op == "append":
+        pq.write_pq_index(pq.pq_encode(batch, book), book, idx_dir, mode="append")
+        print(f"pmocr-spark: appended batch codes to pq index at {idx_dir}")
+        return
+    # probe
+    q = batch.select(F.col("vec_id").alias("query_id"), "en")
+    tables = pq.pq_query_tables(q, book)
+    if not args.rerank_vectors:
+        hits = pq.pq_adc_topk(codes, tables, topk=args.pq_topk or pq.SHORTLIST)
+    else:
+        topk = args.pq_topk or 5
+        short = pq.pq_adc_topk(codes, tables, topk=pq.SHORTLIST).select(
+            "query_id", "neighbor_id"
+        )
+        cand = pq.normalize_embeddings(spark.read.parquet(args.rerank_vectors)).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("en").alias("cen")
+        )
+        dot = F.aggregate(
+            F.zip_with("en", "cen", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+        hits = (
+            cand.join(F.broadcast(short), "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "neighbor_id", F.round(dot, 4).alias("cos_sim"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.row_number().over(w).cast("long").alias("rk"),
+                "cos_sim",
+            )
+            .filter(F.col("rk") <= topk)
+        )
+    hits.write.mode("overwrite").parquet(args.output)
+    print(f"pmocr-spark: pq probe hits written to {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     from datetime import datetime
 
@@ -705,6 +839,9 @@ def main(argv: list[str] | None = None) -> None:
         return
     if getattr(args, "dedup_index_op", None):
         _run_dedup_index_op(spark, args)
+        return
+    if getattr(args, "pq_index_op", None):
+        _run_pq_index_op(spark, args)
         return
     if getattr(args, "compact_substr_index", None):
         from .operators.substring_dedup import GRAM_META

@@ -185,6 +185,18 @@ def pq_adc_topk(codes: DataFrame, tables: DataFrame, topk: int = 5) -> DataFrame
 _META_NAME = "_pq_index_meta.json"
 
 
+def normalize_embeddings(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, raw float vector) -> (vec_id, en) with en the L2-normalized
+    double vector every PQ op consumes — the CLI-facing twin of the
+    query catalog's _norm_embeddings (same cast/normalize order, so CLI
+    codes match q21's bit-for-bit)."""
+    e = F.transform(vec_col, lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.transform(e, lambda x: x / nrm).alias("en")
+    )
+
+
 def _pack_centroids(cent: DataFrame) -> DataFrame:
     """(cent_id, ce) rows -> the one-row cent_id-sorted packed frame
     every PQ op consumes (see pq_codebook)."""

@@ -92,3 +92,57 @@ def test_pq_index_requires_sidecar_and_matching_geometry(spark, tmp_path):
     ckpt.write_sidecar(spark, path2, "_pq_index_meta.json", meta)
     with pytest.raises(ValueError, match="geometry"):
         pq.read_pq_index(spark, path2)
+
+
+def test_pq_index_cli_lifecycle(spark, tmp_path):
+    """CLI maintenance modes: build(b1) -> append(b2) -> probe gives the
+    ADC shortlist of an in-memory one-shot over the union; with
+    --rerank-vectors the output is the exact-cosine top-5 over that
+    shortlist (q21 part='pq' end-to-end, driven from the CLI)."""
+    from pmocr_spark import cli
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.filter(F.col("vec_id") < 300).write.parquet(str(tmp_path / "b1"))
+    emb.filter(F.col("vec_id") >= 300).write.parquet(str(tmp_path / "b2"))
+    emb.filter(F.col("vec_id") < 10).write.parquet(str(tmp_path / "queries"))
+    emb.write.parquet(str(tmp_path / "vecs"))
+    idx = str(tmp_path / "pq_idx")
+
+    cli.main(["--build-pq-index", idx, "--input", str(tmp_path / "b1"),
+              "--master", "local[4]"])
+    cli.main(["--append-pq-index", idx, "--input", str(tmp_path / "b2"),
+              "--master", "local[4]"])
+    cli.main(["--probe-pq-index", idx, "--input", str(tmp_path / "queries"),
+              "--output", str(tmp_path / "hits"), "--master", "local[4]"])
+
+    got = {(r["query_id"], r["rk"]): (r["neighbor_id"], r["dist_int"]) for r in
+           spark.read.parquet(str(tmp_path / "hits")).collect()}
+    vn = pq.normalize_embeddings(emb)
+    book = pq.pq_codebook(vn)
+    q = vn.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "en")
+    want = _shortlist(pq.pq_encode(vn, book), pq.pq_query_tables(q, book), k=pq.SHORTLIST)
+    assert got == want  # maintained index == one-shot encode of the union
+
+    # every query's rank-1 ADC hit is itself (queries are IN the index) —
+    # dist 0 beats everything on the unit sphere
+    assert all(got[(i, 1)][0] == i for i in range(10))
+
+    cli.main(["--probe-pq-index", idx, "--input", str(tmp_path / "queries"),
+              "--output", str(tmp_path / "hits5"), "--rerank-vectors",
+              str(tmp_path / "vecs"), "--pq-topk", "5", "--master", "local[4]"])
+    rr = spark.read.parquet(str(tmp_path / "hits5"))
+    assert rr.count() == 50 and set(rr.columns) == {"query_id", "neighbor_id", "rk", "cos_sim"}
+    top1 = {r["query_id"]: (r["neighbor_id"], r["cos_sim"]) for r in
+            rr.filter(F.col("rk") == 1).collect()}
+    assert all(top1[i] == (i, 1.0) for i in range(10))  # exact cosine of self = 1
+
+    # validation: mode exclusivity, missing args, orphan --rerank-vectors
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--build-pq-index", idx, "--probe-pq-index", idx])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--probe-pq-index", idx, "--input", "x"])  # no --output
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--build-pq-index", idx, "--build-dedup-index", idx])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--batch", "--rerank-vectors", "v", "--input", "i",
+                        "--blobs", "b", "--output", "o", "--lineage", "l"])
