@@ -2340,27 +2340,76 @@ _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
                        || lpad(cast(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
                        || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0')
                   ELSE text END AS text
-      FROM documents)
-    SELECT doc_id,
+      FROM documents),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pg AS (
+      SELECT doc_id,
+        list_concat(list_concat(list_concat(
+          list_transform(range(0, (len(ws) + 7) // 8), i ->
+            array_to_string(ws[(i*8+1):(i*8+8)], ' ') ||
+            CASE WHEN (doc_id + i) % 3 <> 2 THEN '.' ELSE '' END),
+          CASE WHEN doc_id % 97 = 0
+               THEN ['lorem ipsum dolor sit amet consectetur adipiscing.']
+               ELSE []::VARCHAR[] END),
+          CASE WHEN doc_id % 89 = 0
+               THEN ['function() {{ var x = 1; }}'] ELSE []::VARCHAR[] END),
+          CASE WHEN doc_id % 41 = 0
+               THEN ['please enable javascript to view this page.']
+               ELSE []::VARCHAR[] END) AS lines
+      FROM w),
+    c4 AS (
+      SELECT doc_id, lines,
+             list_filter(lines, ln -> right(ln, 1) IN ('.', '!', '?', '"')
+                                   AND len(string_split(ln, ' ')) >= 5
+                                   AND NOT contains(ln, 'javascript')) AS kept,
+             (contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+              OR contains(array_to_string(lines, chr(10)), '{{'))      AS page_bad
+      FROM pg)
+    SELECT 'pii' AS part, doc_id,
            regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{_PHONE_RE}', '<PHONE>', 'g')                  AS redacted,
-           cast(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)   AS n_emails,
-           cast(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)   AS n_phones
+                          '{_PHONE_RE}', '<PHONE>', 'g')                  AS out_text,
+           cast(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)   AS n_a,
+           cast(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)   AS n_b,
+           cast(1 AS BIGINT)                                              AS keep
     FROM p
+    UNION ALL
+    SELECT 'c4' AS part, doc_id,
+           CASE WHEN page_bad OR len(kept) < 3 THEN ''
+                ELSE array_to_string(kept, chr(10)) END                   AS out_text,
+           cast(len(lines) AS BIGINT)                                     AS n_a,
+           cast(len(kept) AS BIGINT)                                      AS n_b,
+           cast(CASE WHEN page_bad OR len(kept) < 3 THEN 0 ELSE 1 END
+                AS BIGINT)                                                AS keep
+    FROM c4
     """,
 )
 def q40_pii_redact(spark, sf_dir):
-    """PII redaction for training corpora: replace emails/phones with
-    typed placeholder tokens and count removals per doc. The synthetic
-    corpus contains no PII, so every 7th doc is first ENRICHED with a
-    deterministic email+phone derived from its doc_id (identically on
-    both oracle sides) — the operator under test is the redaction, the
-    enrichment is scaffolding that keeps the query non-vacuous.
+    """Text-hygiene family in one gate slot, `part`-discriminated (the
+    q16/q21 fold policy):
+      * part='pii' — PII redaction: replace emails/phones with typed
+        placeholder tokens and count removals per doc (out_text =
+        redacted text, n_a/n_b = email/phone counts, keep = 1).
+      * part='c4' — C4-style page cleaning (Raffel et al., JMLR 2020
+        §2.2, public): keep only lines that end in terminal punctuation,
+        have >= 5 words, and don't mention javascript; drop the whole
+        page when it contains 'lorem ipsum' or a '{', or when fewer
+        than 3 lines survive (out_text = kept lines joined by newline,
+        '' for dropped pages; n_a/n_b = total/kept line counts).
+    The synthetic corpus is a flat word stream with no PII and no line
+    structure, so both parts run on deterministic scaffolding computed
+    identically on both oracle sides: every 7th doc gains a synthetic
+    email+phone; every doc is re-lined into 8-word chunks with a
+    (doc_id+i)%3 terminal-punctuation pattern, and docs at 97/89/41
+    strides gain a lorem-ipsum / code / javascript poison line. The
+    operators under test are the redaction and the line/page rules.
 
-    Scale: pure JVM regexp expressions inside whole-stage codegen — zero
-    shuffles, zero Python; at 100 TB this is a map-only pass bounded by
-    scan + regex throughput. pmOCR analog: X1-family sed post-processing
-    (pmocr.sh:2013-2043) generalized to content hygiene."""
+    Scale: both parts are pure JVM expressions inside whole-stage
+    codegen (regexps; array transform/filter — never an explode) — zero
+    shuffles, zero Python, zero row amplification; at 100 TB this is a
+    map-only pass bounded by scan + regex/array throughput
+    (test_q40_redact_map_only pins 0 exchanges). pmOCR analog:
+    X1-family sed post-processing (pmocr.sh:2013-2043) generalized to
+    content hygiene."""
     d = _t(spark, sf_dir, "documents")
     pid = F.col("doc_id") % 1000
     pid4 = F.col("doc_id") % 10000
@@ -2377,14 +2426,59 @@ def q40_pii_redact(spark, sf_dir):
         ),
     ).otherwise(F.col("text"))
     t = F.col("t")
-    return d.select("doc_id", enriched.alias("t")).select(
+    pii = d.select("doc_id", enriched.alias("t")).select(
+        F.lit("pii").alias("part"),
         "doc_id",
         F.regexp_replace(
             F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
-        ).alias("redacted"),
-        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        ).alias("out_text"),
+        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("long").alias("n_a"),
+        F.regexp_count(t, F.lit(_PHONE_RE)).cast("long").alias("n_b"),
+        F.lit(1).cast("long").alias("keep"),
     )
+
+    ws = F.split(F.col("text"), " ")
+    nch = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
+    base = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + i) % 3 != 2, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+
+    def poison(stride: int, line: str):
+        return F.when(F.col("doc_id") % stride == 0, F.array(F.lit(line))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    lines = F.concat(
+        base,
+        poison(97, "lorem ipsum dolor sit amet consectetur adipiscing."),
+        poison(89, "function() { var x = 1; }"),
+        poison(41, "please enable javascript to view this page."),
+    )
+    kept = F.filter(
+        lines,
+        lambda ln: F.substring(ln, -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.split(ln, " ")) >= 5)
+        & ~ln.contains("javascript"),
+    )
+    pgtxt = F.array_join(lines, "\n")
+    bad = (
+        F.lower(pgtxt).contains("lorem ipsum")
+        | pgtxt.contains("{")
+        | (F.size(kept) < 3)
+    )
+    c4 = d.select(
+        F.lit("c4").alias("part"),
+        "doc_id",
+        F.when(bad, F.lit("")).otherwise(F.array_join(kept, "\n")).alias("out_text"),
+        F.size(lines).cast("long").alias("n_a"),
+        F.size(kept).cast("long").alias("n_b"),
+        F.when(bad, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("keep"),
+    )
+    return pii.unionAll(c4)
 
 
 @query(
