@@ -572,6 +572,7 @@ def _ann_recall_at5(spark, sf_dir: str) -> dict[str, float]:
         "q22_ann_ivf": topk("q22_ann_ivf"),
         "q33_ann_ivf_kmeans": topk("q33_ann_ivf_kmeans"),
         "q21_pq_rerank": q21.get("pq", {}),
+        "q21_ivfpq_rerank": q21.get("ivfpq", {}),
     }
     for name, approx in approxes.items():
         per_q = [

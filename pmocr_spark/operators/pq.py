@@ -143,7 +143,9 @@ def pq_query_tables(q: DataFrame, codebook: DataFrame) -> DataFrame:
     return q.crossJoin(F.broadcast(codebook)).select("query_id", tables.alias("dts"))
 
 
-def pq_adc_topk(codes: DataFrame, tables: DataFrame, topk: int = 5) -> DataFrame:
+def pq_adc_topk(
+    codes: DataFrame, tables: DataFrame, topk: int = 5, by: str | None = None
+) -> DataFrame:
     """ADC search: for every (query, candidate) pair, dist_int =
     sum_m dts[m][codes[m]] (integer table lookups — the candidate's
     float vector is never read), then the per-query top-k by
@@ -151,13 +153,26 @@ def pq_adc_topk(codes: DataFrame, tables: DataFrame, topk: int = 5) -> DataFrame
 
     codes: (vec_id, codes) from pq_encode — the full corpus side;
     tables: (query_id, dts) from pq_query_tables — broadcast side.
-    Returns (query_id, neighbor_id, rk, dist_int)."""
+    Returns (query_id, neighbor_id, rk, dist_int).
+
+    `by` (IVF-PQ, the FAISS IndexIVFPQ composition): when both sides
+    carry a partition-key column of that name (e.g. cluster_id from an
+    IVF assignment), the scan becomes a broadcast-hash EQUI-join on it —
+    each query's tables meet only the codes in its own cluster, so the
+    pair count drops from |queries| x |corpus| to |queries| x
+    |cluster|. At 10^12 vectors this is the difference between an
+    exhaustive compressed scan and an actual index probe."""
     dist = F.aggregate(
         F.zip_with("codes", "dts", lambda cd, tb: F.get(tb, cd)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    sims = codes.crossJoin(F.broadcast(tables)).select(
+    paired = (
+        codes.crossJoin(F.broadcast(tables))
+        if by is None
+        else codes.join(F.broadcast(tables), by)
+    )
+    sims = paired.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), dist.alias("dist_int")
     )
     w = W.partitionBy("query_id").orderBy("dist_int", "neighbor_id")

@@ -1034,6 +1034,27 @@ _ANN_ORACLE_COMMON = """
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id ORDER BY dist_int, neighbor_id) AS srk
         FROM adc) WHERE srk <= 50
+    ),
+    icent AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+    iassign AS (
+      SELECT n.vec_id, arg_max(cent_id,
+               list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i] * ce[i]))
+                 / (n.nrm * cn)) AS cluster_id
+      FROM n, icent GROUP BY n.vec_id
+    ),
+    ivfadc AS (
+      SELECT qd.vec_id AS query_id, k.neighbor_id, cast(sum(qd.d_int) AS BIGINT) AS dist_int
+      FROM pqcodes k
+      JOIN iassign ac ON ac.vec_id = k.neighbor_id
+      JOIN iassign aq ON aq.cluster_id = ac.cluster_id AND aq.vec_id < 10
+      JOIN pqd qd ON qd.m = k.m AND qd.cent_id = k.code AND qd.vec_id = aq.vec_id
+      GROUP BY qd.vec_id, k.neighbor_id
+    ),
+    ivfshort AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist_int, neighbor_id) AS srk
+        FROM ivfadc) WHERE srk <= 50
     )
     SELECT 'brute' AS part, query_id, neighbor_id, rk, round(sim, 4) AS score FROM (
       SELECT query_id, neighbor_id, sim,
@@ -1045,6 +1066,12 @@ _ANN_ORACLE_COMMON = """
              row_number() OVER (PARTITION BY s.query_id
                                 ORDER BY s.sim DESC, s.neighbor_id) AS rk
       FROM sims s JOIN pqshort USING (query_id, neighbor_id)) WHERE rk <= 5
+    UNION ALL
+    SELECT 'ivfpq' AS part, query_id, neighbor_id, rk, round(sim, 4) AS score FROM (
+      SELECT s.query_id, s.neighbor_id, s.sim,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.sim DESC, s.neighbor_id) AS rk
+      FROM sims s JOIN ivfshort USING (query_id, neighbor_id)) WHERE rk <= 5
     """,
 )
 def q21_ann_bruteforce(spark, sf_dir):
@@ -1063,11 +1090,22 @@ def q21_ann_bruteforce(spark, sf_dir):
         over just the shortlisted vectors picks the final top-5 (the
         standard scan→shortlist→rerank production shape). score =
         cosine, directly comparable with part='brute'.
-    The two parts share one normalized-embeddings scan; PQ's codebook is
-    the first 16 vectors (deterministic, q22's fixed-centroid
-    convention). bench.py reports part='pq' recall@5 against
-    part='brute' ground truth alongside the IVF recalls (0.82 at
-    sf0.01; 0.16 without the rerank)."""
+      * part='ivfpq': the FAISS-IndexIVFPQ composition (Jégou et al.
+        TPAMI'11 §V) — IVF bounds WHICH candidates (the query's cluster
+        only, via the map-side argmax assignment q22 uses), PQ bounds
+        WHAT each comparison costs (8-byte codes, integer ADC tables).
+        The ADC scan becomes a broadcast-hash EQUI-join on cluster_id
+        instead of a cross join, so the pair count drops from
+        |queries| × |corpus| to |queries| × |cluster| — at 10^12
+        vectors this is the production billion-scale ANN shape: probe a
+        cluster, scan codes, rerank the shortlist exactly.
+    The parts share one normalized-embeddings scan; PQ's codebook is
+    the first 16 vectors and IVF's centroids the first 8
+    (deterministic, q22's fixed-centroid convention). bench.py reports
+    part='pq' and part='ivfpq' recall@5 against part='brute' ground
+    truth alongside the IVF recalls (pq 0.82 at sf0.01; 0.16 without
+    the rerank; ivfpq pays a further recall haircut for the nprobe=1
+    cluster restriction — exactly the trade the number makes visible)."""
     from pmocr_spark.operators.pq import (
         SHORTLIST,
         pq_adc_topk,
@@ -1111,19 +1149,35 @@ def q21_ann_bruteforce(spark, sf_dir):
     # exact rerank: cosine ONLY for shortlisted (query, candidate) pairs —
     # the broadcast semi-join prunes the scan to k_short vectors per query
     w2 = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    pq = (
-        sims.join(F.broadcast(short), ["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", F.row_number().over(w2).cast("long").alias("rk"), "sim")
-        .filter(F.col("rk") <= 5)
-        .select(
-            F.lit("pq").alias("part"),
-            "query_id",
-            "neighbor_id",
-            "rk",
-            F.round("sim", 4).alias("score"),
+
+    def rerank(shortlist, part):
+        return (
+            sims.join(F.broadcast(shortlist), ["query_id", "neighbor_id"])
+            .select(
+                "query_id", "neighbor_id", F.row_number().over(w2).cast("long").alias("rk"), "sim"
+            )
+            .filter(F.col("rk") <= 5)
+            .select(
+                F.lit(part).alias("part"),
+                "query_id",
+                "neighbor_id",
+                "rk",
+                F.round("sim", 4).alias("score"),
+            )
         )
+
+    pq = rerank(short, "pq")
+    # ivfpq: same codes/tables, but each side carries its IVF cluster and
+    # the ADC scan equi-joins on it (nprobe=1 probe of the query's cluster)
+    assign = _ivf_assign(v)
+    codes_c = codes.join(assign, "vec_id")
+    tables_c = tables.join(
+        assign.select(F.col("vec_id").alias("query_id"), "cluster_id"), "query_id"
     )
-    return brute.unionAll(pq)
+    short_ivf = pq_adc_topk(codes_c, tables_c, topk=SHORTLIST, by="cluster_id").select(
+        "query_id", "neighbor_id"
+    )
+    return brute.unionAll(pq).unionAll(rerank(short_ivf, "ivfpq"))
 
 
 @query(

@@ -320,3 +320,35 @@ def test_pq_encode_map_only(spark):
     assert shape.count_exchanges(codes) <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_q21_ivfpq_adc_is_equijoin(spark):
+    """The IVF-PQ ADC scan must meet the query tables through a
+    BroadcastHashJoin ON cluster_id — never a cross/nested-loop over
+    the whole code table (that would be part='pq', not an index probe).
+    Pinned on the shortlist subplan alone: the full q21 unions the
+    brute/pq parts whose INTENTIONAL cross joins would mask it."""
+    from pmocr_spark.operators.pq import (
+        SHORTLIST,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+        pq_query_tables,
+    )
+    from pmocr_spark.queries import _ivf_assign, _norm_embeddings
+
+    v = _norm_embeddings(spark, SF)
+    vn = v.select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en"))
+    book = pq_codebook(vn)
+    assign = _ivf_assign(v)
+    codes_c = pq_encode(vn.filter(F.col("vec_id") >= 10), book).join(assign, "vec_id")
+    tables_c = pq_query_tables(
+        vn.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "en"), book
+    ).join(assign.select(F.col("vec_id").alias("query_id"), "cluster_id"), "query_id")
+    short = pq_adc_topk(codes_c, tables_c, topk=SHORTLIST, by="cluster_id")
+    plan = shape.formatted_plan(short)
+    assert "BroadcastHashJoin" in plan, plan
+    # formatted plans carry join keys in the detail section, one
+    # "Left/Right keys [n]: [...]" line per hash join
+    keyed = [ln for ln in plan.splitlines() if "keys" in ln and "cluster_id" in ln]
+    assert keyed, f"ADC join must key on cluster_id:\n{plan}"
