@@ -2546,28 +2546,56 @@ def q40_pii_redact(spark, sf_dir):
                  cast(sum(cnt) AS BIGINT)  n_tokens,
                  cast(count(*) AS BIGINT)  n_distinct,
                  cast(max(cnt) AS BIGINT)  top_cnt
-          FROM g GROUP BY doc_id)
-    SELECT doc_id, n_tokens,
-           round(1 - n_distinct / cast(n_tokens AS DOUBLE), 6)   AS dup_word_frac,
-           round(top_cnt / cast(n_tokens AS DOUBLE), 6)          AS top_word_frac,
+          FROM g GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) bgr
+           FROM t),
+    tb AS (SELECT doc_id, cast(max(cnt2) AS BIGINT) top_bg_cnt
+           FROM (SELECT doc_id, bgr, count(*) cnt2 FROM bg GROUP BY doc_id, bgr)
+           GROUP BY doc_id),
+    tg AS (SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tgr
+           FROM t, unnest(range(1, len(w) - 1)) AS u(i)),
+    dup AS (SELECT doc_id, tgr
+            FROM (SELECT doc_id, tgr, count(*) cc FROM tg GROUP BY doc_id, tgr)
+            WHERE cc > 1),
+    cov AS (SELECT DISTINCT g2.doc_id, g2.pos + j AS idx
+            FROM tg g2 JOIN dup USING (doc_id, tgr), unnest(range(0, 3)) AS v(j)),
+    cn AS (SELECT doc_id, cast(count(*) AS BIGINT) cov_words FROM cov GROUP BY doc_id)
+    SELECT s.doc_id, n_tokens,
+           round(1 - n_distinct / cast(n_tokens AS DOUBLE), 6)             AS dup_word_frac,
+           round(top_cnt / cast(n_tokens AS DOUBLE), 6)                    AS top_word_frac,
+           round(coalesce(top_bg_cnt, 0) * 2 / cast(n_tokens AS DOUBLE), 6)
+                                                                           AS top_bigram_frac,
+           round(coalesce(cov_words, 0) / cast(n_tokens AS DOUBLE), 6)     AS dup_trigram_frac,
            CASE WHEN top_cnt / cast(n_tokens AS DOUBLE) <= 0.125
-                THEN 1 ELSE 0 END                                AS keep
-    FROM s
+                 AND coalesce(top_bg_cnt, 0) * 2 / cast(n_tokens AS DOUBLE) <= 0.20
+                 AND coalesce(cov_words, 0) / cast(n_tokens AS DOUBLE) <= 0.18
+                THEN 1 ELSE 0 END                                          AS keep
+    FROM s LEFT JOIN tb USING (doc_id) LEFT JOIN cn USING (doc_id)
     """,
 )
 def q41_repetition_quality(spark, sf_dir):
-    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
-    duplicate-word fraction and top-word fraction per document, plus the
-    keep decision at the 12.5% top-word threshold. (The published rules
-    use line/paragraph duplication; the synthetic corpus has no line
-    structure, so the same statistics are computed at word granularity.)
+    """Gopher repetition battery (Rae et al. 2021 §A1.1, public):
+    duplicate-word fraction, top-word fraction, top-bigram fraction
+    (word slots in occurrences of the most frequent 2-gram) and
+    duplicate-trigram fraction (word positions covered by any 3-gram
+    occurring more than once — exact coverage, no double counting, the
+    q16-substring position-marking trick), plus the combined keep
+    decision at the 12.5% / 20% / 18% thresholds (the paper's top-2-gram
+    and dup-3-gram limits). (The published rules are char fractions over
+    lines/paragraphs; the synthetic corpus has no line structure, so the
+    same statistics are computed at word granularity.)
 
-    Scale: explode -> two keyed aggregations, both with map-side partial
-    agg; the (doc_id, tok) key is near-unique so neither shuffle skews.
-    No Python anywhere."""
+    Scale: n-grams come from the shuffle-free arrays_zip construction
+    (no Window); then keyed aggregations with map-side partial agg on
+    near-unique (doc_id, gram) keys, one duplicated-gram semi-join back
+    to positions, and a distinct over covered positions — every shuffle
+    key is doc-local so nothing skews. No Python anywhere."""
     d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", _toks_col().alias("w"))
+    nw = F.size("w")
     g = (
-        d.select("doc_id", F.explode(_toks_col()).alias("tok"))
+        base.select("doc_id", F.explode("w").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
     )
@@ -2576,15 +2604,65 @@ def q41_repetition_quality(spark, sf_dir):
         F.count("*").alias("n_distinct"),
         F.max("cnt").alias("top_cnt"),
     )
-    ratio_top = F.col("top_cnt") / F.col("n_tokens").cast("double")
-    return s.select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(1 - F.col("n_distinct") / F.col("n_tokens").cast("double"), 6).alias(
-            "dup_word_frac"
-        ),
-        F.round(ratio_top, 6).alias("top_word_frac"),
-        F.when(ratio_top <= 0.125, 1).otherwise(0).alias("keep"),
+    bg = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.col("w").alias("t0"),
+                    F.slice("w", 2, F.greatest(nw - 1, F.lit(0))).alias("t1"),
+                )
+            ).alias("sh"),
+        )
+        .filter(F.col("sh.t1").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "sh.t0", "sh.t1").alias("bgr"))
+    )
+    tb = (
+        bg.groupBy("doc_id", "bgr")
+        .agg(F.count("*").alias("cnt2"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt2").cast("long").alias("top_bg_cnt"))
+    )
+    tg = (
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.col("w").alias("t0"),
+                    F.slice("w", 2, F.greatest(nw - 1, F.lit(0))).alias("t1"),
+                    F.slice("w", 3, F.greatest(nw - 2, F.lit(0))).alias("t2"),
+                )
+            ).alias("pos", "sh"),
+        )
+        .filter(F.col("sh.t2").isNotNull())
+        .select("doc_id", "pos", F.concat_ws(" ", "sh.t0", "sh.t1", "sh.t2").alias("tgr"))
+    )
+    dup = tg.groupBy("doc_id", "tgr").agg(F.count("*").alias("cc")).filter(F.col("cc") > 1)
+    cov = (
+        tg.join(dup.select("doc_id", "tgr"), ["doc_id", "tgr"])
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias("idx"))
+        .distinct()
+    )
+    cn = cov.groupBy("doc_id").agg(F.count("*").cast("long").alias("cov_words"))
+
+    nt = F.col("n_tokens").cast("double")
+    r_top = F.col("top_cnt") / nt
+    r_bg = F.coalesce(F.col("top_bg_cnt"), F.lit(0)) * 2 / nt
+    r_tg = F.coalesce(F.col("cov_words"), F.lit(0)) / nt
+    return (
+        s.join(tb, "doc_id", "left")
+        .join(cn, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(1 - F.col("n_distinct") / nt, 6).alias("dup_word_frac"),
+            F.round(r_top, 6).alias("top_word_frac"),
+            F.round(r_bg, 6).alias("top_bigram_frac"),
+            F.round(r_tg, 6).alias("dup_trigram_frac"),
+            F.when((r_top <= 0.125) & (r_bg <= 0.20) & (r_tg <= 0.18), 1)
+            .otherwise(0)
+            .alias("keep"),
+        )
     )
 
 
