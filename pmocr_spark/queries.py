@@ -1141,7 +1141,17 @@ def q21_ann_bruteforce(spark, sf_dir):
     )
     vn = v.select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en"))
     book = pq_codebook(vn)
-    codes = pq_encode(vn.filter(F.col("vec_id") >= 10), book)
+    # the encode pass is the expensive leg (16 subspaces x 16 centroid
+    # distances per vector) and BOTH the pq and ivfpq branches consume
+    # it — Spark re-executes shared lineage per consumer branch, so
+    # persist it once per session (same policy as _norm_embeddings)
+    codes = _cached_df(
+        spark,
+        sf_dir,
+        "embeddings.parquet",
+        "pq_codes",
+        lambda: pq_encode(vn.filter(F.col("vec_id") >= 10), book),
+    )
     tables = pq_query_tables(
         vn.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "en"), book
     )
