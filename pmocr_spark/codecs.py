@@ -44,6 +44,8 @@ BORDER = 2                  # noise border removed by the trim stage
 BINARIZE_THRESHOLD = 128
 INK_MIN = 160               # ink pixels are in [INK_MIN, 255]
 PAPER_MAX = 100             # paper pixels are in [0, PAPER_MAX]
+GUTTER_W = 3                # inter-column gutter width written by render_columns
+GUTTER_MIN = 2              # layout analysis: >= this many blank cols = column break
 
 # pmOCR's input allow-list: default.conf:14 `pdf|tif|tiff|png|jpg|jpeg|bmp|pcx|dcx`
 MEDIA_KINDS = ("pdf", "tif", "tiff", "png", "jpg", "jpeg", "bmp", "pcx", "dcx")
@@ -104,6 +106,38 @@ def encode_image(text: str, kind: str = "tiff", salt: str = "") -> bytes:
     if kind not in IMAGE_KINDS:
         raise ValueError(f"not an image kind: {kind}")
     return _pack_image(render_page(text, salt), kind)
+
+
+def render_columns(col_texts: list[str], salt: str = "") -> np.ndarray:
+    """Render a MULTI-COLUMN page: each text becomes an independent
+    column block, blocks are top-aligned and separated by a GUTTER_W
+    all-paper gutter (plus each block's own noise border, so the
+    effective paper run is wider). Shorter blocks are bottom-padded with
+    paper noise. Reading order is left-to-right: the decode side's
+    layout-analysis stage (segment_columns) must emit block 0's lines
+    first, then block 1's — the classic two-column-article case real
+    layout engines exist for."""
+    imgs = [render_page(t, f"{salt}#c{i}") for i, t in enumerate(col_texts)]
+    h = max(im.shape[0] for im in imgs)
+    rng = _rng_for("\x01".join(col_texts), "cols" + salt)
+    parts = []
+    for i, im in enumerate(imgs):
+        if im.shape[0] < h:
+            pad = rng.integers(
+                0, PAPER_MAX + 1, size=(h - im.shape[0], im.shape[1]), dtype=np.uint8
+            )
+            im = np.vstack([im, pad])
+        parts.append(im)
+        if i < len(imgs) - 1:
+            parts.append(rng.integers(0, PAPER_MAX + 1, size=(h, GUTTER_W), dtype=np.uint8))
+    return np.hstack(parts)
+
+
+def encode_image_columns(col_texts: list[str], kind: str = "tiff", salt: str = "") -> bytes:
+    """Encode texts as one multi-column single-page image blob."""
+    if kind not in IMAGE_KINDS:
+        raise ValueError(f"not an image kind: {kind}")
+    return _pack_image(render_columns(col_texts, salt), kind)
 
 
 def encode_pdf(page_texts: list[str], salt: str = "") -> bytes:
@@ -167,6 +201,41 @@ def binarize_trim(img: np.ndarray) -> np.ndarray:
     return binary[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1]
 
 
+def segment_columns(binary: np.ndarray) -> list[np.ndarray]:
+    """M2b — page-layout analysis: split a trimmed binary page into
+    reading-order column blocks at full-page-height paper gutters
+    (runs of >= GUTTER_MIN all-paper pixel columns), then row-trim each
+    block to its own ink box (blocks of different heights share the
+    page, so the shorter block carries trailing paper rows that would
+    otherwise segment into phantom empty lines).
+
+    pmOCR analog: the page-layout step real OCR engines run before
+    recognition (tesseract --psm auto column detection; pmOCR passes
+    pages whole, pmocr.sh:1923-1963, and inherits the engine's layout).
+
+    Single-column pages are PROVABLY untouched: every rendered char —
+    including space — inks at least one pixel in its column, and the
+    page's longest line covers every x of the trimmed width, so a
+    full-height paper run cannot exist inside a single-column page;
+    the gutter written by render_columns is the only thing that splits.
+    """
+    if binary.size == 0:
+        return []
+    ink_idx = np.flatnonzero(binary.any(axis=0))
+    if ink_idx.size == 0:
+        return []
+    # gap between consecutive ink columns = diff - 1; split at >= GUTTER_MIN
+    splits = np.flatnonzero(np.diff(ink_idx) > GUTTER_MIN)
+    starts = np.concatenate([[0], splits + 1])
+    ends = np.concatenate([splits, [ink_idx.size - 1]])
+    blocks = []
+    for s0, e0 in zip(starts, ends):
+        blk = binary[:, ink_idx[s0] : ink_idx[e0] + 1]
+        rows = np.flatnonzero(blk.any(axis=1))
+        blocks.append(blk[rows[0] : rows[-1] + 1])
+    return blocks
+
+
 def segment_lines(binary: np.ndarray) -> list[np.ndarray]:
     """M3a — split a trimmed binary page into GLYPH_H-row line bands."""
     if binary.size == 0:
@@ -198,12 +267,16 @@ def recognize_line(band: np.ndarray) -> str:
 
 
 def decode_blob(blob: bytes) -> str:
-    """Full per-blob OCR chain M1->M2->M3; page texts joined by newline."""
+    """Full per-blob OCR chain M1->M2 (trim + layout)->M3; column blocks
+    read in order (left column fully, then the next), page texts joined
+    by newline."""
     pages = rasterize(bytes(blob))
     page_texts = []
     for img in pages:
         binary = binarize_trim(img)
-        lines = [recognize_line(b) for b in segment_lines(binary)]
+        lines = []
+        for block in segment_columns(binary):
+            lines.extend(recognize_line(b) for b in segment_lines(block))
         page_texts.append("\n".join(lines))
     return "\n".join(page_texts)
 

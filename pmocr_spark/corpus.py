@@ -1,4 +1,4 @@
-"""Deterministic synthetic corpus generator (fixture archetypes A1-A6).
+"""Deterministic synthetic corpus generator (fixture archetypes A1-A7).
 
 Produces the graft input tables (FIXTURES.md §1):
 
@@ -7,7 +7,10 @@ Produces the graft input tables (FIXTURES.md §1):
 
 mirroring the reference's test corpus (/root/reference/dev/tests/source/:
 lorem tif, png, image-PDF, searchable-PDF — run_tests.sh:31-34), plus the
-skew (A5) and poison-pill (A6) archetypes the BASELINE north rule demands.
+skew (A5) and poison-pill (A6) archetypes the BASELINE north rule demands
+and a two-column page-layout archetype (A7: every 5th image blob renders
+its text as side-by-side column blocks; the decode-side layout analysis
+must restore reading order, north-star "page-layout segmentation").
 All randomness is seeded; no wall clock anywhere (SURVEY.md §7.4.3).
 Written as parquet via pyarrow so generation needs no Spark session.
 """
@@ -78,7 +81,9 @@ def generate(
     docs = []
     blobs = []
 
-    def add_blob(doc_id: str, idx: int, kind: str, text: str, corrupt: bool = False) -> str:
+    def add_blob(
+        doc_id: str, idx: int, kind: str, text: str, corrupt: bool = False, columns: bool = False
+    ) -> str:
         ref = f"blob:{doc_id}:{idx}"
         if corrupt:
             content = codecs.encode_corrupt(ref)
@@ -88,6 +93,19 @@ def generate(
             n_pages = min(len(lines), int(rng.integers(1, 4)))
             chunks = np.array_split(np.array(lines, dtype=object), n_pages)
             content = codecs.encode_pdf(["\n".join(c) for c in chunks], salt=ref)
+        elif columns and "\n" in text:
+            # A7 two-column layout: SAME logical text, rendered as two
+            # side-by-side column blocks (top half left, bottom half
+            # right) — the decode side's layout-analysis stage must
+            # reassemble reading order, so decode_blob(blob) == text and
+            # every downstream expectation is unchanged. Gated on doc/
+            # span indices only: no rng draw, the corpus stream for all
+            # other fixtures is byte-identical to pre-A7 builds.
+            lines = text.split("\n")
+            mid = (len(lines) + 1) // 2
+            content = codecs.encode_image_columns(
+                ["\n".join(lines[:mid]), "\n".join(lines[mid:])], kind, salt=ref
+            )
         else:
             content = codecs.encode_image(text, kind, salt=ref)
         blobs.append({"media_ref": ref, "kind": kind, "content": content})
@@ -117,7 +135,9 @@ def generate(
                     else _IMG_KINDS_CYCLE[(d + s) % len(_IMG_KINDS_CYCLE)]
                 )
                 corrupt = is_poison and s == n_spans - 1
-                ref = add_blob(doc_id, s, kind, text, corrupt=corrupt)
+                ref = add_blob(
+                    doc_id, s, kind, text, corrupt=corrupt, columns=(d + s) % 5 == 1
+                )
                 spans.append({"kind": kind, "text": None, "media_ref": ref, "offset": s})
 
         # shuffle span order in storage — output order must come from `offset`,

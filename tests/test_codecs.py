@@ -73,3 +73,53 @@ def test_csv_hack_two_plus_spaces():
 def test_normalize_text():
     assert codecs.normalize_text("a \t\r\nb  \rc\n\n") == "a\nb\nc"
     assert codecs.normalize_text("keep  interior   runs") == "keep  interior   runs"
+
+
+@given(media_text(), media_text())
+@settings(max_examples=40, deadline=None)
+def test_two_column_layout_roundtrip(left, right):
+    """A7 layout: decode must re-assemble reading order — ALL left-column
+    lines, then all right-column lines — whatever the relative heights."""
+    blob = codecs.encode_image_columns([left, right], "tif", salt="c")
+    assert codecs.decode_blob(blob) == left + "\n" + right
+
+
+@given(st.lists(media_text(), min_size=1, max_size=4))
+@settings(max_examples=30, deadline=None)
+def test_multi_column_reading_order(cols):
+    blob = codecs.encode_image_columns(cols, "png", salt="m")
+    assert codecs.decode_blob(blob) == "\n".join(cols)
+
+
+def test_single_column_never_splits():
+    """The layout stage's no-op guarantee: a single-column page has no
+    full-height paper run (every char inks its column; the longest line
+    covers the trimmed width), so segment_columns returns ONE block and
+    pre-layout decodes are byte-identical."""
+    for text in ("one line", "a\nbb\nccc", "wide line here\nx", "x" * 39 + "\ny"):
+        page = codecs.rasterize(codecs.encode_image(text, "tif", salt="s"))[0]
+        blocks = codecs.segment_columns(codecs.binarize_trim(page))
+        assert len(blocks) == 1, text
+
+
+def test_corpus_a7_blobs_are_really_two_column():
+    """The A7 stride must produce blobs whose trimmed page splits into
+    two blocks — and whose decode still equals the span's logical text
+    (the invariant that keeps every downstream expectation unchanged)."""
+    from pmocr_spark import corpus
+
+    docs, blobs = corpus.generate(n_docs=25, seed=7)
+    blob_by_ref = {r["media_ref"]: r["content"] for r in blobs.to_pylist()}
+    n_two_col = 0
+    for row in docs.to_pylist():
+        for s in sorted(row["spans"], key=lambda x: x["offset"]):
+            if s["media_ref"] is None or s["kind"] == "pdf":
+                continue
+            blob = blob_by_ref[s["media_ref"]]
+            if blob[:6] != codecs.IMG_MAGIC:
+                continue  # poison
+            page = codecs.rasterize(blob)[0]
+            blocks = codecs.segment_columns(codecs.binarize_trim(page))
+            if len(blocks) == 2:
+                n_two_col += 1
+    assert n_two_col >= 5, f"A7 stride produced only {n_two_col} two-column blobs"
