@@ -140,11 +140,21 @@ def encode_image_columns(col_texts: list[str], kind: str = "tiff", salt: str = "
     return _pack_image(render_columns(col_texts, salt), kind)
 
 
-def encode_pdf(page_texts: list[str], salt: str = "") -> bytes:
-    """Encode a multi-page image-only PDF blob (one image per page)."""
+def encode_pdf(page_texts: list[str | list[str]], salt: str = "") -> bytes:
+    """Encode a multi-page image-only PDF blob (one image per page).
+
+    A page given as a str renders single-column; a page given as a
+    list[str] renders multi-column (render_columns) — the decode side's
+    layout analysis restores reading order per page, so mixed-layout
+    documents (title page single-column, body two-column) round-trip."""
     out = [PDF_MAGIC, struct.pack("<I", len(page_texts))]
     for i, t in enumerate(page_texts):
-        payload = _pack_image(render_page(t, f"{salt}#p{i}"), "tiff")
+        img = (
+            render_columns(t, f"{salt}#p{i}")
+            if isinstance(t, list)
+            else render_page(t, f"{salt}#p{i}")
+        )
+        payload = _pack_image(img, "tiff")
         out.append(struct.pack("<I", len(payload)))
         out.append(payload)
     return b"".join(out)

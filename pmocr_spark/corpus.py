@@ -91,8 +91,17 @@ def generate(
             # multi-page: split text into 1-3 pages
             lines = text.split("\n")
             n_pages = min(len(lines), int(rng.integers(1, 4)))
-            chunks = np.array_split(np.array(lines, dtype=object), n_pages)
-            content = codecs.encode_pdf(["\n".join(c) for c in chunks], salt=ref)
+            chunks = ["\n".join(c) for c in np.array_split(np.array(lines, dtype=object), n_pages)]
+            pages: list[str | list[str]] = list(chunks)
+            if columns:
+                # A7 for PDFs: the LAST page renders two-column when it
+                # has >= 2 lines (mixed-layout document: single-column
+                # front pages, two-column back page) — same logical text
+                clines = chunks[-1].split("\n")
+                if len(clines) >= 2:
+                    mid = (len(clines) + 1) // 2
+                    pages[-1] = ["\n".join(clines[:mid]), "\n".join(clines[mid:])]
+            content = codecs.encode_pdf(pages, salt=ref)
         elif columns and "\n" in text:
             # A7 two-column layout: SAME logical text, rendered as two
             # side-by-side column blocks (top half left, bottom half
@@ -135,6 +144,8 @@ def generate(
                     else _IMG_KINDS_CYCLE[(d + s) % len(_IMG_KINDS_CYCLE)]
                 )
                 corrupt = is_poison and s == n_spans - 1
+                # A7 stride: index arithmetic only — a rng draw here would
+                # shift every downstream fixture
                 ref = add_blob(
                     doc_id, s, kind, text, corrupt=corrupt, columns=(d + s) % 5 == 1
                 )

@@ -123,3 +123,12 @@ def test_corpus_a7_blobs_are_really_two_column():
             if len(blocks) == 2:
                 n_two_col += 1
     assert n_two_col >= 5, f"A7 stride produced only {n_two_col} two-column blobs"
+
+
+@given(media_text(), media_text(), media_text())
+@settings(max_examples=25, deadline=None)
+def test_pdf_mixed_layout_roundtrip(p1, left, right):
+    """A mixed-layout PDF — single-column page then a two-column page —
+    decodes to the pages' reading-order texts joined by newline."""
+    blob = codecs.encode_pdf([p1, [left, right]], salt="mx")
+    assert codecs.decode_blob(blob) == p1 + "\n" + left + "\n" + right
