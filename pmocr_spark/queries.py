@@ -2081,6 +2081,12 @@ _DSIR_BUCKETS = 64
 #: q35 DSIR target distribution: documents with this lang define
 #: p_target; the full corpus defines p_raw.
 _DSIR_TARGET_LANG = "en"
+#: q35 part='domain_cap': keep at most this many docs per source
+#: (RefinedWeb/Dolma-style per-domain cap), ranked n_chars desc.
+_DOMAIN_CAP_K = 10
+#: salt fan-out for the bounded top-K first phase: a hot domain's rows
+#: split across this many reducers before any per-source ranking.
+_DOMAIN_CAP_SALTS = 16
 
 
 @query(
@@ -2125,6 +2131,15 @@ _DSIR_TARGET_LANG = "en"
     SELECT 'dsir', lang, doc_id::VARCHAR, n_words,
            cast(CASE WHEN score_u > 0 THEN 1 ELSE 0 END AS BIGINT), score_u
     FROM sc
+    UNION ALL
+    SELECT 'domain_cap', source, doc_id::VARCHAR,
+           cast(rk AS BIGINT), cast(src_total AS BIGINT), cast(n_chars AS BIGINT)
+    FROM (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rk,
+                 count(*) OVER (PARTITION BY source) AS src_total
+          FROM documents)
+    WHERE rk <= {_DOMAIN_CAP_K}
     """,
 )
 def q35_stratified_sample(spark, sf_dir):
@@ -2142,6 +2157,14 @@ def q35_stratified_sample(spark, sf_dir):
         log importance weight ln(p_t/p_r) of its hashed-feature vector.
         n2=1 marks docs more target-like than raw (score > 0) — the
         deterministic stand-in for sampling proportional to weight.
+      * part='domain_cap': RefinedWeb/Dolma-style per-domain cap — keep
+        at most K=10 docs per source, ranked (n_chars desc, doc_id).
+        Web domains are the canonical skew key, so the top-K runs as a
+        salted TWO-PHASE bounded selection: phase 1 ranks within
+        (source, salt) — no reducer sees more than a 1/S shard of a hot
+        domain — and phase 2 ranks the <= S*K survivors; each shard's
+        global-top-K members are in its local top-K, so only-kept-rows
+        output is salt-invariant and equals the oracle's direct window.
     Scale shape: the model is B log-ratios — a CONSTANT-size broadcast
     (independent of corpus size, so the probe_index broadcast lesson
     does not apply); per-doc scoring is one (doc,bucket) partial agg and
@@ -2220,7 +2243,37 @@ def q35_stratified_sample(spark, sf_dir):
             F.col("score_u"),
         )
     )
-    return stratum.unionAll(dsir)
+
+    # part='domain_cap': salted two-phase bounded top-K. Phase 1 takes
+    # each (source, salt)'s local top-K, so no single reducer ever sees
+    # more than its salt shard of a hot domain (web domains are the
+    # canonical skew key); phase 2 ranks the <= S*K survivors per source
+    # — correct because each salt shard's global-top-K members are in
+    # its local top-K. Only kept rows (rank <= K) are emitted, so the
+    # result is salt-invariant and equals the oracle's direct window.
+    salt = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(_DOMAIN_CAP_SALTS))
+    w1 = W.partitionBy("source", "salt").orderBy(F.col("n_chars").desc(), "doc_id")
+    cand = (
+        d.select("doc_id", "source", "n_chars", salt.alias("salt"))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _DOMAIN_CAP_K)
+    )
+    totals = d.groupBy("source").agg(F.count("*").alias("src_total"))
+    w2 = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    capped = (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _DOMAIN_CAP_K)
+        .join(F.broadcast(totals), "source")
+        .select(
+            F.lit("domain_cap").alias("part"),
+            F.col("source").alias("k1"),
+            F.col("doc_id").cast("string").alias("k2"),
+            F.col("rk").cast("long").alias("n1"),
+            F.col("src_total").alias("n2"),
+            F.col("n_chars").cast("long").alias("score_u"),
+        )
+    )
+    return stratum.unionAll(dsir).unionAll(capped)
 
 
 
