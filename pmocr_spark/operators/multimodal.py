@@ -194,3 +194,102 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs, "frame": frames})
 
     return df.select("media_ref", "content").mapInPandas(sample, schema)
+
+
+# ---------------------------------------------------------------------
+# Perceptual-hash visual near-dup (the image twin of the text LSH stack)
+# ---------------------------------------------------------------------
+
+#: banded-hamming join fan-out: 64-bit hash -> 4 x 16-bit band keys.
+#: Pigeonhole: two hashes within hamming distance d < PHASH_BANDS share
+#: at least one identical band, so the equi-join has FULL recall for
+#: d <= 3 and LSH-style probabilistic recall above (standard pHash
+#: dedup behavior — raise bands for a tighter guarantee).
+PHASH_BANDS = 4
+
+
+@F.pandas_udf(T.LongType())
+def image_phash(content: pd.Series) -> pd.Series:
+    """64-bit average-pool perceptual hash of a blob's FIRST page.
+
+    binarize+trim first (paper noise sits below the threshold, so the
+    hash depends only on the rendered glyphs — re-encodes of the same
+    visual content hash identically), then average-pool the ink mask
+    onto an 8x8 grid; bit = cell ink density above the grid mean. Small
+    visual edits flip few cells -> small hamming distance; undecodable
+    blobs hash to NULL (poison pills drop out of the join instead of
+    clustering together at a sentinel value)."""
+    out = []
+    for blob in content:
+        try:
+            page = codecs.rasterize(bytes(blob))[0]
+            binary = codecs.binarize_trim(page).astype(np.float64)
+            if binary.size == 0:
+                out.append(0)
+                continue
+            h, w = binary.shape
+            ys = (np.arange(9) * h) // 8
+            xs = (np.arange(9) * w) // 8
+            cells = np.zeros((8, 8))
+            for i in range(8):
+                for j in range(8):
+                    block = binary[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+                    cells[i, j] = block.mean() if block.size else 0.0
+            bits = (cells > cells.mean()).flatten()
+            val = 0
+            for b in bits:
+                val = (val << 1) | int(b)
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        except Exception:  # noqa: BLE001
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+def phash_near_dup(blobs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Visual near-dup pairs over an image-blob table: banded hamming
+    join, never image x image.
+
+    The 64-bit hash splits into PHASH_BANDS 16-bit keys; candidates are
+    pairs sharing a (band, key) — one equi-join whose reduce keys are
+    the band values (at 10^12 images an identical-content hot key is
+    the same skew the dedup index's bucket cap handles; apply the same
+    cap policy upstream if a single creative is replicated corpus-wide).
+    Exact verify = popcount of the XOR (F.bit_count, JVM-side), keep
+    pairs with hamming <= max_hamming. Returns (ref_a, ref_b, hamming),
+    ref_a < ref_b, deduped across bands.
+
+    LAION-style visual dedup shape (public): pHash -> band bucket ->
+    verify; full recall for hamming < PHASH_BANDS (pigeonhole)."""
+    width = 64 // PHASH_BANDS
+    mask = (1 << width) - 1
+    h = blobs.select("media_ref", image_phash("content").alias("ph")).filter(
+        F.col("ph").isNotNull()
+    )
+    bandcol = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("ph", i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for i in range(PHASH_BANDS)
+            ]
+        )
+    ).alias("b")
+    hb = h.select("media_ref", "ph", bandcol).select("media_ref", "ph", "b.band", "b.key")
+    left = hb.select(
+        F.col("media_ref").alias("ref_a"), F.col("ph").alias("ph_a"), "band", "key"
+    )
+    right = hb.select(
+        F.col("media_ref").alias("ref_b"), F.col("ph").alias("ph_b"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("ref_a") < F.col("ref_b"))
+        .select("ref_a", "ref_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
+    return cand.select("ref_a", "ref_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -89,3 +89,60 @@ def test_audio_metadata_stub(spark):
 def test_audio_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_audio_real(b"")
+
+
+def test_phash_near_dup_pairs(spark):
+    """Visual near-dup: re-encodes of the same content pair at hamming 0,
+    a one-word edit pairs at small hamming, unrelated images don't pair,
+    and poison blobs hash NULL and drop out of the join entirely."""
+    from pmocr_spark import codecs
+    from pmocr_spark.operators.multimodal import image_phash, phash_near_dup
+
+    t1 = "the quick brown fox jumps\nover the lazy dog today\nthird line of sample text"
+    t2 = "the quick brown fox jumps\nover the lazy dog tonite\nthird line of sample text"
+    t3 = "completely different content here\nnothing matches the others\nfinal row"
+    rows = [
+        ("img:a", codecs.encode_image(t1, "tif", salt="a")),
+        ("img:b", codecs.encode_image(t1, "png", salt="zzz")),  # re-encode of a
+        ("img:c", codecs.encode_image(t2, "tif", salt="b")),    # near-dup of a/b
+        ("img:d", codecs.encode_image(t3, "tif", salt="c")),    # unrelated
+        ("img:p", codecs.encode_corrupt("img:p")),              # poison -> NULL hash
+    ]
+    blobs = spark.createDataFrame(rows, "media_ref string, content binary")
+    got = {(r["ref_a"], r["ref_b"]): r["hamming"]
+           for r in phash_near_dup(blobs, max_hamming=6).collect()}
+    assert got[("img:a", "img:b")] == 0
+    assert 0 < got[("img:a", "img:c")] <= 6
+    assert 0 < got[("img:b", "img:c")] <= 6
+    assert len(got) == 3  # nothing pairs with img:d, img:p never appears
+
+    # poison hashes NULL (not a sentinel that would cluster poisons)
+    ph = {r["media_ref"]: r["ph"] for r in
+          blobs.select("media_ref", image_phash("content").alias("ph")).collect()}
+    assert ph["img:p"] is None and ph["img:a"] == ph["img:b"]
+
+    # plan: banded candidates must meet through an equi hash join,
+    # never a cartesian over the image table
+    from pmocr_spark.plans import shape
+    p = shape.formatted_plan(phash_near_dup(blobs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_phash_corpus_a7_two_column_not_near_dup_of_flat(spark, corpus_dir):
+    """An A7 two-column rendering of a text is a DIFFERENT page layout
+    than its single-column rendering — layout-aware near-dup must NOT
+    collapse them (pHash sees pixels, not decoded text), while the
+    decoded text stays equal. Pins that the two dedup axes (visual vs
+    textual) measure different things."""
+    from pmocr_spark import codecs
+    from pmocr_spark.operators.multimodal import phash_near_dup
+
+    text = "alpha beta gamma delta\nepsilon zeta eta theta\niota kappa lambda mu"
+    lines = text.split("\n")
+    flat = codecs.encode_image(text, "tif", salt="f")
+    twocol = codecs.encode_image_columns(["\n".join(lines[:2]), lines[2]], "tif", salt="f")
+    assert codecs.decode_blob(flat) == codecs.decode_blob(twocol)  # same text
+    blobs = spark.createDataFrame(
+        [("img:flat", flat), ("img:col", twocol)], "media_ref string, content binary"
+    )
+    assert phash_near_dup(blobs, max_hamming=6).count() == 0
