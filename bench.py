@@ -527,6 +527,26 @@ def _bench_ocr(spark, corpus_dir: str, n_docs: int) -> dict:
     return {"sec": round(dt, 3), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 2)}
 
 
+def _bench_phash(spark, corpus_dir: str) -> dict:
+    """Visual near-dup over the bench corpus's image blobs: pHash every
+    decodable blob and run the banded-hamming pair join. Reports blob
+    throughput and the pair count (the A7 two-column blobs must NOT
+    collapse into their flat siblings — different pixels, same text)."""
+    from pmocr_spark.operators.multimodal import phash_near_dup
+
+    blobs = spark.read.parquet(f"{corpus_dir}/media_blobs.parquet")
+    n = blobs.count()
+    t0 = time.time()
+    pairs = phash_near_dup(blobs).count()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "blobs": n,
+        "blobs_per_sec": round(n / dt, 2),
+        "pairs": pairs,
+    }
+
+
 def _warm_python_workers(spark, corpus_dir: str) -> None:
     """Spin up the executor python-worker pool before timing: first UDF
     job per session pays ~0.3s x cores of worker spawn + imports, which
@@ -675,16 +695,27 @@ def main() -> None:
         _log(f"headline ocr {ocr['sec']}s")
         html = _bench_html(spark, sf_dir)
         _log(f"html extraction {html['sec']}s ({html['docs_per_sec']} docs/s)")
+        phash = _bench_phash(spark, tmp)
+        _log(
+            f"phash near-dup {phash['sec']}s ({phash['blobs_per_sec']} blobs/s, "
+            f"{phash['pairs']} pairs)"
+        )
         qtimes = _bench_queries(spark, sf_dir)
         _log(f"headline queries done: {qtimes}")
         recall = _ann_recall_at5(spark, sf_dir)
         _log(f"ann recall@5 vs q21 brute force: {recall}")
         spark.stop()
 
-        result["queries"] = {"ocr_pipeline": ocr["sec"], "html_extract": html["sec"], **qtimes}
+        result["queries"] = {
+            "ocr_pipeline": ocr["sec"],
+            "html_extract": html["sec"],
+            "phash_near_dup": phash["sec"],
+            **qtimes,
+        }
         result["value"] = round(sum(result["queries"].values()), 3)
         result["ocr_docs_per_sec"] = ocr["docs_per_sec"]
         result["html_docs_per_sec"] = html["docs_per_sec"]
+        result["phash_blobs_per_sec"] = phash["blobs_per_sec"]
         result["ann_recall_at5"] = recall
         result["ann_recall_floor"] = ANN_RECALL_FLOOR
 
