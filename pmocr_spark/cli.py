@@ -277,6 +277,21 @@ def build_parser() -> argparse.ArgumentParser:
         "to --output",
     )
     p.add_argument(
+        "--phash-dedup",
+        action="store_true",
+        help="maintenance mode (standalone): perceptual-hash visual "
+        "near-dup over the --blobs image table — 64-bit pHash per blob, "
+        "banded-hamming pair join (operators/multimodal.phash_near_dup) "
+        "— writing (ref_a, ref_b, hamming) pairs to --output",
+    )
+    p.add_argument(
+        "--phash-max-hamming",
+        type=int,
+        default=None,
+        help="--phash-dedup pair threshold (default 3 = the pigeonhole-"
+        "complete regime; looser values are LSH best-effort)",
+    )
+    p.add_argument(
         "--substr-k",
         type=int,
         default=None,
@@ -474,6 +489,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--compact-lineage", args.compact_only),
             ("--dedup-substrings", args.dedup_substrings),
             ("--compact-substr-index", args.compact_substr_index),
+            ("--phash-dedup", args.phash_dedup),
         )
         if on
     ]
@@ -533,6 +549,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     if args.compact_substr_index:
         if args.batch or args.service:
             parser.error("--compact-substr-index is a standalone maintenance mode")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.phash_dedup:
+        if args.batch or args.service:
+            parser.error("--phash-dedup is a standalone maintenance mode")
+        if not args.blobs or not args.output:
+            parser.error("--blobs and --output are required with --phash-dedup")
+        if args.phash_max_hamming is not None and not (0 <= args.phash_max_hamming <= 64):
+            parser.error("--phash-max-hamming must be in [0, 64]")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -860,6 +886,18 @@ def main(argv: list[str] | None = None) -> None:
         if meta is not None:  # restore the sidecar the swap discarded
             ckpt.write_sidecar(spark, idx_dir, GRAM_META, meta)
         print(f"pmocr-spark: compacted gram index at {idx_dir} to {n} rows")
+        return
+    if getattr(args, "phash_dedup", False):
+        from .operators.multimodal import phash_near_dup
+
+        blobs = spark.read.parquet(args.blobs)
+        pairs = phash_near_dup(
+            blobs,
+            **({} if args.phash_max_hamming is None else {"max_hamming": args.phash_max_hamming}),
+        )
+        pairs.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"pmocr-spark: {n} visual near-dup pairs written to {args.output}")
         return
     if getattr(args, "dedup_substrings", False):
         from .operators.substring_dedup import DEFAULT_K, substring_dedup

@@ -146,3 +146,28 @@ def test_phash_corpus_a7_two_column_not_near_dup_of_flat(spark, corpus_dir):
         [("img:flat", flat), ("img:col", twocol)], "media_ref string, content binary"
     )
     assert phash_near_dup(blobs, max_hamming=6).count() == 0
+
+
+def test_phash_dedup_cli(spark, tmp_path, corpus_dir):
+    """--phash-dedup maintenance mode: pairs over a real blob table land
+    in --output; mode exclusivity and missing-arg validation hold."""
+    import pytest as _pytest
+
+    from pmocr_spark import cli
+
+    out = str(tmp_path / "pairs")
+    cli.main(["--phash-dedup", "--blobs", f"{corpus_dir}/media_blobs.parquet",
+              "--output", out, "--phash-max-hamming", "3", "--master", "local[4]"])
+    pairs = spark.read.parquet(out)
+    assert set(pairs.columns) == {"ref_a", "ref_b", "hamming"}
+    assert pairs.count() > 0  # 120-doc corpus has near-identical short renders
+    assert pairs.filter(F.col("hamming") > 3).count() == 0
+
+    with _pytest.raises(SystemExit):
+        cli.parse_args(["--phash-dedup", "--blobs", "b"])  # no --output
+    with _pytest.raises(SystemExit):
+        cli.parse_args(["--phash-dedup", "--dedup-substrings",
+                        "--blobs", "b", "--output", "o", "--input", "i"])
+    with _pytest.raises(SystemExit):
+        cli.parse_args(["--phash-dedup", "--blobs", "b", "--output", "o",
+                        "--phash-max-hamming", "65"])
