@@ -191,9 +191,14 @@ def probe_index(
             )
     if new_bands is None:
         new_bands = build_index(new_docs, id_col=id_col, text_col=text_col, **band_kwargs)
-    if index_params is None:
+    if index_params is None or index_params.get("source") == "defaults":
         # sidecar-less fallback: compare actual band-id ranges (one
-        # pruned single-column agg per side)
+        # pruned single-column agg per side). Runs ALSO when read_index
+        # substituted the defaults (source='defaults') — those params
+        # are a guess, not the build's, so the exact check above was
+        # skipped and an API-built index with non-default geometry
+        # would otherwise probe silently wrong (e.g. after the crash
+        # window between replace_dir and write_meta)
         idx_max = index.agg(F.max("band").alias("m")).collect()[0]["m"]
         new_max = new_bands.agg(F.max("band").alias("m")).collect()[0]["m"]
         if idx_max is not None and new_max is not None and idx_max != new_max:
@@ -295,15 +300,21 @@ def read_index(spark, path: str) -> tuple[DataFrame, dict]:
     return df, params
 
 
-def cap_index(index: DataFrame, max_bucket: int | None = MAX_BAND_BUCKET) -> DataFrame:
-    """Drop rows in hot (band, key) buckets with > max_bucket members —
-    the periodic compaction pass. One groupBy over the index plus an
-    anti-join; run it every N merges, not per merge (see merge_index)."""
+def cap_index(
+    index: DataFrame, max_bucket: int | None = MAX_BAND_BUCKET, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop rows in hot (band, key) buckets with > max_bucket DISTINCT
+    members — the periodic compaction pass. One groupBy over the index
+    plus an anti-join; run it every N merges, not per merge (see
+    merge_index). Distinct, not count(*): a streaming-accumulated index
+    can carry the same (id, band, key) under several epoch values
+    (re-dropped files re-band under the new epoch), and row counting
+    would read a 60-doc bucket as 120 and wrongly drop it."""
     if max_bucket is None:
         return index
     big = (
         index.groupBy("band", "key")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count_distinct(F.col(id_col)).alias("n"))
         .filter(F.col("n") > max_bucket)
         .select("band", "key")
     )
@@ -336,8 +347,23 @@ def merge_index(
     `epoch` column that a CLI batch's fresh bands lack — the strict
     union raised AnalysisException on exactly the indexes the service
     mode produces. Batch-merged rows read epoch=NULL, which the
-    streaming probe treats as seed rows (visible to every epoch)."""
-    merged = index.unionByName(new_index, allowMissingColumns=True).distinct()
+    streaming probe treats as seed rows (visible to every epoch).
+
+    Idempotence keys on (id, band, key) IGNORING epoch: a plain
+    distinct() would keep one row per epoch value for a re-dropped doc,
+    double-counting it in every bucket it touches. The collapsed row
+    keeps the EARLIEST visibility — NULL (seed, visible to every epoch)
+    beats any numeric epoch, else min(epoch) — so replay filters see
+    the band exactly as early as any surviving source row allowed."""
+    merged = index.unionByName(new_index, allowMissingColumns=True)
+    if "epoch" in merged.columns:
+        id_col = [c for c in merged.columns if c not in ("band", "key", "epoch")][0]
+        any_null = F.count(F.lit(1)) > F.count("epoch")  # count(col) skips NULLs
+        merged = merged.groupBy(id_col, "band", "key").agg(
+            F.when(any_null, F.lit(None).cast("long")).otherwise(F.min("epoch")).alias("epoch")
+        )
+    else:
+        merged = merged.distinct()
     if apply_cap:
         merged = cap_index(merged, max_bucket)
     return merged

@@ -224,12 +224,26 @@ def write_pq_index(codes: DataFrame, codebook: DataFrame, path: str, mode: str =
     bounded) into the sidecar. mode="append" adds a new batch's codes;
     the caller must have encoded them against THIS index's codebook
     (read_pq_index hands it back for exactly that)."""
-    codes.write.mode(mode).parquet(path)
     if mode == "append":
         # keep the existing sidecar — the append contract is that the
         # batch was encoded with the already-persisted codebook
+        codes.write.mode(mode).parquet(path)
         return
+    # validate BEFORE writing any codes: pq_codebook takes the first
+    # N_CODES vec_ids, so a table whose ids don't start at 0 (or has a
+    # gap below N_CODES) yields an empty/short codebook — codes encoded
+    # against it are all-NULL or positionally misaligned with the ADC
+    # tables, and every later probe would rank garbage silently
     packed = codebook.collect()[0]["cs"]
+    if [c["cent_id"] for c in packed] != list(range(N_CODES)):
+        raise ValueError(
+            f"PQ codebook must contain exactly vec_ids 0..{N_CODES - 1} "
+            f"(got {len(packed)} entries {[c['cent_id'] for c in packed][:20]}); "
+            "the deterministic codebook convention requires those ids to "
+            "exist in the input — re-id the table or build the codebook "
+            "from a frame that has them."
+        )
+    codes.write.mode(mode).parquet(path)
     meta = {
         "n_sub": N_SUB,
         "d_sub": D_SUB,

@@ -103,14 +103,20 @@ def _epoch_dedup(spark, results: DataFrame, index_dir: str, epoch_id: int) -> Da
             "band_size": di.BAND_SIZE,
             "max_bucket": di.MAX_BAND_BUCKET,
         }
-    band_kwargs = {
-        k: params[k] for k in ("n_hashes", "band_size", "max_bucket") if k in params
-    }
-    new_bands = di.build_index(txt_docs, **band_kwargs).persist()
+    band_kwargs = {k: params[k] for k in ("n_hashes", "band_size") if k in params}
+    # UNCAPPED band rows on disk (the cap-as-policy discipline the CLI
+    # modes follow): a per-epoch cap drops a boilerplate flood's bands
+    # irreversibly, so later epochs could never match those docs and a
+    # --compact-dedup-index would diverge from a one-shot build over the
+    # union. The cap is applied TRANSIENTLY to the probe view below.
+    new_bands = di.build_index(txt_docs, max_bucket=None, **band_kwargs).persist()
     if have_index:
         hits = di.probe_index(
             txt_docs,
-            prior,
+            # transient capped VIEW (same as the CLI probe mode): bounds
+            # the join fan-out of buckets that grew hot ACROSS epochs
+            # without waiting for a manual compaction
+            di.cap_index(prior, params.get("max_bucket")),
             new_bands=new_bands,
             broadcast_probe=True,  # one micro-batch: the small regime
             index_params=params,

@@ -205,3 +205,47 @@ def test_write_read_index_roundtrip_params(spark, tmp_path):
     di.build_index(_docs(spark, BASE)).write.parquet(plain)
     _df, p2 = di.read_index(spark, plain)
     assert p2["source"] == "defaults" and p2["n_hashes"] == di.N_MINHASH
+
+
+def test_merge_collapses_cross_epoch_duplicates(spark):
+    """Idempotence must key on (id, band, key) IGNORING epoch: a doc
+    re-banded under a later epoch collapses to ONE row with the EARLIEST
+    visibility (NULL seed beats numeric; else min(epoch)) — a plain
+    distinct() kept one row per epoch and double-counted the doc in
+    every bucket (review finding, round 4)."""
+    bands = di.build_index(_docs(spark, BASE))
+    e1 = bands.withColumn("epoch", F.lit(1).cast("long"))
+    e5 = bands.withColumn("epoch", F.lit(5).cast("long"))
+    seed = bands.withColumn("epoch", F.lit(None).cast("long"))
+
+    m = di.merge_index(e1, e5, apply_cap=False)
+    assert m.count() == bands.count()  # one row per (id, band, key)
+    assert m.filter(F.col("epoch") != 1).count() == 0  # earliest epoch wins
+
+    m2 = di.merge_index(seed, e5, apply_cap=False)
+    assert m2.count() == bands.count()
+    assert m2.filter(F.col("epoch").isNotNull()).count() == 0  # NULL (seed) wins
+
+    # and cap_index counts DISTINCT docs, not rows: a bucket of 2 docs
+    # duplicated across epochs must NOT read as 4 and get dropped
+    dup_rows = e1.unionByName(e5)  # every (id,band,key) twice
+    capped = di.cap_index(dup_rows, max_bucket=2)
+    assert capped.count() == dup_rows.count()  # max bucket has 2 docs <= 2
+
+
+def test_probe_range_guard_fires_for_defaults_params(spark):
+    """A sidecar-less index read (params source='defaults') must still
+    run the band-id-range fallback: the defaults are a guess, not the
+    build's geometry, and a silent mismatch probes nothing (review
+    finding, round 4 — the guard was dead for every read_index caller)."""
+    idx = di.build_index(_docs(spark, BASE), n_hashes=12, band_size=4)  # bands 0..2
+    probe_params = {
+        "n_hashes": di.N_MINHASH,
+        "band_size": di.BAND_SIZE,
+        "max_bucket": di.MAX_BAND_BUCKET,
+        "source": "defaults",
+    }
+    with pytest.raises(ValueError, match="band ids"):
+        di.probe_index(
+            _docs(spark, BASE), idx, index_params=probe_params
+        ).collect()

@@ -146,3 +146,18 @@ def test_pq_index_cli_lifecycle(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--batch", "--rerank-vectors", "v", "--input", "i",
                         "--blobs", "b", "--output", "o", "--lineage", "l"])
+
+
+def test_pq_build_rejects_codebookless_id_space(spark, tmp_path):
+    """write_pq_index must fail LOUDLY — before writing any codes — when
+    the input's vec_ids don't contain 0..N_CODES-1: pq_codebook takes
+    the first N_CODES ids, so a table starting at id 1000 yields an
+    empty codebook and every code/probe would be silently meaningless
+    (review finding, round 4)."""
+    vn = _vn(spark)
+    shifted = vn.select((F.col("vec_id") + 1000).alias("vec_id"), "en")
+    book = pq.pq_codebook(shifted)
+    with pytest.raises(ValueError, match="0..15"):
+        pq.write_pq_index(pq.pq_encode(shifted, book), book, str(tmp_path / "bad"))
+    import os
+    assert not os.path.exists(str(tmp_path / "bad"))  # nothing written

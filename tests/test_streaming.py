@@ -826,3 +826,48 @@ def test_cross_epoch_substring_dedup_service(spark, dirs, tmp_path):
     gidx = (spark.read.option("recursiveFileLookup", "true")
             .option("mergeSchema", "true").parquet(idx_dir))
     assert {r["epoch"] for r in gidx.select("epoch").distinct().collect()} == {0, 1}
+
+
+def test_epoch_dedup_stores_uncapped_bands(spark, tmp_path):
+    """Cap-as-policy in the STREAMING hook too (review finding, round 4):
+    a boilerplate flood bigger than max_bucket must still land its band
+    rows in the persisted epoch dir — the cap applies transiently to the
+    probe view, never to stored rows — so a later compaction equals a
+    one-shot build over the union instead of having lost the flood."""
+    from pmocr_spark import streaming as st
+    from pmocr_spark.operators import dedup_index as di
+
+    idx = str(tmp_path / "idx")
+    flood_text = "identical boilerplate sentence repeated across the whole flood batch"
+    docs = [(f"d-{i:03d}", flood_text, "done") for i in range(4)] + [
+        ("d-x", "one genuinely unique document about something else entirely", "done")
+    ]
+    results = spark.createDataFrame(docs, "doc_id string, txt string, status string")
+
+    # epoch 0 seeds the index; sidecar then pins a cap SMALLER than the
+    # flood (the cap is policy, recorded in the sidecar)
+    st._epoch_dedup(spark, results, idx, epoch_id=0)
+    di.write_meta(spark, idx, {"n_hashes": di.N_MINHASH, "band_size": di.BAND_SIZE,
+                               "max_bucket": 3})
+    # epoch 1 re-drops the same docs. With cap 3 < flood 4 the capped
+    # PROBE VIEW suppresses the flood's matches (by policy), so all 5
+    # docs are keepers — and their band rows must ALL be stored: the
+    # pre-fix code built new_bands WITH the cap and would have written
+    # only d-x's bands to epoch-1, losing the flood irreversibly.
+    st._epoch_dedup(spark, results, idx, epoch_id=1)
+    stored = spark.read.parquet(f"{idx}/epoch-1")
+    stored_ids = {r["doc_id"] for r in stored.select("doc_id").distinct().collect()}
+    assert stored_ids == {f"d-{i:03d}" for i in range(4)} | {"d-x"}
+    max_bucket_sz = (
+        stored.groupBy("band", "key").count().agg({"count": "max"}).collect()[0][0]
+    )
+    assert max_bucket_sz >= 4  # a bucket BIGGER than the cap survived storage
+
+    # raise the cap (policy change, no rebuild needed — the rows are all
+    # there): the flood now flags against the stored epochs, proving
+    # nothing was lost; the unique doc only ever matches itself -> clean
+    di.write_meta(spark, idx, {"n_hashes": di.N_MINHASH, "band_size": di.BAND_SIZE,
+                               "max_bucket": 10})
+    dup = st._epoch_dedup(spark, results, idx, epoch_id=2)
+    flagged = {r["doc_id"] for r in dup.collect()}
+    assert {f"d-{i:03d}" for i in range(4)} <= flagged and "d-x" not in flagged
