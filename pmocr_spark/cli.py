@@ -539,6 +539,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error(f"--input is required with --{op}-pq-index")
         if op == "probe" and not args.output:
             parser.error("--output is required with --probe-pq-index")
+        if op != "probe" and (args.rerank_vectors or args.pq_topk is not None):
+            # would otherwise be SILENTLY dropped by this early return —
+            # a user who "built a rerank-enabled index" must hear that
+            # rerank is a probe-time choice, not an index property
+            parser.error("--rerank-vectors/--pq-topk only apply to --probe-pq-index")
         if args.pq_topk is not None and args.pq_topk < 1:
             parser.error("--pq-topk must be >= 1")
         args.target_list = []
@@ -733,21 +738,39 @@ def _run_dedup_index_op(spark, args) -> None:
         print(f"pmocr-spark: built dedup index at {idx_dir}")
         return
     index, params = di.read_index(spark, idx_dir)
+    if op in ("merge", "compact") and params.get("source") == "defaults":
+        # refuse to LAUNDER guessed params into an authoritative sidecar:
+        # write_meta below strips the 'source' marker, so a merge/compact
+        # over a sidecar-less index would record the defaults as the
+        # build's geometry and every later probe's mismatch guard would
+        # pass vacuously (probing an 8/2-banded index with 12/3 finds
+        # nothing, silently). probe still works — its range fallback
+        # runs for defaults-sourced params.
+        raise SystemExit(
+            f"pmocr-spark: index at {idx_dir} has no params sidecar; "
+            f"--{op}-dedup-index would record the guessed defaults as its "
+            "build geometry. Restore the sidecar (dedup_index.write_meta "
+            "with the build's n_hashes/band_size/max_bucket) or rebuild "
+            "the index."
+        )
     band_kwargs = {
         "n_hashes": params["n_hashes"],
         "band_size": params["band_size"],
-        "max_bucket": params["max_bucket"],
     }
     if op == "probe":
         docs = spark.read.parquet(args.input)
         # transient capped VIEW of the index: protects the join from
         # hot buckets even when no compaction has run yet, and makes
-        # probe hits identical to probing a freshly compacted index
+        # probe hits identical to probing a freshly compacted index.
+        # The PROBE side bands stay uncapped (max_bucket=None): capping
+        # them would silently skip checking a flood batch's docs against
+        # the index — the service-mode hook's exact semantics.
         hits = di.probe_index(
             docs,
             di.cap_index(index, params["max_bucket"]),
             broadcast_probe=(args.probe_broadcast == "force") or None,
             index_params=params,
+            max_bucket=None,
             **band_kwargs,
         )
         hits.write.mode("overwrite").parquet(args.output)
@@ -769,7 +792,17 @@ def _run_dedup_index_op(spark, args) -> None:
         merged = di.merge_index(index, new_bands, apply_cap=False).persist()
         n = merged.count()  # materialize before replacing the dir it reads
     else:  # compact
-        merged = di.cap_index(index, params["max_bucket"]).persist()
+        merged = di.cap_index(index, params["max_bucket"])
+        if "epoch" in merged.columns:
+            # flatten stream-accumulated history to epoch-less SEED rows
+            # (visible to every epoch), like --compact-substr-index: a
+            # stream restarted on a fresh offsets checkpoint restarts
+            # epoch ids at 0, and rows keeping their old epoch values
+            # would be hidden from every probe of the new run (and its
+            # epoch-0 write would collide with the old subdir). Run this
+            # only with the stream STOPPED — same rule as the substr twin.
+            merged = merged.drop("epoch").distinct()
+        merged = merged.persist()
         n = merged.count()
     ckpt.replace_dir(spark, merged, idx_dir, tag=".dedup")
     merged.unpersist()
@@ -870,15 +903,11 @@ def main(argv: list[str] | None = None) -> None:
         _run_pq_index_op(spark, args)
         return
     if getattr(args, "compact_substr_index", None):
-        from .operators.substring_dedup import GRAM_META
+        from .operators.substring_dedup import GRAM_META, read_gram_index
 
         idx_dir = args.compact_substr_index
         meta = ckpt.read_sidecar(spark, idx_dir, GRAM_META)
-        gidx = (
-            spark.read.option("recursiveFileLookup", "true")
-            .option("mergeSchema", "true")
-            .parquet(idx_dir)
-        )
+        gidx = read_gram_index(spark, idx_dir)
         flat = gidx.select("gh").distinct().persist()
         n = flat.count()  # materialize before replacing the dir it reads
         ckpt.replace_dir(spark, flat, idx_dir, tag=".substr")

@@ -225,8 +225,30 @@ def write_pq_index(codes: DataFrame, codebook: DataFrame, path: str, mode: str =
     the caller must have encoded them against THIS index's codebook
     (read_pq_index hands it back for exactly that)."""
     if mode == "append":
-        # keep the existing sidecar — the append contract is that the
-        # batch was encoded with the already-persisted codebook
+        # the append contract is that the batch was encoded with the
+        # ALREADY-PERSISTED codebook — enforce it instead of trusting it:
+        # codes from a different codebook are positionally misaligned
+        # with every ADC table built from the sidecar, and their NULL/
+        # garbage dist_int rows would win rank 1 silently (orderBy sorts
+        # NULLs first). JSON round-trips the doubles exactly, so exact
+        # equality is the right check.
+        from pmocr_spark import checkpoint as _ckpt
+
+        meta = _ckpt.read_sidecar(codes.sparkSession, path, _META_NAME)
+        if meta is None:
+            raise ValueError(
+                f"PQ index at {path} has no {_META_NAME} sidecar — append "
+                "requires an index built by write_pq_index (the codebook "
+                "identity is the append contract)."
+            )
+        packed = codebook.collect()[0]["cs"]
+        got = [list(c["ce"]) for c in packed]
+        if got != meta["centroids"]:
+            raise ValueError(
+                f"append codebook does not match the codebook persisted at "
+                f"{path} — encode the batch against read_pq_index's codebook, "
+                "never a freshly derived one."
+            )
         codes.write.mode(mode).parquet(path)
         return
     # validate BEFORE writing any codes: pq_codebook takes the first

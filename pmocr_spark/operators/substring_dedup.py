@@ -174,6 +174,22 @@ def _reassemble(
 GRAM_META = "_substr_index_meta.json"
 
 
+def read_gram_index(spark, path: str) -> DataFrame:
+    """Load a persisted gram index dir. recursiveFileLookup: the
+    streaming monitor accumulates one epoch-N subdir per trigger;
+    mergeSchema: a maintenance-compacted flat layout (gh only, no epoch
+    column) plus the stream's epoch subdirs is a MIXED-schema table —
+    without the merge, single-footer inference either drops the epoch
+    column (replay filter silently skipped) or nulls flat rows under a
+    filter that drops them. One definition so the streaming hook and
+    the CLI compact mode cannot drift apart."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(path)
+    )
+
+
 def corpus_grams(
     docs: DataFrame, k: int = DEFAULT_K, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

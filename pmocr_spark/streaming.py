@@ -67,6 +67,33 @@ def _has_committed_offsets(spark: SparkSession, checkpoint_dir: str) -> bool:
         return os.path.isdir(d) and bool(os.listdir(d))
 
 
+def _index_has_epoch_dirs(spark, path: str) -> bool:
+    """Does a persisted index dir contain epoch-N subdirs (stream-
+    accumulated history, epoch-visibility-filtered on probe)? Flat
+    layouts — CLI-built or flattened by the compact modes — return
+    False: their rows read as seed rows visible to every epoch, so a
+    fresh-checkpoint restart cannot hide or overwrite them."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return False
+        return any(
+            st.isDirectory() and st.getPath().getName().startswith("epoch-")
+            for st in fs.listStatus(jpath)
+        )
+    except Exception:  # noqa: BLE001 — non-JVM-resolvable path scheme
+        import os
+
+        if not os.path.isdir(path):
+            return False
+        return any(
+            e.startswith("epoch-") and os.path.isdir(os.path.join(path, e))
+            for e in os.listdir(path)
+        )
+
+
 def _epoch_dedup(spark, results: DataFrame, index_dir: str, epoch_id: int) -> DataFrame:
     """Cross-epoch near-dup pass for one streaming micro-batch (see the
     monitor docstring): probe this epoch's successfully extracted txt
@@ -110,6 +137,22 @@ def _epoch_dedup(spark, results: DataFrame, index_dir: str, epoch_id: int) -> Da
     # --compact-dedup-index would diverge from a one-shot build over the
     # union. The cap is applied TRANSIENTLY to the probe view below.
     new_bands = di.build_index(txt_docs, max_bucket=None, **band_kwargs).persist()
+    try:
+        return _epoch_dedup_body(
+            spark, di, txt_docs, new_bands, prior, params, band_kwargs,
+            have_index, index_dir, epoch_id,
+        )
+    finally:
+        # unpersist on EVERY exit: a raising probe (corrupt index, the
+        # loud path) under a ProcessingTime trigger retries each 30s —
+        # without this, one cached frame leaks per attempt
+        new_bands.unpersist()
+
+
+def _epoch_dedup_body(
+    spark, di, txt_docs, new_bands, prior, params, band_kwargs,
+    have_index, index_dir, epoch_id,
+):
     if have_index:
         hits = di.probe_index(
             txt_docs,
@@ -151,7 +194,6 @@ def _epoch_dedup(spark, results: DataFrame, index_dir: str, epoch_id: int) -> Da
         # written, meta not yet) — read_index marks the fallback read
         # with source='defaults'
         di.write_meta(spark, index_dir, params)
-    new_bands.unpersist()
     return dup_map
 
 
@@ -208,11 +250,7 @@ def _epoch_substr_dedup(
     spark.catalog.refreshByPath(index_dir)
     if meta is None:
         ckpt.write_sidecar(spark, index_dir, sd.GRAM_META, {"k": sd.DEFAULT_K})
-    prior = (
-        spark.read.option("recursiveFileLookup", "true")
-        .option("mergeSchema", "true")
-        .parquet(index_dir)
-    )
+    prior = sd.read_gram_index(spark, index_dir)
     # the epoch column always exists here (this epoch's subdir just
     # landed); compacted/seeded flat rows read as epoch NULL = history
     prior = prior.filter(F.col("epoch").isNull() | (F.col("epoch") < epoch_id))
@@ -306,10 +344,18 @@ def monitor(
     # allow_lineage_takeover=True to override deliberately.
     if not _has_committed_offsets(spark, checkpoint_dir):
         prior = ckpt.read_checkpoint(spark, lineage_dir)
+        same_identity_replay = False
         if prior is not None:
             foreign = prior.filter(
                 F.col("run_id").rlike("#e\\d+$")
                 & ~F.col("run_id").startswith(f"{run_id}#e")
+            )
+            # a true replay (wiped offsets, lineage intact, same run_id)
+            # leaves this identity's own epoch rows behind — epoch
+            # overwrites are byte-identical there, so the index guard
+            # below must not fire for it
+            same_identity_replay = (
+                prior.filter(F.col("run_id").startswith(f"{run_id}#e")).limit(1).count() > 0
             )
             if not allow_lineage_takeover and foreign.limit(1).count() > 0:
                 raise ValueError(
@@ -320,6 +366,33 @@ def monitor(
                     "output/lineage. Reuse the prior --stream-checkpoint (or the "
                     "prior --run-id for a true replay), point at fresh "
                     "lineage/output dirs, or pass allow_lineage_takeover=True."
+                )
+        # Same collision applies to the persisted cross-epoch INDEX dirs:
+        # a fresh-checkpoint restart restarts epoch ids at 0, so the
+        # probe's epoch<E filter would hide ALL prior history (every
+        # stored row has epoch >= 0) and the epoch-0 overwrite would
+        # destroy the prior run's epoch-0 bands/grams. Epoch-less rows
+        # (CLI-seeded, or a --compact-*-index flatten) are safe — they
+        # read as seed rows visible to every epoch — so the recovery
+        # path is: stop, compact the index, restart.
+        for idx_dir, flag, compact_flag in (
+            (dedup_index_dir, "--dedup-index", "--compact-dedup-index"),
+            (substr_index_dir, "--dedup-substrings-index", "--compact-substr-index"),
+        ):
+            if (
+                idx_dir
+                and not allow_lineage_takeover
+                and not same_identity_replay
+                and _index_has_epoch_dirs(spark, idx_dir)
+            ):
+                raise ValueError(
+                    f"{flag} dir {idx_dir!r} holds epoch-keyed subdirs from a "
+                    f"prior stream, and the offsets checkpoint {checkpoint_dir!r} "
+                    "is fresh — restarted epoch ids would hide that history from "
+                    "every probe and overwrite its epoch-0 rows. Run "
+                    f"{compact_flag} {idx_dir} first (flattens history to "
+                    "always-visible seed rows), reuse the prior "
+                    "--stream-checkpoint, or pass allow_lineage_takeover=True."
                 )
 
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)

@@ -249,3 +249,50 @@ def test_probe_range_guard_fires_for_defaults_params(spark):
         di.probe_index(
             _docs(spark, BASE), idx, index_params=probe_params
         ).collect()
+
+
+def test_cli_merge_refuses_sidecarless_index(spark, tmp_path):
+    """--merge/--compact-dedup-index over a sidecar-less index would
+    launder the GUESSED default params into an authoritative sidecar
+    (write_meta strips the 'source' marker), silently defeating every
+    later probe's mismatch guard — both modes must refuse (review
+    finding, round 4)."""
+    from pmocr_spark import cli
+
+    idx = str(tmp_path / "bare_idx")
+    # 12/4 -> 3 bands vs the defaults' 4: a geometry the range fallback
+    # can see (8/2 would alias to the same band count — its documented
+    # blind spot, caught only by the sidecar exact check)
+    di.build_index(_docs(spark, BASE), n_hashes=12, band_size=4).write.parquet(idx)
+    _docs(spark, BASE).write.parquet(str(tmp_path / "b2"))
+    for argv in (
+        ["--merge-dedup-index", idx, "--input", str(tmp_path / "b2"), "--master", "local[4]"],
+        ["--compact-dedup-index", idx, "--master", "local[4]"],
+    ):
+        with pytest.raises(SystemExit, match="sidecar"):
+            cli.main(argv)
+    # and the probe path still works via the range fallback: mismatched
+    # geometry is caught loudly, not silently empty
+    with pytest.raises(ValueError, match="band ids"):
+        idxdf, params = di.read_index(spark, idx)
+        di.probe_index(_docs(spark, BASE), idxdf, index_params=params).collect()
+
+
+def test_cli_compact_flattens_epoch_history(spark, tmp_path):
+    """--compact-dedup-index over a stream-accumulated (epoch-keyed)
+    index must flatten rows to epoch-less SEED form — visible to every
+    epoch — like its substr twin; rows keeping old epoch values would be
+    hidden from a restarted stream's probes (review finding, round 4)."""
+    from pmocr_spark import cli
+
+    idx = str(tmp_path / "stream_idx")
+    bands = di.build_index(_docs(spark, BASE))
+    bands.withColumn("epoch", F.lit(0).cast("long")).write.parquet(f"{idx}/epoch-0")
+    bands.withColumn("epoch", F.lit(1).cast("long")).write.parquet(f"{idx}/epoch-1")
+    di.write_meta(spark, idx, {"n_hashes": di.N_MINHASH, "band_size": di.BAND_SIZE,
+                               "max_bucket": di.MAX_BAND_BUCKET})
+    cli.main(["--compact-dedup-index", idx, "--master", "local[4]"])
+    flat, params = di.read_index(spark, idx)
+    assert "epoch" not in flat.columns
+    assert flat.count() == bands.count()  # cross-epoch dupes collapsed
+    assert params["n_hashes"] == di.N_MINHASH  # sidecar restored

@@ -161,3 +161,27 @@ def test_pq_build_rejects_codebookless_id_space(spark, tmp_path):
         pq.write_pq_index(pq.pq_encode(shifted, book), book, str(tmp_path / "bad"))
     import os
     assert not os.path.exists(str(tmp_path / "bad"))  # nothing written
+
+
+def test_pq_append_rejects_foreign_codebook(spark, tmp_path):
+    """mode='append' must enforce the append contract, not trust it: a
+    batch encoded against a freshly derived (different) codebook is
+    positionally misaligned with every ADC table built from the sidecar,
+    so the write is refused loudly (review finding, round 4)."""
+    path = str(tmp_path / "pq_idx")
+    vn = _vn(spark)
+    book = pq.pq_codebook(vn)
+    pq.write_pq_index(pq.pq_encode(vn.filter(F.col("vec_id") >= 10), book), book, path)
+
+    # a codebook derived from a SHIFTED id space differs from the sidecar's
+    other = pq.pq_codebook(
+        vn.select((F.col("vec_id") + 3).alias("vec_id"), "en").filter(F.col("vec_id") < 16 + 3)
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        pq.write_pq_index(pq.pq_encode(vn, other), other, path, mode="append")
+
+    # appending to a sidecar-less dir is refused too
+    bare = str(tmp_path / "bare")
+    pq.pq_encode(vn.limit(5), book).write.parquet(bare)
+    with pytest.raises(ValueError, match="sidecar"):
+        pq.write_pq_index(pq.pq_encode(vn.limit(5), book), book, bare, mode="append")

@@ -871,3 +871,56 @@ def test_epoch_dedup_stores_uncapped_bands(spark, tmp_path):
     dup = st._epoch_dedup(spark, results, idx, epoch_id=2)
     flagged = {r["doc_id"] for r in dup.collect()}
     assert {f"d-{i:03d}" for i in range(4)} <= flagged and "d-x" not in flagged
+
+
+def test_index_dir_guard_on_fresh_checkpoint_restart(spark, dirs, tmp_path):
+    """A stream restarted on a FRESH offsets checkpoint + fresh lineage
+    (the lineage guard's own advice) but a KEPT --dedup-index dir would
+    restart epoch ids at 0: the probe's epoch<E filter hides ALL prior
+    history and the epoch-0 overwrite destroys the prior run's rows.
+    monitor must refuse; --compact-dedup-index (which flattens history
+    to always-visible seed rows) is the sanctioned recovery path
+    (review finding, round 4)."""
+    import pyarrow as pa
+
+    from pmocr_spark import cli
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]}
+
+    pq.write_table(pa.Table.from_pylist([], schema=corpus.BLOBS_SCHEMA),
+                   f"{tmp_path}/blobs.parquet")
+    media = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    idx_dir = str(tmp_path / "kept_idx")
+
+    pq.write_table(pa.Table.from_pylist(
+        [doc("a", "the quick brown fox jumps over the lazy dog near the river today")],
+        schema=corpus.DOCUMENTS_SCHEMA), f"{dirs['landing']}/d0.parquet")
+    q = streaming.monitor(
+        spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+        dirs["lineage"], trigger={"availableNow": True}, dedup_index_dir=idx_dir,
+    )
+    q.awaitTermination(120)
+
+    # fresh checkpoint + fresh lineage/output, kept index dir -> refused
+    import shutil as _sh
+    for k in ("stream_ckpt", "lineage", "output"):
+        _sh.rmtree(dirs[k], ignore_errors=True)
+    with pytest.raises(ValueError, match="epoch-keyed subdirs"):
+        streaming.monitor(
+            spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+            dirs["lineage"], trigger={"availableNow": True}, dedup_index_dir=idx_dir,
+        )
+
+    # sanctioned recovery: compact (flattens to seed rows), then restart
+    cli.main(["--compact-dedup-index", idx_dir, "--master", "local[4]"])
+    q2 = streaming.monitor(
+        spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+        dirs["lineage"], trigger={"availableNow": True}, dedup_index_dir=idx_dir,
+    )
+    q2.awaitTermination(120)
+    # the re-crawled doc is flagged against the seeded (flattened) history
+    out = {r["doc_id"]: r["dup_of"]
+           for r in spark.read.parquet(f"{dirs['output']}/epoch-0").collect()}
+    assert out == {"a": None} or out["a"] is None  # self-match excluded -> clean
