@@ -124,11 +124,15 @@ def test_q35_sample_single_exchange(spark):
     """q35 family exchange budget: the stratum arm is a map-side bucket
     predicate + ONE aggregation shuffle; the DSIR arm adds the
     (doc,bucket) partial agg, the B-row bucket agg, the single-partition
-    window for totals (64 rows — free), and the per-doc score agg. A
-    regression to per-branch corpus re-aggregation (separate tc/rc/tt/rt
-    frames) pushed this to 8+."""
+    window for totals (64 rows — free), and the per-doc score agg; the
+    domain_cap arm adds its documented three — the (source,salt) phase-1
+    window, the source phase-2 window over <= S*K survivors, and the
+    per-source totals agg (broadcast-joined). A regression to per-branch
+    corpus re-aggregation (the separate tc/rc/tt/rt frames this test was
+    written against) pushed the PRE-domain_cap budget from 6 to 8+, so
+    the equivalent regression now reads 11+."""
     df = QUERY_FNS["q35_stratified_sample"](spark, SF)
-    assert shape.count_exchanges(df) <= 6, shape.formatted_plan(df)
+    assert shape.count_exchanges(df) <= 9, shape.formatted_plan(df)
     plan = shape.formatted_plan(df)
     assert "CartesianProduct" not in plan
 
