@@ -89,6 +89,9 @@ HEADLINE = [
     "q50_dup_components",
     "q33_ann_ivf_kmeans",
     "q41_repetition_quality",
+    # round 4 (late): q44 grew from word-bigram top-k into the family
+    # incl. BPE iteration-0 char-pair counts — cross-round comparisons
+    # cross a redefinition boundary (see BENCH/BASELINE.md)
     "q44_bigram_lm_topk",
     "q45_contamination",
     "q46_pack_sequences",
@@ -651,6 +654,32 @@ def _bench_html(spark, sf_dir: str) -> dict:
     return {"sec": sec, "docs": n, "docs_per_sec": round(n / sec, 2) if sec else 0.0}
 
 
+#: merges learned per round by the BPE bench entry (enough iterations to
+#: measure the loop's steady-state cost, few enough to keep the suite
+#: comparable round-over-round)
+BPE_BENCH_MERGES = 12
+
+
+def _bench_bpe(spark, sf_dir: str) -> dict:
+    """Distributed BPE vocabulary learning (operators/bpe.py): one
+    corpus-sized word count, then BPE_BENCH_MERGES iterations of
+    pair-count agg + 1-row collect + map-only merge fold. The per-merge
+    rate is the scale signal: at 10^12 docs the corpus pass amortizes
+    over the whole vocabulary and each iteration touches only the
+    Heaps-law-small word table."""
+    from pmocr_spark.operators import bpe
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    merges = bpe.learn_bpe(docs, BPE_BENCH_MERGES, vocab_partitions=4)
+    sec = round(time.time() - t0, 3)
+    return {
+        "sec": sec,
+        "merges": len(merges),
+        "merges_per_sec": round(len(merges) / sec, 2) if sec else 0.0,
+    }
+
+
 def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from pmocr_spark.queries import QUERY_FNS
 
@@ -700,6 +729,8 @@ def main() -> None:
             f"phash near-dup {phash['sec']}s ({phash['blobs_per_sec']} blobs/s, "
             f"{phash['pairs']} pairs)"
         )
+        bpe = _bench_bpe(spark, sf_dir)
+        _log(f"bpe learn {bpe['sec']}s ({bpe['merges']} merges, {bpe['merges_per_sec']}/s)")
         qtimes = _bench_queries(spark, sf_dir)
         _log(f"headline queries done: {qtimes}")
         recall = _ann_recall_at5(spark, sf_dir)
@@ -710,12 +741,14 @@ def main() -> None:
             "ocr_pipeline": ocr["sec"],
             "html_extract": html["sec"],
             "phash_near_dup": phash["sec"],
+            "bpe_learn": bpe["sec"],
             **qtimes,
         }
         result["value"] = round(sum(result["queries"].values()), 3)
         result["ocr_docs_per_sec"] = ocr["docs_per_sec"]
         result["html_docs_per_sec"] = html["docs_per_sec"]
         result["phash_blobs_per_sec"] = phash["blobs_per_sec"]
+        result["bpe_merges_per_sec"] = bpe["merges_per_sec"]
         result["ann_recall_at5"] = recall
         result["ann_recall_floor"] = ANN_RECALL_FLOOR
 

@@ -1,0 +1,232 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary learning + encoding.
+
+The one training-data operator every LLM pipeline runs exactly once per
+corpus and every single-node library (sentencepiece, HF tokenizers)
+bottlenecks on: learning the merge table. Sennrich et al. (ACL'16)
+semantics, Spark-first shape:
+
+  * the corpus collapses to the DISTINCT-WORD frequency table in ONE
+    shuffle (`word_freqs`) — by Heaps' law vocabulary grows ~|corpus|^0.5,
+    so at 100 TB the working set is millions-to-low-billions of tiny rows
+    while the corpus itself is never touched again;
+  * each merge iteration is: one map-side-combined pair-count aggregation
+    over the word table (`pair_counts`, adjacency built shuffle-free from
+    zipped array slices), a ONE-ROW driver collect (the argmax pair,
+    ties broken (count desc, left asc, right asc) so the table is
+    deterministic), and a map-only greedy fold rewriting the symbol
+    arrays (`apply_merge`) — no join, no window, no doc×doc anywhere;
+  * iteration lineage is truncated through `graph.iter_checkpoint`
+    (executor-local by default, reliable under PMOCR_RELIABLE_CHECKPOINT
+    for executor-loss-safe cluster runs), the same discipline as q33's
+    Lloyd iterations and q50's star rounds;
+  * the driver holds only the merge list (n_merges rows) — never the
+    vocabulary.
+
+The greedy fold (`aggregate(syms, [], merge-or-append)`) is provably the
+left-to-right non-overlapping scan of the reference implementation: a
+merged token can never immediately re-merge as the LEFT of the same pair
+(that needs left+right == left, impossible for non-empty right) nor as
+the RIGHT (needs left+right == right), so one fold pass == one reference
+scan. Encoding applies the learned merges sequentially in rank order
+with the same scan (`encode_words` / `encode_udf`), so
+encode(train corpus) reproduces exactly the symbol state training ended
+with.
+
+Everything except the encode UDF is built-in expressions (whole-stage
+codegen); the encode UDF is an Arrow-batched pandas UDF (the per-word
+merge loop is data-dependent control flow no Catalyst expression
+expresses).
+
+Reference parity: pmOCR has no tokenizer (it is a format converter);
+this is the training-data layer the build brief adds (SURVEY.md §6).
+The q44 gate slot carries the SQL oracle for the iteration-0 pair
+statistics (part='char_pair'); the full merge loop is pinned by
+tests/test_bpe.py against a pure-python reference implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .graph import iter_checkpoint
+
+#: end-of-word marker appended as a standalone symbol (Sennrich '16
+#: convention, modulo attaching it to the last char — any consistent
+#: convention round-trips as long as training and encoding share it).
+END_OF_WORD = "</w>"
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): whitespace-tokenized, lowercased word frequencies.
+
+    The ONLY corpus-sized operation in BPE training — one explode + one
+    hash aggregation with map-side partial agg; everything downstream
+    runs over this (Heaps-law-small) table.
+    """
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def initial_symbols(wf: DataFrame) -> DataFrame:
+    """(freq, syms): each word as its character array + END_OF_WORD.
+
+    `word` itself is dropped — training only ever needs the symbol
+    arrays and their weights.
+    """
+    chars = F.expr("filter(split(word, ''), s -> s <> '')")
+    return wf.select("freq", F.concat(chars, F.array(F.lit(END_OF_WORD))).alias("syms"))
+
+
+def pair_counts(sy: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent-symbol pair counts weighted by word
+    frequency. Adjacency is built map-side from the symbol array (a
+    transform over slice(syms, 1, n-1) indexing syms[i+1] — no explode
+    of anything wider than the pairs themselves, no window)."""
+    pairs = sy.select(
+        "freq",
+        F.explode(
+            F.expr("transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS l, syms[i + 1] AS r))")
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right")).agg(
+        F.sum("freq").cast("long").alias("cnt")
+    )
+
+
+def _merge_fold(left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) -> left+right
+    as a single aggregate() fold over `syms` (see module docstring for
+    the equivalence proof to the reference scan). Column-API lambdas —
+    symbol strings never pass through SQL text, so quoting is a
+    non-issue."""
+    empty = F.array().cast("array<string>")
+
+    def step(acc: Column, s: Column) -> Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right))
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(left + right))),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(F.col("syms"), empty, step)
+
+
+def apply_merge(sy: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite symbol arrays with one merge applied — map-only. Words
+    that cannot contain the pair (cheap array_contains pre-check) keep
+    their array untouched, so the fold runs only where it can fire."""
+    can = F.array_contains("syms", left) & F.array_contains("syms", right)
+    return sy.select(
+        "freq", F.when(can, _merge_fold(left, right)).otherwise(F.col("syms")).alias("syms")
+    )
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+    reliable: bool | None = None,
+    vocab_partitions: int | None = None,
+) -> list[tuple[str, str, int]]:
+    """Learn up to `n_merges` BPE merges over `docs[text_col]`.
+
+    Returns [(left, right, count), ...] in rank order — the entire
+    driver-side state. Stops early when the best pair's count drops
+    below `min_count` (merging hapax adjacencies grows the vocab with
+    noise). `reliable` — see graph.iter_checkpoint.
+
+    `vocab_partitions`: coalesce the symbol table after the corpus-sized
+    word count. The iterated working set is |vocab| rows, not |corpus| —
+    inheriting the corpus agg's partitioning makes every one of the
+    n_merges iterations pay per-task scheduling for near-empty
+    partitions. Size it to the vocabulary (None = inherit, the safe
+    default when the vocabulary itself is huge).
+    """
+    sy = initial_symbols(word_freqs(docs, text_col))
+    if vocab_partitions is not None:
+        sy = sy.coalesce(vocab_partitions)
+    sy = iter_checkpoint(sy, reliable)
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                pair_counts(sy)
+                .orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < min_count:
+                break
+            left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+            merges.append((left, right, cnt))
+            nxt = iter_checkpoint(apply_merge(sy, left, right), reliable)
+            sy.unpersist()
+            sy = nxt
+    finally:
+        sy.unpersist()
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Pure-python single-word BPE encode: apply learned merges in rank
+    order, each as the same greedy left-to-right scan training used.
+    Shared by the pandas UDF and the test reference."""
+    syms = list(word) + [END_OF_WORD]
+    # one pass per applicable rank, cheapest-rank first — identical to
+    # replaying the training sequence over this word
+    for (left, right), _rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+        if len(syms) < 2:
+            break
+        out: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def encode_udf(merges: list[tuple[str, str, int]]):
+    """Arrow-batched pandas UDF: text -> array<string> of BPE tokens
+    under the learned merge table. The merge list rides the closure
+    (driver-small by construction); per-batch the word->tokens map is
+    memoized so repeated words in a batch encode once."""
+    from pyspark.sql import types as T
+
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+
+    def _encode(text):  # pd.Series -> pd.Series (annotation-free: the
+        # return type is carried by the pandas_udf call below)
+        cache: dict[str, list[str]] = {}
+
+        def enc(t) -> list[str]:
+            if t is None:
+                return []
+            toks: list[str] = []
+            for w in str(t).lower().strip().split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = encode_word(w, ranks)
+                toks.extend(got)
+            return toks
+
+        return text.map(enc)
+
+    return F.pandas_udf(_encode, T.ArrayType(T.StringType()))

@@ -2736,34 +2736,75 @@ def q41_repetition_quality(spark, sf_dir):
       SELECT string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
     g AS (
       SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) bg
-      FROM t)
-    SELECT bg AS bigram, cast(count(*) AS BIGINT) AS cnt
-    FROM g GROUP BY bg
-    ORDER BY cnt DESC, bigram ASC
-    LIMIT 20
+      FROM t),
+    wb AS (
+      SELECT 'word' AS part, bg AS bigram, cast(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY bg
+      ORDER BY cnt DESC, bigram ASC
+      LIMIT 20
+    ),
+    wf AS (
+      SELECT w AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents)
+      WHERE len(w) > 0 GROUP BY w),
+    sy AS (
+      SELECT freq,
+             list_append(list_transform(range(1, len(word) + 1), i -> word[i]),
+                         '</w>') AS syms
+      FROM wf),
+    pr AS (
+      SELECT syms[i] || ' ' || syms[i+1] AS bigram, freq
+      FROM sy, unnest(range(1, len(syms))) AS t(i)),
+    cb AS (
+      SELECT 'char_pair' AS part, bigram, cast(sum(freq) AS BIGINT) AS cnt
+      FROM pr GROUP BY bigram
+      ORDER BY cnt DESC, bigram ASC
+      LIMIT 20
+    )
+    SELECT * FROM wb UNION ALL SELECT * FROM cb
     """,
 )
 def q44_bigram_lm_topk(spark, sf_dir):
-    """Corpus-level n-gram LM counts (the classic training-data statistic):
-    top-20 bigrams by frequency, ties broken lexically so the cut is
-    deterministic.
+    """n-gram LM statistics family in ONE gate slot, `part`-discriminated:
+      * part='word': corpus-level top-20 word bigrams by frequency (the
+        classic training-data statistic), ties broken lexically so the
+        cut is deterministic.
+      * part='char_pair': top-20 adjacent-symbol pair counts over the
+        initial (character + '</w>') symbolization of the DISTINCT-WORD
+        frequency table — iteration 0 of BPE vocabulary learning
+        (operators/bpe.py; the full merge loop is pytest-pinned against
+        a pure-python reference, its per-iteration statistic is
+        SQL-oracled here).
 
-    Scale: bigrams come from the shuffle-free arrays_zip construction
-    (each doc's adjacency lives in its own row — no window Exchange, see
-    _shingles_df); the count is one hash aggregation with map-side
-    partial agg, and orderBy+limit compiles to TakeOrderedAndProject —
-    per-partition top-20 heaps merged on the driver, never a global
-    sort. At 100 TB the reduce side sees only (distinct bigrams), and
-    the final collect is 20 rows."""
+    Scale: word bigrams come from the shuffle-free arrays_zip
+    construction (each doc's adjacency lives in its own row — no window
+    Exchange, see _shingles_df); char pairs aggregate over the
+    Heaps-law-small distinct-word table. Both counts are one hash
+    aggregation with map-side partial agg, and orderBy+limit compiles
+    to TakeOrderedAndProject — per-partition top-20 heaps merged on the
+    driver, never a global sort. At 100 TB the reduce side sees only
+    (distinct bigrams), and the final collect is 40 rows."""
+    from .operators.bpe import initial_symbols, pair_counts, word_freqs
+
     d = _t(spark, sf_dir, "documents")
-    return (
+    wb = (
         _ngram_rows(d, 2, "bigram")
         .select("bigram")  # doc_id pruned out of the scan by Catalyst
         .groupBy("bigram")
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
         .limit(20)
+        .select(F.lit("word").alias("part"), "bigram", "cnt")
     )
+    cb = (
+        pair_counts(initial_symbols(word_freqs(d)))
+        .select(F.concat_ws(" ", "left", "right").alias("bigram"), "cnt")
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+        .select(F.lit("char_pair").alias("part"), "bigram", "cnt")
+    )
+    return wb.unionAll(cb)
 
 
 @query(

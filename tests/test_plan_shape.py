@@ -202,12 +202,14 @@ def test_q40_redact_map_only(spark):
 
 
 def test_q44_topk_no_global_sort(spark):
-    """Top-k bigram counts must compile to TakeOrderedAndProject
-    (per-partition heaps), never a global Sort of the count table."""
+    """Top-k counts (both family parts) must compile to
+    TakeOrderedAndProject (per-partition heaps), never a global Sort of
+    a count table."""
     df = QUERY_FNS["q44_bigram_lm_topk"](spark, SF)
     plan = shape.formatted_plan(df)
-    assert "TakeOrderedAndProject" in plan, plan
-    assert shape.count_exchanges(df) <= 1, plan  # one agg shuffle only
+    assert plan.count("TakeOrderedAndProject") >= 2, plan  # one per part
+    # word-bigram agg + word-freq agg + char-pair agg, nothing else
+    assert shape.count_exchanges(df) <= 3, plan
 
 
 def test_q45_contamination_broadcasts_benchmark(spark):
