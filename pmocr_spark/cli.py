@@ -299,6 +299,32 @@ def build_parser() -> argparse.ArgumentParser:
         "spans shorter than K words are not caught",
     )
     p.add_argument(
+        "--train-bpe",
+        type=int,
+        default=None,
+        metavar="N_MERGES",
+        help="maintenance mode (standalone): learn up to N_MERGES BPE "
+        "merges over the --input documents table (operators/bpe.py, "
+        "distributed Sennrich '16) and persist the model dir to "
+        "--output (merge table + params in a _bpe_model.json sidecar)",
+    )
+    p.add_argument(
+        "--bpe-min-count",
+        type=int,
+        default=None,
+        help="--train-bpe early-stop: stop when the best pair's count "
+        "drops below this (default 2)",
+    )
+    p.add_argument(
+        "--encode-bpe",
+        default=None,
+        metavar="MODEL_DIR",
+        help="maintenance mode (standalone): tokenize the --input "
+        "documents table with the BPE model at MODEL_DIR (from "
+        "--train-bpe) and write it to --output with bpe_tokens + "
+        "n_bpe_tokens columns appended (Arrow-batched encode UDF)",
+    )
+    p.add_argument(
         "--probe-broadcast",
         choices=("auto", "force"),
         default=None,
@@ -490,6 +516,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--dedup-substrings", args.dedup_substrings),
             ("--compact-substr-index", args.compact_substr_index),
             ("--phash-dedup", args.phash_dedup),
+            ("--train-bpe", args.train_bpe is not None),
+            ("--encode-bpe", bool(args.encode_bpe)),
         )
         if on
     ]
@@ -564,6 +592,29 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--blobs and --output are required with --phash-dedup")
         if args.phash_max_hamming is not None and not (0 <= args.phash_max_hamming <= 64):
             parser.error("--phash-max-hamming must be in [0, 64]")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.train_bpe is not None:
+        if args.batch or args.service:
+            parser.error("--train-bpe is a standalone maintenance mode")
+        if args.train_bpe < 1:
+            parser.error("--train-bpe must be >= 1 merges")
+        if args.bpe_min_count is not None and args.bpe_min_count < 1:
+            parser.error("--bpe-min-count must be >= 1")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --train-bpe")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.bpe_min_count is not None:
+        # would otherwise be silently dropped by every other mode
+        parser.error("--bpe-min-count only applies to --train-bpe")
+    if args.encode_bpe:
+        if args.batch or args.service:
+            parser.error("--encode-bpe is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --encode-bpe")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -927,6 +978,49 @@ def main(argv: list[str] | None = None) -> None:
         pairs.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"pmocr-spark: {n} visual near-dup pairs written to {args.output}")
+        return
+    if getattr(args, "train_bpe", None) is not None:
+        from .operators import bpe as bpe_op
+
+        min_count = args.bpe_min_count or 2
+        docs = spark.read.parquet(args.input)
+        if "text" not in docs.columns:
+            raise SystemExit(
+                f"--train-bpe: {args.input} has no 'text' column (columns: "
+                f"{docs.columns}) — BPE modes read a FLAT documents table; "
+                "extract span tables to txt first (--batch --targets txt)"
+            )
+        merges = bpe_op.learn_bpe(docs, args.train_bpe, min_count=min_count)
+        bpe_op.write_model(spark, args.output, merges, min_count=min_count)
+        print(
+            f"pmocr-spark: learned {len(merges)} BPE merges "
+            f"(requested {args.train_bpe}) to {args.output}"
+        )
+        return
+    if getattr(args, "encode_bpe", None):
+        from .operators import bpe as bpe_op
+
+        merges = bpe_op.read_model(spark, args.encode_bpe)
+        docs = spark.read.parquet(args.input)
+        if "text" not in docs.columns:
+            raise SystemExit(
+                f"--encode-bpe: {args.input} has no 'text' column (columns: "
+                f"{docs.columns}) — BPE modes read a FLAT documents table; "
+                "extract span tables to txt first (--batch --targets txt)"
+            )
+        # drop pre-existing token columns so the mode is idempotent over
+        # its own output (same discipline as --dedup-substrings)
+        out = (
+            docs.drop("bpe_tokens", "n_bpe_tokens")
+            .withColumn("bpe_tokens", bpe_op.encode_udf(merges)(F.col("text")))
+            .withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).agg(F.sum("n_bpe_tokens"), F.count("*")).first()
+        print(
+            f"pmocr-spark: encoded {n[1]} docs ({n[0]} BPE tokens, "
+            f"{len(merges)}-merge model) to {args.output}"
+        )
         return
     if getattr(args, "dedup_substrings", False):
         from .operators.substring_dedup import DEFAULT_K, substring_dedup

@@ -57,21 +57,27 @@ from .graph import iter_checkpoint
 END_OF_WORD = "</w>"
 
 
-def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def word_freqs(
+    docs: DataFrame, text_col: str = "text", max_word_chars: int | None = None
+) -> DataFrame:
     """(word, freq): whitespace-tokenized, lowercased word frequencies.
 
     The ONLY corpus-sized operation in BPE training — one explode + one
     hash aggregation with map-side partial agg; everything downstream
     runs over this (Heaps-law-small) table.
+
+    `max_word_chars`: drop "words" longer than this. On web corpora a
+    single pathological megabyte-long token (minified JS, base64 blob)
+    makes every iteration's fold over that row O(len²) in array copies;
+    production tokenizer trainers cap token length for the same reason.
+    None (default) keeps every word — the oracle-parity configuration.
     """
-    return (
-        docs.select(
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
-        )
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
+    wf = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    if max_word_chars is not None:
+        wf = wf.filter(F.length("word") <= max_word_chars)
+    return wf.groupBy("word").agg(F.count("*").alias("freq"))
 
 
 def initial_symbols(wf: DataFrame) -> DataFrame:
@@ -139,6 +145,7 @@ def learn_bpe(
     min_count: int = 2,
     reliable: bool | None = None,
     vocab_partitions: int | None = None,
+    max_word_chars: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to `n_merges` BPE merges over `docs[text_col]`.
 
@@ -147,6 +154,9 @@ def learn_bpe(
     below `min_count` (merging hapax adjacencies grows the vocab with
     noise). `reliable` — see graph.iter_checkpoint.
 
+    `max_word_chars` passes through to word_freqs (drop pathological
+    mega-tokens before they make the per-iteration fold quadratic).
+
     `vocab_partitions`: coalesce the symbol table after the corpus-sized
     word count. The iterated working set is |vocab| rows, not |corpus| —
     inheriting the corpus agg's partitioning makes every one of the
@@ -154,7 +164,7 @@ def learn_bpe(
     partitions. Size it to the vocabulary (None = inherit, the safe
     default when the vocabulary itself is huge).
     """
-    sy = initial_symbols(word_freqs(docs, text_col))
+    sy = initial_symbols(word_freqs(docs, text_col, max_word_chars=max_word_chars))
     if vocab_partitions is not None:
         sy = sy.coalesce(vocab_partitions)
     sy = iter_checkpoint(sy, reliable)
@@ -177,6 +187,48 @@ def learn_bpe(
     finally:
         sy.unpersist()
     return merges
+
+
+#: persisted-model sidecar name (same discipline as the dedup/PQ
+#: indexes: parameters that are part of the artifact's identity live in
+#: an underscore-prefixed JSON inside the output dir, any fs scheme)
+BPE_META = "_bpe_model.json"
+
+
+def write_model(spark, path: str, merges: list[tuple[str, str, int]], min_count: int) -> None:
+    """Persist a learned merge table as a model dir with a params
+    sidecar. The model is driver-small by construction (n_merges rows),
+    so the sidecar IS the model."""
+    from .. import checkpoint as ckpt
+
+    ckpt.write_sidecar(
+        spark,
+        path,
+        BPE_META,
+        {
+            "version": 1,
+            "end_of_word": END_OF_WORD,
+            "min_count": min_count,
+            "merges": [[l, r, c] for l, r, c in merges],
+        },
+    )
+
+
+def read_model(spark, path: str) -> list[tuple[str, str, int]]:
+    """Load a merge table written by write_model. Loud failure on a
+    missing sidecar or a convention mismatch — encoding with the wrong
+    end-of-word marker silently produces garbage tokens."""
+    from .. import checkpoint as ckpt
+
+    meta = ckpt.read_sidecar(spark, path, BPE_META)
+    if meta is None:
+        raise ValueError(f"no {BPE_META} sidecar at {path}: not a BPE model dir")
+    if meta.get("end_of_word") != END_OF_WORD:
+        raise ValueError(
+            f"BPE model at {path} uses end-of-word marker "
+            f"{meta.get('end_of_word')!r}, this build expects {END_OF_WORD!r}"
+        )
+    return [(l, r, int(c)) for l, r, c in meta["merges"]]
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

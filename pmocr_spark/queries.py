@@ -637,38 +637,29 @@ def q16_dedup_exact(spark, sf_dir):
 _STOP_SHINGLE_DF = 75
 
 
-@query(
-    "q17_ngram_jaccard",
-    f"""
-    WITH sh0 AS (
-      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
-      FROM documents WHERE doc_id < 150 AND len({_TOKS_SQL}) >= 3
-    ),
-    sh AS (
-      SELECT * FROM sh0 WHERE shingle NOT IN (
-        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {_STOP_SHINGLE_DF})
-    ),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
-    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
-               JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.05
-    """,
-)
+@query("q17_ngram_jaccard")  # oracle registered below (composes q18's SQL)
 def q17_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup: shingle -> stop-shingle df cap ->
-    inverted-index self-join -> |A∩B| / |A∪B|. The shingle equi-join is
-    the scalable path (no doc×doc cross product); hot-shingle skew is
-    bounded by the df cap: one cheap pre-aggregation drops shingles with
-    document frequency > _STOP_SHINGLE_DF from the similarity definition
-    (both intersection and union), so no join key fans out more than
-    cap² pairs."""
+    """Exact n-gram Jaccard family in ONE gate slot, `part`-discriminated:
+      * part='subset': exact all-pairs Jaccard over the doc_id < 150
+        subset — shingle -> stop-shingle df cap -> inverted-index
+        self-join -> |A∩B| / |A∪B|. The shingle equi-join is the
+        scalable all-pairs path (no doc×doc cross product); hot-shingle
+        skew is bounded by the df cap: one cheap pre-aggregation drops
+        shingles with document frequency > _STOP_SHINGLE_DF from the
+        similarity definition (both intersection and union), so no join
+        key fans out more than cap² pairs.
+      * part='lsh_verified': the production MinHash shape — exact
+        Jaccard computed ONLY on q18's LSH candidate pairs, over the
+        FULL corpus. LSH bounds WHICH pairs are scored (|candidates|,
+        never n²); the verify join bounds the false-positive rate the
+        banding admits. Per pair the cost is O(|A| + |B|) shingle rows
+        through two equi-joins — candidates fan out by shingle count,
+        not by corpus size — so this is the arm that still runs when
+        the subset arm's all-pairs definition cannot. True shingle sets
+        here (no df cap): the cap exists to bound the self-join, and
+        this arm has no self-join to bound.
+    """
+    # ---- part='subset'
     ex = _shingles_df(spark, sf_dir, max_doc=150)
     hot = (
         ex.groupBy("shingle")
@@ -689,12 +680,38 @@ def q17_ngram_jaccard(spark, sf_dir):
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
-    return (
+    sub = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= 0.05)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select(
+            F.lit("subset").alias("part"), "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+        )
     )
+    # ---- part='lsh_verified'
+    cand = QUERY_FNS["q18_minhash_lsh"](spark, sf_dir)
+    shv = _shingles_df(spark, sf_dir, distinct=True)
+    sizesv = shv.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(shv.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(shv.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    va = sizesv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    vb = sizesv.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    ver = (
+        inter.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .filter(jac >= 0.05)
+        .select(
+            F.lit("lsh_verified").alias("part"),
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+    return sub.unionAll(ver)
 
 
 _N_MINHASH = 12
@@ -2435,6 +2452,52 @@ def q39_pipeline_roundtrip(spark, sf_dir):
 
 # q50/q33 oracles compose other SQL, so they register after definition
 ORACLES["q50_dup_components"] = _Q50_ORACLE.format(q18=ORACLES["q18_minhash_lsh"])
+
+#: q17 oracle: the subset arm's self-contained SQL UNION the verify arm,
+#: which (like q50) composes q18's candidate SQL as a CTE.
+_Q17_ORACLE = f"""
+    WITH shs0 AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents WHERE doc_id < 150 AND len({_TOKS_SQL}) >= 3
+    ),
+    shs AS (
+      SELECT * FROM shs0 WHERE shingle NOT IN (
+        SELECT shingle FROM shs0 GROUP BY shingle HAVING count(*) > {_STOP_SHINGLE_DF})
+    ),
+    sizess AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
+    pairss AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cand AS (
+      {{q18}}
+    ),
+    shv AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents WHERE len({_TOKS_SQL}) >= 3
+    ),
+    sizesv AS (SELECT doc_id, count(*) AS sz FROM shv GROUP BY doc_id),
+    interv AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN shv a ON a.doc_id = c.doc_a
+      JOIN shv b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT 'subset' AS part, doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM pairss JOIN sizess sa ON sa.doc_id = doc_a
+                JOIN sizess sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.05
+    UNION ALL
+    SELECT 'lsh_verified' AS part, doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM interv JOIN sizesv sa ON sa.doc_id = doc_a
+                JOIN sizesv sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.05
+"""
+ORACLES["q17_ngram_jaccard"] = _Q17_ORACLE.format(q18=ORACLES["q18_minhash_lsh"])
 ORACLES["q33_ann_ivf_kmeans"] = _q33_oracle()
 
 
@@ -2846,6 +2909,9 @@ def q45_contamination(spark, sf_dir):
 
 
 _PACK_BUDGET = 512
+#: chunk width for q46's part='chunk' arm — sized so the synthetic
+#: corpus's ~54-word documents split into 2 chunks (non-vacuous)
+_CHUNK_TOKENS = 32
 
 
 @query(
@@ -2860,26 +2926,49 @@ _PACK_BUDGET = 512
              cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                AS cum_before
-      FROM t)
-    SELECT doc_id, n_tokens, cum_before,
-           cast(floor(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS bin
+      FROM t),
+    w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    ch AS (
+      SELECT doc_id, i,
+             list_slice(ws, i * {_CHUNK_TOKENS} + 1, (i + 1) * {_CHUNK_TOKENS}) AS wsc
+      FROM w, unnest(range(0, cast(ceil(len(ws) / {_CHUNK_TOKENS}.0) AS BIGINT))) AS u(i))
+    SELECT 'pack' AS part, doc_id, n_tokens, cum_before,
+           cast(floor(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
+           cast(NULL AS varchar) AS key
     FROM c
+    UNION ALL
+    SELECT 'chunk' AS part, doc_id, cast(len(wsc) AS BIGINT) AS n_tokens,
+           cast(i * {_CHUNK_TOKENS} AS BIGINT) AS cum_before,
+           cast(i AS BIGINT) AS bin,
+           md5(array_to_string(wsc, ' ')) AS key
+    FROM ch
     """,
 )
 def q46_pack_sequences(spark, sf_dir):
-    """Sequence packing for LLM training: assign documents (in doc_id
-    order) to fixed token-budget bins via a global running token count —
-    bin = floor(cum_tokens_before / budget). The oracle states it as a
-    single global window; the Spark plan must NOT (that window would
-    pull 10^12 rows through one partition). Same two-pass shape as q37:
+    """Sequence shaping family in ONE gate slot, `part`-discriminated:
+      * part='pack': sequence packing — assign documents (in doc_id
+        order) to fixed token-budget bins via a global running token
+        count, bin = floor(cum_tokens_before / budget).
+      * part='chunk': the complement — split every document into
+        consecutive <= _CHUNK_TOKENS-token chunks at token boundaries
+        (the pre-packing step real pipelines run on docs longer than
+        the context window). One row per chunk: bin = chunk index,
+        cum_before = starting token offset, key = md5 of the chunk
+        text (pinning the split byte-for-byte).
+
+    The pack oracle states a single global window; the Spark plan must
+    NOT (that window would pull 10^12 rows through one partition).
+    Same two-pass shape as q37:
 
       1. repartitionByRange(doc_id) — ordered, co-located ranges;
       2. per-partition running sum (window PARTITIONED by partition id);
       3. global offset = sum of earlier partitions' totals, a 16-row
-         aggregate joined back broadcast.
+        aggregate joined back broadcast.
 
     Deterministic wherever the range sampler draws boundaries: offsets
-    come from actual partition totals and doc_id is unique."""
+    come from actual partition totals and doc_id is unique. The chunk
+    arm is pure map (explode bounded by doc_len / chunk_tokens) — it
+    adds ZERO exchanges to the family plan."""
     d = _t(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
@@ -2902,15 +2991,39 @@ def q46_pack_sequences(spark, sf_dir):
     offsets = sizes.select(
         "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
-    return (
+    pack = (
         local.join(F.broadcast(offsets), "_pid")
         .select(
+            F.lit("pack").alias("part"),
             "doc_id",
             "n_tokens",
             (F.col("_lcum") + F.col("_off")).cast("long").alias("cum_before"),
             F.floor((F.col("_lcum") + F.col("_off")) / F.lit(_PACK_BUDGET)).cast("long").alias("bin"),
+            F.lit(None).cast("string").alias("key"),
         )
     )
+    # part='chunk': pure map — explode bounded by doc_len / chunk width
+    w = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
+    chunk = (
+        w.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, int(ceil(size(ws) / {_CHUNK_TOKENS}.0)) - 1), "
+                    f"i -> struct(i AS cid, slice(ws, i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}) AS wsc))"
+                )
+            ).alias("c"),
+        )
+        .select(
+            F.lit("chunk").alias("part"),
+            "doc_id",
+            F.size("c.wsc").cast("long").alias("n_tokens"),
+            (F.col("c.cid") * _CHUNK_TOKENS).cast("long").alias("cum_before"),
+            F.col("c.cid").cast("long").alias("bin"),
+            F.md5(F.concat_ws(" ", "c.wsc").cast("binary")).alias("key"),
+        )
+    )
+    return pack.unionAll(chunk)
 
 
 @query(

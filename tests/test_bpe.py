@@ -164,3 +164,18 @@ def test_apply_merge_map_only(spark):
     base = shape.count_exchanges(sy)
     merged = bpe.apply_merge(sy, "e", "r")
     assert shape.count_exchanges(merged) == base
+
+
+def test_max_word_chars_guard(spark):
+    """The production cap drops pathological mega-tokens before they
+    reach the iterated fold; default (None) keeps everything."""
+    docs = spark.createDataFrame(
+        [("ok ok " + "x" * 50,), ("ok ok",)], "text string"
+    )
+    capped = {r.word for r in bpe.word_freqs(docs, max_word_chars=10).collect()}
+    assert capped == {"ok"}
+    full = {r.word for r in bpe.word_freqs(docs).collect()}
+    assert full == {"ok", "x" * 50}
+    # learning under the cap never sees the mega-token's chars
+    merges = bpe.learn_bpe(docs, 3, max_word_chars=10)
+    assert all("x" not in l and "x" not in r for l, r, _c in merges)

@@ -580,3 +580,69 @@ def test_dedup_substrings_cli(spark, tmp_path):
     with pytest.raises(SystemExit):  # compact-lineage must not swallow it
         cli.parse_args(["--dedup-substrings", "--compact-lineage",
                         "--lineage", "l", "--input", "x", "--output", "y"])
+
+
+def test_bpe_cli_lifecycle(spark, tmp_path):
+    """--train-bpe writes a model dir whose merge table matches a direct
+    learn_bpe over the same corpus; --encode-bpe tokenizes with it and
+    is idempotent over its own output."""
+    from pmocr_spark.operators import bpe
+
+    rows = [
+        ("d1", "lower lowest low low lower"),
+        ("d2", "newer newest new new newer"),
+        ("d3", "wider widest wide wide wider"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    docs.write.parquet(str(tmp_path / "docs"))
+
+    cli.main(["--train-bpe", "6", "--input", str(tmp_path / "docs"),
+              "--output", str(tmp_path / "model"), "--master", "local[4]"])
+    got = bpe.read_model(spark, str(tmp_path / "model"))
+    want = bpe.learn_bpe(docs, 6)
+    assert got == want and len(got) >= 1
+
+    cli.main(["--encode-bpe", str(tmp_path / "model"),
+              "--input", str(tmp_path / "docs"),
+              "--output", str(tmp_path / "enc"), "--master", "local[4]"])
+    out = {r["doc_id"]: r for r in
+           spark.read.parquet(str(tmp_path / "enc")).collect()}
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(want)}
+    for doc_id, text in rows:
+        want_toks = [t for w in text.split() for t in bpe.encode_word(w, ranks)]
+        assert out[doc_id]["bpe_tokens"] == want_toks
+        assert out[doc_id]["n_bpe_tokens"] == len(want_toks)
+
+    # idempotent re-encode of the already-encoded table
+    cli.main(["--encode-bpe", str(tmp_path / "model"),
+              "--input", str(tmp_path / "enc"),
+              "--output", str(tmp_path / "enc2"), "--master", "local[4]"])
+    out2 = {r["doc_id"]: r["bpe_tokens"] for r in
+            spark.read.parquet(str(tmp_path / "enc2")).collect()}
+    assert out2 == {d: r["bpe_tokens"] for d, r in out.items()}
+
+
+def test_bpe_cli_errors(tmp_path):
+    """BPE modes are standalone, validated, and cannot be combined."""
+    with pytest.raises(SystemExit):  # needs input+output
+        cli.parse_args(["--train-bpe", "4", "--input", "x"])
+    with pytest.raises(SystemExit):  # n_merges >= 1
+        cli.parse_args(["--train-bpe", "0", "--input", "x", "--output", "y"])
+    with pytest.raises(SystemExit):  # not combinable with --batch
+        cli.parse_args(["--train-bpe", "4", "--batch", "--input", "x",
+                        "--output", "y"])
+    with pytest.raises(SystemExit):  # min-count is train-only
+        cli.parse_args(["--encode-bpe", "m", "--bpe-min-count", "3",
+                        "--input", "x", "--output", "y"])
+    with pytest.raises(SystemExit):  # two maintenance modes at once
+        cli.parse_args(["--train-bpe", "4", "--phash-dedup",
+                        "--input", "x", "--output", "y"])
+
+
+def test_encode_bpe_missing_model_fails_loudly(spark, tmp_path):
+    """A non-model dir must raise, not masquerade as an empty model."""
+    from pmocr_spark.operators import bpe
+
+    (tmp_path / "notamodel").mkdir()
+    with pytest.raises(ValueError, match="not a BPE model dir"):
+        bpe.read_model(spark, str(tmp_path / "notamodel"))

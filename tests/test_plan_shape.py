@@ -111,6 +111,16 @@ def test_q17_q18_skew_caps_present(spark):
         assert "LeftAnti" in plan, f"{q} missing the frequency-cap anti-join"
 
 
+def test_q17_lsh_verify_no_cartesian(spark):
+    """The lsh_verified arm scores ONLY candidate pairs: every join in
+    the family plan is an equi-join (candidate doc ids / shingle keys),
+    never a cross product of the corpus."""
+    df = QUERY_FNS["q17_ngram_jaccard"](spark, SF)
+    assert not shape.has_cartesian(df)
+    plan = shape.formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+
+
 def test_q34_corpus_filter_semi_join(spark):
     """The composed corpus filter keeps the dedup-keeper membership check
     a LeftSemi join (no row duplication) and never goes cartesian."""
@@ -231,7 +241,10 @@ def test_q46_pack_partition_invariant(spark):
     from pmocr_spark.queries import _PACK_BUDGET, _t
 
     df = QUERY_FNS["q46_pack_sequences"](spark, SF)
-    base = {r["doc_id"]: (r["cum_before"], r["bin"]) for r in df.collect()}
+    base = {
+        r["doc_id"]: (r["cum_before"], r["bin"])
+        for r in df.filter(F.col("part") == "pack").collect()
+    }
 
     # oracle recomputation from an adversarially repartitioned input,
     # via the plain (non-scalable) window — results must coincide
