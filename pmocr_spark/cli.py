@@ -523,6 +523,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ]
     if len(_maint) > 1:
         parser.error(f"{' and '.join(_maint)} are separate maintenance modes")
+    # checked BEFORE any mode's early return (same reason as _maint):
+    # --compact-lineage etc. must not silently swallow a train-bpe knob
+    if args.bpe_min_count is not None and args.train_bpe is None:
+        parser.error("--bpe-min-count only applies to --train-bpe")
     if args.compact_only:
         if not args.lineage:
             parser.error("--lineage is required with --compact-lineage")
@@ -607,9 +611,6 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
-    if args.bpe_min_count is not None:
-        # would otherwise be silently dropped by every other mode
-        parser.error("--bpe-min-count only applies to --train-bpe")
     if args.encode_bpe:
         if args.batch or args.service:
             parser.error("--encode-bpe is a standalone maintenance mode")

@@ -231,14 +231,24 @@ def read_model(spark, path: str) -> list[tuple[str, str, int]]:
     return [(l, r, int(c)) for l, r, c in meta["merges"]]
 
 
-def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Pure-python single-word BPE encode: apply learned merges in rank
-    order, each as the same greedy left-to-right scan training used.
-    Shared by the pandas UDF and the test reference."""
+def _tokenize(text: str) -> list[str]:
+    """The ONE tokenization both training and encoding use. Must match
+    Spark's `split(lower(trim(text)), '\\s+')` exactly: Java regex \\s
+    is ASCII-only, so the Python side splits with re.ASCII — a plain
+    str.split() would treat U+00A0 etc. as separators and encode words
+    training never saw. No str.strip() either (it removes Unicode
+    whitespace Spark's trim keeps attached); the empty-token filter
+    already absorbs ASCII edge whitespace."""
+    import re
+
+    return [w for w in re.split(r"\s+", text.lower(), flags=re.ASCII) if w]
+
+
+def _apply_merges_ordered(word: str, ordered: list[tuple[str, str]]) -> list[str]:
+    """Apply merges already in rank order, each as the same greedy
+    left-to-right scan training used."""
     syms = list(word) + [END_OF_WORD]
-    # one pass per applicable rank, cheapest-rank first — identical to
-    # replaying the training sequence over this word
-    for (left, right), _rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+    for left, right in ordered:
         if len(syms) < 2:
             break
         out: list[str] = []
@@ -255,6 +265,13 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Pure-python single-word BPE encode (convenience wrapper: sorts
+    the rank dict; the UDF hot path pre-sorts ONCE via
+    _apply_merges_ordered instead of per word)."""
+    return _apply_merges_ordered(word, [p for p, _r in sorted(ranks.items(), key=lambda kv: kv[1])])
+
+
 def encode_udf(merges: list[tuple[str, str, int]]):
     """Arrow-batched pandas UDF: text -> array<string> of BPE tokens
     under the learned merge table. The merge list rides the closure
@@ -262,7 +279,7 @@ def encode_udf(merges: list[tuple[str, str, int]]):
     memoized so repeated words in a batch encode once."""
     from pyspark.sql import types as T
 
-    ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+    ordered = [(l, r) for l, r, _c in merges]  # already rank order
 
     def _encode(text):  # pd.Series -> pd.Series (annotation-free: the
         # return type is carried by the pandas_udf call below)
@@ -272,10 +289,10 @@ def encode_udf(merges: list[tuple[str, str, int]]):
             if t is None:
                 return []
             toks: list[str] = []
-            for w in str(t).lower().strip().split():
+            for w in _tokenize(str(t)):
                 got = cache.get(w)
                 if got is None:
-                    got = cache[w] = encode_word(w, ranks)
+                    got = cache[w] = _apply_merges_ordered(w, ordered)
                 toks.extend(got)
             return toks
 

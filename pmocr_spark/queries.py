@@ -690,7 +690,21 @@ def q17_ngram_jaccard(spark, sf_dir):
     )
     # ---- part='lsh_verified'
     cand = QUERY_FNS["q18_minhash_lsh"](spark, sf_dir)
-    shv = _shingles_df(spark, sf_dir, distinct=True)
+    # restrict the shingle table to candidate-pair docs BEFORE the
+    # distinct shuffle and the size agg: only candidate docs are ever
+    # consumed, and at 10^12 docs the full-corpus distinct exchange
+    # would dominate the whole arm. Semi-join (AQE broadcasts the
+    # candidate id set when it is small — the normal case).
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shv = (
+        _shingles_df(spark, sf_dir, distinct=False)
+        .join(cdocs, "doc_id", "left_semi")
+        .distinct()
+    )
     sizesv = shv.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cand.join(shv.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")

@@ -33,8 +33,10 @@ def _ref_scan(syms: list[str], left: str, right: str) -> list[str]:
 
 def _ref_learn(texts: list[str], n_merges: int, min_count: int = 2):
     """Single-node reference BPE (Sennrich ACL'16): word-freq table,
-    argmax adjacent pair per iteration, tie-break (count desc, pair asc)."""
-    wf = Counter(w for t in texts for w in t.lower().strip().split() if w)
+    argmax adjacent pair per iteration, tie-break (count desc, pair asc).
+    Tokenization = the module's shared ASCII-\\s+ tokenizer (the
+    invariant under test is the BPE algorithm, not the split)."""
+    wf = Counter(w for t in texts for w in bpe._tokenize(t))
     syms = {w: list(w) + [bpe.END_OF_WORD] for w in wf}
     merges = []
     for _ in range(n_merges):
@@ -137,9 +139,29 @@ def test_encode_udf_matches_python(spark):
         for r in df.select("id", bpe.encode_udf(merges)(F.col("text")).alias("toks")).collect()
     }
     for i in (0, 1):
-        want = [t for w in texts[i].lower().strip().split() for t in bpe.encode_word(w, ranks)]
+        want = [t for w in bpe._tokenize(texts[i]) for t in bpe.encode_word(w, ranks)]
         assert got[i] == want
     assert got[2] == []
+
+
+def test_train_encode_agree_on_unicode_whitespace(spark):
+    """Java/Spark \\s is ASCII-only: U+00A0 is NOT a word separator, so
+    'foo\\u00a0bar' is ONE training word — and the encode path must
+    tokenize identically (a plain str.split() would split it in two and
+    emit tokens training never produced)."""
+    texts = ["foo\u00a0bar foo\u00a0bar zap zap", "foo\u00a0bar zap"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = bpe.learn_bpe(docs, 6)
+    expected, final_syms, _wf = _ref_learn(texts, 6)
+    assert merges == expected
+    assert "foo\u00a0bar" in final_syms  # the NBSP word trained as one unit
+    row = (
+        spark.createDataFrame([(texts[0],)], "text string")
+        .select(bpe.encode_udf(merges)(F.col("text")).alias("toks"))
+        .collect()[0]
+    )
+    want = [t for w in bpe._tokenize(texts[0]) for t in final_syms[w]]
+    assert row.toks == want
 
 
 def test_pair_counts_plan_shape(spark):

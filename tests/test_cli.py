@@ -634,6 +634,12 @@ def test_bpe_cli_errors(tmp_path):
     with pytest.raises(SystemExit):  # min-count is train-only
         cli.parse_args(["--encode-bpe", "m", "--bpe-min-count", "3",
                         "--input", "x", "--output", "y"])
+    with pytest.raises(SystemExit):  # ...even under earlier-dispatching modes
+        cli.parse_args(["--phash-dedup", "--blobs", "b", "--output", "o",
+                        "--bpe-min-count", "5"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--compact-lineage", "--lineage", "l",
+                        "--bpe-min-count", "5"])
     with pytest.raises(SystemExit):  # two maintenance modes at once
         cli.parse_args(["--train-bpe", "4", "--phash-dedup",
                         "--input", "x", "--output", "y"])

@@ -114,11 +114,14 @@ def test_q17_q18_skew_caps_present(spark):
 def test_q17_lsh_verify_no_cartesian(spark):
     """The lsh_verified arm scores ONLY candidate pairs: every join in
     the family plan is an equi-join (candidate doc ids / shingle keys),
-    never a cross product of the corpus."""
+    never a cross product of the corpus — and the corpus shingle table
+    is semi-join-restricted to candidate docs BEFORE its distinct
+    shuffle (no full-corpus exchange bought for a tiny pair set)."""
     df = QUERY_FNS["q17_ngram_jaccard"](spark, SF)
     assert not shape.has_cartesian(df)
     plan = shape.formatted_plan(df)
     assert "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan, plan
 
 
 def test_q34_corpus_filter_semi_join(spark):
