@@ -201,3 +201,21 @@ def test_max_word_chars_guard(spark):
     # learning under the cap never sees the mega-token's chars
     merges = bpe.learn_bpe(docs, 3, max_word_chars=10)
     assert all("x" not in l and "x" not in r for l, r, _c in merges)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=6)
+
+
+@given(st.lists(st.lists(_word, min_size=1, max_size=8), min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_learn_matches_reference_property(spark, word_lists):
+    """Property: on arbitrary small corpora (adversarial repetition and
+    tie patterns included) the distributed loop equals the single-node
+    reference exactly — merge pairs, order, and counts."""
+    texts = [" ".join(ws) for ws in word_lists]
+    expected, _syms, _wf = _ref_learn(texts, 5)
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    assert bpe.learn_bpe(docs, 5, vocab_partitions=1) == expected
