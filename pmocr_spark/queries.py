@@ -2311,15 +2311,27 @@ def q35_stratified_sample(spark, sf_dir):
 @query(
     "q37_global_rank_scalable",
     """
-    SELECT o_orderkey,
+    SELECT 'orders' AS part, o_orderkey AS id,
            cast(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
     FROM orders
+    UNION ALL
+    SELECT 'shuffle' AS part, doc_id AS id,
+           cast(row_number() OVER (ORDER BY md5('42|' || cast(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+    FROM documents
     """,
 )
 def q37_global_rank_scalable(spark, sf_dir):
-    """Global ranking over an UNBOUNDED table without the single-partition
-    window (the scalable twin of q49, which is only safe under its pushed
-    filter). Two-pass pattern:
+    """Scalable global ordering family in ONE gate slot,
+    `part`-discriminated — global ranking over an UNBOUNDED table
+    without the single-partition window (the scalable twin of q49,
+    which is only safe under its pushed filter):
+      * part='orders': rank orders by (o_totalprice DESC, o_orderkey).
+      * part='shuffle': deterministic corpus shuffle — the reproducible
+        global training order every pretraining run needs. Rank over
+        md5(seed|doc_id): seeded, so epoch 2 reshuffles by changing one
+        literal, and any node can recompute any doc's position.
+
+    Both arms share the two-pass pattern (_two_pass_rank):
 
       1. repartitionByRange on the sort key — equal keys co-locate and
          partition i holds strictly-earlier keys than partition i+1;
@@ -2330,20 +2342,39 @@ def q37_global_rank_scalable(spark, sf_dir):
          aggregate joined back broadcast).
 
     Deterministic regardless of where the range sampler draws boundaries:
-    the offsets are computed from the actual partition sizes, and the
-    (o_totalprice, o_orderkey) key is unique so row_number == rank.
+    the offsets are computed from the actual partition sizes, and both
+    sort keys are unique (o_orderkey / doc_id tiebreak) so
+    row_number == rank.
 
     `parts` is MATERIALIZED (iter_checkpoint) before the two consuming
     branches: both `local` and the offsets agg must see the SAME range
     exchange — planned separately, the range sampler could draw
     different boundaries per branch and misalign _pid against _off
     (round-3 ADVICE)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    okey = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    orders = _two_pass_rank(o, okey, "o_orderkey").select(
+        F.lit("orders").alias("part"), F.col("o_orderkey").alias("id"), "rnk"
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("42|"), F.col("doc_id").cast("string")).cast("binary")).alias("_sk"),
+    )
+    skey = [F.col("_sk").asc(), F.col("doc_id").asc()]
+    shuf = _two_pass_rank(d, skey, "doc_id").select(
+        F.lit("shuffle").alias("part"), F.col("doc_id").alias("id"), "rnk"
+    )
+    return orders.unionAll(shuf)
+
+
+def _two_pass_rank(df: DataFrame, key: list, id_col: str) -> DataFrame:
+    """(id_col, rnk): global row_number over `key` without a global sort
+    — range partition, local rank, broadcast offsets (see q37). `key`
+    must be unique per row for rank == row_number determinism."""
     from .operators.graph import iter_checkpoint
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    key = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
     parts = iter_checkpoint(
-        o.repartitionByRange(16, *key).withColumn("_pid", F.spark_partition_id())
+        df.repartitionByRange(16, *key).withColumn("_pid", F.spark_partition_id())
     )
     w_local = W.partitionBy("_pid").orderBy(*key)
     local = parts.withColumn("_lr", F.row_number().over(w_local))
@@ -2352,9 +2383,8 @@ def q37_global_rank_scalable(spark, sf_dir):
     offsets = sizes.select(
         "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .select("o_orderkey", (F.col("_lr") + F.col("_off")).cast("long").alias("rnk"))
+    return local.join(F.broadcast(offsets), "_pid").select(
+        id_col, (F.col("_lr") + F.col("_off")).cast("long").alias("rnk")
     )
 
 

@@ -159,7 +159,10 @@ def test_q37_rank_partition_invariant(spark):
 
     from pmocr_spark.queries import _t, q37_global_rank_scalable
 
-    base = {r["o_orderkey"]: r["rnk"] for r in q37_global_rank_scalable(spark, SF).collect()}
+    fam = q37_global_rank_scalable(spark, SF)
+    base = {
+        r["id"]: r["rnk"] for r in fam.filter(F.col("part") == "orders").collect()
+    }
     o = _t(spark, SF, "orders").repartition(7, "o_orderdate")
 
     # same algorithm inline over the reshuffled input
@@ -184,10 +187,14 @@ def test_q37_rank_partition_invariant(spark):
         .collect()
     }
     assert again == base
-    # and every unpartitioned Window in the plan is the bounded 16-row
-    # offset frame (sums _n), never the big data columns (the q49 shape)
+    # and every unpartitioned Window in the plan (one per family arm) is
+    # the bounded 16-row offset frame (sums _n), never the big data
+    # columns (the q49 shape)
     for arg in shape.unpartitioned_window_args(q37_global_rank_scalable(spark, SF)):
-        assert "_n#" in arg and "o_totalprice" not in arg, arg
+        assert "_n#" in arg and "o_totalprice" not in arg and "_sk" not in arg, arg
+    # the shuffle arm is a permutation: ranks 1..N exactly once
+    shuf = sorted(r["rnk"] for r in fam.filter(F.col("part") == "shuffle").collect())
+    assert shuf == list(range(1, len(shuf) + 1)) and len(shuf) > 0
 
 
 def test_bucketed_join_no_exchange(spark, corpus_dir):
