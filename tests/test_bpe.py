@@ -219,3 +219,14 @@ def test_learn_matches_reference_property(spark, word_lists):
     expected, _syms, _wf = _ref_learn(texts, 5)
     docs = spark.createDataFrame([(t,) for t in texts], "text string")
     assert bpe.learn_bpe(docs, 5, vocab_partitions=1) == expected
+
+
+def test_null_text_rows_ignored(spark):
+    """NULL text rows drop out of the word count instead of poisoning
+    the merge loop."""
+    docs = spark.createDataFrame(
+        [(None,), ("ab ab ab",)], "text string"
+    )
+    merges = bpe.learn_bpe(docs, 2)
+    expected, _s, _w = _ref_learn(["ab ab ab"], 2)
+    assert merges == expected
