@@ -273,7 +273,10 @@ def recognize_line(band: np.ndarray) -> str:
     real = (codes > 0) & (codes != ANCHOR_CODE)  # skip padding + anchor columns
     if not np.array_equal(parity[real], parity_row[real]):
         raise CodecError("parity check failed")
-    return "".join(chr(int(c)) for c in codes[real])
+    # codes are 7-bit, so latin-1 == chr() per byte — one vectorized
+    # decode instead of a per-char python loop (the old chr() genexpr
+    # was ~40% of whole-blob decode time)
+    return codes[real].astype(np.uint8).tobytes().decode("latin-1")
 
 
 def decode_blob(blob: bytes) -> str:
