@@ -313,7 +313,7 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="--train-bpe early-stop: stop when the best pair's count "
-        "drops below this (default 2)",
+        "drops below this (default: operators/bpe.py DEFAULT_MIN_COUNT)",
     )
     p.add_argument(
         "--encode-bpe",
@@ -983,7 +983,7 @@ def main(argv: list[str] | None = None) -> None:
     if getattr(args, "train_bpe", None) is not None:
         from .operators import bpe as bpe_op
 
-        min_count = args.bpe_min_count or 2
+        min_count = args.bpe_min_count or bpe_op.DEFAULT_MIN_COUNT
         docs = spark.read.parquet(args.input)
         if "text" not in docs.columns:
             raise SystemExit(

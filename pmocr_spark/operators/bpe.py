@@ -56,6 +56,10 @@ from .graph import iter_checkpoint
 #: convention round-trips as long as training and encoding share it).
 END_OF_WORD = "</w>"
 
+#: default early-stop: merging hapax adjacencies grows the vocab with
+#: noise. Single source of truth for learn_bpe and the CLI.
+DEFAULT_MIN_COUNT = 2
+
 
 def word_freqs(
     docs: DataFrame, text_col: str = "text", max_word_chars: int | None = None
@@ -142,7 +146,7 @@ def learn_bpe(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
-    min_count: int = 2,
+    min_count: int = DEFAULT_MIN_COUNT,
     reliable: bool | None = None,
     vocab_partitions: int | None = None,
     max_word_chars: int | None = None,

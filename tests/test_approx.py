@@ -35,7 +35,9 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     exact = {
         (r["doc_a"], r["doc_b"])
         for r in QUERY_FNS["q17_ngram_jaccard"](spark, SF).collect()
-        if r["jaccard"] >= 0.4
+        # subset arm only: lsh_verified rows ARE q18 candidates, so
+        # including them would make the recall assertion vacuous
+        if r["part"] == "subset" and r["jaccard"] >= 0.4
     }
     cand = {
         (r["doc_a"], r["doc_b"])
