@@ -1018,6 +1018,42 @@ def _ivf_assign(v, n_cent: int = 8):
     return _argmax_assign(v, cent)
 
 
+def _ivf_probe_topn(v, n_probe: int, n_cent: int = 8):
+    """Multi-probe IVF assignment for the QUERY side: the n_probe
+    nearest centroids per vector — the standard IVF recall lever
+    (candidates whose cluster narrowly beat the query's own come back
+    into scope). Same map-side shape as _argmax_assign (packed
+    broadcast centroid array, scored structs), but the scored array is
+    reverse-sorted and the top n_probe sliced + exploded — only the
+    tiny query side fans out, × n_probe rows. Tie-break matches the
+    argmax exactly: csim desc, then cent_id asc (the ncid field makes
+    the ascending struct sort break ties toward LARGER cent_id, so the
+    reversed order breaks toward smaller)."""
+    cent = v.filter(F.col("vec_id") < n_cent).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    packed = cent.agg(F.collect_list(F.struct("cent_id", "ce", "cn")).alias("cs"))
+
+    def score(c):
+        dot = F.aggregate(
+            F.zip_with(F.col("e"), c["ce"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            (dot / (F.col("nrm") * c["cn"])).alias("csim"),
+            (-c["cent_id"]).alias("ncid"),
+            c["cent_id"].alias("cid"),
+        )
+
+    top = F.slice(F.reverse(F.array_sort(F.transform(F.col("cs"), score))), 1, n_probe)
+    return (
+        v.crossJoin(F.broadcast(packed))
+        .select("vec_id", F.explode(top).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cluster_id"))
+    )
+
+
 _ANN_ORACLE_COMMON = """
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS e
@@ -1035,9 +1071,15 @@ _ANN_ORACLE_COMMON = """
 """
 
 
+#: ivfpq multi-probe width: queries probe their _NPROBE nearest IVF
+#: clusters (recall lever; single source of truth for the Spark arm and
+#: the oracle's iq2 CTE via the <<NPROBE>> substitution below)
+_NPROBE = 2
+
+
 @query(
     "q21_ann_bruteforce",
-    _ANN_ORACLE_COMMON
+    (_ANN_ORACLE_COMMON
     + """
     , pqn AS (
       SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM n
@@ -1073,11 +1115,19 @@ _ANN_ORACLE_COMMON = """
                  / (n.nrm * cn)) AS cluster_id
       FROM n, icent GROUP BY n.vec_id
     ),
+    iq2 AS (
+      SELECT vec_id, cent_id AS cluster_id FROM (
+        SELECT n.vec_id, icent.cent_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i] * ce[i]))
+                   / (n.nrm * cn) DESC, icent.cent_id ASC) AS pr
+        FROM n, icent WHERE n.vec_id < 10) WHERE pr <= <<NPROBE>>
+    ),
     ivfadc AS (
       SELECT qd.vec_id AS query_id, k.neighbor_id, cast(sum(qd.d_int) AS BIGINT) AS dist_int
       FROM pqcodes k
       JOIN iassign ac ON ac.vec_id = k.neighbor_id
-      JOIN iassign aq ON aq.cluster_id = ac.cluster_id AND aq.vec_id < 10
+      JOIN iq2 aq ON aq.cluster_id = ac.cluster_id
       JOIN pqd qd ON qd.m = k.m AND qd.cent_id = k.code AND qd.vec_id = aq.vec_id
       GROUP BY qd.vec_id, k.neighbor_id
     ),
@@ -1103,7 +1153,7 @@ _ANN_ORACLE_COMMON = """
              row_number() OVER (PARTITION BY s.query_id
                                 ORDER BY s.sim DESC, s.neighbor_id) AS rk
       FROM sims s JOIN ivfshort USING (query_id, neighbor_id)) WHERE rk <= 5
-    """,
+    """).replace("<<NPROBE>>", str(_NPROBE)),
 )
 def q21_ann_bruteforce(spark, sf_dir):
     """Exact-vs-compressed ANN scan family in ONE gate slot,
@@ -1135,8 +1185,9 @@ def q21_ann_bruteforce(spark, sf_dir):
     (deterministic, q22's fixed-centroid convention). bench.py reports
     part='pq' and part='ivfpq' recall@5 against part='brute' ground
     truth alongside the IVF recalls (pq 0.82 at sf0.01; 0.16 without
-    the rerank; ivfpq pays a further recall haircut for the nprobe=1
-    cluster restriction — exactly the trade the number makes visible)."""
+    the rerank; ivfpq trades some recall for the cluster restriction —
+    _NPROBE=2 multi-probe claws most of it back, exactly the trade the
+    number makes visible)."""
     from pmocr_spark.operators.pq import (
         SHORTLIST,
         pq_adc_topk,
@@ -1208,12 +1259,17 @@ def q21_ann_bruteforce(spark, sf_dir):
         )
 
     pq = rerank(short, "pq")
-    # ivfpq: same codes/tables, but each side carries its IVF cluster and
-    # the ADC scan equi-joins on it (nprobe=1 probe of the query's cluster)
+    # ivfpq: same codes/tables, but each candidate carries its IVF
+    # cluster and the ADC scan equi-joins on it; queries probe their
+    # _NPROBE nearest clusters (multi-probe — candidates whose cluster
+    # narrowly beat the query's own stay in scope, the standard IVF
+    # recall lever). A (query, neighbor) pair matches at most one probe
+    # row (the neighbor's cluster is unique), so no dedup is needed.
     assign = _ivf_assign(v)
     codes_c = codes.join(assign, "vec_id")
+    qprobe = _ivf_probe_topn(v.filter(F.col("vec_id") < 10), n_probe=_NPROBE)
     tables_c = tables.join(
-        assign.select(F.col("vec_id").alias("query_id"), "cluster_id"), "query_id"
+        qprobe.select(F.col("vec_id").alias("query_id"), "cluster_id"), "query_id"
     )
     short_ivf = pq_adc_topk(codes_c, tables_c, topk=SHORTLIST, by="cluster_id").select(
         "query_id", "neighbor_id"
