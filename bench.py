@@ -731,6 +731,12 @@ def main() -> None:
         _prep_ocr_corpus(tmp, OCR_BENCH_DOCS)
 
         result: dict = {"metric": "headline_suite_sec", "unit": "sec", "sf": sf}
+        # host-state conditioning for cross-round comparisons: this VM is
+        # burst-CPU-throttled with hour-scale regimes (fresh ~>6000 units,
+        # deep-throttle <2000) — a suite number is only comparable to
+        # another round's if both probes read the same regime.
+        result["host_probe"] = _host_probe()
+        _log(f"host capacity probe: {result['host_probe']} units")
 
         if span_regimes:
             result["span_regimes"] = _run_span_regimes(tmp, cpus)

@@ -1017,7 +1017,9 @@ def main(argv: list[str] | None = None) -> None:
             .withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))
         )
         out.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).agg(F.sum("n_bpe_tokens"), F.count("*")).first()
+        n = spark.read.parquet(args.output).agg(
+            F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)), F.count("*")
+        ).first()
         print(
             f"pmocr-spark: encoded {n[1]} docs ({n[0]} BPE tokens, "
             f"{len(merges)}-merge model) to {args.output}"

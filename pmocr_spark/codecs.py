@@ -264,14 +264,25 @@ def segment_lines(binary: np.ndarray) -> list[np.ndarray]:
 
 def recognize_block(bands: list[np.ndarray]) -> list[str]:
     """M3b — decode GLYPH_H-row bands back to characters, one string per
-    band. ALL of a block's lines decode in one stacked numpy pass
-    (segment_lines pads every band to GLYPH_H rows, so the stack is
-    rectangular) — per-line numpy dispatch was ~half of whole-blob
-    decode time on multi-line pages."""
+    band. ALL of a block's lines decode in one stacked numpy pass —
+    per-line numpy dispatch was ~half of whole-blob decode time on
+    multi-line pages.
+
+    Rectangularity precondition: segment_lines pads every band to
+    GLYPH_H ROWS, but np.stack also needs equal WIDTHS — true only for
+    bands cut from the SAME column block (segment_lines of one trimmed
+    block). Mixing bands across blocks of different widths is a caller
+    bug; checked here so it fails as a CodecError, not an opaque numpy
+    shape error."""
     out = [""] * len(bands)
     idx = [i for i, b in enumerate(bands) if b.size > 0]
     if not idx:
         return out
+    widths = {bands[i].shape[1] for i in idx}
+    if len(widths) > 1:
+        raise CodecError(
+            f"recognize_block needs same-block (equal-width) bands, got widths {sorted(widths)}"
+        )
     stack = np.stack([bands[i] for i in idx])  # (L, GLYPH_H, W)
     bits = stack[:, :7, :].astype(np.uint8)
     codes = (bits * (1 << np.arange(7, dtype=np.uint8))[None, :, None]).sum(axis=1)

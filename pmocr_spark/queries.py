@@ -1018,9 +1018,9 @@ def _ivf_assign(v, n_cent: int = 8):
     return _argmax_assign(v, cent)
 
 
-def _ivf_probe_topn(v, n_probe: int, n_cent: int = 8):
+def _ivf_probe_topn(v, queries, n_probe: int, n_cent: int = 8):
     """Multi-probe IVF assignment for the QUERY side: the n_probe
-    nearest centroids per vector — the standard IVF recall lever
+    nearest centroids per query vector — the standard IVF recall lever
     (candidates whose cluster narrowly beat the query's own come back
     into scope). Same map-side shape as _argmax_assign (packed
     broadcast centroid array, scored structs), but the scored array is
@@ -1028,7 +1028,14 @@ def _ivf_probe_topn(v, n_probe: int, n_cent: int = 8):
     tiny query side fans out, × n_probe rows. Tie-break matches the
     argmax exactly: csim desc, then cent_id asc (the ncid field makes
     the ascending struct sort break ties toward LARGER cent_id, so the
-    reversed order breaks toward smaller)."""
+    reversed order breaks toward smaller).
+
+    `v` is the FULL vector frame (centroids = vec_id < n_cent derive
+    from it, matching _ivf_assign's convention exactly); `queries` is
+    the frame to probe-assign. Taking them separately keeps centroid
+    derivation independent of however the caller filtered the query
+    side — a caller-filtered frame used for both silently loses
+    centroids whenever n_cent exceeds the filter's id cutoff."""
     cent = v.filter(F.col("vec_id") < n_cent).select(
         F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
@@ -1048,7 +1055,7 @@ def _ivf_probe_topn(v, n_probe: int, n_cent: int = 8):
 
     top = F.slice(F.reverse(F.array_sort(F.transform(F.col("cs"), score))), 1, n_probe)
     return (
-        v.crossJoin(F.broadcast(packed))
+        queries.crossJoin(F.broadcast(packed))
         .select("vec_id", F.explode(top).alias("b"))
         .select("vec_id", F.col("b.cid").alias("cluster_id"))
     )
@@ -1267,7 +1274,7 @@ def q21_ann_bruteforce(spark, sf_dir):
     # row (the neighbor's cluster is unique), so no dedup is needed.
     assign = _ivf_assign(v)
     codes_c = codes.join(assign, "vec_id")
-    qprobe = _ivf_probe_topn(v.filter(F.col("vec_id") < 10), n_probe=_NPROBE)
+    qprobe = _ivf_probe_topn(v, v.filter(F.col("vec_id") < 10), n_probe=_NPROBE)
     tables_c = tables.join(
         qprobe.select(F.col("vec_id").alias("query_id"), "cluster_id"), "query_id"
     )
