@@ -208,42 +208,47 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
 PHASH_BANDS = 4
 
 
-@F.pandas_udf(T.LongType())
-def image_phash(content: pd.Series) -> pd.Series:
-    """64-bit average-pool perceptual hash of a blob's FIRST page.
+def phash64(blob: bytes) -> int:
+    """64-bit average-pool perceptual hash of a blob's FIRST page, as a
+    SIGNED 64-bit int (Spark LongType range).
 
     binarize+trim first (paper noise sits below the threshold, so the
     hash depends only on the rendered glyphs — re-encodes of the same
     visual content hash identically), then average-pool the ink mask
     onto an 8x8 grid; bit = cell ink density above the grid mean. Small
-    visual edits flip few cells -> small hamming distance; undecodable
-    blobs hash to NULL (poison pills drop out of the join instead of
+    visual edits flip few cells -> small hamming distance. Raises on
+    undecodable blobs (the UDF wrapper maps that to NULL). Plain
+    function so gate/test scaffolding can hash driver-side without a
+    Spark round-trip (tests/test_multimodal.py pins the q20 visual-class
+    separation with it)."""
+    page = codecs.rasterize(bytes(blob))[0]
+    binary = codecs.binarize_trim(page).astype(np.float64)
+    if binary.size == 0:
+        return 0
+    h, w = binary.shape
+    if h < 8 or w < 8:  # tiny page: upsample so every cell is non-empty
+        binary = np.repeat(np.repeat(binary, -(-8 // h), axis=0), -(-8 // w), axis=1)
+        h, w = binary.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    # vectorized average pool: two reduceat passes + area divide
+    cellsum = np.add.reduceat(np.add.reduceat(binary, ys, axis=0), xs, axis=1)
+    areas = np.outer(np.diff(np.append(ys, h)), np.diff(np.append(xs, w)))
+    cells = cellsum / areas
+    bits = (cells > cells.mean()).flatten()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+@F.pandas_udf(T.LongType())
+def image_phash(content: pd.Series) -> pd.Series:
+    """phash64 over a binary column (Arrow-batched); undecodable blobs
+    hash to NULL (poison pills drop out of the join instead of
     clustering together at a sentinel value)."""
     out = []
     for blob in content:
         try:
-            page = codecs.rasterize(bytes(blob))[0]
-            binary = codecs.binarize_trim(page).astype(np.float64)
-            if binary.size == 0:
-                out.append(0)
-                continue
-            h, w = binary.shape
-            if h < 8 or w < 8:  # tiny page: upsample so every cell is non-empty
-                binary = np.repeat(
-                    np.repeat(binary, -(-8 // h), axis=0), -(-8 // w), axis=1
-                )
-                h, w = binary.shape
-            ys = (np.arange(8) * h) // 8
-            xs = (np.arange(8) * w) // 8
-            # vectorized average pool: two reduceat passes + area divide
-            cellsum = np.add.reduceat(np.add.reduceat(binary, ys, axis=0), xs, axis=1)
-            areas = np.outer(
-                np.diff(np.append(ys, h)), np.diff(np.append(xs, w))
-            )
-            cells = cellsum / areas
-            bits = (cells > cells.mean()).flatten()
-            val = int.from_bytes(np.packbits(bits).tobytes(), "big")
-            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+            out.append(phash64(bytes(blob)))
         except Exception:  # noqa: BLE001
             out.append(None)
     return pd.Series(out, dtype="object")

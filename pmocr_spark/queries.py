@@ -852,6 +852,34 @@ def q19_simhash(spark, sf_dir):
     return sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
+#: number of deterministic visual-equality classes for q20's
+#: part='visual' arm. Single source of truth for the Spark arm and the
+#: oracle's modulus via the <<VIS_CLASSES>> substitution below.
+_VIS_CLASSES = 50
+
+
+def _phash_class_text(k: int) -> str:
+    """Deterministic 'visual class' page text for class k: 8 lines of 8
+    four-char segments, each segment dense ('~', 6 ink pixels/column) or
+    sparse ('!', 2 ink pixels/column) per one bit of md5(k). Rendered
+    through the synthetic codec the page average-pools to an 8x8
+    ink-density grid tracking the bit pattern, so DISTINCT classes land
+    ~random-64-bit apart in pHash space (min pairwise hamming over the
+    50 classes is test-pinned > 2 * max_hamming,
+    tests/test_multimodal.py::test_q20_visual_classes_separated) while
+    every blob of the SAME class is byte-identical (hamming 0). This is
+    the q39-style encode-lift: known duplicate classes constructed from
+    deterministic text let plain SQL state phash_near_dup's expected
+    pair set exactly."""
+    import hashlib
+
+    bits = int.from_bytes(hashlib.md5(str(k).encode()).digest()[:8], "big")
+    return "\n".join(
+        "".join(("~" if bits >> (i * 8 + j) & 1 else "!") * 4 for j in range(8))
+        for i in range(8)
+    )
+
+
 @query(
     "q20_embedding_neardup",
     """
@@ -868,23 +896,54 @@ def q19_simhash(spark, sf_dir):
       FROM n, cent GROUP BY n.vec_id
     ),
     va AS (SELECT n.*, a.cluster_id FROM n JOIN assign a USING (vec_id))
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT 'embedding' AS part,
+           cast(a.vec_id AS VARCHAR) AS ref_a, cast(b.vec_id AS VARCHAR) AS ref_b,
            round(list_sum(list_transform(range(1, len(a.e)+1),
-                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS cos_sim
+                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS score
     FROM va a JOIN va b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
     WHERE list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))
           / (a.nrm * b.nrm) >= 0.35
-    """,
+    UNION ALL
+    SELECT 'visual' AS part,
+           'v:' || cast(a.doc_id AS VARCHAR) AS ref_a,
+           'v:' || cast(b.doc_id AS VARCHAR) AS ref_b,
+           0.0 AS score
+    FROM documents a JOIN documents b
+      ON a.doc_id % <<VIS_CLASSES>> = b.doc_id % <<VIS_CLASSES>>
+     AND 'v:' || cast(a.doc_id AS VARCHAR) < 'v:' || cast(b.doc_id AS VARCHAR)
+    """.replace("<<VIS_CLASSES>>", str(_VIS_CLASSES)),
 )
 def q20_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.35), cluster-blocked:
-    every vector is IVF-assigned to its nearest fixed centroid (broadcast
-    map-side, shared with q22) and only same-cluster pairs are compared —
-    a cluster_id EQUI-join, never a doc×doc BroadcastNestedLoopJoin, so
-    the shape survives an unbounded embedding table. The standard IVF
-    near-dup trade-off applies: cross-cluster near-dups are missed
-    (recall<1), and a pathologically hot cluster should be capped or
-    sub-clustered at 100TB; q18's banded LSH is the text-side twin."""
+    """Near-duplicate PAIR detection family in ONE gate slot,
+    `part`-discriminated (same fold policy as q16/q21):
+      * part='embedding': embedding-cosine near-dup pairs (threshold
+        0.35), cluster-blocked — every vector is IVF-assigned to its
+        nearest fixed centroid (broadcast map-side, shared with q22) and
+        only same-cluster pairs are compared: a cluster_id EQUI-join,
+        never a doc×doc BroadcastNestedLoopJoin, so the shape survives
+        an unbounded embedding table. Standard IVF near-dup trade-off:
+        cross-cluster near-dups are missed (recall<1); a pathologically
+        hot cluster should be capped or sub-clustered at 100TB. q18's
+        banded LSH is the text-side twin. score = cosine.
+      * part='visual' (round 5): pHash visual near-dup
+        (operators/multimodal.phash_near_dup — hash, banded-hamming
+        equi-join, bit_count verify) under the driver gate via the
+        q39-style encode-lift: every document deterministically maps to
+        one of _VIS_CLASSES rendered pages (doc_id mod class; blobs
+        byte-identical within a class, pHash-far across classes — see
+        _phash_class_text), so the expected pair set is exactly the
+        same-class pairs, SQL-stated as a modulus self-join. The K
+        class blobs are encoded ONCE driver-side and broadcast-joined
+        onto the doc table (at 10^12 docs the blob column is the real
+        corpus; the lift only replaces blob PROVENANCE, the hash +
+        banded-join operator under test is the production one).
+        score = hamming distance (0.0 for byte-identical classes).
+
+    LAION-style visual dedup shape; pairs ordered ref_a < ref_b
+    bytewise, matching both engines' string compare."""
+    from . import codecs
+    from .operators.multimodal import phash_near_dup
+
     v = _norm_embeddings(spark, sf_dir)
     va = v.join(_ivf_assign(v), "vec_id")
     a = va.alias("a")
@@ -893,7 +952,7 @@ def q20_embedding_neardup(spark, sf_dir):
         F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
+    emb = (
         a.join(
             b,
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
@@ -901,11 +960,32 @@ def q20_embedding_neardup(spark, sf_dir):
         )
         .filter(sim >= 0.35)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 4).alias("cos_sim"),
+            F.lit("embedding").alias("part"),
+            F.col("a.vec_id").cast("string").alias("ref_a"),
+            F.col("b.vec_id").cast("string").alias("ref_b"),
+            F.round(sim, 4).alias("score"),
         )
     )
+    cls = spark.createDataFrame(
+        [(k, codecs.encode_image(_phash_class_text(k), "tiff", salt="q20v")) for k in range(_VIS_CLASSES)],
+        "cls long, content binary",
+    )
+    blobs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("v:"), F.col("doc_id").cast("string")).alias("media_ref"),
+            (F.col("doc_id") % _VIS_CLASSES).cast("long").alias("cls"),
+        )
+        .join(F.broadcast(cls), "cls")
+        .select("media_ref", "content")
+    )
+    vis = phash_near_dup(blobs).select(
+        F.lit("visual").alias("part"),
+        "ref_a",
+        "ref_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return emb.unionAll(vis)
 
 
 # =====================================================================

@@ -171,3 +171,29 @@ def test_phash_dedup_cli(spark, tmp_path, corpus_dir):
     with _pytest.raises(SystemExit):
         cli.parse_args(["--phash-dedup", "--blobs", "b", "--output", "o",
                         "--phash-max-hamming", "65"])
+
+
+def test_q20_visual_classes_separated():
+    """The q20 part='visual' gate lift is only exact if DISTINCT visual
+    classes can never satisfy the near-dup threshold: the oracle states
+    same-class pairs ONLY, so a cross-class pair within max_hamming=3
+    would be a Spark-side extra row (hash mismatch). Pin the minimum
+    pairwise pHash hamming across all 50 class pages at > 2x the
+    threshold (deterministic codec -> this holds forever on this code),
+    and byte-identity within a class (hamming 0) by construction."""
+    from pmocr_spark.queries import _VIS_CLASSES, _phash_class_text
+
+    hashes = [
+        mm.phash64(codecs.encode_image(_phash_class_text(k), "tiff", salt="q20v"))
+        for k in range(_VIS_CLASSES)
+    ]
+    assert len(set(hashes)) == _VIS_CLASSES  # all classes distinct
+    min_ham = min(
+        bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(hashes)
+        for b in hashes[i + 1 :]
+    )
+    assert min_ham > 6, f"min cross-class hamming {min_ham} too close to threshold 3"
+    # same class re-encodes byte-identically (same text, same salt)
+    assert codecs.encode_image(_phash_class_text(7), "tiff", salt="q20v") == \
+        codecs.encode_image(_phash_class_text(7), "tiff", salt="q20v")
