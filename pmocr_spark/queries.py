@@ -3011,8 +3011,51 @@ def q41_repetition_quality(spark, sf_dir):
       FROM pr GROUP BY bigram
       ORDER BY cnt DESC, bigram ASC
       LIMIT 20
-    )
+    ),
+    -- BPE merge SEQUENCE (round 5): iterations 1-3 inlined as CTE
+    -- chains. Each iteration = argmax pair (cnt desc, left asc, right
+    -- asc) + a greedy left-to-right merge rewrite. The rewrite uses the
+    -- token-wrapped string form: every symbol wrapped in chr(31) on
+    -- BOTH sides, so replace('<U>l<U><U>r<U>' -> '<U>lr<U>') is exactly
+    -- the fold's greedy non-overlapping scan (consecutive matches do
+    -- not share delimiter chars; a symbol that merely ends in l or
+    -- starts with r cannot match). chr(31) never occurs in corpus
+    -- words (test-pinned, tests/test_bpe.py).
+    sy0 AS (
+      SELECT freq,
+             list_aggregate(list_transform(syms, s -> chr(31) || s || chr(31)),
+                            'string_agg', '') AS s
+      FROM sy),
+    pcnt1 AS (
+      SELECT syms[i] AS ml, syms[i+1] AS mr, cast(sum(freq) AS BIGINT) AS cnt
+      FROM sy, unnest(range(1, len(syms))) AS t(i) GROUP BY ml, mr),
+    b1 AS (SELECT * FROM pcnt1 ORDER BY cnt DESC, ml ASC, mr ASC LIMIT 1),
+    sy1 AS (
+      SELECT freq, replace(s, chr(31) || b1.ml || chr(31) || chr(31) || b1.mr || chr(31),
+                              chr(31) || b1.ml || b1.mr || chr(31)) AS s
+      FROM sy0, b1),
+    tok1 AS (
+      SELECT freq, string_split(substr(s, 2, len(s) - 2), chr(31) || chr(31)) AS syms
+      FROM sy1),
+    pcnt2 AS (
+      SELECT syms[i] AS ml, syms[i+1] AS mr, cast(sum(freq) AS BIGINT) AS cnt
+      FROM tok1, unnest(range(1, len(syms))) AS t(i) GROUP BY ml, mr),
+    b2 AS (SELECT * FROM pcnt2 ORDER BY cnt DESC, ml ASC, mr ASC LIMIT 1),
+    sy2 AS (
+      SELECT freq, replace(s, chr(31) || b2.ml || chr(31) || chr(31) || b2.mr || chr(31),
+                              chr(31) || b2.ml || b2.mr || chr(31)) AS s
+      FROM sy1, b2),
+    tok2 AS (
+      SELECT freq, string_split(substr(s, 2, len(s) - 2), chr(31) || chr(31)) AS syms
+      FROM sy2),
+    pcnt3 AS (
+      SELECT syms[i] AS ml, syms[i+1] AS mr, cast(sum(freq) AS BIGINT) AS cnt
+      FROM tok2, unnest(range(1, len(syms))) AS t(i) GROUP BY ml, mr),
+    b3 AS (SELECT * FROM pcnt3 ORDER BY cnt DESC, ml ASC, mr ASC LIMIT 1)
     SELECT * FROM wb UNION ALL SELECT * FROM cb
+    UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
+    UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
+    UNION ALL SELECT 'merge3' AS part, ml || ' ' || mr AS bigram, cnt FROM b3
     """,
 )
 def q44_bigram_lm_topk(spark, sf_dir):
@@ -3026,6 +3069,16 @@ def q44_bigram_lm_topk(spark, sf_dir):
         (operators/bpe.py; the full merge loop is pytest-pinned against
         a pure-python reference, its per-iteration statistic is
         SQL-oracled here).
+      * part='merge1'/'merge2'/'merge3' (round 5): the first three
+        merges of the actual distributed merge LOOP (learn_bpe:
+        pair-count agg -> 1-row argmax collect -> map-only greedy fold
+        rewrite), so the driver verifies the merge SEQUENCE — each
+        iteration's argmax depends on the previous iteration's rewrite
+        being exactly the greedy left-to-right scan. The oracle inlines
+        each iteration as chained CTEs whose rewrite is a
+        delimiter-wrapped string replace (provably the same greedy
+        non-overlapping scan — see the SQL comment); merges 4-12 stay
+        pytest-pinned vs the pure-python reference (tests/test_bpe.py).
 
     Scale: word bigrams come from the shuffle-free arrays_zip
     construction (each doc's adjacency lives in its own row — no window
@@ -3054,7 +3107,17 @@ def q44_bigram_lm_topk(spark, sf_dir):
         .limit(20)
         .select(F.lit("char_pair").alias("part"), "bigram", "cnt")
     )
-    return wb.unionAll(cb)
+    from .operators.bpe import learn_bpe
+
+    # min_count=1: the oracle's argmax has no early-stop, so neither may
+    # the Spark arm (the default min_count=2 is a vocab-quality policy,
+    # not part of the merge-sequence semantics under test)
+    merges = learn_bpe(d, 3, min_count=1)
+    mrows = spark.createDataFrame(
+        [(f"merge{i + 1}", f"{l} {r}", c) for i, (l, r, c) in enumerate(merges)],
+        "part string, bigram string, cnt long",
+    )
+    return wb.unionAll(cb).unionAll(mrows)
 
 
 @query(

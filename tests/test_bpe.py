@@ -230,3 +230,19 @@ def test_null_text_rows_ignored(spark):
     merges = bpe.learn_bpe(docs, 2)
     expected, _s, _w = _ref_learn(["ab ab ab"], 2)
     assert merges == expected
+
+
+def test_corpus_words_have_no_oracle_delimiter():
+    """The q44 merge-sequence oracle rewrites symbol streams as
+    chr(31)-delimited strings (see the SQL comment in queries.py): a
+    corpus word CONTAINING chr(31) would break the oracle's token
+    wrapping while the Spark fold (array-based, no delimiter) stays
+    right — a silent hash mismatch. Pin the assumption on the gate SFs."""
+    import duckdb
+
+    for sf in ("0.001", "0.01"):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '/root/testdata/sf{sf}/documents.parquet' "
+            "WHERE text LIKE '%' || chr(31) || '%'"
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} documents contain the oracle delimiter chr(31)"
