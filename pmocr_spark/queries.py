@@ -1164,10 +1164,10 @@ _ANN_ORACLE_COMMON = """
 _NPROBE = 2
 
 
-@query(
-    "q21_ann_bruteforce",
-    (_ANN_ORACLE_COMMON
-    + """
+#: PQ search oracle CTEs (integer micro-unit ADC; see operators/pq.py)
+#: shared by q21 (part='pq'/'ivfpq') and q47 (part='pq' — the persisted
+#: index probe must return exactly what the in-memory scan returns)
+_PQ_ORACLE_CTES = """
     , pqn AS (
       SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM n
     ),
@@ -1194,8 +1194,16 @@ _NPROBE = 2
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id ORDER BY dist_int, neighbor_id) AS srk
         FROM adc) WHERE srk <= 50
-    ),
-    icent AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+    )
+"""
+
+
+@query(
+    "q21_ann_bruteforce",
+    (_ANN_ORACLE_COMMON
+    + _PQ_ORACLE_CTES
+    + """
+    , icent AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 8),
     iassign AS (
       SELECT n.vec_id, arg_max(cent_id,
                list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i] * ce[i]))
@@ -3276,10 +3284,109 @@ def q46_pack_sequences(spark, sf_dir):
     return pack.unionAll(chunk)
 
 
+def _q47_minhash_arm(spark, sf_dir):
+    """part='minhash': build the corpus's banded-MinHash index, probe
+    the corpus against it, report each candidate pair with its
+    shared-bucket count (the crude LSH confidence) — exactly the
+    per-batch operation of the persisted-index flow (build once, probe
+    each new batch, merge keepers), driven self-referentially so plain
+    SQL can state the expected result.
+
+    The probe side here is CORPUS-sized (the self-probe), so it takes
+    probe_index's default non-broadcast path — the round-3 verdict's
+    scale fix; forcing broadcast_probe=True on a corpus-sized side is
+    the driver/executor OOM regime. Plan pinned on THIS arm by
+    tests/test_plan_shape.py::test_q47_selfprobe_not_forced_broadcast
+    (the pq arm legitimately broadcasts its query-sized sides)."""
+    from .operators.dedup_index import build_index, probe_index
+
+    d = _t(spark, sf_dir, "documents")
+    index = build_index(d)
+    hits = probe_index(d, index, new_bands=index)
+    return (
+        hits.select(
+            F.least("doc_id", "dup_of").alias("id_a"),
+            F.greatest("doc_id", "dup_of").alias("id_b"),
+            F.col("n_bands").alias("n"),
+        )
+        .distinct()
+        .select(F.lit("minhash").alias("part"), "id_a", "id_b", "n")
+    )
+
+
+def _q47_pq_arm(spark, sf_dir):
+    """part='pq' (round 5): the PERSISTED PQ index lifecycle under the
+    gate — encode the corpus, write_pq_index (codes parquet + codebook
+    JSON sidecar) to a scratch dir, read_pq_index back, and search over
+    the LOADED codes with ADC tables built from the LOADED codebook,
+    then exact-rerank the shortlist. Byte-exact round-trip of the
+    sidecar doubles means the result must equal q21 part='pq' — the
+    oracle is the same integer-ADC SQL (shared _PQ_ORACLE_CTES), so a
+    lossy sidecar, misaligned codes, or a read-path geometry drift all
+    surface as a gate hash mismatch. n = rank (1..5)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.pq import (
+        SHORTLIST,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+        pq_query_tables,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    v = _norm_embeddings(spark, sf_dir)
+    vn = v.select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en"))
+    book = pq_codebook(vn)
+    # scratch path keyed on (app, sf_dir): per-session rebuild, no
+    # cross-session reuse (the gate must exercise a FRESH build+read)
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"pmocr_q47_pqindex_{key}")
+    write_pq_index(pq_encode(vn.filter(F.col("vec_id") >= 10), book), book, path)
+    codes, book_loaded, _meta = read_pq_index(spark, path)
+    tables = pq_query_tables(
+        vn.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "en"),
+        book_loaded,
+    )
+    short = pq_adc_topk(codes, tables, topk=SHORTLIST).select("query_id", "neighbor_id")
+    # exact rerank over the shortlist (q21 part='pq' discipline)
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = v.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.join(F.broadcast(short), ["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.lit("pq").alias("part"),
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("rk").alias("n"),
+        )
+    )
+
+
 @query(
     "q47_dedup_index_probe",
-    f"""
-    WITH sh AS (
+    _ANN_ORACLE_COMMON
+    + _PQ_ORACLE_CTES
+    + f"""
+    , sh AS (
       SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
       FROM documents WHERE len({_TOKS_SQL}) >= 3
     ),
@@ -3295,39 +3402,23 @@ def q46_pack_sequences(spark, sf_dir):
         SELECT 1 FROM bands0 g WHERE g.band = b0.band AND g.key = b0.key
         GROUP BY g.band, g.key HAVING count(*) > {_MAX_BAND_BUCKET})
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           cast(count(*) AS BIGINT)    AS n_bands
+    SELECT 'minhash' AS part, a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(count(*) AS BIGINT)    AS n
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
+    UNION ALL
+    SELECT 'pq' AS part, query_id AS id_a, neighbor_id AS id_b, rk AS n FROM (
+      SELECT ss.query_id, ss.neighbor_id,
+             row_number() OVER (PARTITION BY ss.query_id
+                                ORDER BY ss.sim DESC, ss.neighbor_id) AS rk
+      FROM sims ss JOIN pqshort USING (query_id, neighbor_id)) WHERE rk <= 5
     """,
 )
 def q47_dedup_index_probe(spark, sf_dir):
-    """The incremental dedup index (operators/dedup_index.py) under the
-    driver gate: build the corpus's banded-MinHash index, probe the
-    corpus against it, and report each candidate pair with its
-    shared-bucket count (the crude LSH confidence). Collapses the
-    probe's two ordered directions to (min, max) pairs so the output is
-    the q18 candidate set ANNOTATED with n_bands — this is exactly the
-    per-batch operation of the persisted-index flow (build once, probe
-    each new batch, merge keepers), here driven self-referentially so
-    plain SQL can state the expected result.
-
-    The probe side here is CORPUS-sized (the self-probe), so it takes
-    probe_index's default non-broadcast path — the round-3 verdict's
-    scale fix; forcing broadcast_probe=True on a corpus-sized side is
-    the driver/executor OOM regime. Plan pinned by
-    tests/test_plan_shape.py::test_q47_selfprobe_not_broadcast."""
-    from .operators.dedup_index import build_index, probe_index
-
-    d = _t(spark, sf_dir, "documents")
-    index = build_index(d)
-    hits = probe_index(d, index, new_bands=index)
-    return (
-        hits.select(
-            F.least("doc_id", "dup_of").alias("doc_a"),
-            F.greatest("doc_id", "dup_of").alias("doc_b"),
-            "n_bands",
-        )
-        .distinct()
-    )
+    """Persisted-INDEX probe family in ONE gate slot,
+    `part`-discriminated: the two index artifacts this engine persists
+    (the banded-MinHash dedup index and the PQ ANN index), each built
+    fresh, round-tripped through storage where applicable, and probed —
+    see _q47_minhash_arm / _q47_pq_arm for each arm's contract."""
+    return _q47_minhash_arm(spark, sf_dir).unionAll(_q47_pq_arm(spark, sf_dir))

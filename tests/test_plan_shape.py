@@ -288,18 +288,23 @@ def test_q46_pack_partition_invariant(spark):
 
 
 def test_q47_selfprobe_not_forced_broadcast(spark):
-    """q47 probes the corpus against ITS OWN index — a corpus-sized
-    probe side. probe_index's default must carry NO broadcast hint (the
-    round-3 OOM regime was an unconditional F.broadcast of the probe
-    side): with the auto-broadcast threshold disabled, the Inner pair
-    join must plan as a shuffled join — a hard-coded hint would still
-    broadcast here, a stats/AQE-driven choice (fine at small SF, right
-    at 100 TB) won't. Also: never nested-loop/cartesian, no
-    row-at-a-time Python."""
+    """q47's MINHASH arm probes the corpus against ITS OWN index — a
+    corpus-sized probe side. probe_index's default must carry NO
+    broadcast hint (the round-3 OOM regime was an unconditional
+    F.broadcast of the probe side): with the auto-broadcast threshold
+    disabled, the Inner pair join must plan as a shuffled join — a
+    hard-coded hint would still broadcast here, a stats/AQE-driven
+    choice (fine at small SF, right at 100 TB) won't. Also: never
+    nested-loop/cartesian, no row-at-a-time Python. Pinned on the arm
+    helper, not the family union: the round-5 pq arm LEGITIMATELY
+    broadcasts its bounded query-sized sides (codebook, ADC tables,
+    shortlist)."""
+    from pmocr_spark.queries import _q47_minhash_arm
+
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = QUERY_FNS["q47_dedup_index_probe"](spark, SF)
+        df = _q47_minhash_arm(spark, SF)
         plan = shape.formatted_plan(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
