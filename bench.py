@@ -611,7 +611,35 @@ def _ann_recall_at5(spark, sf_dir: str) -> dict[str, float]:
                 f"WARNING: {name} recall@5 {recalls[name]} below floor "
                 f"{ANN_RECALL_FLOOR} — index layout degenerated?"
             )
-    return recalls
+    return recalls, truth
+
+
+def _ivfpq_nprobe_curve(spark, sf_dir: str, truth: dict) -> dict:
+    """The recall/cost curve of the IVF-PQ multi-probe knob (round-5
+    verdict item #3): recall@5 vs brute truth + wall seconds at
+    n_probe 1/2/4 through the parametrized ivfpq_search. Makes the
+    'thin 0.70 margin at nprobe=2' trade explicit — a user who needs
+    more recall can see what one more probed cluster buys and costs.
+    The PQ representation ceiling (part='pq', exhaustive compressed
+    scan) is the curve's asymptote, reported by _ann_recall_at5."""
+    from pmocr_spark.queries import ivfpq_search
+
+    curve = {}
+    for n_probe in (1, 2, 4):
+        t0 = time.time()
+        rows = ivfpq_search(spark, sf_dir, n_probe=n_probe).collect()
+        sec = round(time.time() - t0, 3)
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        per_q = [
+            len(got.get(q, set()) & hits) / len(hits) for q, hits in truth.items() if hits
+        ]
+        curve[str(n_probe)] = {
+            "recall_at5": round(sum(per_q) / len(per_q), 4) if per_q else 0.0,
+            "sec": sec,
+        }
+    return curve
 
 
 def _bench_html(spark, sf_dir: str) -> dict:
@@ -765,8 +793,10 @@ def main() -> None:
         _log(f"bpe learn {bpe['sec']}s ({bpe['merges']} merges, {bpe['merges_per_sec']}/s)")
         qtimes = _bench_queries(spark, sf_dir)
         _log(f"headline queries done: {qtimes}")
-        recall = _ann_recall_at5(spark, sf_dir)
+        recall, truth = _ann_recall_at5(spark, sf_dir)
         _log(f"ann recall@5 vs q21 brute force: {recall}")
+        nprobe_curve = _ivfpq_nprobe_curve(spark, sf_dir, truth)
+        _log(f"ivfpq nprobe recall/cost curve: {nprobe_curve}")
         lshp = _lsh_precision(spark, sf_dir)
         _log(f"lsh banding precision (verified/candidates): {lshp}")
         spark.stop()
@@ -785,6 +815,7 @@ def main() -> None:
         result["bpe_merges_per_sec"] = bpe["merges_per_sec"]
         result["ann_recall_at5"] = recall
         result["ann_recall_floor"] = ANN_RECALL_FLOOR
+        result["ivfpq_nprobe_curve"] = nprobe_curve
         result["lsh_precision"] = lshp
 
     if write_md and scaling:

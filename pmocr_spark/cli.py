@@ -255,6 +255,18 @@ def build_parser() -> argparse.ArgumentParser:
         "reranked; shortlist size without --rerank-vectors)",
     )
     p.add_argument(
+        "--ivf-nprobe",
+        type=int,
+        default=None,
+        help="--probe-pq-index: route each query to its N nearest IVF "
+        "clusters and ADC-scan ONLY those codes (the FAISS IndexIVFPQ "
+        "shape — pair count |queries| x probed clusters, not x corpus). "
+        "THE recall/cost knob: higher N buys recall with more scanned "
+        "codes (per-round curve in BENCH/BASELINE.md). Requires an "
+        "index built by this version (--build-pq-index persists "
+        "per-code cluster ids); omit for the exhaustive compressed scan",
+    )
+    p.add_argument(
         "--compact-substr-index",
         default=None,
         metavar="DIR",
@@ -571,18 +583,26 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error(f"--input is required with --{op}-pq-index")
         if op == "probe" and not args.output:
             parser.error("--output is required with --probe-pq-index")
-        if op != "probe" and (args.rerank_vectors or args.pq_topk is not None):
+        if op != "probe" and (
+            args.rerank_vectors or args.pq_topk is not None or args.ivf_nprobe is not None
+        ):
             # would otherwise be SILENTLY dropped by this early return —
             # a user who "built a rerank-enabled index" must hear that
-            # rerank is a probe-time choice, not an index property
-            parser.error("--rerank-vectors/--pq-topk only apply to --probe-pq-index")
+            # rerank/routing width are probe-time choices, not index
+            # properties (the index property is the per-code cluster id,
+            # which build persists unconditionally)
+            parser.error(
+                "--rerank-vectors/--pq-topk/--ivf-nprobe only apply to --probe-pq-index"
+            )
         if args.pq_topk is not None and args.pq_topk < 1:
             parser.error("--pq-topk must be >= 1")
+        if args.ivf_nprobe is not None and args.ivf_nprobe < 1:
+            parser.error("--ivf-nprobe must be >= 1")
         args.target_list = []
         args.monitor_list = []
         return args
-    if args.rerank_vectors:
-        parser.error("--rerank-vectors only applies to --probe-pq-index")
+    if args.rerank_vectors or args.ivf_nprobe is not None:
+        parser.error("--rerank-vectors/--ivf-nprobe only apply to --probe-pq-index")
     if args.compact_substr_index:
         if args.batch or args.service:
             parser.error("--compact-substr-index is a standalone maintenance mode")
@@ -882,22 +902,48 @@ def _run_pq_index_op(spark, args) -> None:
     batch = pq.normalize_embeddings(spark.read.parquet(args.input))
     if op == "build":
         book = pq.pq_codebook(batch)
-        pq.write_pq_index(pq.pq_encode(batch, book), book, idx_dir)
+        # routing state (per-code IVF cluster id) is persisted
+        # unconditionally: one int per code, computed in the same
+        # broadcast encode pass, and it is what makes --ivf-nprobe
+        # probes possible later — at 10^12 codes the routed probe is
+        # the only probe that matters
+        pq.write_pq_index(
+            pq.pq_encode(batch, book, ivf_n_cent=pq.N_IVF),
+            book,
+            idx_dir,
+            ivf_n_cent=pq.N_IVF,
+        )
         print(f"pmocr-spark: built pq index at {idx_dir}")
         return
-    codes, book, _meta = pq.read_pq_index(spark, idx_dir)
+    codes, book, meta = pq.read_pq_index(spark, idx_dir)
     if op == "append":
-        pq.write_pq_index(pq.pq_encode(batch, book), book, idx_dir, mode="append")
+        # encode with the INDEX's routing config (None for a pre-routing
+        # index) — write_pq_index rejects a mismatch
+        nc = meta.get("ivf_n_cent")
+        pq.write_pq_index(
+            pq.pq_encode(batch, book, ivf_n_cent=nc), book, idx_dir, mode="append", ivf_n_cent=nc
+        )
         print(f"pmocr-spark: appended batch codes to pq index at {idx_dir}")
         return
     # probe
     q = batch.select(F.col("vec_id").alias("query_id"), "en")
     tables = pq.pq_query_tables(q, book)
+    by = None
+    if args.ivf_nprobe is not None:
+        nc = meta.get("ivf_n_cent")
+        if nc is None or "cluster_id" not in codes.columns:
+            raise SystemExit(
+                "pmocr-spark: error: --ivf-nprobe needs per-code cluster ids; "
+                f"the index at {idx_dir} predates IVF routing — rebuild it "
+                "with --build-pq-index"
+            )
+        tables = tables.join(pq.ivf_probe_topn(q, book, args.ivf_nprobe, n_cent=nc), "query_id")
+        by = "cluster_id"
     if not args.rerank_vectors:
-        hits = pq.pq_adc_topk(codes, tables, topk=args.pq_topk or pq.SHORTLIST)
+        hits = pq.pq_adc_topk(codes, tables, topk=args.pq_topk or pq.SHORTLIST, by=by)
     else:
         topk = args.pq_topk or 5
-        short = pq.pq_adc_topk(codes, tables, topk=pq.SHORTLIST).select(
+        short = pq.pq_adc_topk(codes, tables, topk=pq.SHORTLIST, by=by).select(
             "query_id", "neighbor_id"
         )
         cand = pq.normalize_embeddings(spark.read.parquet(args.rerank_vectors)).select(

@@ -71,6 +71,12 @@ SHORTLIST = 50
 #: micro-unit scale for distances: round(d, 6dp) -> integer micro-units
 _MICRO = 1_000_000
 
+#: IVF coarse clusters for the persisted-index routing path: the first
+#: N_IVF codebook entries double as IVF centroids (the same fixed-seed
+#: convention as the catalog's q22/q21 arms, which use the first 8
+#: vec_ids — identical vectors, since the codebook IS the first 16)
+N_IVF = 8
+
 
 def _sub(vec, m: int):
     """1-based slice of subspace m (0-based) out of a packed vector."""
@@ -104,13 +110,22 @@ def pq_codebook(v: DataFrame) -> DataFrame:
     return _pack_centroids(cent)
 
 
-def pq_encode(v: DataFrame, codebook: DataFrame) -> DataFrame:
+def pq_encode(
+    v: DataFrame, codebook: DataFrame, ivf_n_cent: int | None = None
+) -> DataFrame:
     """PQ-encode every vector: (vec_id, codes array<int> of length N_SUB).
 
     Pure map: codebook is a broadcast single row; per subspace the code
     is argmin over N_CODES rounded distances via the collision-free key
     d_int*100 + cent_id (array_min of longs — no struct compare, no
-    tie ambiguity). At 10^12 vectors this stage shuffles nothing."""
+    tie ambiguity). At 10^12 vectors this stage shuffles nothing.
+
+    `ivf_n_cent`: additionally assign each vector to its nearest of the
+    first ivf_n_cent codebook entries by cosine (== dot on normalized
+    vectors) as a `cluster_id` column — IVF-PQ routing state, computed
+    in the SAME broadcast pass (no second scan, no join, still zero
+    shuffles). Tie-break matches the catalog's _argmax_assign exactly:
+    highest dot, then smallest cent_id."""
 
     def code(m: int):
         keys = F.transform(
@@ -120,8 +135,42 @@ def pq_encode(v: DataFrame, codebook: DataFrame) -> DataFrame:
         )
         return (F.array_min(keys) % 100).cast("int")
 
-    return v.crossJoin(F.broadcast(codebook)).select(
-        "vec_id", F.array(*[code(m) for m in range(N_SUB)]).alias("codes")
+    cols = ["vec_id", F.array(*[code(m) for m in range(N_SUB)]).alias("codes")]
+    if ivf_n_cent is not None:
+        cols.append(_ivf_best(F.slice(F.col("cs"), 1, ivf_n_cent))["cid"].alias("cluster_id"))
+    return v.crossJoin(F.broadcast(codebook)).select(*cols)
+
+
+def _ivf_score(c):
+    """Scored struct for one packed codebook entry vs the row's `en`:
+    (dot, -cent_id, cent_id) — array_max / array_sort over these structs
+    reproduce the argmax tie-break (highest dot, then smallest id)."""
+    dot = F.aggregate(
+        F.zip_with(F.col("en"), c["ce"], lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.struct(dot.alias("dot"), (-c["cent_id"]).alias("ncid"), c["cent_id"].alias("cid"))
+
+
+def _ivf_best(cent_slice):
+    return F.array_max(F.transform(cent_slice, _ivf_score))
+
+
+def ivf_probe_topn(
+    q: DataFrame, codebook: DataFrame, n_probe: int, n_cent: int = N_IVF
+) -> DataFrame:
+    """(query_id, cluster_id): each query's n_probe nearest IVF clusters
+    (centroids = first n_cent codebook entries) — the multi-probe recall
+    lever for the persisted-index path. Map-side over the broadcast
+    codebook; only the tiny query side fans out × n_probe. `q` must
+    have (query_id, en)."""
+    scored = F.transform(F.slice(F.col("cs"), 1, n_cent), _ivf_score)
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return (
+        q.crossJoin(F.broadcast(codebook))
+        .select("query_id", F.explode(top).alias("b"))
+        .select("query_id", F.col("b.cid").alias("cluster_id"))
     )
 
 
@@ -218,12 +267,31 @@ def _pack_centroids(cent: DataFrame) -> DataFrame:
     return cent.agg(F.array_sort(F.collect_list(F.struct("cent_id", "ce"))).alias("cs"))
 
 
-def write_pq_index(codes: DataFrame, codebook: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_pq_index(
+    codes: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    ivf_n_cent: int | None = None,
+) -> None:
     """Persist PQ codes WITH their codebook. `codebook` is the one-row
     packed frame from pq_codebook — collected here (N_CODES vectors,
     bounded) into the sidecar. mode="append" adds a new batch's codes;
     the caller must have encoded them against THIS index's codebook
-    (read_pq_index hands it back for exactly that)."""
+    (read_pq_index hands it back for exactly that).
+
+    `ivf_n_cent`: the codes carry IVF-PQ routing state (pq_encode with
+    the same ivf_n_cent) — recorded in the sidecar so probes know the
+    index is routable and appends are forced to keep it so. Routing
+    state is part of the artifact's identity: an appended batch WITHOUT
+    cluster_id into a routed index would read back NULL-clustered and
+    silently never match any probe."""
+    has_cluster = "cluster_id" in codes.columns
+    if (ivf_n_cent is not None) != has_cluster:
+        raise ValueError(
+            "ivf_n_cent and a cluster_id column must come together: encode "
+            "with pq_encode(..., ivf_n_cent=k) and pass the same k here."
+        )
     if mode == "append":
         # the append contract is that the batch was encoded with the
         # ALREADY-PERSISTED codebook — enforce it instead of trusting it:
@@ -249,6 +317,13 @@ def write_pq_index(codes: DataFrame, codebook: DataFrame, path: str, mode: str =
                 f"{path} — encode the batch against read_pq_index's codebook, "
                 "never a freshly derived one."
             )
+        if meta.get("ivf_n_cent") != ivf_n_cent:
+            raise ValueError(
+                f"IVF routing mismatch: index at {path} was built with "
+                f"ivf_n_cent={meta.get('ivf_n_cent')}, this append has "
+                f"{ivf_n_cent} — re-encode the batch with the index's "
+                "routing config (read_pq_index's meta carries it)."
+            )
         codes.write.mode(mode).parquet(path)
         return
     # validate BEFORE writing any codes: pq_codebook takes the first
@@ -272,6 +347,8 @@ def write_pq_index(codes: DataFrame, codebook: DataFrame, path: str, mode: str =
         "n_codes": N_CODES,
         "centroids": [list(c["ce"]) for c in packed],
     }
+    if ivf_n_cent is not None:
+        meta["ivf_n_cent"] = ivf_n_cent
     from pmocr_spark import checkpoint as _ckpt
 
     _ckpt.write_sidecar(codes.sparkSession, path, _META_NAME, meta)

@@ -1159,9 +1159,12 @@ _ANN_ORACLE_COMMON = """
 
 
 #: ivfpq multi-probe width: queries probe their _NPROBE nearest IVF
-#: clusters (recall lever; single source of truth for the Spark arm and
-#: the oracle's iq2 CTE via the <<NPROBE>> substitution below)
-_NPROBE = 2
+#: clusters — THE recall/cost knob (recall@5 at nprobe 1/2/4 is benched
+#: per round, BENCH/BASELINE.md). Env-overridable so a run can buy
+#: recall without a code edit; read at import so the Spark arm and the
+#: oracle's iq2 CTE (the <<NPROBE>> substitution below) always agree.
+#: Programmatic callers use ivfpq_search(..., n_probe=k) instead.
+_NPROBE = int(__import__("os").environ.get("PMOCR_IVFPQ_NPROBE", "2"))
 
 
 #: PQ search oracle CTEs (integer micro-unit ADC; see operators/pq.py)
@@ -1283,14 +1286,16 @@ def q21_ann_bruteforce(spark, sf_dir):
     the rerank; ivfpq trades some recall for the cluster restriction —
     _NPROBE=2 multi-probe claws most of it back, exactly the trade the
     number makes visible)."""
-    from pmocr_spark.operators.pq import (
-        SHORTLIST,
-        pq_adc_topk,
-        pq_codebook,
-        pq_encode,
-        pq_query_tables,
-    )
+    brute = _ann_rerank(_ann_sims(spark, sf_dir), None, "brute")
+    pq = _ann_rerank(_ann_sims(spark, sf_dir), _pq_shortlist(spark, sf_dir), "pq")
+    return brute.unionAll(pq).unionAll(ivfpq_search(spark, sf_dir))
 
+
+def _ann_sims(spark, sf_dir):
+    """(query_id, neighbor_id, sim): exact cosine of every query ×
+    candidate pair — broadcast the (small) query set against the scan;
+    no candidate shuffle. Consumed whole by the brute arm and
+    shortlist-pruned by the rerank arms."""
     v = _norm_embeddings(spark, sf_dir)
     q = v.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
@@ -1301,27 +1306,46 @@ def q21_ann_bruteforce(spark, sf_dir):
     dot = F.aggregate(
         F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    sims = c.crossJoin(F.broadcast(q)).select(
+    return c.crossJoin(F.broadcast(q)).select(
         "query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("sim")
     )
+
+
+def _ann_rerank(sims, shortlist, part: str, topk: int = 5):
+    """Per-query exact-cosine top-k as (part, query_id, neighbor_id,
+    rk, score) rows. shortlist=None ranks the full sims frame (brute);
+    otherwise cosine is computed ONLY for shortlisted pairs — the
+    broadcast semi-join prunes the scan to k_short vectors per query."""
+    if shortlist is not None:
+        sims = sims.join(F.broadcast(shortlist), ["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    brute = (
-        sims.select("query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rk"), "sim")
-        .filter(F.col("rk") <= 5)
+    return (
+        sims.select(
+            "query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rk"), "sim"
+        )
+        .filter(F.col("rk") <= topk)
         .select(
-            F.lit("brute").alias("part"),
+            F.lit(part).alias("part"),
             "query_id",
             "neighbor_id",
             "rk",
             F.round("sim", 4).alias("score"),
         )
     )
+
+
+def _pq_codes_tables(spark, sf_dir):
+    """(codes, tables): session-cached PQ codes for the candidate side +
+    per-query ADC distance tables. The encode pass is the expensive leg
+    (16 subspaces x 16 centroid distances per vector) and the pq AND
+    ivfpq arms consume it — Spark re-executes shared lineage per
+    consumer branch, so it persists once per session (same policy as
+    _norm_embeddings)."""
+    from pmocr_spark.operators.pq import pq_codebook, pq_encode, pq_query_tables
+
+    v = _norm_embeddings(spark, sf_dir)
     vn = v.select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en"))
     book = pq_codebook(vn)
-    # the encode pass is the expensive leg (16 subspaces x 16 centroid
-    # distances per vector) and BOTH the pq and ivfpq branches consume
-    # it — Spark re-executes shared lineage per consumer branch, so
-    # persist it once per session (same policy as _norm_embeddings)
     codes = _cached_df(
         spark,
         sf_dir,
@@ -1332,44 +1356,43 @@ def q21_ann_bruteforce(spark, sf_dir):
     tables = pq_query_tables(
         vn.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "en"), book
     )
-    short = pq_adc_topk(codes, tables, topk=SHORTLIST).select("query_id", "neighbor_id")
-    # exact rerank: cosine ONLY for shortlisted (query, candidate) pairs —
-    # the broadcast semi-join prunes the scan to k_short vectors per query
-    w2 = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return codes, tables
 
-    def rerank(shortlist, part):
-        return (
-            sims.join(F.broadcast(shortlist), ["query_id", "neighbor_id"])
-            .select(
-                "query_id", "neighbor_id", F.row_number().over(w2).cast("long").alias("rk"), "sim"
-            )
-            .filter(F.col("rk") <= 5)
-            .select(
-                F.lit(part).alias("part"),
-                "query_id",
-                "neighbor_id",
-                "rk",
-                F.round("sim", 4).alias("score"),
-            )
-        )
 
-    pq = rerank(short, "pq")
-    # ivfpq: same codes/tables, but each candidate carries its IVF
-    # cluster and the ADC scan equi-joins on it; queries probe their
-    # _NPROBE nearest clusters (multi-probe — candidates whose cluster
-    # narrowly beat the query's own stay in scope, the standard IVF
-    # recall lever). A (query, neighbor) pair matches at most one probe
-    # row (the neighbor's cluster is unique), so no dedup is needed.
+def _pq_shortlist(spark, sf_dir):
+    from pmocr_spark.operators.pq import SHORTLIST, pq_adc_topk
+
+    codes, tables = _pq_codes_tables(spark, sf_dir)
+    return pq_adc_topk(codes, tables, topk=SHORTLIST).select("query_id", "neighbor_id")
+
+
+def ivfpq_search(spark, sf_dir, n_probe: int | None = None):
+    """IVF-PQ search (q21 part='ivfpq'), parametrized on the multi-probe
+    width — THE recall/cost knob: each candidate carries its IVF cluster
+    and the ADC scan equi-joins on it; queries probe their n_probe
+    nearest clusters (candidates whose cluster narrowly beat the query's
+    own stay in scope). A (query, neighbor) pair matches at most one
+    probe row (the neighbor's cluster is unique), so no dedup is
+    needed. n_probe=None uses the catalog default _NPROBE (env
+    PMOCR_IVFPQ_NPROBE) so the gate arm and the oracle stay in lockstep;
+    bench.py sweeps {1,2,4} through this parameter and reports the
+    recall@5/cost curve per round."""
+    from pmocr_spark.operators.pq import SHORTLIST, pq_adc_topk
+
+    if n_probe is None:
+        n_probe = _NPROBE
+    v = _norm_embeddings(spark, sf_dir)
+    codes, tables = _pq_codes_tables(spark, sf_dir)
     assign = _ivf_assign(v)
     codes_c = codes.join(assign, "vec_id")
-    qprobe = _ivf_probe_topn(v, v.filter(F.col("vec_id") < 10), n_probe=_NPROBE)
+    qprobe = _ivf_probe_topn(v, v.filter(F.col("vec_id") < 10), n_probe=n_probe)
     tables_c = tables.join(
         qprobe.select(F.col("vec_id").alias("query_id"), "cluster_id"), "query_id"
     )
     short_ivf = pq_adc_topk(codes_c, tables_c, topk=SHORTLIST, by="cluster_id").select(
         "query_id", "neighbor_id"
     )
-    return brute.unionAll(pq).unionAll(rerank(short_ivf, "ivfpq"))
+    return _ann_rerank(_ann_sims(spark, sf_dir), short_ivf, "ivfpq")
 
 
 @query(
@@ -3355,29 +3378,11 @@ def _q47_pq_arm(spark, sf_dir):
     )
     short = pq_adc_topk(codes, tables, topk=SHORTLIST).select("query_id", "neighbor_id")
     # exact rerank over the shortlist (q21 part='pq' discipline)
-    q = v.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
-    )
-    c = v.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
-    )
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    sims = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("sim")
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    return (
-        sims.join(F.broadcast(short), ["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", F.row_number().over(w).cast("long").alias("rk"))
-        .filter(F.col("rk") <= 5)
-        .select(
-            F.lit("pq").alias("part"),
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            F.col("rk").alias("n"),
-        )
+    return _ann_rerank(_ann_sims(spark, sf_dir), short, "pq").select(
+        "part",
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rk").alias("n"),
     )
 
 

