@@ -166,6 +166,86 @@ def encode_corrupt(seed_text: str) -> bytes:
     return b"XXBAD!" + rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
 
 
+# ---------------------------------------------------------------- audio codec
+#
+# The audio twin of the image codec (round-5 verdict item #4 — retires
+# the last declared stub): a deterministic synthetic "speech" codec so
+# the multimodal audio column has a REAL decode path without container
+# libs. Same philosophy as the glyph scheme: each character is one
+# fixed-size frame of int16 samples, bit j of its 7-bit code -> sample
+# j is a loud tone (|s| >= AUDIO_TONE_MIN), else quiet noise
+# (|s| <= AUDIO_NOISE_MAX); sample 7 carries even parity over the code
+# bits (exactly the glyph parity row, so corruption is detected, not
+# hallucinated through). Every byte derives from a PRNG seeded on the
+# payload text — encode/decode round-trips are reproducible on any
+# executor. Container: AUDIO_MAGIC + <IQ (sample_rate, n_samples) +
+# n_samples little-endian int16 samples. A header with n_samples but no
+# payload is still parseable METADATA (multimodal.audio_metadata reads
+# headers only — cheap at scan time), while decode_audio validates the
+# full payload.
+
+AUDIO_MAGIC = b"PMAU"
+AUDIO_RATE = 8000
+SAMPLES_PER_CHAR = 8  # 7 code bits + parity, one sample each
+AUDIO_TONE_MIN = 12000   # tone samples are in ±[AUDIO_TONE_MIN, 32000)
+AUDIO_NOISE_MAX = 4000   # noise samples are in ±[0, AUDIO_NOISE_MAX]
+
+
+def encode_audio(text: str, salt: str = "", rate: int = AUDIO_RATE) -> bytes:
+    """Encode text as a synthetic audio blob (FSK-ish: one 8-sample
+    frame per character). Characters are masked to 7-bit like
+    render_page, so round-trip equality holds for ASCII payloads."""
+    rng = _rng_for(text, "audio" + salt)
+    codes = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+    # mask to 7 bits AFTER utf-8: multi-byte chars become several frames
+    # (decode returns the masked byte stream, the image codec convention)
+    codes = codes & 0x7F
+    n = codes.size * SAMPLES_PER_CHAR
+    samples = rng.integers(-AUDIO_NOISE_MAX, AUDIO_NOISE_MAX + 1, size=n).astype(np.int16)
+    bits = (codes[:, None] >> np.arange(7)[None, :]) & 1  # (chars, 7)
+    parity = bits.sum(axis=1) % 2
+    frames = samples.reshape(-1, SAMPLES_PER_CHAR)
+    tone = rng.integers(AUDIO_TONE_MIN, 32000, size=(codes.size, SAMPLES_PER_CHAR))
+    sign = rng.integers(0, 2, size=(codes.size, SAMPLES_PER_CHAR)) * 2 - 1
+    mask = np.concatenate([bits, parity[:, None]], axis=1).astype(bool)
+    frames[mask] = (tone * sign)[mask].astype(np.int16)
+    return (
+        AUDIO_MAGIC
+        + struct.pack("<IQ", rate, n)
+        + frames.astype("<i2").tobytes()
+    )
+
+
+def decode_audio(blob: bytes) -> tuple[str, int, int]:
+    """Decode a synthetic audio blob -> (text, sample_rate, n_samples).
+
+    Loud CodecError on bad magic, truncated payload, or parity failure
+    (the poison-pill path, same discipline as recognize_block)."""
+    b = bytes(blob)
+    if b[:4] != AUDIO_MAGIC:
+        raise CodecError("bad audio magic")
+    if len(b) < 16:
+        raise CodecError("truncated audio header")
+    rate, n = struct.unpack("<IQ", b[4:16])
+    payload = b[16:]
+    if len(payload) != 2 * n:
+        raise CodecError(f"truncated audio payload: {len(payload)} bytes for {n} samples")
+    if n % SAMPLES_PER_CHAR != 0:
+        raise CodecError(f"sample count {n} not a whole number of frames")
+    frames = np.frombuffer(payload, dtype="<i2").reshape(-1, SAMPLES_PER_CHAR)
+    loud = np.abs(frames.astype(np.int32)) >= AUDIO_TONE_MIN
+    quiet = np.abs(frames.astype(np.int32)) <= AUDIO_NOISE_MAX
+    if not np.all(loud | quiet):
+        raise CodecError("sample amplitude in the guard band — not this codec's output")
+    bits = loud[:, :7].astype(np.uint8)
+    codes = (bits * (1 << np.arange(7, dtype=np.uint8))[None, :]).sum(axis=1)
+    parity = bits.sum(axis=1) % 2
+    if not np.array_equal(parity, loud[:, 7].astype(np.uint8)):
+        raise CodecError("audio parity check failed")
+    text = codes[codes > 0].astype(np.uint8).tobytes().decode("latin-1")
+    return text, int(rate), int(n)
+
+
 # ---------------------------------------------------------------- decode stages
 
 

@@ -132,3 +132,50 @@ def test_pdf_mixed_layout_roundtrip(p1, left, right):
     decodes to the pages' reading-order texts joined by newline."""
     blob = codecs.encode_pdf([p1, [left, right]], salt="mx")
     assert codecs.decode_blob(blob) == p1 + "\n" + left + "\n" + right
+
+
+# ---------------------------------------------------------------- audio codec
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=126).filter(lambda c: c != "\x7f"),
+    max_size=200,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_ascii_text)
+def test_audio_roundtrip_hypothesis(text):
+    """decode(encode(x)) == x for any 7-bit payload (codes 0 and the
+    0x7f anchor excluded, the image codec's charset convention)."""
+    t, rate, n = codecs.decode_audio(codecs.encode_audio(text, salt="h"))
+    assert t == text and rate == codecs.AUDIO_RATE
+    assert n == len(text.encode()) * codecs.SAMPLES_PER_CHAR
+
+
+def test_audio_decode_rejects_guard_band_amplitudes():
+    """Samples between noise ceiling and tone floor mean the blob is not
+    this codec's output — loud CodecError, never a guessed bit."""
+    blob = codecs.encode_audio("abc")
+    arr = np.frombuffer(blob[16:], dtype="<i2").copy()
+    arr[0] = (codecs.AUDIO_NOISE_MAX + codecs.AUDIO_TONE_MIN) // 2
+    try:
+        codecs.decode_audio(blob[:16] + arr.tobytes())
+        raise AssertionError("guard-band amplitude accepted")
+    except codecs.CodecError as e:
+        assert "guard band" in str(e)
+
+
+def test_audio_parity_detects_single_bit_flip():
+    blob = codecs.encode_audio("parity check")
+    arr = np.frombuffer(blob[16:], dtype="<i2").copy().reshape(-1, codecs.SAMPLES_PER_CHAR)
+    # flip one CODE bit (sample 0 of frame 0): tone<->noise
+    arr[0, 0] = 0 if abs(int(arr[0, 0])) >= codecs.AUDIO_TONE_MIN else 20000
+    try:
+        codecs.decode_audio(blob[:16] + arr.tobytes())
+        raise AssertionError("bit flip not detected")
+    except codecs.CodecError as e:
+        assert "parity" in str(e)

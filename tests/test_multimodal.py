@@ -86,9 +86,54 @@ def test_audio_metadata_stub(spark):
     assert got["a2"]["error"] is not None
 
 
-def test_audio_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_audio_real_decode_guarded():
+    """The real-library hook resolves LOUDLY when librosa is absent
+    (engines.py's tesseract discipline) — never a silent mis-decode.
+    The default engine is the synthetic codec, tested below."""
+    if mm._HAVE_AUDIO:
+        pytest.skip("librosa installed: guarded path is live")
+    with pytest.raises(RuntimeError, match="librosa"):
         mm.decode_audio_real(b"")
+
+
+def test_audio_transcribe_roundtrip(spark):
+    """decode(encode(text)) == text through the REAL Spark path (Arrow
+    batches, struct column), with a poison blob failing into the error
+    column instead of poisoning the batch."""
+    rows = [
+        ("a1", codecs.encode_audio("hello audio world", salt="t1")),
+        ("a2", codecs.encode_audio("line one\nline two", salt="t2")),
+        ("bad", codecs.encode_corrupt("z")),
+        ("trunc", codecs.encode_audio("cut me", salt="t3")[:-3]),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    got = {
+        r["media_ref"]: r.asDict()
+        for r in df.select("media_ref", mm.audio_transcribe("content").alias("t"))
+        .select("media_ref", "t.*")
+        .collect()
+    }
+    assert got["a1"]["text"] == "hello audio world"
+    assert got["a1"]["sample_rate"] == codecs.AUDIO_RATE
+    assert got["a2"]["text"] == "line one\nline two"
+    assert got["bad"]["text"] is None and "magic" in got["bad"]["error"]
+    assert got["trunc"]["text"] is None and got["trunc"]["error"] is not None
+    # duration is derived from the REAL frame count
+    n = len("hello audio world") * codecs.SAMPLES_PER_CHAR
+    assert got["a1"]["duration_sec"] == round(n / codecs.AUDIO_RATE, 6)
+
+
+def test_audio_metadata_on_real_codec_blob(spark):
+    """audio_metadata parses the synthetic codec's actual container
+    header (not a hand-built fake): rate/duration must agree with what
+    decode_audio reports for the same blob."""
+    blob = codecs.encode_audio("sample text", salt="m")
+    df = spark.createDataFrame([("x", blob)], "media_ref string, content binary")
+    udf = mm.audio_metadata_udf()
+    meta = df.select(udf("content").alias("m")).select("m.*").collect()[0]
+    text, rate, n = codecs.decode_audio(blob)
+    assert meta["sample_rate"] == rate and meta["n_samples"] == n
+    assert meta["duration_sec"] == round(n / rate, 6) and meta["error"] is None
 
 
 def test_phash_near_dup_pairs(spark):
