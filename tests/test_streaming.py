@@ -924,3 +924,83 @@ def test_index_dir_guard_on_fresh_checkpoint_restart(spark, dirs, tmp_path):
     out = {r["doc_id"]: r["dup_of"]
            for r in spark.read.parquet(f"{dirs['output']}/epoch-0").collect()}
     assert out == {"a": None} or out["a"] is None  # self-match excluded -> clean
+
+
+@pytest.mark.parametrize("compact", [False, True])
+def test_unified_index_maintenance_e2e(spark, dirs, tmp_path, compact):
+    """Round-5 verdict item #6: ONE service lifecycle driving BOTH
+    persisted indexes (--dedup-index + --dedup-substrings-index) plus
+    the lineage checkpoint across two restarts, with and without a
+    compaction of each index between them. Expected verdicts are stated
+    literally and are IDENTICAL for both parameters — compaction (flat,
+    epoch-less layouts) must be invisible to every later probe."""
+    import pyarrow as pa
+
+    from pmocr_spark import cli
+    from pmocr_spark.operators.substring_dedup import DEFAULT_K
+
+    A = "the quick brown fox jumps over the lazy dog near the river bank today"
+    A2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    A3 = "the quick brown fox jumps over the lazy dog near the river bank sometimes"
+    B = "completely unrelated text about cooking pasta with garlic and olive oil"
+    C = "telescopes gather photons from distant galaxies revealing ancient light"
+    D = "volcanic rocks preserve magnetic alignments recording ancient field flips"
+    span = " ".join(f"s{i}" for i in range(DEFAULT_K))
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]}
+
+    pq.write_table(pa.Table.from_pylist([], schema=corpus.BLOBS_SCHEMA),
+                   f"{tmp_path}/blobs.parquet")
+    media = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    dd_idx = str(tmp_path / "dedup_idx")
+    gr_idx = str(tmp_path / "gram_idx")
+
+    def run(drop_name, rows):
+        # each call is a RESTART: a fresh monitor over the same
+        # checkpoint/lineage/index state, resuming where the last left off
+        pq.write_table(pa.Table.from_pylist(rows, schema=corpus.DOCUMENTS_SCHEMA),
+                       f"{dirs['landing']}/{drop_name}.parquet")
+        q = streaming.monitor(
+            spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+            dirs["lineage"], trigger={"availableNow": True},
+            dedup_index_dir=dd_idx, substr_index_dir=gr_idx,
+        )
+        q.awaitTermination(120)
+
+    run("drop0", [doc("e0-a", A), doc("e0-b", B), doc("e0-s", f"{span} tail0 tail1")])
+
+    if compact:
+        cli.main(["--compact-dedup-index", dd_idx, "--master", "local[4]"])
+        cli.main(["--compact-substr-index", gr_idx, "--master", "local[4]"])
+
+    # restart 1: near-dup of e0-a, substring re-occurrence, fresh doc
+    run("drop1", [doc("e1-dup", A2), doc("e1-re", f"head0 head1 {span}"),
+                  doc("e1-new", C)])
+    e1 = {r["doc_id"]: r for r in
+          spark.read.parquet(f"{dirs['output']}/epoch-1").collect()}
+    assert e1["e1-dup"]["dup_of"] == "e0-a"
+    assert e1["e1-new"]["dup_of"] is None
+    assert e1["e1-re"]["txt_clean"] == "head0 head1"
+    assert e1["e1-re"]["words_removed"] == DEFAULT_K
+    assert e1["e1-new"]["txt_clean"] == C and e1["e1-new"]["words_removed"] == 0
+
+    if compact:
+        cli.main(["--compact-dedup-index", dd_idx, "--master", "local[4]"])
+        cli.main(["--compact-substr-index", gr_idx, "--master", "local[4]"])
+
+    # restart 2: both index kinds must still see epoch-0 history THROUGH
+    # whatever layout the (optional) compactions left behind
+    run("drop2", [doc("e2-dup", A3), doc("e2-re", f"{span} z0 z1"), doc("e2-new", D)])
+    e2 = {r["doc_id"]: r for r in
+          spark.read.parquet(f"{dirs['output']}/epoch-2").collect()}
+    assert e2["e2-dup"]["dup_of"] == "e0-a"
+    assert e2["e2-re"]["txt_clean"] == "z0 z1"
+    assert e2["e2-re"]["words_removed"] == DEFAULT_K
+    assert e2["e2-new"]["dup_of"] is None and e2["e2-new"]["words_removed"] == 0
+
+    # lineage saw every doc exactly once across the three runs
+    lin = spark.read.option("recursiveFileLookup", "true").parquet(dirs["lineage"])
+    assert lin.filter(F.col("status") == "done").count() == 9
+    assert lin.select("doc_id").distinct().count() == 9
