@@ -554,6 +554,132 @@ def _bench_phash(spark, corpus_dir: str) -> dict:
     }
 
 
+def _max_task_input_mb(spark, before: dict, after: dict) -> float:
+    """Largest single-task input read (MB) over the stages completed
+    between the two snapshots — the 'does any one task hold too much'
+    scale signal: if this stays bounded while the corpus grows 10x, the
+    partitioning is doing its job."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    new = [s for k, s in after.items() if k not in before]
+    mx = 0.0
+    for s in sorted(new, key=lambda s: -(s.get("inputBytes", 0)))[:4]:
+        try:
+            url = (
+                f"{ui}/api/v1/applications/{app}/stages/{s['stageId']}/"
+                f"{s['attemptId']}/taskSummary?quantiles=1.0"
+            )
+            with urllib.request.urlopen(url) as r:
+                im = _json.load(r).get("inputMetrics") or {}
+            mx = max(mx, (im.get("bytesRead") or [0])[-1] / 1e6)
+        except Exception:  # noqa: BLE001 - stage may have no task summary
+            pass
+    return round(mx, 1)
+
+
+def _run_scale10x(tmp: str, cpus: int) -> dict:
+    """Round-5 verdict item #5: a one-off 10x-sf0.1 checkpoint for the
+    round-4 operators (exact substring dedup, MinHash LSH, pHash visual
+    near-dup, BPE learning). Builds a 50k-doc table (10 replicas of the
+    sf0.1 documents, doc_ids remapped, a per-replica suffix word so the
+    text distribution mirrors sf0.1 instead of becoming 10x-duplicated)
+    and a 10x blob corpus, runs each op ONCE, and records wall time,
+    stage metrics, the largest single-task input, and the plan pins
+    (substring dedup <= 3 Exchanges and NO per-key collect_list; q18's
+    band-bucket caps) at the bigger scale — the boilerplate-gram and
+    hot-bucket paths are the ones worth proving beyond sf0.1."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark import corpus
+    from pmocr_spark.operators.bpe import learn_bpe
+    from pmocr_spark.operators.multimodal import phash_near_dup
+    from pmocr_spark.operators.substring_dedup import substring_dedup
+    from pmocr_spark.plans import shape
+    from pmocr_spark.queries import QUERY_FNS
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs10x_dir = os.path.join(tmp, "docs10x")
+    corpus10x_dir = os.path.join(tmp, "corpus10x")
+    _log("scale10x: generating 10x corpus (50k docs + 3000-doc blob corpus)")
+    corpus.write(corpus10x_dir, n_docs=10 * OCR_BENCH_DOCS, seed=42)
+
+    spark = _make_spark(
+        cpus, extra={"spark.ui.enabled": "true", "spark.ui.showConsoleProgress": "false"}
+    )
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ten = None
+    for i in range(10):
+        rep = base.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+        )
+        ten = rep if ten is None else ten.unionAll(rep)
+    os.makedirs(docs10x_dir, exist_ok=True)
+    ten.write.mode("overwrite").parquet(f"{docs10x_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{docs10x_dir}/documents.parquet")
+    n_docs = docs.count()
+    _warm_python_workers(spark, corpus10x_dir)
+
+    out: dict = {"n_docs": n_docs, "sf_base": sf_dir, "cpus": cpus,
+                 "host_probe": _host_probe()}
+
+    def measured(name, fn):
+        before = _stage_snapshot(spark)
+        t0 = time.time()
+        extra = fn() or {}
+        sec = round(time.time() - t0, 3)
+        after = _stage_snapshot(spark)
+        out[name] = {
+            "sec": sec,
+            "metrics": _stage_delta(spark, before, after),
+            "max_task_input_mb": _max_task_input_mb(spark, before, after),
+            **extra,
+        }
+        _log(f"scale10x {name}: {sec}s (max task input "
+             f"{out[name]['max_task_input_mb']} MB)")
+
+    def run_substr():
+        df = substring_dedup(docs)
+        # the physical-plan string, same counting convention as the
+        # tests/test_substring_dedup.py pin (formatted_plan would list
+        # every Exchange twice: tree + details section)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        _force(df)  # noop sink: full reassembly computed, nothing pruned
+        return {
+            "rows": n_docs,
+            "exchanges": plan.count("Exchange"),
+            "three_shuffle_pin_holds": plan.count("Exchange") <= 3,
+            # dup detection is the min/max WINDOW over the gram hash; the
+            # only collect_list in the plan is the per-DOC kept-positions
+            # list (bounded by words-per-doc), never a per-gram
+            # occurrence list — the boilerplate-gram no-blowup claim
+            "collect_list_per_doc_only": plan.lower().count("collect_list") <= 2,
+        }
+
+    def run_q18():
+        return {"pairs": QUERY_FNS["q18_minhash_lsh"](spark, docs10x_dir).count()}
+
+    def run_phash():
+        blobs = spark.read.parquet(f"{corpus10x_dir}/media_blobs.parquet")
+        n = blobs.count()
+        pairs = phash_near_dup(blobs).count()
+        return {"blobs": n, "pairs": pairs}
+
+    def run_bpe():
+        merges = learn_bpe(docs, BPE_BENCH_MERGES, vocab_partitions=8)
+        return {"merges": len(merges)}
+
+    measured("substring_dedup", run_substr)
+    measured("q18_minhash_lsh", run_q18)
+    measured("phash_near_dup", run_phash)
+    measured("bpe_learn", run_bpe)
+    spark.stop()
+    return out
+
+
 def _warm_python_workers(spark, corpus_dir: str) -> None:
     """Spin up the executor python-worker pool before timing: first UDF
     job per session pays ~0.3s x cores of worker spawn + imports, which
@@ -754,6 +880,16 @@ def main() -> None:
     write_md = "--write-md" in sys.argv
     span_regimes = "--span-regimes" in sys.argv
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if "--scale10x" in sys.argv:
+        # standalone one-off mode (verdict r5 #5): does not run the suite
+        with tempfile.TemporaryDirectory(prefix="pmocr_scale10x_") as tmp:
+            res = _run_scale10x(tmp, cpus)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/scale10x.json", "w") as f:
+            json.dump(res, f, indent=1)
+        print(json.dumps(res))
+        return
 
     with tempfile.TemporaryDirectory(prefix="pmocr_bench_") as tmp:
         _prep_ocr_corpus(tmp, OCR_BENCH_DOCS)
