@@ -50,6 +50,9 @@ GUTTER_MIN = 2              # layout analysis: >= this many blank cols = column 
 # pmOCR's input allow-list: default.conf:14 `pdf|tif|tiff|png|jpg|jpeg|bmp|pcx|dcx`
 MEDIA_KINDS = ("pdf", "tif", "tiff", "png", "jpg", "jpeg", "bmp", "pcx", "dcx")
 IMAGE_KINDS = tuple(k for k in MEDIA_KINDS if k != "pdf")
+# audio span kinds (round 5, beyond the reference's image-only list):
+# routed through the same fused decode UDF by container magic
+AUDIO_KINDS = ("wav", "mp3", "flac")
 
 
 class CodecError(ValueError):
@@ -391,7 +394,13 @@ def recognize_line(band: np.ndarray) -> str:
 def decode_blob(blob: bytes) -> str:
     """Full per-blob OCR chain M1->M2 (trim + layout)->M3; column blocks
     read in order (left column fully, then the next), page texts joined
-    by newline."""
+    by newline. Audio containers (round 5) dispatch on magic to the
+    audio codec — same content-magic routing the fused UDF applies to
+    html, so an interleaved document can carry text + image + html +
+    audio spans through ONE decode path."""
+    b = bytes(blob)
+    if b[:4] == AUDIO_MAGIC:
+        return decode_audio(b)[0]
     pages = rasterize(bytes(blob))
     page_texts = []
     for img in pages:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .codecs import MEDIA_KINDS
+from .codecs import AUDIO_KINDS, MEDIA_KINDS
 from .operators.html_extract import HTML_KINDS
 from .udfs import ocr_extract
 
@@ -171,8 +171,11 @@ def extract_spans(
     # output and lineage (which would make resume reprocess it forever).
     # html spans ride the media route (blob join -> fused UDF, which
     # magic-dispatches them to the boilerplate-strip extractor) — same
-    # plan, zero extra scans (operators/html_extract.py)
-    allowed = list(MEDIA_KINDS) + list(HTML_KINDS) + ["text"]
+    # plan, zero extra scans (operators/html_extract.py). audio spans
+    # (round 5) ride it too: decode_blob magic-dispatches PMAU blobs to
+    # the audio codec, so interleaved text+image+html+audio documents
+    # reassemble through ONE decode path.
+    allowed = list(MEDIA_KINDS) + list(HTML_KINDS) + list(AUDIO_KINDS) + ["text"]
     skipped = spans.filter(~F.col("kind").isin(allowed)).select(
         "doc_id",
         "offset",

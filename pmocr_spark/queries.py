@@ -2571,34 +2571,37 @@ def _two_pass_rank(df: DataFrame, key: list, id_col: str) -> DataFrame:
       FROM documents)
     SELECT doc_id,
            'done'              AS status,
-           cast(3 AS INTEGER)  AS span_count,
+           cast(4 AS INTEGER)  AS span_count,
            cast(0 AS INTEGER)  AS error_count,
-           clean || chr(10) || clean || chr(10) || clean        AS txt,
-           regexp_replace(clean || chr(10) || clean || chr(10) || clean,
-                          '  +', ';', 'g')                      AS csv
+           clean || chr(10) || clean || chr(10) || clean || chr(10) || clean AS txt,
+           regexp_replace(clean || chr(10) || clean || chr(10) || clean
+                          || chr(10) || clean, '  +', ';', 'g')              AS csv
     FROM c
     """,
 )
 def q39_pipeline_roundtrip(spark, sf_dir):
     """The FLAGSHIP pipeline (pipeline.run_batch), made SQL-oracle-able:
     each document is lifted into the interleaved span shape used by
-    entry() — one text span, one synthetic TIFF media span AND one html
+    entry() — one text span, one synthetic TIFF media span, one html
     span whose blob wraps the same cleaned text in deterministic
-    boilerplate (template keyed on doc_id, all three layouts exercised)
-    — and run through the full engine (explode -> route -> fused
-    pandas-UDF decode: OCR for media, DOM-heuristic boilerplate strip
-    for html -> windowed reassembly -> txt/csv targets + status).
-    Because decode(encode(x)) == x (the q27 invariant) AND
-    extract(wrap(x)) == x (the html analog, operators/html_extract.py),
-    plain SQL can state the expected output exactly: all three spans
-    reassemble to the cleaned text, so txt == clean+'\\n'+clean+'\\n'+
-    clean, status == 'done', span_count == 3, error_count == 0. This
-    retires q28's permanent no_oracle row as the only unoracled pipeline
-    signal (q28's exact span-sequence pytest gate stays as defense in
-    depth). pmOCR analog: the end-to-end batch conversion run
-    (pmocr.sh:2546-2593 -> OCR_Dispatch -> OCR), fixture-checked by
-    run_tests.sh:336-351; the html route is the north rule's
-    "HTML boilerplate strip / DOM heuristics" stage, absent in pmOCR."""
+    boilerplate (template keyed on doc_id, all three layouts exercised),
+    AND (round 5) one audio span whose blob speaks the same text through
+    the synthetic audio codec — and run through the full engine
+    (explode -> route -> fused pandas-UDF decode: OCR for media,
+    DOM-heuristic boilerplate strip for html, frame/parity audio decode
+    for wav, all dispatched on container magic -> windowed reassembly ->
+    txt/csv targets + status). Because decode(encode(x)) == x holds for
+    every codec (q27's image invariant, html's extract(wrap(x)) == x,
+    audio's decode_audio(encode_audio(x)) == x), plain SQL states the
+    expected output exactly: all four spans reassemble to the cleaned
+    text, so txt == clean joined 4x by newline, status == 'done',
+    span_count == 4, error_count == 0. This retires q28's permanent
+    no_oracle row as the only unoracled pipeline signal (q28's exact
+    span-sequence pytest gate stays as defense in depth). pmOCR analog:
+    the end-to-end batch conversion run (pmocr.sh:2546-2593 ->
+    OCR_Dispatch -> OCR), fixture-checked by run_tests.sh:336-351; the
+    html and audio routes are this build's interleaved-multimodal
+    extension, absent in pmOCR."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -2624,11 +2627,18 @@ def q39_pipeline_roundtrip(spark, sf_dir):
             dtype=object,
         )
 
+    @F.pandas_udf(T.BinaryType())
+    def encode_wav(text):
+        return pd.Series(
+            [codecs.encode_audio(t, salt="q39a") for t in text], dtype=object
+        )
+
     base = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         clean.alias("clean_text"),
         F.concat(F.lit("m:"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.concat(F.lit("h:"), F.col("doc_id").cast("string")).alias("html_ref"),
+        F.concat(F.lit("a:"), F.col("doc_id").cast("string")).alias("audio_ref"),
     )
     docs = base.select(
         "doc_id",
@@ -2651,6 +2661,12 @@ def q39_pipeline_roundtrip(spark, sf_dir):
                 F.col("html_ref").alias("media_ref"),
                 F.lit(2).cast("int").alias("offset"),
             ),
+            F.struct(
+                F.lit("wav").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.col("audio_ref").alias("media_ref"),
+                F.lit(3).cast("int").alias("offset"),
+            ),
         ).alias("spans"),
     )
     blobs = base.select(
@@ -2662,6 +2678,12 @@ def q39_pipeline_roundtrip(spark, sf_dir):
             F.col("html_ref").alias("media_ref"),
             F.lit("html").alias("kind"),
             encode_html(F.col("doc_id"), F.col("clean_text")).alias("content"),
+        )
+    ).unionByName(
+        base.select(
+            F.col("audio_ref").alias("media_ref"),
+            F.lit("wav").alias("kind"),
+            encode_wav(F.col("clean_text")).alias("content"),
         )
     )
     out = pipeline.run_batch(spark, docs, blobs)

@@ -225,3 +225,51 @@ def test_doc_with_only_text_spans(spark, corpus_dir):
     assert out["t1"]["txt"] == "hello  world\nbye"
     assert out["t1"]["csv"] == "hello;world\nbye"
     assert out["t1"]["status"] == "done"
+
+
+def test_audio_span_routes_through_pipeline(spark):
+    """Round 5: kind='wav' spans ride the media route — the fused UDF
+    magic-dispatches PMAU blobs to the audio codec — so an interleaved
+    text+image+audio doc reassembles in offset order; a corrupted audio
+    blob is error-as-data (doc failed, error names the parity check)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pmocr_spark import codecs, corpus
+
+    good = codecs.encode_audio("spoken words", salt="a1")
+    arr = np.frombuffer(good[16:], dtype="<i2").copy()
+    arr[0] = 0 if abs(int(arr[0])) >= codecs.AUDIO_TONE_MIN else 20000
+    bad = good[:16] + arr.tobytes()
+    docs_t = pa.Table.from_pylist(
+        [
+            {"doc_id": "d1", "spans": [
+                {"kind": "text", "text": "lead", "media_ref": None, "offset": 0},
+                {"kind": "wav", "text": None, "media_ref": "a:ok", "offset": 1},
+                {"kind": "tif", "text": None, "media_ref": "m:1", "offset": 2},
+            ]},
+            {"doc_id": "d2", "spans": [
+                {"kind": "wav", "text": None, "media_ref": "a:bad", "offset": 0},
+            ]},
+        ],
+        schema=corpus.DOCUMENTS_SCHEMA,
+    )
+    blobs_t = pa.Table.from_pylist(
+        [
+            {"media_ref": "a:ok", "kind": "wav", "content": good},
+            {"media_ref": "a:bad", "kind": "wav", "content": bad},
+            {"media_ref": "m:1", "kind": "tif",
+             "content": codecs.encode_image("pixels", "tif", salt="m:1")},
+        ],
+        schema=corpus.BLOBS_SCHEMA,
+    )
+    docs = spark.createDataFrame(docs_t.to_pylist(), schema="doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    blobs = spark.createDataFrame(blobs_t.to_pylist(),
+        schema="media_ref string, kind string, content binary")
+    got = {r["doc_id"]: r for r in pipeline.run_batch(spark, docs, blobs).collect()}
+    assert got["d1"]["status"] == "done"
+    assert got["d1"]["txt"] == "lead\nspoken words\npixels"
+    assert got["d1"]["span_count"] == 3 and got["d1"]["error_count"] == 0
+    assert got["d2"]["status"] == "failed"
+    assert "parity" in got["d2"]["error"]
