@@ -297,6 +297,16 @@ def build_parser() -> argparse.ArgumentParser:
         "— writing (ref_a, ref_b, hamming) pairs to --output",
     )
     p.add_argument(
+        "--transcribe-audio",
+        action="store_true",
+        help="maintenance mode (standalone): full audio decode over the "
+        "--blobs table (operators/multimodal.audio_transcribe: synthetic "
+        "codec with frame/parity validation; a real ASR engine slots "
+        "into decode_audio_real) — writing (media_ref, text, "
+        "sample_rate, duration_sec, error) to --output; corrupted blobs "
+        "land in the error column, never fail the run",
+    )
+    p.add_argument(
         "--phash-max-hamming",
         type=int,
         default=None,
@@ -528,6 +538,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--dedup-substrings", args.dedup_substrings),
             ("--compact-substr-index", args.compact_substr_index),
             ("--phash-dedup", args.phash_dedup),
+            ("--transcribe-audio", args.transcribe_audio),
             ("--train-bpe", args.train_bpe is not None),
             ("--encode-bpe", bool(args.encode_bpe)),
         )
@@ -616,6 +627,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--blobs and --output are required with --phash-dedup")
         if args.phash_max_hamming is not None and not (0 <= args.phash_max_hamming <= 64):
             parser.error("--phash-max-hamming must be in [0, 64]")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.transcribe_audio:
+        if args.batch or args.service:
+            parser.error("--transcribe-audio is a standalone maintenance mode")
+        if not args.blobs or not args.output:
+            parser.error("--blobs and --output are required with --transcribe-audio")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1013,6 +1032,22 @@ def main(argv: list[str] | None = None) -> None:
         if meta is not None:  # restore the sidecar the swap discarded
             ckpt.write_sidecar(spark, idx_dir, GRAM_META, meta)
         print(f"pmocr-spark: compacted gram index at {idx_dir} to {n} rows")
+        return
+    if getattr(args, "transcribe_audio", False):
+        from .operators.multimodal import audio_transcribe
+
+        blobs = spark.read.parquet(args.blobs)
+        out = blobs.select(
+            "media_ref", audio_transcribe(F.col("content")).alias("t")
+        ).select("media_ref", "t.*")
+        out.write.mode("overwrite").parquet(args.output)
+        got = spark.read.parquet(args.output)
+        n_ok = got.filter(F.col("error").isNull()).count()
+        n_err = got.filter(F.col("error").isNotNull()).count()
+        print(
+            f"pmocr-spark: transcribed {n_ok} audio blobs "
+            f"({n_err} failed as error rows) to {args.output}"
+        )
         return
     if getattr(args, "phash_dedup", False):
         from .operators.multimodal import phash_near_dup

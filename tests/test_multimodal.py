@@ -242,3 +242,31 @@ def test_q20_visual_classes_separated():
     # same class re-encodes byte-identically (same text, same salt)
     assert codecs.encode_image(_phash_class_text(7), "tiff", salt="q20v") == \
         codecs.encode_image(_phash_class_text(7), "tiff", salt="q20v")
+
+
+def test_transcribe_audio_cli(spark, tmp_path):
+    """--transcribe-audio maintenance mode: blobs table in, per-blob
+    (text, sample_rate, duration_sec, error) out; poison rows are
+    error-data; validation rejects missing args / mode mixing."""
+    from pmocr_spark import cli
+
+    rows = [
+        ("a1", "wav", codecs.encode_audio("first utterance", salt="c1")),
+        ("a2", "wav", codecs.encode_audio("second utterance", salt="c2")),
+        ("bad", "wav", codecs.encode_corrupt("zz")),
+    ]
+    blobs = str(tmp_path / "blobs")
+    spark.createDataFrame(rows, "media_ref string, kind string, content binary") \
+        .write.parquet(blobs)
+    out = str(tmp_path / "txt")
+    cli.main(["--transcribe-audio", "--blobs", blobs, "--output", out,
+              "--master", "local[4]"])
+    got = {r["media_ref"]: r for r in spark.read.parquet(out).collect()}
+    assert got["a1"]["text"] == "first utterance" and got["a1"]["error"] is None
+    assert got["a2"]["text"] == "second utterance"
+    assert got["bad"]["text"] is None and "magic" in got["bad"]["error"]
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--transcribe-audio", "--blobs", blobs])  # no --output
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--transcribe-audio", "--batch", "--blobs", blobs,
+                        "--output", out])
