@@ -768,6 +768,38 @@ def _ivfpq_nprobe_curve(spark, sf_dir: str, truth: dict) -> dict:
     return curve
 
 
+def _pq_trained_recall(spark, sf_dir: str, truth: dict) -> dict:
+    """recall@5 of PQ search under a Lloyd-TRAINED codebook
+    (pq.train_codebook, 2 iterations) vs the fixed first-16 convention
+    the gate uses — measures what codebook training buys: the pq arm's
+    recall ceiling is a REPRESENTATION limit, and training is the lever
+    that moves it (Jégou TPAMI'11 trains per-subspace k-means; the
+    fixed convention exists for oracle determinism, not quality)."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.operators import pq
+    from pmocr_spark.queries import _ann_rerank, _ann_sims, _norm_embeddings
+
+    v = _norm_embeddings(spark, sf_dir)
+    vn = v.select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en"))
+    t0 = time.time()
+    book = pq.train_codebook(vn, iters=2)
+    train_sec = round(time.time() - t0, 3)
+    codes = pq.pq_encode(vn.filter(F.col("vec_id") >= 10), book)
+    tables = pq.pq_query_tables(
+        vn.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "en"), book
+    )
+    short = pq.pq_adc_topk(codes, tables, topk=pq.SHORTLIST).select("query_id", "neighbor_id")
+    got: dict = {}
+    for r in _ann_rerank(_ann_sims(spark, sf_dir), short, "pq_trained").collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    per_q = [len(got.get(q, set()) & hits) / len(hits) for q, hits in truth.items() if hits]
+    return {
+        "recall_at5": round(sum(per_q) / len(per_q), 4) if per_q else 0.0,
+        "train_sec": train_sec,
+    }
+
+
 def _bench_html(spark, sf_dir: str) -> dict:
     """Throughput of the round-4 html route (north rule: boilerplate
     strip / DOM heuristics): every sf_dir document wrapped in
@@ -933,6 +965,8 @@ def main() -> None:
         _log(f"ann recall@5 vs q21 brute force: {recall}")
         nprobe_curve = _ivfpq_nprobe_curve(spark, sf_dir, truth)
         _log(f"ivfpq nprobe recall/cost curve: {nprobe_curve}")
+        pq_trained = _pq_trained_recall(spark, sf_dir, truth)
+        _log(f"pq trained-codebook recall@5: {pq_trained}")
         lshp = _lsh_precision(spark, sf_dir)
         _log(f"lsh banding precision (verified/candidates): {lshp}")
         spark.stop()
@@ -952,6 +986,7 @@ def main() -> None:
         result["ann_recall_at5"] = recall
         result["ann_recall_floor"] = ANN_RECALL_FLOOR
         result["ivfpq_nprobe_curve"] = nprobe_curve
+        result["pq_trained_recall"] = pq_trained
         result["lsh_precision"] = lshp
 
     if write_md and scaling:

@@ -255,6 +255,20 @@ def build_parser() -> argparse.ArgumentParser:
         "reranked; shortlist size without --rerank-vectors)",
     )
     p.add_argument(
+        "--train-codebook",
+        type=int,
+        nargs="?",
+        const=2,
+        default=None,
+        metavar="ITERS",
+        help="--build-pq-index: refine the deterministic seed codebook "
+        "with ITERS per-subspace Lloyd iterations (default 2) before "
+        "encoding — the PQ recall lever (distortion drops ~25%% on the "
+        "test corpus); the trained codebook persists in the sidecar, so "
+        "appends and probes need no flag. At 10^12 vectors train on a "
+        "sample of --input, not the full corpus",
+    )
+    p.add_argument(
         "--ivf-nprobe",
         type=int,
         default=None,
@@ -594,6 +608,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error(f"--input is required with --{op}-pq-index")
         if op == "probe" and not args.output:
             parser.error("--output is required with --probe-pq-index")
+        if op != "build" and args.train_codebook is not None:
+            parser.error("--train-codebook only applies to --build-pq-index")
         if op != "probe" and (
             args.rerank_vectors or args.pq_topk is not None or args.ivf_nprobe is not None
         ):
@@ -614,6 +630,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         return args
     if args.rerank_vectors or args.ivf_nprobe is not None:
         parser.error("--rerank-vectors/--ivf-nprobe only apply to --probe-pq-index")
+    if args.train_codebook is not None:
+        parser.error("--train-codebook only applies to --build-pq-index")
     if args.compact_substr_index:
         if args.batch or args.service:
             parser.error("--compact-substr-index is a standalone maintenance mode")
@@ -920,7 +938,11 @@ def _run_pq_index_op(spark, args) -> None:
     op, idx_dir = args.pq_index_op
     batch = pq.normalize_embeddings(spark.read.parquet(args.input))
     if op == "build":
-        book = pq.pq_codebook(batch)
+        book = (
+            pq.train_codebook(batch, iters=args.train_codebook)
+            if args.train_codebook is not None
+            else pq.pq_codebook(batch)
+        )
         # routing state (per-code IVF cluster id) is persisted
         # unconditionally: one int per code, computed in the same
         # broadcast encode pass, and it is what makes --ivf-nprobe
@@ -932,7 +954,12 @@ def _run_pq_index_op(spark, args) -> None:
             idx_dir,
             ivf_n_cent=pq.N_IVF,
         )
-        print(f"pmocr-spark: built pq index at {idx_dir}")
+        trained = (
+            f" (codebook Lloyd-trained, {args.train_codebook} iters)"
+            if args.train_codebook is not None
+            else ""
+        )
+        print(f"pmocr-spark: built pq index at {idx_dir}{trained}")
         return
     codes, book, meta = pq.read_pq_index(spark, idx_dir)
     if op == "append":

@@ -127,18 +127,22 @@ def pq_encode(
     shuffles). Tie-break matches the catalog's _argmax_assign exactly:
     highest dot, then smallest cent_id."""
 
-    def code(m: int):
-        keys = F.transform(
-            F.col("cs"),
-            lambda c: _d_int(_sub(F.col("en"), m), _sub(c["ce"], m)) * 100
-            + c["cent_id"],
-        )
-        return (F.array_min(keys) % 100).cast("int")
-
-    cols = ["vec_id", F.array(*[code(m) for m in range(N_SUB)]).alias("codes")]
+    cols = ["vec_id", F.array(*[_code_expr(m) for m in range(N_SUB)]).alias("codes")]
     if ivf_n_cent is not None:
         cols.append(_ivf_best(F.slice(F.col("cs"), 1, ivf_n_cent))["cid"].alias("cluster_id"))
     return v.crossJoin(F.broadcast(codebook)).select(*cols)
+
+
+def _code_expr(m: int):
+    """Subspace-m code assignment over (en, cs) columns: argmin of the
+    rounded micro-unit distances via the collision-free key
+    d_int*100 + cent_id (shared by pq_encode and train_codebook so
+    training's assignment step IS the production encoder)."""
+    keys = F.transform(
+        F.col("cs"),
+        lambda c: _d_int(_sub(F.col("en"), m), _sub(c["ce"], m)) * 100 + c["cent_id"],
+    )
+    return (F.array_min(keys) % 100).cast("int")
 
 
 def _ivf_score(c):
@@ -172,6 +176,76 @@ def ivf_probe_topn(
         .select("query_id", F.explode(top).alias("b"))
         .select("query_id", F.col("b.cid").alias("cluster_id"))
     )
+
+
+def train_codebook(v: DataFrame, iters: int = 2) -> DataFrame:
+    """Per-subspace Lloyd refinement of the deterministic seed codebook
+    — the PQ RECALL lever the fixed first-N_CODES convention leaves on
+    the table (Jégou TPAMI'11 trains each subspace's codebook by
+    k-means; the catalog's fixed convention exists for oracle
+    determinism, not quality). Returns the packed one-row codebook
+    frame (cent_id 0..N_CODES-1, ce = the 64-dim concatenation of the
+    16 trained 4-dim subspace centroids) — a drop-in for pq_codebook's
+    output everywhere (pq_encode, write_pq_index, ADC tables).
+
+    Shape per iteration: ONE broadcast pass over the corpus explodes
+    each vector into its (m, assigned code, subvector) triples —
+    assignment reuses the production encoder expression (_code_expr),
+    so training optimizes exactly the quantizer that will run — then
+    one 2-level hash aggregation to the (N_SUB x N_CODES)-row mean
+    table, collected (256 tiny rows) and re-broadcast. Empty cells keep
+    their previous centroid (standard Lloyd practice). At 10^12 vectors
+    run this on a sample (train_codebook(v.sample(...))) — codebook
+    quality converges long before corpus-scale statistics; the fixed
+    contract is only that ENCODING uses whatever codebook the sidecar
+    persists.
+
+    Lloyd guarantees distortion is non-increasing per iteration (each
+    step optimal given the other); tests pin that plus parity with a
+    pure-numpy reference.
+
+    `v` must have (vec_id, en) with en L2-normalized, and contain
+    vec_ids 0..N_CODES-1 (the seeds)."""
+    import numpy as np
+
+    spark = v.sparkSession
+    packed = pq_codebook(v).collect()[0]["cs"]
+    cent = np.array([list(c["ce"]) for c in packed], dtype=np.float64)  # (K, D)
+
+    def pack(c):
+        return _pack_centroids(
+            spark.createDataFrame(
+                [(i, [float(x) for x in row]) for i, row in enumerate(c)],
+                "cent_id long, ce array<double>",
+            )
+        )
+
+    for _ in range(iters):
+        book = pack(cent)
+        trip = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        _code_expr(m).alias("code"),
+                        _sub(F.col("en"), m).alias("sv"),
+                    )
+                    for m in range(N_SUB)
+                ]
+            )
+        ).alias("x")
+        means = (
+            v.crossJoin(F.broadcast(book))
+            .select(trip)
+            .groupBy(F.col("x.m").alias("m"), F.col("x.code").alias("code"))
+            .agg(*[F.avg(F.get("x.sv", i)).alias(f"c{i}") for i in range(D_SUB)])
+            .collect()
+        )
+        for r in means:  # empty (m, code) cells keep the old centroid
+            cent[r["code"], r["m"] * D_SUB : (r["m"] + 1) * D_SUB] = [
+                r[f"c{i}"] for i in range(D_SUB)
+            ]
+    return pack(cent)
 
 
 def pq_query_tables(q: DataFrame, codebook: DataFrame) -> DataFrame:

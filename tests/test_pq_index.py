@@ -268,3 +268,81 @@ def test_encode_cluster_ids_match_catalog_assignment(spark):
         .collect()
     }
     assert got == want
+
+
+def _distortion(vn, book):
+    """Exact float quantization distortion of `book` over `vn` (numpy)."""
+    import numpy as np
+
+    codes = {r["vec_id"]: r["codes"] for r in pq.pq_encode(vn, book).collect()}
+    cent = np.array([list(c["ce"]) for c in book.collect()[0]["cs"]])
+    tot = 0.0
+    for r in vn.collect():
+        en = np.array(r["en"])
+        for m in range(pq.N_SUB):
+            d = en[m * 4 : (m + 1) * 4] - cent[codes[r["vec_id"]][m], m * 4 : (m + 1) * 4]
+            tot += float(d @ d)
+    return tot
+
+
+def test_train_codebook_reduces_distortion_and_matches_numpy(spark):
+    """Lloyd training must (a) never increase quantization distortion
+    (each step is optimal given the other — the textbook guarantee) and
+    (b) match a pure-numpy reference of the same algorithm: assignment
+    via the PRODUCTION encoder expression (integer micro-unit argmin,
+    tie toward the smaller code), update = per-(subspace, code) mean,
+    empty cells keep their centroid."""
+    import numpy as np
+
+    vn = _vn(spark)
+    b0 = pq.pq_codebook(vn)
+    b2 = pq.train_codebook(vn, iters=2)
+    d0, d2 = _distortion(vn, b0), _distortion(vn, b2)
+    assert d2 <= d0 and d2 < 0.9 * d0, (d0, d2)  # real improvement, not noise
+
+    vecs = {r["vec_id"]: np.array(r["en"]) for r in vn.collect()}
+    cent = np.array([vecs[i] for i in range(pq.N_CODES)])
+    for _ in range(2):
+        sums = np.zeros_like(cent)
+        cnts = np.zeros((pq.N_CODES, pq.N_SUB))
+        for en in vecs.values():
+            for m in range(pq.N_SUB):
+                sv = en[m * 4 : (m + 1) * 4]
+                d = ((sv[None, :] - cent[:, m * 4 : (m + 1) * 4]) ** 2).sum(axis=1)
+                d_int = np.round(d * 1e6).astype(np.int64)
+                code = int(np.argmin(d_int * 100 + np.arange(pq.N_CODES)))
+                sums[code, m * 4 : (m + 1) * 4] += sv
+                cnts[code, m] += 1
+        for c in range(pq.N_CODES):
+            for m in range(pq.N_SUB):
+                if cnts[c, m] > 0:
+                    cent[c, m * 4 : (m + 1) * 4] = sums[c, m * 4 : (m + 1) * 4] / cnts[c, m]
+    got = np.array([list(c["ce"]) for c in pq.train_codebook(vn, iters=2).collect()[0]["cs"]])
+    assert np.allclose(got, cent, atol=1e-9)
+
+
+def test_trained_codebook_index_lifecycle(spark, tmp_path):
+    """--build-pq-index --train-codebook: the trained codebook persists
+    in the sidecar, so probes need no flag and the loaded index answers
+    with codes that match a direct encode under the same trained book."""
+    from pmocr_spark import cli
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.write.parquet(str(tmp_path / "all"))
+    emb.filter(F.col("vec_id") < 10).write.parquet(str(tmp_path / "q"))
+    idx = str(tmp_path / "pq_trained")
+    cli.main(["--build-pq-index", idx, "--input", str(tmp_path / "all"),
+              "--train-codebook", "--master", "local[4]"])
+    cli.main(["--probe-pq-index", idx, "--input", str(tmp_path / "q"),
+              "--output", str(tmp_path / "hits"), "--master", "local[4]"])
+    got = {(r["query_id"], r["rk"]): (r["neighbor_id"], r["dist_int"]) for r in
+           spark.read.parquet(str(tmp_path / "hits")).collect()}
+    vn = pq.normalize_embeddings(emb)
+    book = pq.train_codebook(vn, iters=2)
+    q = vn.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "en")
+    want = _shortlist(pq.pq_encode(vn, book), pq.pq_query_tables(q, book), k=pq.SHORTLIST)
+    assert got == want
+    # flag validation: build-only
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--probe-pq-index", idx, "--input", "x", "--output", "y",
+                        "--train-codebook"])
