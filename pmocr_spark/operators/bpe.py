@@ -150,6 +150,7 @@ def learn_bpe(
     reliable: bool | None = None,
     vocab_partitions: int | None = None,
     max_word_chars: int | None = None,
+    symbols: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to `n_merges` BPE merges over `docs[text_col]`.
 
@@ -167,8 +168,19 @@ def learn_bpe(
     n_merges iterations pay per-task scheduling for near-empty
     partitions. Size it to the vocabulary (None = inherit, the safe
     default when the vocabulary itself is huge).
+
+    `symbols`: a prebuilt (freq, syms) frame (initial_symbols shape) to
+    train over instead of re-deriving it from `docs` — lets a caller
+    that already paid the corpus pass (e.g. q44, which also aggregates
+    iteration-0 pair statistics from the same table) keep the
+    'corpus touched once' contract across the whole family. When given,
+    `docs`/`text_col`/`max_word_chars` are ignored for derivation.
     """
-    sy = initial_symbols(word_freqs(docs, text_col, max_word_chars=max_word_chars))
+    sy = (
+        symbols
+        if symbols is not None
+        else initial_symbols(word_freqs(docs, text_col, max_word_chars=max_word_chars))
+    )
     if vocab_partitions is not None:
         sy = sy.coalesce(vocab_partitions)
     sy = iter_checkpoint(sy, reliable)

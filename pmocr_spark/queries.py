@@ -3153,19 +3153,26 @@ def q44_bigram_lm_topk(spark, sf_dir):
         .limit(20)
         .select(F.lit("word").alias("part"), "bigram", "cnt")
     )
+    from .operators.bpe import learn_bpe
+
+    # ONE corpus pass for the whole family: the cached symbol table
+    # feeds both the iteration-0 statistic (cb) and the merge loop —
+    # without the cache the corpus-sized word count runs twice
+    sy0 = _cached_df(
+        spark, sf_dir, "documents.parquet", "bpe_syms0",
+        lambda: initial_symbols(word_freqs(d)),
+    )
     cb = (
-        pair_counts(initial_symbols(word_freqs(d)))
+        pair_counts(sy0)
         .select(F.concat_ws(" ", "left", "right").alias("bigram"), "cnt")
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
         .limit(20)
         .select(F.lit("char_pair").alias("part"), "bigram", "cnt")
     )
-    from .operators.bpe import learn_bpe
-
     # min_count=1: the oracle's argmax has no early-stop, so neither may
     # the Spark arm (the default min_count=2 is a vocab-quality policy,
     # not part of the merge-sequence semantics under test)
-    merges = learn_bpe(d, 3, min_count=1)
+    merges = learn_bpe(d, 3, min_count=1, symbols=sy0)
     mrows = spark.createDataFrame(
         [(f"merge{i + 1}", f"{l} {r}", c) for i, (l, r, c) in enumerate(merges)],
         "part string, bigram string, cnt long",

@@ -169,6 +169,11 @@ def test_pair_counts_plan_shape(spark):
     the two hash aggs (word freq, pair count) — no window, no join."""
     from pmocr_spark.plans import shape
 
+    # q44 session-caches this exact lineage (bpe_syms0); a cached run
+    # earlier in the suite would make Spark substitute the
+    # InMemoryRelation here and the plan text would be the CACHE's, not
+    # the operator's — clear it so the test sees the real shape
+    spark.catalog.clearCache()
     d = spark.read.parquet(f"{SF}/documents.parquet")
     pc = bpe.pair_counts(bpe.initial_symbols(bpe.word_freqs(d)))
     plan = shape.formatted_plan(pc)
@@ -181,6 +186,7 @@ def test_apply_merge_map_only(spark):
     """One merge application adds ZERO exchanges over the input's own."""
     from pmocr_spark.plans import shape
 
+    spark.catalog.clearCache()  # see test_pair_counts_plan_shape
     d = spark.read.parquet(f"{SF}/documents.parquet")
     sy = bpe.initial_symbols(bpe.word_freqs(d))
     base = shape.count_exchanges(sy)
