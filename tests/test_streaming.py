@@ -1004,3 +1004,50 @@ def test_unified_index_maintenance_e2e(spark, dirs, tmp_path, compact):
     lin = spark.read.option("recursiveFileLookup", "true").parquet(dirs["lineage"])
     assert lin.filter(F.col("status") == "done").count() == 9
     assert lin.select("doc_id").distinct().count() == 9
+
+
+def test_audio_span_in_service_mode(spark, dirs, tmp_path):
+    """Round 5: the audio route is mode-independent — a service drop
+    with an interleaved text+audio doc reassembles exactly as batch
+    would (monitor reuses the batch plan inside foreachBatch), and a
+    corrupt audio blob quarantines instead of failing the epoch."""
+    import pyarrow as pa
+
+    from pmocr_spark import codecs
+
+    good = codecs.encode_audio("narrated part", salt="sv1")
+    blobs = pa.Table.from_pylist(
+        [
+            {"media_ref": "a:1", "kind": "wav", "content": good},
+            {"media_ref": "a:2", "kind": "wav", "content": codecs.encode_corrupt("x")},
+        ],
+        schema=corpus.BLOBS_SCHEMA,
+    )
+    pq.write_table(blobs, f"{tmp_path}/blobs.parquet")
+    media = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    rows = [
+        {"doc_id": "ok", "spans": [
+            {"kind": "text", "text": "written part", "media_ref": None, "offset": 0},
+            {"kind": "wav", "text": None, "media_ref": "a:1", "offset": 1},
+        ]},
+        {"doc_id": "poison", "spans": [
+            {"kind": "wav", "text": None, "media_ref": "a:2", "offset": 0},
+        ]},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=corpus.DOCUMENTS_SCHEMA),
+                   f"{dirs['landing']}/drop0.parquet")
+    q = streaming.monitor(
+        spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+        dirs["lineage"], trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in
+           spark.read.parquet(f"{dirs['output']}/epoch-0").collect()}
+    assert got["ok"]["status"] == "done"
+    assert got["ok"]["txt"] == "written part\nnarrated part"
+    assert got["poison"]["status"] == "failed"
+    # the error detail rides the lineage rows (the output projection
+    # carries status + targets; errors are checkpoint state)
+    lin = {r["doc_id"]: r for r in
+           spark.read.parquet(f"{dirs['lineage']}/epoch-0").collect()}
+    assert "magic" in lin["poison"]["error"]
