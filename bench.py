@@ -597,7 +597,6 @@ def _run_scale10x(tmp: str, cpus: int) -> dict:
     from pmocr_spark.operators.bpe import learn_bpe
     from pmocr_spark.operators.multimodal import phash_near_dup
     from pmocr_spark.operators.substring_dedup import substring_dedup
-    from pmocr_spark.plans import shape
     from pmocr_spark.queries import QUERY_FNS
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -699,7 +698,7 @@ def _warm_python_workers(spark, corpus_dir: str) -> None:
 ANN_RECALL_FLOOR = float(os.environ.get("PMOCR_ANN_RECALL_FLOOR", "0.6"))
 
 
-def _ann_recall_at5(spark, sf_dir: str) -> dict[str, float]:
+def _ann_recall_at5(spark, sf_dir: str) -> tuple[dict, dict]:
     """recall@5 of the approximate ANN variants — q22 (IVF, fixed
     centroids), q33 (IVF, learned k-means centroids) and q21's 'pq' part
     (product quantization + exact rerank, round 4) — against q21's

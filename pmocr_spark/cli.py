@@ -625,6 +625,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--pq-topk must be >= 1")
         if args.ivf_nprobe is not None and args.ivf_nprobe < 1:
             parser.error("--ivf-nprobe must be >= 1")
+        if args.train_codebook is not None and args.train_codebook < 1:
+            # range(0)/range(-k) would silently train nothing while the
+            # summary line claims a Lloyd-trained codebook
+            parser.error("--train-codebook ITERS must be >= 1")
         args.target_list = []
         args.monitor_list = []
         return args

@@ -51,8 +51,13 @@ GUTTER_MIN = 2              # layout analysis: >= this many blank cols = column 
 MEDIA_KINDS = ("pdf", "tif", "tiff", "png", "jpg", "jpeg", "bmp", "pcx", "dcx")
 IMAGE_KINDS = tuple(k for k in MEDIA_KINDS if k != "pdf")
 # audio span kinds (round 5, beyond the reference's image-only list):
-# routed through the same fused decode UDF by container magic
-AUDIO_KINDS = ("wav", "mp3", "flac")
+# routed through the same fused decode UDF by container magic. ONLY the
+# kind this engine can actually decode is allow-listed — admitting
+# 'mp3'/'flac' here would flip such docs from done-with-skipped-span to
+# failed (decode_blob has no path for them; real containers belong to
+# the guarded multimodal.decode_audio_real hook, and a deployment that
+# installs it should extend this tuple alongside).
+AUDIO_KINDS = ("wav",)
 
 
 class CodecError(ValueError):
@@ -236,8 +241,9 @@ def decode_audio(blob: bytes) -> tuple[str, int, int]:
     if n % SAMPLES_PER_CHAR != 0:
         raise CodecError(f"sample count {n} not a whole number of frames")
     frames = np.frombuffer(payload, dtype="<i2").reshape(-1, SAMPLES_PER_CHAR)
-    loud = np.abs(frames.astype(np.int32)) >= AUDIO_TONE_MIN
-    quiet = np.abs(frames.astype(np.int32)) <= AUDIO_NOISE_MAX
+    amp = np.abs(frames.astype(np.int32))  # one pass; reused by both masks
+    loud = amp >= AUDIO_TONE_MIN
+    quiet = amp <= AUDIO_NOISE_MAX
     if not np.all(loud | quiet):
         raise CodecError("sample amplitude in the guard band — not this codec's output")
     bits = loud[:, :7].astype(np.uint8)

@@ -3366,6 +3366,23 @@ def _q47_minhash_arm(spark, sf_dir):
     )
 
 
+_Q47_SCRATCH: set[str] = set()
+
+
+def _q47_scratch_register(path: str) -> None:
+    """Remember a q47 scratch index dir and remove it at process exit
+    (the frame built over it is lazy, so removal any earlier would break
+    the query; a hard kill still leaks, which overwrite-per-app bounds)."""
+    if not _Q47_SCRATCH:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _Q47_SCRATCH]
+        )
+    _Q47_SCRATCH.add(path)
+
+
 def _q47_pq_arm(spark, sf_dir):
     """part='pq' (round 5): the PERSISTED PQ index lifecycle under the
     gate — encode the corpus, write_pq_index (codes parquet + codebook
@@ -3394,11 +3411,15 @@ def _q47_pq_arm(spark, sf_dir):
     vn = v.select("vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en"))
     book = pq_codebook(vn)
     # scratch path keyed on (app, sf_dir): per-session rebuild, no
-    # cross-session reuse (the gate must exercise a FRESH build+read)
+    # cross-session reuse (the gate must exercise a FRESH build+read).
+    # The dir must OUTLIVE this function (the returned DataFrame reads
+    # it lazily), so cleanup is registered at process exit — without it
+    # every gate/bench session leaks one codes dir into /tmp forever.
     key = hashlib.md5(
         f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"pmocr_q47_pqindex_{key}")
+    _q47_scratch_register(path)
     write_pq_index(pq_encode(vn.filter(F.col("vec_id") >= 10), book), book, path)
     codes, book_loaded, _meta = read_pq_index(spark, path)
     tables = pq_query_tables(
