@@ -858,6 +858,37 @@ def q19_simhash(spark, sf_dir):
 _VIS_CLASSES = 50
 
 
+def _emb_neardup_pairs(spark, sf_dir):
+    """(vec_a, vec_b, score): embedding-cosine near-dup pairs (threshold
+    0.35), IVF-cluster-blocked — a cluster_id EQUI-join, never a doc×doc
+    BroadcastNestedLoopJoin, so the shape survives an unbounded
+    embedding table. Consumed by q20's 'embedding' arm directly and by
+    its 'semantic' arm as the edge set of the SemDeDup components."""
+    v = _norm_embeddings(spark, sf_dir)
+    va = v.join(_ivf_assign(v), "vec_id")
+    a = va.alias("a")
+    b = va.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 4).alias("score"),
+        )
+    )
+
+
 def _phash_class_text(k: int) -> str:
     """Deterministic 'visual class' page text for class k: 8 lines of 8
     four-char segments, each segment dense ('~', 6 ink pixels/column) or
@@ -883,7 +914,7 @@ def _phash_class_text(k: int) -> str:
 @query(
     "q20_embedding_neardup",
     """
-    WITH v AS (
+    WITH RECURSIVE v AS (
       SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS e
       FROM embeddings
     ),
@@ -895,14 +926,36 @@ def _phash_class_text(k: int) -> str:
              AS cluster_id
       FROM n, cent GROUP BY n.vec_id
     ),
-    va AS (SELECT n.*, a.cluster_id FROM n JOIN assign a USING (vec_id))
+    va AS (SELECT n.*, a.cluster_id FROM n JOIN assign a USING (vec_id)),
+    ee AS (
+      SELECT a.vec_id AS x, b.vec_id AS y,
+             round(list_sum(list_transform(range(1, len(a.e)+1),
+                   i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS score
+      FROM va a JOIN va b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))
+            / (a.nrm * b.nrm) >= 0.35
+    ),
+    sym AS (
+      SELECT x AS a, y AS b FROM ee
+      UNION SELECT y, x FROM ee
+      UNION SELECT x, x FROM ee
+      UNION SELECT y, y FROM ee
+    ),
+    r(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS vec_id, min(b) AS cmp FROM r GROUP BY a)
     SELECT 'embedding' AS part,
-           cast(a.vec_id AS VARCHAR) AS ref_a, cast(b.vec_id AS VARCHAR) AS ref_b,
-           round(list_sum(list_transform(range(1, len(a.e)+1),
-                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS score
-    FROM va a JOIN va b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))
-          / (a.nrm * b.nrm) >= 0.35
+           cast(x AS VARCHAR) AS ref_a, cast(y AS VARCHAR) AS ref_b, score
+    FROM ee
+    UNION ALL
+    SELECT 'semantic' AS part,
+           cast(n.vec_id AS VARCHAR) AS ref_a,
+           cast(coalesce(c.cmp, n.vec_id) AS VARCHAR) AS ref_b,
+           CASE WHEN coalesce(c.cmp, n.vec_id) = n.vec_id THEN 1.0 ELSE 0.0 END AS score
+    FROM n LEFT JOIN comp c USING (vec_id)
     UNION ALL
     SELECT 'visual' AS part,
            'v:' || cast(a.doc_id AS VARCHAR) AS ref_a,
@@ -939,31 +992,46 @@ def q20_embedding_neardup(spark, sf_dir):
         banded-join operator under test is the production one).
         score = hamming distance (0.0 for byte-identical classes).
 
+      * part='semantic' (round 5): the SemDeDup keep-decision (Abbas et
+        al. '23, "SemDeDup: data-efficient learning at web-scale through
+        semantic deduplication") — cluster embeddings, find in-cluster
+        cosine near-dup pairs, connect them into semantic-duplicate
+        components (operators/graph.connected_components, the same
+        large-star/small-star loop q50 runs on text edges), and keep ONE
+        representative per component (the minimum vec_id — SemDeDup
+        keeps one point per ε-cluster; any deterministic choice works).
+        Output: one row per CORPUS vector (singletons included —
+        the keep-decision is total): ref_a = the vector, ref_b = its
+        component representative (itself if unique), score = 1.0 if
+        kept else 0.0. Scale: the pair join is the cluster-blocked
+        equi-join above, CC is O(log² n) rounds over |pairs| edges, and
+        the final left join is corpus × (small) component map.
+
     LAION-style visual dedup shape; pairs ordered ref_a < ref_b
     bytewise, matching both engines' string compare."""
     from . import codecs
+    from .operators.graph import connected_components
     from .operators.multimodal import phash_near_dup
 
     v = _norm_embeddings(spark, sf_dir)
-    va = v.join(_ivf_assign(v), "vec_id")
-    a = va.alias("a")
-    b = va.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    pairs = _emb_neardup_pairs(spark, sf_dir)
+    emb = pairs.select(
+        F.lit("embedding").alias("part"),
+        F.col("vec_a").cast("string").alias("ref_a"),
+        F.col("vec_b").cast("string").alias("ref_b"),
+        F.col("score"),
     )
-    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    emb = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(sim >= 0.35)
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    sem = (
+        v.select("vec_id")
+        .join(labels.select(F.col("node").alias("vec_id"), "label"), "vec_id", "left")
         .select(
-            F.lit("embedding").alias("part"),
-            F.col("a.vec_id").cast("string").alias("ref_a"),
-            F.col("b.vec_id").cast("string").alias("ref_b"),
-            F.round(sim, 4).alias("score"),
+            F.lit("semantic").alias("part"),
+            F.col("vec_id").cast("string").alias("ref_a"),
+            F.coalesce("label", "vec_id").cast("string").alias("ref_b"),
+            F.when(F.coalesce("label", "vec_id") == F.col("vec_id"), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("score"),
         )
     )
     cls = spark.createDataFrame(
@@ -985,7 +1053,7 @@ def q20_embedding_neardup(spark, sf_dir):
         "ref_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return emb.unionAll(vis)
+    return emb.unionAll(sem).unionAll(vis)
 
 
 # =====================================================================
