@@ -93,6 +93,67 @@ def check_rfc822(col) -> Column:
     return col.rlike(r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$")
 
 
+#: query parameters dropped by canonical_url — click-tracking noise that
+#: makes syntactically distinct URLs point at identical pages (the
+#: CommonCrawl / SURT-style normalization set, public practice).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|ref|fbclid|gclid)="
+
+
+def canonical_url(col) -> Column:
+    """URL canonicalization for URL-level dedup (web-pipeline analog of
+    the F7/F8 name projections; no pmOCR counterpart — pmOCR never sees
+    URLs, this is north-rule-native web-extraction hygiene).
+
+    Rules (SURT/CommonCrawl-style, deterministic, documented order):
+      1. scheme lowercased;
+      2. userinfo (``user:pass@``) stripped;
+      3. host lowercased, leading ``www.`` stripped;
+      4. default port dropped (``:80`` for http, ``:443`` for https),
+         non-default ports preserved;
+      5. path: duplicate ``//`` collapsed, trailing slashes stripped,
+         empty path -> ``/`` (case PRESERVED — paths are case-sensitive);
+      6. query: split on ``&``, tracking params (``utm_*``, ``ref``,
+         ``fbclid``, ``gclid``) and empties dropped, remainder sorted
+         lexicographically and rejoined (dropped entirely if none
+         survive);
+      7. fragment dropped.
+
+    Entirely Catalyst built-ins (regexp/split/filter/array_sort) — one
+    codegen'd map expression, no Python, so URL dedup at 10^12 rows is
+    scan + one hash aggregate."""
+    url = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    apq = F.regexp_replace(rest, r"#.*$", "")  # drop fragment
+    authority = F.regexp_replace(
+        F.regexp_extract(apq, r"^([^/?]*)", 1), r"^[^@]*@", ""
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(authority, r"^([^:]*)", 1)), r"^www\.", ""
+    )
+    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == F.lit("http")) & (port == F.lit("80")))
+        | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    raw_path = F.regexp_extract(apq, r"^[^/?]*([^?]*)", 1)
+    path = F.regexp_replace(F.regexp_replace(raw_path, r"/{2,}", "/"), r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qparams = F.filter(
+        F.split(F.regexp_extract(apq, r"\?(.*)$", 1), "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.concat_ws("&", F.array_sort(qparams))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
 def array_contains(arr_col, needle) -> Column:
     """X9 — ArrayContains (pmocr.sh:1374-1389)."""
     return F.array_contains(arr_col, needle)

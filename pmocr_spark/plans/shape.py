@@ -62,12 +62,41 @@ def has_cartesian(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle count — the number to minimize. Counts the formatted
-    plan's detail headers '(N) Exchange' so each operator counts once."""
+    """PHYSICAL shuffle count — the number to minimize. Counts the
+    formatted plan's detail headers '(N) Exchange' so each operator
+    counts once — EXCEPT operators inside an '== Initial Plan =='
+    section: a materialized cached relation (InMemoryRelation holding an
+    AdaptiveSparkPlan) is formatted as Final Plan + Initial Plan, and
+    the initial section re-lists the same shuffle under a second id, so
+    counting it would double-bill one physical Exchange."""
     import re
 
     plan = formatted_plan(df)
-    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+    lines = plan.splitlines()
+    initial_ids: set[str] = set()
+    regions: list[int] = []  # glyph-prefix lengths of open Initial sections
+
+    def _prefix_len(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+|-"))
+
+    for line in lines:
+        if re.match(r"^\(\d+\) ", line):
+            break  # tree section over, detail sections begin
+        p = _prefix_len(line)
+        # children of the marker render at the SAME stripped depth as
+        # the marker text itself, so a region stays open until a
+        # strictly shallower line (the cached subtree's sibling)
+        while regions and p < regions[-1]:
+            regions.pop()
+        if regions:
+            initial_ids.update(re.findall(r"\((\d+)\)", line))
+        if "== Initial Plan ==" in line:
+            regions.append(p)
+    return sum(
+        1
+        for m in re.finditer(r"^\((\d+)\) Exchange\b", plan, re.M)
+        if m.group(1) not in initial_ids
+    )
 
 
 def unpartitioned_window_args(df: DataFrame) -> list[str]:

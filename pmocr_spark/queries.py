@@ -588,6 +588,60 @@ from pmocr_spark.operators.substring_dedup import DEFAULT_K as _SUBSTR_K
            t.n_words - coalesce(r.n_kept, 0) AS n, coalesce(r.n_kept, 0) AS m
     FROM tot t LEFT JOIN reb r USING (doc_id)
     WHERE t.n_words - coalesce(r.n_kept, 0) > 0
+    UNION ALL
+    SELECT 'url' AS part, md5(cu) AS key, min(doc_id) AS doc_id,
+           cast(count(*) AS BIGINT) AS n, cast(NULL AS BIGINT) AS m
+    FROM (
+      -- canonical_url mirrored rule-for-rule (functions/__init__.py):
+      -- scheme lower; userinfo strip; host lower, www. strip; default
+      -- port drop; path // collapse + trailing strip (''->'/'); query
+      -- tracking-param drop + lexicographic sort; fragment drop.
+      -- NB DuckDB regexp_replace is first-match-only without 'g'.
+      WITH u0 AS (
+        SELECT doc_id,
+          (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'Http' END)
+          || '://' || (CASE WHEN doc_id % 2 = 0 THEN 'USER:pw@WWW.' ELSE '' END)
+          || 'ExAmple-' || source || '.COM'
+          || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':8080' ELSE '' END)
+          || '/Docs/' || (doc_id % 10)
+          || (CASE doc_id % 4 WHEN 0 THEN '//' WHEN 1 THEN '/' ELSE '' END)
+          || '?' || (CASE WHEN doc_id % 2 = 0
+                          THEN 'page=' || (doc_id % 5) || '&utm_source=feed&z=9'
+                          ELSE 'z=9&ref=tw&page=' || (doc_id % 5) END)
+          || (CASE WHEN doc_id % 4 = 0 THEN '#sec1' ELSE '' END) AS u
+        FROM documents),
+      u1 AS (
+        SELECT doc_id,
+          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+          regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                         '#.*$', '') AS apq
+        FROM u0),
+      u2 AS (
+        SELECT doc_id, sch,
+          regexp_replace(regexp_extract(apq, '^([^/?]*)', 1), '^[^@]*@', '') AS auth,
+          regexp_extract(apq, '^[^/?]*([^?]*)', 1) AS rawpath,
+          regexp_extract(apq, '\\?(.*)$', 1) AS rawq
+        FROM u1),
+      u3 AS (
+        SELECT doc_id, sch,
+          regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
+                         '^www\\.', '') AS host,
+          regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+          regexp_replace(regexp_replace(rawpath, '/{{2,}}', '/', 'g'),
+                         '/+$', '') AS p2,
+          array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+            x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[^=]*|ref|fbclid|gclid)='))), '&') AS q
+        FROM u2)
+      SELECT doc_id,
+        sch || '://' || host
+        || (CASE WHEN port <> '' AND NOT ((sch = 'http' AND port = '80')
+                                     OR (sch = 'https' AND port = '443'))
+                 THEN ':' || port ELSE '' END)
+        || (CASE WHEN p2 = '' THEN '/' ELSE p2 END)
+        || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS cu
+      FROM u3)
+    GROUP BY cu
     """,
 )
 def q16_dedup_exact(spark, sf_dir):
@@ -599,8 +653,17 @@ def q16_dedup_exact(spark, sf_dir):
         that lost words, key = md5 of the reconstructed text (pinning the
         whole reassembly byte-for-byte against the oracle), n = words
         removed, m = words kept.
-    Both parts stay codegen-only; the substring part's dup detection is
+      * part='url' (round 5): URL-level dedup — canonical_url
+        (functions/__init__.py: SURT/CommonCrawl-style normalization,
+        pure codegen) over a deterministic messy-URL scaffold (the q40
+        lift pattern: scheme/www/userinfo/port/trailing-slash/tracking-
+        param/fragment noise keyed off doc_id mods, built identically in
+        both engines), then hash-groupBy on the canonical form. key =
+        md5(canonical), n = group size. The operator under test is the
+        normalization; at 10^12 rows this is scan + one hash agg.
+    All parts stay codegen-only; the substring part's dup detection is
     min(doc)<>max(doc) per gram (no count-distinct expand)."""
+    from pmocr_spark.functions import canonical_url
     from pmocr_spark.operators.substring_dedup import substring_dedup
 
     d = _t(spark, sf_dir, "documents")
@@ -625,7 +688,46 @@ def q16_dedup_exact(spark, sf_dir):
             F.col("n_kept").alias("m"),
         )
     )
-    return doc.unionAll(sub)
+    did = F.col("doc_id")
+    messy = F.concat(
+        F.when(did % 3 == 0, F.lit("HTTP"))
+        .when(did % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("Http")),
+        F.lit("://"),
+        F.when(did % 2 == 0, F.lit("USER:pw@WWW.")).otherwise(F.lit("")),
+        F.lit("ExAmple-"),
+        F.col("source"),
+        F.lit(".COM"),
+        F.when(did % 5 == 0, F.lit(":80"))
+        .when(did % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (did % 10).cast("string"),
+        F.when(did % 4 == 0, F.lit("//"))
+        .when(did % 4 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("page="), (did % 5).cast("string"), F.lit("&utm_source=feed&z=9")),
+        ).otherwise(
+            F.concat(F.lit("z=9&ref=tw&page="), (did % 5).cast("string"))
+        ),
+        F.when(did % 4 == 0, F.lit("#sec1")).otherwise(F.lit("")),
+    )
+    url = (
+        d.select("doc_id", canonical_url(messy).alias("cu"))
+        .groupBy("cu")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n"))
+        .select(
+            F.lit("url").alias("part"),
+            F.md5(F.col("cu").cast("binary")).alias("key"),
+            "doc_id",
+            "n",
+            F.lit(None).cast("long").alias("m"),
+        )
+    )
+    return doc.unionAll(sub).unionAll(url)
 
 
 #: q17 stop-shingle document-frequency cap: a shingle present in more

@@ -78,3 +78,39 @@ def test_output_name(spark):
         X.output_name(F.col("v"), "2024-01-01T00-00-00Z", "_OCR", ".pdf").alias("r")
     ).collect()[0]["r"]
     assert got == "report_2024-01-01T00-00-00Z_OCR.pdf"
+
+
+def test_canonical_url_rules(spark):
+    cases = [
+        # scheme+host lower, userinfo strip, www strip, default port
+        # drop, // collapse, trailing-slash strip, tracking-param drop,
+        # param sort, fragment drop
+        (
+            "HTTP://User:pw@WWW.ExAmple.COM:80/Docs/3//?page=2&utm_source=f&z=9#s",
+            "http://example.com/Docs/3?page=2&z=9",
+        ),
+        # https default port dropped; trailing slash on non-root path
+        ("https://www.Example.com:443/a/b/?z=9&ref=tw&page=1",
+         "https://example.com/a/b?page=1&z=9"),
+        # non-default port kept; empty path -> '/'; all params dropped
+        ("Http://example.com:8080?utm_campaign=x", "http://example.com:8080/"),
+        # root path collapses to '/'
+        ("https://EXAMPLE.com///", "https://example.com/"),
+        # :80 preserved under https (non-default for that scheme)
+        ("https://a.com:80/x", "https://a.com:80/x"),
+        # path case preserved (paths are case-sensitive)
+        ("http://a.com/CaseSensitive", "http://a.com/CaseSensitive"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in df.select(X.canonical_url("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_canonical_url_is_codegen_only(spark):
+    # the whole normalization must stay a JVM map expression — no
+    # Python in the hot path at 10^12 rows
+    df = spark.range(4).select(
+        F.concat(F.lit("http://h/"), F.col("id").cast("string")).alias("u")
+    )
+    plan = df.select(X.canonical_url("u").alias("c"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
