@@ -304,3 +304,217 @@ def wrap_boilerplate(text: str, doc_id: int = 0, template: int | None = None) ->
     trimmed payload (the q39-style oracle lift; pinned by tests)."""
     t = (doc_id % len(_TEMPLATES)) if template is None else (template % len(_TEMPLATES))
     return _TEMPLATES[t].format(i=doc_id, payload=_html.escape(text))
+
+
+# ---------------------------------------------- structural markdown view
+
+#: inline tag -> markdown marker (emitted symmetrically open/close)
+_MD_INLINE = {"b": "**", "strong": "**", "i": "*", "em": "*", "code": "`"}
+_MD_HEADING = {f"h{i}": i for i in range(1, 7)}
+#: block-level tags that close the current markdown paragraph
+_MD_BLOCK = frozenset("p div section article main body blockquote".split())
+_WS_RUN = re.compile(r"\s+")
+
+
+class _MdBuilder(HTMLParser):
+    """HTML -> GitHub-flavored-markdown structural conversion — the
+    second extraction OUTPUT FORMAT next to extract_main's plain text
+    (LLM pretraining corpora favor markdown because it preserves
+    document structure: headings, lists, tables, links, emphasis).
+
+    One tolerant pass, same excluded-element model as _Extractor:
+    headings -> ``#``*n, <ul>/<ol> -> ``-`` / ``1.`` items (nested
+    lists indent two spaces), <table> -> pipe tables with a ``---``
+    separator row, <a> -> ``[text](href)``, <b>/<i>/<code> -> inline
+    markers, <pre> -> fenced blocks, <blockquote> -> ``> `` prefixes.
+    Blocks join with a blank line. Whitespace runs collapse to one
+    space outside <pre>. Deterministic: pure function of the input,
+    document order preserved, malformed HTML never raises."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self.tables: list[list[list[str]]] = []
+        self._buf: list[str] = []
+        self._excl = 0
+        self._heading = 0
+        self._quote = 0
+        self._pre = 0
+        # list stack frames: {"ordered": bool, "n": int, "lines": [...]}
+        self._lists: list[dict] = []
+        self._hrefs: list[str] = []
+        # table stack (nested tables flatten into their own entries):
+        # frames of {"rows": [(cells, any_th)], "row": [...]|None}
+        self._tstack: list[dict] = []
+        self._cell: list[str] | None = None
+
+    # ---------------------------------------------------------- helpers
+
+    def _text(self) -> str:
+        out = "".join(self._buf).strip()
+        self._buf.clear()
+        return out
+
+    def _emit(self, text: str) -> None:
+        if not text:
+            return
+        if self._quote:
+            text = "\n".join("> " * self._quote + ln for ln in text.split("\n"))
+        self.blocks.append(text)
+
+    def _flush(self) -> None:
+        if self._lists:
+            self._close_item()
+        else:
+            self._emit(self._text())
+
+    def _close_item(self) -> None:
+        text = self._text()
+        if not text:
+            return
+        fr = self._lists[-1]
+        fr["n"] += 1
+        marker = f"{fr['n']}. " if fr["ordered"] else "- "
+        fr["lines"].append(marker + text)
+
+    # ---------------------------------------------------- parser events
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _EXCLUDED:
+            self._excl += 1
+            return
+        if self._excl:
+            return
+        if self._cell is not None and tag not in ("td", "th", "tr", "table"):
+            if tag == "br":
+                self._cell.append(" ")
+            return  # structure inside a cell flattens into cell text
+        if tag in _MD_HEADING:
+            self._flush()
+            self._heading = _MD_HEADING[tag]
+        elif tag in _MD_BLOCK:
+            self._flush()
+            if tag == "blockquote":
+                self._quote += 1
+        elif tag == "br":
+            self._buf.append("\n")
+        elif tag in ("ul", "ol"):
+            self._flush()
+            self._lists.append({"ordered": tag == "ol", "n": 0, "lines": []})
+        elif tag == "li":
+            if self._lists:
+                self._close_item()
+        elif tag == "a":
+            self._hrefs.append(dict(attrs).get("href") or "")
+            self._buf.append("[")
+        elif tag in _MD_INLINE and not self._pre:
+            self._buf.append(_MD_INLINE[tag])
+        elif tag == "pre":
+            self._flush()
+            self._pre += 1
+        elif tag == "table":
+            self._flush()
+            self._tstack.append({"rows": [], "row": None})
+        elif tag == "tr" and self._tstack:
+            self._tstack[-1]["row"] = []
+        elif tag in ("td", "th") and self._tstack:
+            if self._tstack[-1]["row"] is None:
+                self._tstack[-1]["row"] = []
+            self._cell = []
+
+    def handle_endtag(self, tag):
+        if tag in _EXCLUDED:
+            if self._excl:
+                self._excl -= 1
+            return
+        if self._excl:
+            return
+        if tag in ("td", "th") and self._tstack:
+            if self._cell is not None:
+                cell = _WS_RUN.sub(" ", "".join(self._cell)).strip()
+                self._tstack[-1]["row"].append((cell, tag == "th"))
+                self._cell = None
+        elif tag == "tr" and self._tstack:
+            fr = self._tstack[-1]
+            if fr["row"]:
+                cells = [c for c, _ in fr["row"]]
+                any_th = any(h for _, h in fr["row"])
+                fr["rows"].append((cells, any_th))
+            fr["row"] = None
+        elif tag == "table" and self._tstack:
+            fr = self._tstack.pop()
+            rows = fr["rows"]
+            if rows:
+                self.tables.append([cells for cells, _ in rows])
+                width = len(rows[0][0])
+                lines = ["| " + " | ".join(rows[0][0]) + " |"]
+                lines.append("| " + " | ".join(["---"] * width) + " |")
+                lines.extend("| " + " | ".join(cells) + " |" for cells, _ in rows[1:])
+                self._emit("\n".join(lines))
+        elif self._cell is not None:
+            return
+        elif tag in _MD_HEADING:
+            text = self._text()
+            self._emit("#" * self._heading + " " + text if text else "")
+            self._heading = 0
+        elif tag in _MD_BLOCK:
+            self._flush()
+            if tag == "blockquote" and self._quote:
+                self._quote -= 1
+        elif tag == "li":
+            if self._lists:
+                self._close_item()
+        elif tag in ("ul", "ol"):
+            if self._lists:
+                self._close_item()
+                fr = self._lists.pop()
+                if self._lists:  # nested: indent into the parent item list
+                    self._lists[-1]["lines"].extend(
+                        "  " + ln for ln in fr["lines"]
+                    )
+                else:
+                    self._emit("\n".join(fr["lines"]))
+        elif tag == "a":
+            href = self._hrefs.pop() if self._hrefs else ""
+            self._buf.append(f"]({href})")
+        elif tag in _MD_INLINE and not self._pre:
+            self._buf.append(_MD_INLINE[tag])
+        elif tag == "pre":
+            raw = "".join(self._buf).strip("\n")
+            self._buf.clear()
+            self._emit(f"```\n{raw}\n```")
+            if self._pre:
+                self._pre -= 1
+
+    def handle_data(self, data):
+        if self._excl or not data:
+            return
+        if self._cell is not None:
+            self._cell.append(data)
+        elif self._pre:
+            self._buf.append(data)
+        else:
+            self._buf.append(_WS_RUN.sub(" ", data))
+
+    def result(self) -> str:
+        self._flush()
+        return "\n\n".join(b for b in self.blocks if b)
+
+
+def to_markdown(doc: str) -> str:
+    """GitHub-flavored-markdown view of an HTML document (see
+    _MdBuilder). The structure-preserving twin of extract_main."""
+    p = _MdBuilder()
+    p.feed(doc)
+    p.close()
+    return p.result()
+
+
+def extract_tables(doc: str) -> list[list[list[str]]]:
+    """Structured table extraction: every <table> in document order as
+    rows x cells of whitespace-normalized text (th/td alike; nested
+    tables surface as separate entries, innermost first)."""
+    p = _MdBuilder()
+    p.feed(doc)
+    p.close()
+    return p.tables

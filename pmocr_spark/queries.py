@@ -2971,6 +2971,66 @@ _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
            cast(CASE WHEN page_bad OR len(kept) < 3 THEN 0 ELSE 1 END
                 AS BIGINT)                                                AS keep
     FROM c4
+    UNION ALL
+    -- within-doc line dedup keep-first: min position per distinct line,
+    -- reassembled in position order (mirrors Spark array_distinct)
+    SELECT 'linededup' AS part, l.doc_id, dd.out_text,
+           cast(len(l.lns) AS BIGINT) AS n_a, dd.n_b,
+           cast(1 AS BIGINT) AS keep
+    FROM (
+      SELECT doc_id,
+        list_concat(base, CASE WHEN doc_id % 5 = 0 THEN base[1:1]
+                               ELSE []::VARCHAR[] END) AS lns
+      FROM (
+        SELECT doc_id,
+          list_transform(range(0, (len(ws) + 7) // 8), i ->
+            array_to_string(ws[(i*8+1):(i*8+8)], ' ') ||
+            CASE WHEN (doc_id + i) % 3 <> 2 THEN '.' ELSE '' END) AS base
+        FROM w)) l
+    JOIN (
+      SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS out_text,
+             cast(count(*) AS BIGINT) AS n_b
+      FROM (
+        SELECT doc_id, ln, min(i) AS i
+        FROM (
+          SELECT x.doc_id, t.i, x.lns[t.i] AS ln
+          FROM (
+            SELECT doc_id,
+              list_concat(base, CASE WHEN doc_id % 5 = 0 THEN base[1:1]
+                                     ELSE []::VARCHAR[] END) AS lns
+            FROM (
+              SELECT doc_id,
+                list_transform(range(0, (len(ws) + 7) // 8), i ->
+                  array_to_string(ws[(i*8+1):(i*8+8)], ' ') ||
+                  CASE WHEN (doc_id + i) % 3 <> 2 THEN '.' ELSE '' END) AS base
+              FROM w)) x,
+          unnest(range(1, len(x.lns) + 1)) AS t(i))
+        GROUP BY doc_id, ln)
+      GROUP BY doc_id) dd USING (doc_id)
+    UNION ALL
+    -- expected markdown stated INDEPENDENTLY by string construction;
+    -- the Spark side runs the real HTML->markdown converter over
+    -- scaffold HTML built from the same first 10 words
+    SELECT 'markdown' AS part, doc_id, md AS out_text,
+           cast(len(string_split(md, chr(10) || chr(10))) AS BIGINT) AS n_a,
+           cast(len(regexp_extract_all(md, '\\]\\(')) AS BIGINT)    AS n_b,
+           cast(1 AS BIGINT) AS keep
+    FROM (
+      SELECT doc_id,
+        repeat('#', cast(doc_id % 3 + 1 AS INT)) || ' ' || ws[1] || ' ' || ws[2]
+        || chr(10) || chr(10) || ws[3] || ' **' || ws[4] || '** ' || ws[5]
+        || chr(10) || chr(10) ||
+          CASE WHEN doc_id % 2 = 0
+               THEN '- ' || ws[6] || chr(10) || '- ' || ws[7]
+               ELSE '1. ' || ws[6] || chr(10) || '2. ' || ws[7] END
+        || chr(10) || chr(10)
+        || '| ' || ws[8] || ' | ' || ws[9] || ' |' || chr(10)
+        || '| --- | --- |' || chr(10)
+        || '| ' || ws[10] || ' | ' || doc_id || ' |'
+        || chr(10) || chr(10)
+        || '[' || ws[8] || ' ' || ws[9] || '](https://ex.com/'
+        || (doc_id % 10) || ')' AS md
+      FROM w)
     """,
 )
 def q40_pii_redact(spark, sf_dir):
@@ -3068,7 +3128,94 @@ def q40_pii_redact(spark, sf_dir):
         F.size(kept).cast("long").alias("n_b"),
         F.when(bad, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("keep"),
     )
-    return pii.unionAll(c4)
+
+    # part='linededup' (round 5): within-doc line dedup keep-first
+    # (RefinedWeb-style line-wise correction). array_distinct preserves
+    # first-occurrence order, so the whole arm is one map-only array
+    # expression — no explode, no shuffle, no Python; the scaffold
+    # injects a guaranteed duplicate of line 1 on every 5th doc.
+    dupped = F.concat(
+        base,
+        F.when(F.col("doc_id") % 5 == 0, F.slice(base, 1, 1)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    dedup_lines = F.array_distinct(dupped)
+    linededup = d.select(
+        F.lit("linededup").alias("part"),
+        "doc_id",
+        F.array_join(dedup_lines, "\n").alias("out_text"),
+        F.size(dupped).cast("long").alias("n_a"),
+        F.size(dedup_lines).cast("long").alias("n_b"),
+        F.lit(1).cast("long").alias("keep"),
+    )
+
+    # part='markdown' (round 5): the REAL structural converter
+    # (operators/html_extract.to_markdown — headings, lists, pipe
+    # tables, links, emphasis, nav/script exclusion) over scaffold HTML
+    # built from each doc's first 10 words; the oracle states the
+    # expected markdown INDEPENDENTLY via string construction, so the
+    # hash verifies the converter's exact output. Arrow-batched pandas
+    # UDF — the one Python stage in the family, map-only.
+    from pmocr_spark.operators.html_extract import to_markdown
+
+    def _w(i):
+        return F.element_at(ws, i)
+
+    hlvl = (F.col("doc_id") % 3 + 1).cast("int").cast("string")
+    list_html = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("<ul><li>"), _w(6), F.lit("</li><li>"), _w(7), F.lit("</li></ul>")),
+    ).otherwise(
+        F.concat(F.lit("<ol><li>"), _w(6), F.lit("</li><li>"), _w(7), F.lit("</li></ol>"))
+    )
+    html = F.concat(
+        F.lit('<html><head><script>var x=1;</script></head><body>'),
+        F.lit('<nav><a href="/h">Home</a></nav><h'),
+        hlvl,
+        F.lit(">"),
+        _w(1),
+        F.lit(" "),
+        _w(2),
+        F.lit("</h"),
+        hlvl,
+        F.lit("><p>"),
+        _w(3),
+        F.lit(" <b>"),
+        _w(4),
+        F.lit("</b> "),
+        _w(5),
+        F.lit("</p>"),
+        list_html,
+        F.lit("<table><tr><th>"),
+        _w(8),
+        F.lit("</th><th>"),
+        _w(9),
+        F.lit("</th></tr><tr><td>"),
+        _w(10),
+        F.lit("</td><td>"),
+        F.col("doc_id").cast("string"),
+        F.lit('</td></tr></table><p><a href="https://ex.com/'),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit('">'),
+        _w(8),
+        F.lit(" "),
+        _w(9),
+        F.lit("</a></p></body></html>"),
+    )
+    md_conv = F.pandas_udf(
+        lambda s: s.map(lambda h: to_markdown(h) if h is not None else None),
+        "string",
+    )
+    md = d.select("doc_id", md_conv(html).alias("out_text")).select(
+        F.lit("markdown").alias("part"),
+        "doc_id",
+        "out_text",
+        F.size(F.split("out_text", "\n\n")).cast("long").alias("n_a"),
+        F.regexp_count("out_text", F.lit(r"\]\(")).cast("long").alias("n_b"),
+        F.lit(1).cast("long").alias("keep"),
+    )
+    return pii.unionAll(c4).unionAll(linededup).unionAll(md)
 
 
 @query(

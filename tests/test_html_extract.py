@@ -323,3 +323,85 @@ def test_reference_convert_mirrors_html_route():
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+# ------------------------------------------------- markdown conversion
+
+
+def test_markdown_structural_elements():
+    from pmocr_spark.operators.html_extract import to_markdown
+
+    h = (
+        "<html><body><h1>Title Here</h1><p>a <b>bold</b> and <i>it</i> "
+        'and <code>c()</code> <a href="/x">link</a></p>'
+        "<ul><li>one</li><li>two</li></ul>"
+        "<ol><li>first</li><li>second</li></ol>"
+        "<blockquote><p>wisdom</p></blockquote>"
+        "<pre>raw  spaces\nkept</pre></body></html>"
+    )
+    assert to_markdown(h) == (
+        "# Title Here\n\n"
+        "a **bold** and *it* and `c()` [link](/x)\n\n"
+        "- one\n- two\n\n"
+        "1. first\n2. second\n\n"
+        "> wisdom\n\n"
+        "```\nraw  spaces\nkept\n```"
+    )
+
+
+def test_markdown_table_and_exclusions():
+    from pmocr_spark.operators.html_extract import to_markdown
+
+    h = (
+        "<body><nav><a href='/'>Home</a></nav>"
+        "<script>var x=1;</script>"
+        "<table><tr><th>A</th><th>B</th></tr>"
+        "<tr><td>1</td><td>2</td></tr></table></body>"
+    )
+    assert to_markdown(h) == "| A | B |\n| --- | --- |\n| 1 | 2 |"
+
+
+def test_markdown_nested_list_indents():
+    from pmocr_spark.operators.html_extract import to_markdown
+
+    h = "<ul><li>a<ul><li>a1</li><li>a2</li></ul></li><li>b</li></ul>"
+    assert to_markdown(h) == "- a\n  - a1\n  - a2\n- b"
+
+
+def test_markdown_whitespace_collapse_and_entities():
+    from pmocr_spark.operators.html_extract import to_markdown
+
+    assert to_markdown("<p>a\n   b &amp; c</p>") == "a b & c"
+
+
+def test_markdown_malformed_never_raises():
+    from pmocr_spark.operators.html_extract import to_markdown
+
+    for h in ("<b>unclosed", "</p>stray", "<table><td>x", "", "<ul><li>",
+              "<a href=>t</a>", "<h3>h"):
+        to_markdown(h)  # must not raise
+
+
+def test_markdown_heading_close_flushes():
+    from pmocr_spark.operators.html_extract import to_markdown
+
+    # unclosed heading at EOF still renders as a plain block (tolerant),
+    # closed heading renders with the hash prefix
+    assert to_markdown("<h2>two words</h2>") == "## two words"
+
+
+def test_extract_tables_structured():
+    from pmocr_spark.operators.html_extract import extract_tables
+
+    h = (
+        "<table><tr><th>h1</th><th>h2</th></tr><tr><td>a</td><td>b</td></tr>"
+        "</table><p>x</p><table><tr><td>only</td></tr></table>"
+    )
+    assert extract_tables(h) == [[["h1", "h2"], ["a", "b"]], [["only"]]]
+
+
+def test_extract_tables_cell_structure_flattens():
+    from pmocr_spark.operators.html_extract import extract_tables
+
+    h = "<table><tr><td><b>bold</b> text<br>next</td></tr></table>"
+    assert extract_tables(h) == [[["bold text next"]]]
