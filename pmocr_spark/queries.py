@@ -1703,16 +1703,31 @@ _LM_VOCAB_K = 1000
         SELECT bg, row_number() OVER (ORDER BY count(*) DESC, bg ASC) AS rn
         FROM g GROUP BY bg) WHERE rn <= {_LM_VOCAB_K}),
     pd AS (SELECT doc_id, count(*) AS n_bg FROM g GROUP BY doc_id),
-    hit AS (SELECT doc_id, count(*) AS n_hit FROM g JOIN topv USING (bg) GROUP BY doc_id)
-    SELECT f.doc_id, n_tokens,
+    hit AS (SELECT doc_id, count(*) AS n_hit FROM g JOIN topv USING (bg) GROUP BY doc_id),
+    cov AS (
+      SELECT f.doc_id, n_chars, n_tokens, n_punct, n_stop,
+             round(coalesce(n_hit, 0) * 1.0 / n_bg, 4)              AS common_bigram_frac
+      FROM f LEFT JOIN pd ON f.doc_id = pd.doc_id
+             LEFT JOIN hit ON f.doc_id = hit.doc_id),
+    -- CCNet-style corpus tertiles over the LM score: rank desc with a
+    -- doc_id tiebreak (unique), integer-arithmetic thresholds
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY common_bigram_frac DESC, doc_id ASC) AS rnk,
+             count(*) OVER () AS n
+      FROM cov WHERE common_bigram_frac IS NOT NULL)
+    SELECT c.doc_id, n_tokens,
            round(n_punct * 1.0 / n_tokens, 4)                       AS punct_ratio,
            round(n_stop * 1.0 / n_tokens, 4)                        AS stop_ratio,
            round(n_chars * 1.0 / n_tokens, 4)                       AS avg_tok_len,
            round(1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * (n_stop * 1.0 / n_tokens)
                  - 1.5 * (n_punct * 1.0 / n_tokens) - 0.5))), 4)    AS quality,
-           round(coalesce(n_hit, 0) * 1.0 / n_bg, 4)                AS common_bigram_frac
-    FROM f LEFT JOIN pd ON f.doc_id = pd.doc_id
-           LEFT JOIN hit ON f.doc_id = hit.doc_id
+           c.common_bigram_frac,
+           CASE WHEN r.rnk IS NULL THEN NULL
+                WHEN r.rnk * 3 <= r.n THEN 'head'
+                WHEN r.rnk * 3 <= 2 * r.n THEN 'middle'
+                ELSE 'tail' END                                     AS lm_bucket
+    FROM cov c LEFT JOIN r ON c.doc_id = r.doc_id
     """,
 )
 def q24_quality_score(spark, sf_dir):
@@ -1730,7 +1745,15 @@ def q24_quality_score(spark, sf_dir):
     Scale: vocabulary = one count agg + TakeOrderedAndProject (q44's
     top-k shape, never a global sort) -> broadcast to the per-doc
     membership join; two keyed aggs on near-unique (doc) keys. Docs
-    with < 2 tokens have no bigrams -> NULL coverage (both engines)."""
+    with < 2 tokens have no bigrams -> NULL coverage (both engines).
+
+    Round 5 adds `lm_bucket` — CCNet's (Wenzek et al., LREC 2020,
+    public) head/middle/tail corpus tertiles over the LM score, the
+    knob real pipelines use to keep the best-scoring third. Bucketing
+    at 10^12 docs uses the q37 two-pass rank (range partition -> local
+    row_number -> broadcast offsets) plus a broadcast 1-row total, so
+    there is no global sort and no single-partition window anywhere
+    (test_q24_lm_bucket_no_global_window)."""
     d = _t(spark, sf_dir, "documents")
     lt = F.lower(F.col("text"))
     f = d.select(
@@ -1760,6 +1783,30 @@ def q24_quality_score(spark, sf_dir):
             "common_bigram_frac"
         ),
     )
+    # CCNet-style head/middle/tail bucketing over the LM score (round
+    # 5): corpus tertiles via the q37 two-pass rank — range partition,
+    # local row_number, broadcast offsets — NEVER a single-partition
+    # global window; the tertile thresholds come from a 1-row count
+    # broadcast, integer arithmetic only (rnk*3 vs n) so parity is
+    # exact. Docs without a score (under 2 tokens) get a NULL bucket.
+    from .operators.graph import iter_checkpoint
+
+    covnn = iter_checkpoint(
+        coverage.filter(F.col("common_bigram_frac").isNotNull())
+    )
+    ranked = _two_pass_rank(
+        covnn,
+        [F.col("common_bigram_frac").desc(), F.col("doc_id").asc()],
+        "doc_id",
+    )
+    tot = covnn.agg(F.count("*").alias("n"))
+    bucket = ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.when(F.col("rnk") * 3 <= F.col("n"), "head")
+        .when(F.col("rnk") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("lm_bucket"),
+    )
     punct_ratio = F.col("n_punct") / F.col("n_tokens")
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
     quality = 1.0 / (
@@ -1768,7 +1815,7 @@ def q24_quality_score(spark, sf_dir):
             -(0.002 * F.col("n_chars") + 2.0 * stop_ratio - 1.5 * punct_ratio - 0.5)
         )
     )
-    return f.join(coverage, "doc_id", "left").select(
+    return f.join(coverage, "doc_id", "left").join(bucket, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
         F.round(punct_ratio, 4).alias("punct_ratio"),
@@ -1776,6 +1823,7 @@ def q24_quality_score(spark, sf_dir):
         F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias("avg_tok_len"),
         F.round(quality, 4).alias("quality"),
         "common_bigram_frac",
+        "lm_bucket",
     )
 
 

@@ -392,3 +392,26 @@ def test_q21_ivfpq_adc_is_equijoin(spark):
     # "Left/Right keys [n]: [...]" line per hash join
     keyed = [ln for ln in plan.splitlines() if "keys" in ln and "cluster_id" in ln]
     assert keyed, f"ADC join must key on cluster_id:\n{plan}"
+
+
+def test_q24_lm_bucket_no_global_window(spark):
+    """The CCNet tertile bucketing must use the q37 two-pass rank: the
+    only unpartitioned Window allowed is the bounded 16-row offset
+    frame (sums _n), never the corpus-sized score column; the tertile
+    thresholds join as a broadcast 1-row count."""
+    df = QUERY_FNS["q24_quality_score"](spark, SF)
+    for arg in shape.unpartitioned_window_args(df):
+        assert "_n#" in arg and "common_bigram_frac" not in arg, arg
+    plan = shape.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # tertile buckets are a partition of the scored docs: counts within
+    # one of each other and ordered head >= middle >= tail by score
+    rows = df.select("lm_bucket", "common_bigram_frac").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["lm_bucket"], []).append(r["common_bigram_frac"])
+    assert set(by) == {"head", "middle", "tail"}
+    sizes = [len(by[k]) for k in ("head", "middle", "tail")]
+    assert max(sizes) - min(sizes) <= 1, sizes
+    assert min(by["head"]) >= max(by["middle"]) - 1e-9
+    assert min(by["middle"]) >= max(by["tail"]) - 1e-9
