@@ -1682,6 +1682,78 @@ def q23_lang_id(spark, sf_dir):
 _LM_VOCAB_K = 1000
 
 
+def _lr_ctes(iters: int, eta: float, k: int = 5) -> str:
+    """DuckDB mirror of operators/quality_classifier.py — generated so
+    the per-iteration CTEs can't drift from the loop structure. Every
+    arithmetic shape matches the module docstring formula verbatim
+    (double-the-exact-integer-sum FIRST, left-associative logit,
+    1000000.0/(1+exp) micro-quantization, eta*float(g)/(1e9*n))."""
+    xs = [
+        "n_chars",
+        "n_tokens",
+        "round(1000.0 * n_chars / n_tokens)",
+        "round(1000.0 * n_stop / n_tokens)",
+        "round(1000.0 * n_punct / n_tokens)",
+    ]
+    feat_cols = ", ".join(f"cast({e} AS BIGINT) AS r{i+1}" for i, e in enumerate(xs))
+    sums = ", ".join(
+        f"sum(r{i+1}) AS s{i+1}, sum(r{i+1}*r{i+1}) AS q{i+1}" for i in range(k)
+    )
+
+    def _sd(i):
+        mu = f"(s{i}*1.0/n)"
+        var = f"(q{i}*1.0/n - {mu}*{mu})"
+        return f"(CASE WHEN {var} > 0 THEN sqrt({var}) ELSE 1.0 END)"
+
+    zs = ", ".join(
+        f"cast(round(1000.0*(r{i+1} - (s{i+1}*1.0/n)) / {_sd(i+1)}) AS BIGINT)"
+        f" AS z{i+1}"
+        for i in range(k)
+    )
+    logit = "(" + " + ".join(f"w.c{j}*z.z{j}" for j in range(k + 1)) + ")/1000.0"
+    out = [
+        f"lrf AS (SELECT doc_id, {feat_cols},"
+        " CASE WHEN 1.0/(1.0 + exp(-(0.002*n_chars + 2.0*(n_stop*1.0/n_tokens)"
+        " - 1.5*(n_punct*1.0/n_tokens) - 0.5))) > 0.5 THEN 1 ELSE 0 END AS y"
+        " FROM f)",
+        f"lrs AS (SELECT count(*) AS n, {sums} FROM lrf)",
+        f"lrz AS (SELECT doc_id, y, cast(1000 AS BIGINT) AS z0, {zs} FROM lrf, lrs)",
+        "lrw0 AS (SELECT " + ", ".join(f"0.0 AS c{j}" for j in range(k + 1)) + ")",
+    ]
+    for t in range(1, iters + 1):
+        out.append(
+            f"lrp{t} AS (SELECT z.*, cast(round(1000000.0 /"
+            f" (1.0 + exp(-({logit})))) AS BIGINT) AS pmu"
+            f" FROM lrz z, lrw{t-1} w)"
+        )
+        out.append(
+            f"lrg{t} AS (SELECT "
+            + ", ".join(
+                f"sum((pmu - 1000000*y)*z{j}) AS g{j}" for j in range(k + 1)
+            )
+            + f" FROM lrp{t})"
+        )
+        out.append(
+            f"lrw{t} AS (SELECT "
+            + ", ".join(
+                f"w.c{j} - {eta}*(g.g{j}*1.0)/(1000000000.0*s.n) AS c{j}"
+                for j in range(k + 1)
+            )
+            + f" FROM lrw{t-1} w, lrg{t} g, lrs s)"
+        )
+    out.append(
+        f"lrsc AS (SELECT z.doc_id, round(1.0/(1.0 + exp(-({logit}))), 4)"
+        f" AS lr_quality FROM lrz z, lrw{iters} w)"
+    )
+    return ",\n    ".join(out)
+
+
+from pmocr_spark.operators.quality_classifier import ETA as _LR_ETA
+from pmocr_spark.operators.quality_classifier import ITERS as _LR_ITERS
+
+_LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
+
+
 @query(
     "q24_quality_score",
     f"""
@@ -1715,7 +1787,8 @@ _LM_VOCAB_K = 1000
       SELECT doc_id,
              row_number() OVER (ORDER BY common_bigram_frac DESC, doc_id ASC) AS rnk,
              count(*) OVER () AS n
-      FROM cov WHERE common_bigram_frac IS NOT NULL)
+      FROM cov WHERE common_bigram_frac IS NOT NULL),
+    {_LR_SQL}
     SELECT c.doc_id, n_tokens,
            round(n_punct * 1.0 / n_tokens, 4)                       AS punct_ratio,
            round(n_stop * 1.0 / n_tokens, 4)                        AS stop_ratio,
@@ -1726,8 +1799,10 @@ _LM_VOCAB_K = 1000
            CASE WHEN r.rnk IS NULL THEN NULL
                 WHEN r.rnk * 3 <= r.n THEN 'head'
                 WHEN r.rnk * 3 <= 2 * r.n THEN 'middle'
-                ELSE 'tail' END                                     AS lm_bucket
+                ELSE 'tail' END                                     AS lm_bucket,
+           lrsc.lr_quality
     FROM cov c LEFT JOIN r ON c.doc_id = r.doc_id
+               LEFT JOIN lrsc ON c.doc_id = lrsc.doc_id
     """,
 )
 def q24_quality_score(spark, sf_dir):
@@ -1753,7 +1828,16 @@ def q24_quality_score(spark, sf_dir):
     at 10^12 docs uses the q37 two-pass rank (range partition -> local
     row_number -> broadcast offsets) plus a broadcast 1-row total, so
     there is no global sort and no single-partition window anywhere
-    (test_q24_lm_bucket_no_global_window)."""
+    (test_q24_lm_bucket_no_global_window).
+
+    Round 5 also adds `lr_quality` — a TRAINED fastText-style quality
+    classifier (operators/quality_classifier.py): full-batch logistic
+    regression whose gradients are exact integer sums (standardized
+    integer milli-z features, micro-quantized probabilities), so the
+    weight trajectory is bit-identical across engines and
+    partitionings and the trained model's per-doc scores sit under the
+    driver's hash gate — a learned model verified to 4 decimals by an
+    independent SQL implementation of the same training loop."""
     d = _t(spark, sf_dir, "documents")
     lt = F.lower(F.col("text"))
     f = d.select(
@@ -1815,6 +1899,38 @@ def q24_quality_score(spark, sf_dir):
             -(0.002 * F.col("n_chars") + 2.0 * stop_ratio - 1.5 * punct_ratio - 0.5)
         )
     )
+    # trained quality classifier (round 5): full-batch logistic
+    # regression in exact integer micro-units (operators/
+    # quality_classifier.py) — labels are the fixed-weight heuristic's
+    # verdict, features the raw counts, so the column demonstrates the
+    # LEARNED filter real pipelines deploy. One stats agg + ITERS
+    # gradient aggs, each map-side combined to K+1 numbers; the model
+    # lives on the driver. The z-frame is cached: scanned ITERS+1 times.
+    from .operators import quality_classifier as qc
+
+    xcols = ["r1", "r2", "r3", "r4", "r5"]
+    feats = iter_checkpoint(
+        f.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("r1"),
+            F.col("n_tokens").cast("long").alias("r2"),
+            F.round(F.lit(1000.0) * F.col("n_chars") / F.col("n_tokens"), 0)
+            .cast("long")
+            .alias("r3"),
+            F.round(F.lit(1000.0) * F.col("n_stop") / F.col("n_tokens"), 0)
+            .cast("long")
+            .alias("r4"),
+            F.round(F.lit(1000.0) * F.col("n_punct") / F.col("n_tokens"), 0)
+            .cast("long")
+            .alias("r5"),
+            (quality > 0.5).cast("long").alias("y"),
+        )
+    )
+    n_lr, mu, sd = qc.standardize_stats(feats, xcols)
+    z = iter_checkpoint(qc.z_frame(feats, xcols, mu, sd, "y", ["doc_id"]))
+    w_lr = qc.train(z, k=len(xcols), n=n_lr)
+    lr = z.select("doc_id", F.round(qc.score_col(w_lr), 4).alias("lr_quality"))
+
     return f.join(coverage, "doc_id", "left").join(bucket, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
@@ -1824,7 +1940,7 @@ def q24_quality_score(spark, sf_dir):
         F.round(quality, 4).alias("quality"),
         "common_bigram_frac",
         "lm_bucket",
-    )
+    ).join(lr, "doc_id", "left")
 
 
 @query(
