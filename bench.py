@@ -671,10 +671,44 @@ def _run_scale10x(tmp: str, cpus: int) -> dict:
         merges = learn_bpe(docs, BPE_BENCH_MERGES, vocab_partitions=8)
         return {"merges": len(merges)}
 
+    def run_markdown():
+        # round-5 operator: HTML->markdown structural conversion over
+        # realistic boilerplate pages (wrap + convert per doc) — pure
+        # map, Arrow-batched; the number that matters is docs/s
+        import pandas as pd
+
+        from pmocr_spark.operators import html_extract as hx
+
+        conv = F.pandas_udf(
+            lambda ids, txts: pd.Series(
+                [
+                    hx.to_markdown(hx.wrap_boilerplate(t, int(i)))
+                    for i, t in zip(ids, txts)
+                ]
+            ),
+            "string",
+        )
+        md = docs.select(conv("doc_id", "text").alias("md"))
+        _force(md)
+        return {"docs": n_docs}
+
+    def run_lr():
+        # round-5 operator: trained quality classifier — the checkpoint
+        # claim is that each GD iteration stays ONE map-side-combined
+        # agg (driver sees 6 numbers/iter) at 10x the corpus
+        from pmocr_spark.operators.quality_classifier import (
+            train_quality_classifier,
+        )
+
+        w, _z = train_quality_classifier(docs)
+        return {"docs": n_docs, "w": [round(x, 4) for x in w]}
+
     measured("substring_dedup", run_substr)
     measured("q18_minhash_lsh", run_q18)
     measured("phash_near_dup", run_phash)
     measured("bpe_learn", run_bpe)
+    measured("markdown_extract", run_markdown)
+    measured("lr_train", run_lr)
     spark.stop()
     return out
 

@@ -321,6 +321,16 @@ def build_parser() -> argparse.ArgumentParser:
         "land in the error column, never fail the run",
     )
     p.add_argument(
+        "--extract-markdown",
+        action="store_true",
+        help="maintenance mode (standalone): structure-preserving "
+        "extraction of the HTML blobs in the --blobs table "
+        "(operators/html_extract.to_markdown + extract_tables) — "
+        "writing (media_ref, markdown, tables, n_blocks, n_tables) to "
+        "--output; non-HTML blobs are skipped by content magic "
+        "(sniff_html), exactly like the fused pipeline's dispatch",
+    )
+    p.add_argument(
         "--phash-max-hamming",
         type=int,
         default=None,
@@ -416,6 +426,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream-checkpoint", default=None, help="streaming offsets dir (service)")
     p.add_argument("--master", default=None, help="override spark master (default from env)")
     p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma-separated result columns to Hive-partition the batch "
+        "results sink by (e.g. --partition-by status): failed docs land "
+        "in their own status=failed/ subdirectory (the S6 quarantine "
+        "layout as a physical sink layout) and downstream scans prune "
+        "whole partitions instead of filtering rows — the layout knob a "
+        "10^12-doc results table needs",
+    )
     p.add_argument(
         "--span-join",
         choices=("broadcast", "shuffle"),
@@ -553,6 +573,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--compact-substr-index", args.compact_substr_index),
             ("--phash-dedup", args.phash_dedup),
             ("--transcribe-audio", args.transcribe_audio),
+            ("--extract-markdown", args.extract_markdown),
             ("--train-bpe", args.train_bpe is not None),
             ("--encode-bpe", bool(args.encode_bpe)),
         )
@@ -657,6 +678,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--transcribe-audio is a standalone maintenance mode")
         if not args.blobs or not args.output:
             parser.error("--blobs and --output are required with --transcribe-audio")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.extract_markdown:
+        if args.batch or args.service:
+            parser.error("--extract-markdown is a standalone maintenance mode")
+        if not args.blobs or not args.output:
+            parser.error("--blobs and --output are required with --extract-markdown")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1080,6 +1109,60 @@ def main(argv: list[str] | None = None) -> None:
             f"({n_err} failed as error rows) to {args.output}"
         )
         return
+    if getattr(args, "extract_markdown", False):
+        import pandas as pd
+
+        from .operators import html_extract as hx
+
+        blobs = spark.read.parquet(args.blobs)
+
+        schema = (
+            "media_ref string, markdown string, tables_json string, "
+            "n_blocks long, n_tables long"
+        )
+
+        def conv(batches):
+            # iterator mapInPandas: constant memory however many blobs;
+            # non-HTML blobs skipped by the same content magic the fused
+            # pipeline UDF dispatches on. Tables ship as JSON (Arrow's
+            # pandas converter rejects triply-nested list columns);
+            # consumers re-structure with from_json('array<array<
+            # array<string>>>').
+            import json
+
+            for pdf in batches:
+                refs, mds, tbls, nb, nt = [], [], [], [], []
+                for ref, blob in zip(pdf["media_ref"], pdf["content"]):
+                    if blob is None or not hx.sniff_html(bytes(blob)):
+                        continue
+                    try:
+                        doc = bytes(blob).decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                    md = hx.to_markdown(doc)
+                    tables = hx.extract_tables(doc)
+                    refs.append(ref)
+                    mds.append(md)
+                    tbls.append(json.dumps(tables))
+                    nb.append(len([b for b in md.split("\n\n") if b]))
+                    nt.append(len(tables))
+                yield pd.DataFrame(
+                    {
+                        "media_ref": refs,
+                        "markdown": mds,
+                        "tables_json": tbls,
+                        "n_blocks": nb,
+                        "n_tables": nt,
+                    }
+                )
+
+        out = blobs.select("media_ref", "content").mapInPandas(conv, schema)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(
+            f"pmocr-spark: extracted markdown for {n} html blobs to {args.output}"
+        )
+        return
     if getattr(args, "phash_dedup", False):
         from .operators.multimodal import phash_near_dup
 
@@ -1226,7 +1309,17 @@ def main(argv: list[str] | None = None) -> None:
     out = pipeline.project_targets(
         cached, targets, job_ts, suffix=suffix, addition=args.filename_addition
     )
-    out.write.mode("append").parquet(args.output)
+    writer = out.write.mode("append")
+    if args.partition_by:
+        pcols = [c.strip() for c in args.partition_by.split(",") if c.strip()]
+        missing = [c for c in pcols if c not in out.columns]
+        if missing:
+            raise SystemExit(
+                f"pmocr-spark: error: --partition-by column(s) {missing} not in "
+                f"the results table; available: {', '.join(out.columns)}"
+            )
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(args.output)
     rows = ckpt.checkpoint_rows(cached, run_id=args.run_id, job_ts=job_ts, prior=lineage)
     ckpt.append_checkpoint(rows, args.lineage)
     cached.unpersist()

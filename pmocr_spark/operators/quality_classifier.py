@@ -142,3 +142,47 @@ def train(z: DataFrame, k: int, n: int, iters: int = ITERS, eta: float = ETA) ->
 def score_col(w: list[float]) -> Column:
     """Probability-of-quality under trained weights (double)."""
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit(w)))
+
+
+def default_features(docs: DataFrame) -> DataFrame:
+    """Self-contained feature/label frame from a raw documents(text)
+    table — the q24 feature set recomputed from text alone (n_chars via
+    length(), so replicated/synthetic corpora without a fresh n_chars
+    column work). Used by bench scale checkpoints; q24 itself derives
+    features from its existing scan to share one corpus pass."""
+    ntok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    npunct = F.regexp_count("text", F.lit("[.,;:!?]")).cast("long")
+    lt = F.lower(F.col("text"))
+    nstop = (
+        F.floor((F.length(lt) - F.length(F.replace(lt, F.lit(" the ")))) / 5)
+        .cast("long")
+    )
+    nch = F.length("text").cast("long")
+    quality = 1.0 / (
+        1.0 + F.exp(-(0.002 * nch + 2.0 * nstop / ntok - 1.5 * npunct / ntok - 0.5))
+    )
+    return docs.select(
+        "doc_id",
+        nch.alias("r1"),
+        ntok.alias("r2"),
+        F.round(F.lit(1000.0) * nch / ntok, 0).cast("long").alias("r3"),
+        F.round(F.lit(1000.0) * nstop / ntok, 0).cast("long").alias("r4"),
+        F.round(F.lit(1000.0) * npunct / ntok, 0).cast("long").alias("r5"),
+        (quality > 0.5).cast("long").alias("y"),
+    )
+
+
+DEFAULT_XCOLS = ["r1", "r2", "r3", "r4", "r5"]
+
+
+def train_quality_classifier(
+    docs: DataFrame, iters: int = ITERS, eta: float = ETA
+) -> tuple[list[float], DataFrame]:
+    """End-to-end convenience: features -> standardize -> train.
+    Returns (weights, cached z-frame ready for score_col)."""
+    from .graph import iter_checkpoint
+
+    feats = iter_checkpoint(default_features(docs))
+    n, mu, sd = standardize_stats(feats, DEFAULT_XCOLS)
+    z = iter_checkpoint(z_frame(feats, DEFAULT_XCOLS, mu, sd, "y", ["doc_id"]))
+    return train(z, k=len(DEFAULT_XCOLS), n=n, iters=iters, eta=eta), z

@@ -4,6 +4,7 @@ validation (docx/xlsx graceful reject), real-PDF output target."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pmocr_spark import cli
 
@@ -652,3 +653,90 @@ def test_encode_bpe_missing_model_fails_loudly(spark, tmp_path):
     (tmp_path / "notamodel").mkdir()
     with pytest.raises(ValueError, match="not a BPE model dir"):
         bpe.read_model(spark, str(tmp_path / "notamodel"))
+
+
+def test_partition_by_status_sink_layout(spark, corpus_dir, tmp_path):
+    """--partition-by status: the batch sink writes Hive-partitioned
+    subdirs (status=done/, status=failed/ — the S6 quarantine layout as
+    physical layout), rows round-trip identically, and a status filter
+    on the partitioned table prunes to partition-level filters."""
+    import os
+
+    out = str(tmp_path / "out")
+    cli.main(
+        [
+            "--batch",
+            "--input", f"{corpus_dir}/documents.parquet",
+            "--blobs", f"{corpus_dir}/media_blobs.parquet",
+            "--output", out,
+            "--lineage", str(tmp_path / "lineage"),
+            "--targets", "txt",
+            "--partition-by", "status",
+        ]
+    )
+    subdirs = {d for d in os.listdir(out) if d.startswith("status=")}
+    assert subdirs == {"status=done", "status=failed"}, subdirs
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("status") == "failed").count() >= 1
+    # partition pruning: the status filter must become a PartitionFilter
+    # on the scan, not a row-level Filter
+    plan = got.filter(F.col("status") == "done")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "status" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_partition_by_unknown_column_rejected(corpus_dir, tmp_path):
+    with pytest.raises(SystemExit, match="partition-by column"):
+        cli.main(
+            [
+                "--batch",
+                "--input", f"{corpus_dir}/documents.parquet",
+                "--blobs", f"{corpus_dir}/media_blobs.parquet",
+                "--output", str(tmp_path / "out"),
+                "--lineage", str(tmp_path / "lineage"),
+                "--targets", "txt",
+                "--partition-by", "no_such_col",
+            ]
+        )
+
+
+def test_extract_markdown_mode(spark, tmp_path):
+    """--extract-markdown: html blobs (content-magic dispatch) convert
+    to markdown + structured tables; media blobs are skipped; every
+    markdown output equals converting the decoded blob directly."""
+    import json
+
+    from pmocr_spark import codecs
+    from pmocr_spark.operators import html_extract as hx
+
+    blobs = {}
+    for i in range(12):
+        page = hx.wrap_boilerplate(f"payload {i} words here", doc_id=i)
+        # give a third of the pages a data table too
+        if i % 3 == 0:
+            page = page.replace(
+                "</body>",
+                f"<table><tr><th>k</th><th>v</th></tr>"
+                f"<tr><td>id</td><td>{i}</td></tr></table></body>",
+            )
+        blobs[f"h:{i}"] = page.encode("utf-8")
+    blobs["img:0"] = codecs.encode_image("not html", "png", salt="x")
+    bdir = str(tmp_path / "blobs")
+    spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "media_ref string, content binary",
+    ).write.parquet(bdir)
+
+    out = str(tmp_path / "md")
+    cli.main(
+        ["--extract-markdown", "--blobs", bdir, "--output", out,
+         "--master", "local[2]"]
+    )
+    got = {r["media_ref"]: r for r in spark.read.parquet(out).collect()}
+    html_refs = {ref for ref, b in blobs.items() if hx.sniff_html(b)}
+    assert set(got) == html_refs and len(html_refs) == 12
+    for ref in html_refs:
+        doc = blobs[ref].decode("utf-8")
+        assert got[ref]["markdown"] == hx.to_markdown(doc)
+        assert got[ref]["n_tables"] == len(hx.extract_tables(doc))
+        assert json.loads(got[ref]["tables_json"]) == hx.extract_tables(doc)
+    assert any(got[r]["n_tables"] > 0 for r in html_refs)
