@@ -700,8 +700,8 @@ def _run_scale10x(tmp: str, cpus: int) -> dict:
             train_quality_classifier,
         )
 
-        w, _z = train_quality_classifier(docs)
-        return {"docs": n_docs, "w": [round(x, 4) for x in w]}
+        model, _z = train_quality_classifier(docs)
+        return {"docs": n_docs, "w": [round(x, 4) for x in model["w"]]}
 
     measured("substring_dedup", run_substr)
     measured("q18_minhash_lsh", run_q18)

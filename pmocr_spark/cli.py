@@ -321,6 +321,26 @@ def build_parser() -> argparse.ArgumentParser:
         "land in the error column, never fail the run",
     )
     p.add_argument(
+        "--train-quality",
+        action="store_true",
+        help="maintenance mode (standalone): train the quality "
+        "classifier (operators/quality_classifier.py — full-batch "
+        "logistic regression, exact integer gradients) on the --input "
+        "flat documents table and persist the model (weights + training "
+        "standardization stats) to --output as a _lr_model.json sidecar",
+    )
+    p.add_argument(
+        "--score-quality",
+        metavar="MODELDIR",
+        default=None,
+        help="maintenance mode (standalone): score the --input flat "
+        "documents table under a model trained by --train-quality — "
+        "features standardize with the model's TRAINING stats (never "
+        "recomputed), writing input columns + lr_quality + keep_quality "
+        "to --output; one map-only pass, the model rides the plan as "
+        "literals",
+    )
+    p.add_argument(
         "--extract-markdown",
         action="store_true",
         help="maintenance mode (standalone): structure-preserving "
@@ -574,6 +594,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--phash-dedup", args.phash_dedup),
             ("--transcribe-audio", args.transcribe_audio),
             ("--extract-markdown", args.extract_markdown),
+            ("--train-quality", args.train_quality),
+            ("--score-quality", args.score_quality is not None),
             ("--train-bpe", args.train_bpe is not None),
             ("--encode-bpe", bool(args.encode_bpe)),
         )
@@ -686,6 +708,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--extract-markdown is a standalone maintenance mode")
         if not args.blobs or not args.output:
             parser.error("--blobs and --output are required with --extract-markdown")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.train_quality or args.score_quality:
+        mode = "--train-quality" if args.train_quality else "--score-quality"
+        if args.batch or args.service:
+            parser.error(f"{mode} is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error(f"--input and --output are required with {mode}")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1174,6 +1205,46 @@ def main(argv: list[str] | None = None) -> None:
         pairs.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"pmocr-spark: {n} visual near-dup pairs written to {args.output}")
+        return
+    if getattr(args, "train_quality", False):
+        from .operators import quality_classifier as qc_op
+
+        docs = spark.read.parquet(args.input)
+        if "text" not in docs.columns:
+            raise SystemExit(
+                f"--train-quality: {args.input} has no 'text' column (columns: "
+                f"{docs.columns}) — quality modes read a FLAT documents table; "
+                "extract span tables to txt first (--batch --targets txt)"
+            )
+        model, _z = qc_op.train_quality_classifier(docs)
+        qc_op.write_model(spark, args.output, model)
+        print(
+            f"pmocr-spark: trained quality model on {model['n_train']} docs "
+            f"({model['iters']} iterations) to {args.output}"
+        )
+        return
+    if getattr(args, "score_quality", None):
+        from .operators import quality_classifier as qc_op
+
+        model = qc_op.read_model(spark, args.score_quality)
+        docs = spark.read.parquet(args.input)
+        if "text" not in docs.columns:
+            raise SystemExit(
+                f"--score-quality: {args.input} has no 'text' column (columns: "
+                f"{docs.columns}) — quality modes read a FLAT documents table; "
+                "extract span tables to txt first (--batch --targets txt)"
+            )
+        # idempotent over its own output (the --encode-bpe discipline)
+        scores = qc_op.score_with_model(docs, model)
+        out = docs.drop("lr_quality", "keep_quality").join(scores, "doc_id")
+        out.write.mode("overwrite").parquet(args.output)
+        stats = spark.read.parquet(args.output).agg(
+            F.count("*"), F.coalesce(F.sum("keep_quality"), F.lit(0))
+        ).first()
+        print(
+            f"pmocr-spark: scored {stats[0]} docs ({stats[1]} keep) to "
+            f"{args.output}"
+        )
         return
     if getattr(args, "train_bpe", None) is not None:
         from .operators import bpe as bpe_op

@@ -177,12 +177,67 @@ DEFAULT_XCOLS = ["r1", "r2", "r3", "r4", "r5"]
 
 def train_quality_classifier(
     docs: DataFrame, iters: int = ITERS, eta: float = ETA
-) -> tuple[list[float], DataFrame]:
+) -> tuple[dict, DataFrame]:
     """End-to-end convenience: features -> standardize -> train.
-    Returns (weights, cached z-frame ready for score_col)."""
+    Returns (model dict, cached z-frame ready for score_col). The model
+    carries the TRAINING standardization stats — inference must reuse
+    them, never recompute on the scored corpus (a shifted corpus would
+    silently shift every score)."""
     from .graph import iter_checkpoint
 
     feats = iter_checkpoint(default_features(docs))
     n, mu, sd = standardize_stats(feats, DEFAULT_XCOLS)
     z = iter_checkpoint(z_frame(feats, DEFAULT_XCOLS, mu, sd, "y", ["doc_id"]))
-    return train(z, k=len(DEFAULT_XCOLS), n=n, iters=iters, eta=eta), z
+    w = train(z, k=len(DEFAULT_XCOLS), n=n, iters=iters, eta=eta)
+    model = {
+        "algo": "logreg-exact-int",
+        "xcols": DEFAULT_XCOLS,
+        "w": w,
+        "mu": mu,
+        "sd": sd,
+        "n_train": n,
+        "iters": iters,
+        "eta": eta,
+    }
+    return model, z
+
+
+#: model sidecar name (the BPE/PQ persisted-operator-state pattern:
+#: the model is driver-small, so the sidecar IS the model)
+LR_META = "_lr_model.json"
+
+
+def write_model(spark, path: str, model: dict) -> None:
+    """Persist a trained model as a params sidecar under `path`."""
+    from .. import checkpoint as ckpt
+
+    ckpt.write_sidecar(spark, path, LR_META, model)
+
+
+def read_model(spark, path: str) -> dict:
+    """Load a model written by write_model. Loud failure on a missing
+    sidecar or an algo mismatch — scoring with foreign weights silently
+    produces garbage."""
+    from .. import checkpoint as ckpt
+
+    meta = ckpt.read_sidecar(spark, path, LR_META)
+    if meta is None:
+        raise ValueError(f"no {LR_META} sidecar at {path}: not a quality model dir")
+    if meta.get("algo") != "logreg-exact-int":
+        raise ValueError(f"unknown quality-model algo {meta.get('algo')!r} at {path}")
+    return meta
+
+
+def score_with_model(docs: DataFrame, model: dict) -> DataFrame:
+    """Inference: (doc_id, lr_quality, keep_quality) under a persisted
+    model — features standardized with the model's TRAINING mu/sd, one
+    map-only pass (the broadcast-free limit of model distribution: the
+    whole model rides the plan as literals)."""
+    feats = default_features(docs)
+    z = z_frame(feats, model["xcols"], model["mu"], model["sd"], "y", ["doc_id"])
+    s = score_col([float(x) for x in model["w"]])
+    return z.select(
+        "doc_id",
+        F.round(s, 4).alias("lr_quality"),
+        (s > 0.5).cast("long").alias("keep_quality"),
+    )

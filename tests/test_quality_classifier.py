@@ -141,3 +141,66 @@ def test_gradient_agg_plan_is_one_exchange_no_python(spark):
     plan = shape.formatted_plan(g)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert shape.count_exchanges(g) <= 1, plan  # partial agg map-side
+
+
+# --------------------------------------------- persisted model lifecycle
+
+
+def test_cli_train_score_lifecycle(spark, tmp_path):
+    """--train-quality persists (weights + TRAINING stats) as a sidecar;
+    --score-quality reproduces the in-process scores exactly, and
+    scoring a SUBSET corpus uses the persisted stats (scores per doc
+    identical to full-corpus scoring — inference never restandardizes)."""
+    from pmocr_spark import cli
+    from pmocr_spark.operators import quality_classifier as qc2
+
+    model_dir = str(tmp_path / "model")
+    cli.main(
+        ["--train-quality", "--input", f"{SF}/documents.parquet",
+         "--output", model_dir, "--master", "local[2]"]
+    )
+    model = qc2.read_model(spark, model_dir)
+    assert model["algo"] == "logreg-exact-int" and len(model["w"]) == 6
+
+    out = str(tmp_path / "scored")
+    cli.main(
+        ["--score-quality", model_dir, "--input", f"{SF}/documents.parquet",
+         "--output", out, "--master", "local[2]"]
+    )
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # matches in-process scoring under the same model
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = {
+        r["doc_id"]: r["lr_quality"]
+        for r in qc2.score_with_model(docs, model).collect()
+    }
+    assert len(got) == len(want)
+    assert all(got[d]["lr_quality"] == want[d] for d in want)
+    # original columns survive + keep flag is consistent with the score
+    assert "text" in next(iter(got.values())).asDict()
+    assert all(
+        (r["lr_quality"] > 0.5) == bool(r["keep_quality"]) for r in got.values()
+    )
+
+    # subset scoring: same per-doc scores (stats come from the model)
+    sub_in = str(tmp_path / "subset")
+    docs.limit(13).write.parquet(sub_in)
+    sub_out = str(tmp_path / "scored_sub")
+    cli.main(
+        ["--score-quality", model_dir, "--input", sub_in,
+         "--output", sub_out, "--master", "local[2]"]
+    )
+    for r in spark.read.parquet(sub_out).collect():
+        assert r["lr_quality"] == want[r["doc_id"]], r["doc_id"]
+
+
+def test_score_quality_rejects_non_model_dir(spark, tmp_path):
+    from pmocr_spark import cli
+
+    bogus = str(tmp_path / "not_a_model")
+    spark.range(1).write.parquet(bogus)
+    with pytest.raises(ValueError, match="not a quality model dir"):
+        cli.main(
+            ["--score-quality", bogus, "--input", f"{SF}/documents.parquet",
+             "--output", str(tmp_path / "o"), "--master", "local[2]"]
+        )
