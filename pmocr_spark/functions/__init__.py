@@ -154,6 +154,45 @@ def canonical_url(col) -> Column:
     )
 
 
+def dehyphenate(col) -> Column:
+    """OCR post-processing: repair hyphenated line-break word splits
+    (``exam-\\n ple`` -> ``example``).
+
+    Joins a word-internal hyphen sitting immediately before a line
+    break with its lowercase/digit continuation on the next line — the
+    standard always-join de-hyphenation heuristic OCR pipelines apply
+    after page recognition. Mid-line compound hyphens (``well-known``)
+    are untouched because no newline follows them; a continuation that
+    starts uppercase (likely a genuine compound across the break) is
+    also left alone. pmOCR analog: the X1 sed post-processing family
+    (pmocr.sh:2013-2043) generalized from CSV repair to OCR text
+    repair. One codegen'd regexp — map-only at any scale."""
+    target = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(target, "([A-Za-z0-9])-\n[ \t]*([a-z0-9])", "$1$2")
+
+
+#: reflow's paragraph sentinel — a control byte the document corpus can
+#: never contain (test-pinned, like the BPE chr(31) wrapper); runs of
+#: >=2 newlines hide behind it while single hard-wraps become spaces.
+REFLOW_SENTINEL = "\x00"
+
+
+def reflow(col) -> Column:
+    """OCR post-processing: merge single (hard-wrap) line breaks into
+    spaces while PRESERVING blank-line paragraph boundaries.
+
+    Recognized OCR output is line-structured (one string per segmented
+    line); downstream text pipelines want paragraph-flow text. Three
+    codegen regexps: (1) protect runs of >=2 newlines behind a
+    sentinel byte the corpus cannot contain, (2) turn every remaining
+    (single) newline into one space, (3) restore each protected run as
+    exactly one blank-line paragraph break. Map-only, no Python."""
+    target = F.col(col) if isinstance(col, str) else col
+    protected = F.regexp_replace(target, "\n{2,}", REFLOW_SENTINEL)
+    spaced = F.regexp_replace(protected, "\n", " ")
+    return F.regexp_replace(spaced, REFLOW_SENTINEL, "\n\n")
+
+
 def array_contains(arr_col, needle) -> Column:
     """X9 — ArrayContains (pmocr.sh:1374-1389)."""
     return F.array_contains(arr_col, needle)

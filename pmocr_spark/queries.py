@@ -642,6 +642,22 @@ from pmocr_spark.operators.substring_dedup import DEFAULT_K as _SUBSTR_K
         || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS cu
       FROM u3)
     GROUP BY cu
+    UNION ALL
+    -- paragraph-level cross-corpus dedup: 8-word paragraphs plus a
+    -- shared boilerplate header (doc_id%7 variants — the nav/footer
+    -- case), duplicated paragraphs only (n > 1), keeper = min doc_id,
+    -- m = distinct-doc spread
+    SELECT 'paragraph' AS part, md5(p) AS key, min(doc_id) AS doc_id,
+           cast(count(*) AS BIGINT) AS n,
+           cast(count(DISTINCT doc_id) AS BIGINT) AS m
+    FROM (
+      SELECT doc_id, unnest(list_concat(
+        ['shared boilerplate header variant ' || (doc_id % 7)],
+        list_transform(range(0, (len(ws) + 7) // 8), i ->
+          array_to_string(ws[(i*8+1):(i*8+8)], ' ')))) AS p
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+    GROUP BY md5(p)
+    HAVING count(*) > 1
     """,
 )
 def q16_dedup_exact(spark, sf_dir):
@@ -661,6 +677,12 @@ def q16_dedup_exact(spark, sf_dir):
         both engines), then hash-groupBy on the canonical form. key =
         md5(canonical), n = group size. The operator under test is the
         normalization; at 10^12 rows this is scan + one hash agg.
+      * part='paragraph' (round 5): cross-corpus paragraph-level dedup
+        (RefinedWeb §G.2 / MassiveText practice, public) — 8-word
+        paragraphs plus a shared boilerplate header scaffold, exploded
+        and hash-grouped; duplicated paragraphs only (n > 1), keeper =
+        min doc_id, m = distinct-doc spread. One explode + one
+        map-side-combined hash agg on a 128-bit key: scan-bound.
     All parts stay codegen-only; the substring part's dup detection is
     min(doc)<>max(doc) per gram (no count-distinct expand)."""
     from pmocr_spark.functions import canonical_url
@@ -727,7 +749,40 @@ def q16_dedup_exact(spark, sf_dir):
             F.lit(None).cast("long").alias("m"),
         )
     )
-    return doc.unionAll(sub).unionAll(url)
+    # part='paragraph' (round 5): cross-corpus paragraph-level dedup
+    # (the RefinedWeb/MassiveText boilerplate-paragraph case): re-line
+    # each doc into 8-word paragraphs, prepend a shared boilerplate
+    # header keyed off doc_id%7 (the repeated nav/footer that motivates
+    # the operator), explode, hash-groupBy on the paragraph hash and
+    # keep duplicated paragraphs only. ONE explode + ONE hash agg with
+    # map-side partial aggregation — scan-bound at 10^12 docs; the
+    # group key is a 128-bit hash, never the paragraph text.
+    ws16 = F.split(F.col("text"), " ")
+    nch16 = F.floor((F.size(ws16) + F.lit(7)) / F.lit(8)).cast("int")
+    paras = F.concat(
+        F.array(
+            F.concat(
+                F.lit("shared boilerplate header variant "),
+                (F.col("doc_id") % 7).cast("string"),
+            )
+        ),
+        F.transform(
+            F.sequence(F.lit(0), nch16 - 1),
+            lambda i: F.array_join(F.slice(ws16, i * 8 + 1, 8), " "),
+        ),
+    )
+    par = (
+        d.select("doc_id", F.explode(paras).alias("p"))
+        .groupBy(F.md5(F.col("p").cast("binary")).alias("key"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("m"),
+        )
+        .filter(F.col("n") > 1)
+        .select(F.lit("paragraph").alias("part"), "key", "doc_id", "n", "m")
+    )
+    return doc.unionAll(sub).unionAll(url).unionAll(par)
 
 
 #: q17 stop-shingle document-frequency cap: a shingle present in more
@@ -3095,7 +3150,7 @@ _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
                        || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0')
                   ELSE text END AS text
       FROM documents),
-    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
     pg AS (
       SELECT doc_id,
         list_concat(list_concat(list_concat(
@@ -3195,6 +3250,37 @@ _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
         || '[' || ws[8] || ' ' || ws[9] || '](https://ex.com/'
         || (doc_id % 10) || ')' AS md
       FROM w)
+    UNION ALL
+    -- ocrfix: expected output stated INDEPENDENTLY — the Spark side
+    -- runs the real dehyphenate+reflow chain over the hyphen-wrap
+    -- scaffold and must reproduce the raw text byte-for-byte
+    SELECT 'ocrfix' AS part, doc_id, text AS out_text,
+           cast(len(list_filter(ws, wd -> length(wd) >= 6)) AS BIGINT) AS n_a,
+           cast((len(ws) + 7) // 8 - 1 AS BIGINT)                      AS n_b,
+           cast(1 AS BIGINT)                                           AS keep
+    FROM w
+    UNION ALL
+    -- garbage: rmgarbage-style symbol-noise detection + strip; the
+    -- cleaner provably recovers the raw text, the counts and verdict
+    -- flag the noised scaffold docs
+    SELECT 'garbage' AS part, doc_id,
+           trim(regexp_replace(stripped, ' {{2,}}', ' ', 'g'))          AS out_text,
+           cast(length(noised) - length(stripped) AS BIGINT)            AS n_a,
+           cast(len(list_filter(string_split(noised, ' '),
+                tk -> NOT regexp_matches(tk, '^[a-z0-9]+$'))) AS BIGINT) AS n_b,
+           cast(CASE WHEN length(noised) = length(stripped)
+                      AND len(list_filter(string_split(noised, ' '),
+                          tk -> NOT regexp_matches(tk, '^[a-z0-9]+$'))) = 0
+                THEN 1 ELSE 0 END AS BIGINT)                             AS keep
+    FROM (
+      SELECT doc_id, noised,
+             regexp_replace(noised, '[^a-z0-9 ]', '', 'g') AS stripped
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                    THEN text || repeat(' #$%~@!', length(text) // 50 + 1)
+                    ELSE text END AS noised
+        FROM documents))
     """,
 )
 def q40_pii_redact(spark, sf_dir):
@@ -3209,6 +3295,15 @@ def q40_pii_redact(spark, sf_dir):
         page when it contains 'lorem ipsum' or a '{', or when fewer
         than 3 lines survive (out_text = kept lines joined by newline,
         '' for dropped pages; n_a/n_b = total/kept line counts).
+      * part='ocrfix' (round 5) — OCR de-hyphenation + hard-wrap reflow
+        (functions.dehyphenate/reflow) over a provably-invertible
+        hyphen-wrap scaffold; the repair must reproduce the raw text
+        byte-for-byte (oracle states it independently), keep = the
+        Spark-side round-trip verdict.
+      * part='garbage' (round 5) — rmgarbage-style OCR symbol-noise
+        detection + strip (Kulp & Kontostathis 2007, public) over a
+        length-scaled noise scaffold on every 11th doc; n_a/n_b =
+        symbol chars / non-alnum tokens, keep = noise-free verdict.
     The synthetic corpus is a flat word stream with no PII and no line
     structure, so both parts run on deterministic scaffolding computed
     identically on both oracle sides: every 7th doc gains a synthetic
@@ -3379,7 +3474,83 @@ def q40_pii_redact(spark, sf_dir):
         F.regexp_count("out_text", F.lit(r"\]\(")).cast("long").alias("n_b"),
         F.lit(1).cast("long").alias("keep"),
     )
-    return pii.unionAll(c4).unionAll(linededup).unionAll(md)
+
+    # part='ocrfix' (round 5): OCR de-hyphenation + hard-wrap reflow
+    # (functions.dehyphenate/reflow — the post-recognition text repair
+    # every OCR pipeline runs; pmOCR analog: the X1 sed family,
+    # pmocr.sh:2013-2043) over a provably-INVERTIBLE scaffold: every
+    # word of >= 6 chars is split after its 3rd char with a hyphenated
+    # line break ('-\n'), then the doc is hard-wrapped into 8-word
+    # lines. The repair chain must reproduce the raw text EXACTLY —
+    # `keep` carries the Spark-side round-trip verdict and the oracle
+    # states out_text independently as the raw text, so the driver hash
+    # verifies the repair byte-for-byte. n_a = hyphen breaks repaired,
+    # n_b = line breaks reflowed, both stated independently on the
+    # oracle side by construction. Codegen regexps + array ops only:
+    # map-only, zero shuffles, zero Python, zero row amplification.
+    from pmocr_spark.functions import dehyphenate, reflow
+
+    broken = F.transform(
+        ws,
+        lambda w: F.when(
+            F.length(w) >= 6,
+            F.concat(
+                F.substring(w, 1, 3), F.lit("-\n"), F.substring(w, 4, 2147483647)
+            ),
+        ).otherwise(w),
+    )
+    wrapped = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.array_join(F.slice(broken, i * 8 + 1, 8), " "),
+        ),
+        "\n",
+    )
+    fixed = reflow(dehyphenate(wrapped))
+    ocrfix = d.select(
+        F.lit("ocrfix").alias("part"),
+        "doc_id",
+        fixed.alias("out_text"),
+        F.size(F.filter(ws, lambda w: F.length(w) >= 6)).cast("long").alias("n_a"),
+        (nch - 1).cast("long").alias("n_b"),
+        (fixed == F.col("text")).cast("long").alias("keep"),
+    )
+
+    # part='garbage' (round 5): OCR garbage detection (rmgarbage-style
+    # rules, Kulp & Kontostathis CACM'07 / Taghva et al. — public):
+    # flag documents whose character stream carries the symbol noise
+    # OCR engines emit on non-text regions, and strip it. Scaffold:
+    # every 11th doc gains a symbol-noise tail scaled to its length
+    # (one ' #$%~@!' token per 50 chars) so the verdict is
+    # deterministic at every SF. out_text = cleaned text (symbol strip
+    # + space collapse + trim — provably recovers the raw text), n_a =
+    # symbol chars, n_b = non-[a-z0-9]+ tokens, keep = noise-free
+    # verdict. Pure codegen regexps — map-only at any scale.
+    n_rep = (F.length("text") / F.lit(50)).cast("int") + 1
+    noised = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.repeat(F.lit(" #$%~@!"), n_rep)),
+    ).otherwise(F.col("text"))
+    stripped = F.regexp_replace(noised, "[^a-z0-9 ]", "")
+    n_bad = (F.length(noised) - F.length(stripped)).cast("long")
+    n_badtok = F.size(
+        F.filter(F.split(noised, " "), lambda tk: ~tk.rlike("^[a-z0-9]+$"))
+    ).cast("long")
+    garbage = d.select(
+        F.lit("garbage").alias("part"),
+        "doc_id",
+        F.trim(F.regexp_replace(stripped, " {2,}", " ")).alias("out_text"),
+        n_bad.alias("n_a"),
+        n_badtok.alias("n_b"),
+        ((n_bad == 0) & (n_badtok == 0)).cast("long").alias("keep"),
+    )
+    return (
+        pii.unionAll(c4)
+        .unionAll(linededup)
+        .unionAll(md)
+        .unionAll(ocrfix)
+        .unionAll(garbage)
+    )
 
 
 @query(

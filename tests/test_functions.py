@@ -114,3 +114,69 @@ def test_canonical_url_is_codegen_only(spark):
     )
     plan = df.select(X.canonical_url("u").alias("c"))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dehyphenate(spark):
+    cases = [
+        # hyphenated line break joins (the OCR wrap repair)
+        ("exam-\nple", "example"),
+        # trailing indent after the break is absorbed
+        ("exam-\n  ple", "example"),
+        # mid-line compound hyphen untouched (no newline follows)
+        ("well-known fact", "well-known fact"),
+        # uppercase continuation = genuine compound across the break
+        ("Jean-\nPaul", "Jean-\nPaul"),
+        # digits join like letters
+        ("route6-\n6a", "route66a"),
+        # plain line break untouched (reflow's job, not ours)
+        ("one\ntwo", "one\ntwo"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r["c"] for r in df.select(X.dehyphenate("t").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_reflow(spark):
+    cases = [
+        # single hard-wrap -> space
+        ("line one\nline two", "line one line two"),
+        # consecutive single wraps all flatten (no consume-gap artifact)
+        ("a\nb\nc", "a b c"),
+        # blank line = paragraph boundary, preserved as exactly one
+        ("para one\n\npara two", "para one\n\npara two"),
+        # >2 newlines normalize to one paragraph break
+        ("p1\n\n\n\np2", "p1\n\np2"),
+        # mixed: wraps inside paragraphs flatten, boundary survives
+        ("a\nb\n\nc\nd", "a b\n\nc d"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r["c"] for r in df.select(X.reflow("t").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_reflow_sentinel_absent_from_corpus():
+    # reflow hides paragraph breaks behind \x00 (X.REFLOW_SENTINEL); a
+    # corpus document containing that byte would corrupt the restore —
+    # pin its absence the way the BPE oracle pins chr(31)
+    import duckdb
+
+    assert X.REFLOW_SENTINEL == "\x00"
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('/root/testdata/sf{sf}/documents.parquet') "
+            "WHERE contains(text, chr(0))"
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} documents contain the reflow sentinel"
+
+
+def test_ocr_textrepair_is_codegen_only(spark):
+    # the dehyphenate+reflow repair chain must stay a JVM map
+    # expression — zero Python, zero shuffles at 10^12 docs
+    df = spark.range(4).select(
+        F.concat(F.lit("ab-\ncd\nef\n\ngh"), F.col("id").cast("string")).alias("t")
+    )
+    q = df.select(X.reflow(X.dehyphenate("t")).alias("c"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
