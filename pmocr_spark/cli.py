@@ -321,6 +321,16 @@ def build_parser() -> argparse.ArgumentParser:
         "land in the error column, never fail the run",
     )
     p.add_argument(
+        "--transcribe-video",
+        action="store_true",
+        help="maintenance mode (standalone): full video decode over the "
+        "--blobs table (operators/multimodal.video_transcribe: per-frame "
+        "OCR + held-scene collapse; a real captioning engine slots into "
+        "decode_video_real) — writing (media_ref, text, fps, n_frames, "
+        "duration_sec, error) to --output; corrupted blobs land in the "
+        "error column, never fail the run",
+    )
+    p.add_argument(
         "--train-quality",
         action="store_true",
         help="maintenance mode (standalone): train the quality "
@@ -593,6 +603,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--compact-substr-index", args.compact_substr_index),
             ("--phash-dedup", args.phash_dedup),
             ("--transcribe-audio", args.transcribe_audio),
+            ("--transcribe-video", args.transcribe_video),
             ("--extract-markdown", args.extract_markdown),
             ("--train-quality", args.train_quality),
             ("--score-quality", args.score_quality is not None),
@@ -700,6 +711,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--transcribe-audio is a standalone maintenance mode")
         if not args.blobs or not args.output:
             parser.error("--blobs and --output are required with --transcribe-audio")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.transcribe_video:
+        if args.batch or args.service:
+            parser.error("--transcribe-video is a standalone maintenance mode")
+        if not args.blobs or not args.output:
+            parser.error("--blobs and --output are required with --transcribe-video")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1137,6 +1156,22 @@ def main(argv: list[str] | None = None) -> None:
         n_err = got.filter(F.col("error").isNotNull()).count()
         print(
             f"pmocr-spark: transcribed {n_ok} audio blobs "
+            f"({n_err} failed as error rows) to {args.output}"
+        )
+        return
+    if getattr(args, "transcribe_video", False):
+        from .operators.multimodal import video_transcribe
+
+        blobs = spark.read.parquet(args.blobs)
+        out = blobs.select(
+            "media_ref", video_transcribe(F.col("content")).alias("t")
+        ).select("media_ref", "t.*")
+        out.write.mode("overwrite").parquet(args.output)
+        got = spark.read.parquet(args.output)
+        n_ok = got.filter(F.col("error").isNull()).count()
+        n_err = got.filter(F.col("error").isNotNull()).count()
+        print(
+            f"pmocr-spark: transcribed {n_ok} video blobs "
             f"({n_err} failed as error rows) to {args.output}"
         )
         return

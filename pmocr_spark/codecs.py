@@ -255,6 +255,122 @@ def decode_audio(blob: bytes) -> tuple[str, int, int]:
     return text, int(rate), int(n)
 
 
+# ---------------------------------------------------------------- video codec
+#
+# The video twin (round 5, third pass — completes the multimodal column
+# story image→audio→video): a deterministic synthetic video container so
+# the video column has a REAL decode path without cv2/av. A video is a
+# timed frame sequence: each caption renders once (the image codec's
+# glyph raster) and is HELD byte-identical for `hold` consecutive frames
+# — the static-scene shape that makes frame sampling and transcription
+# meaningful. Container: VIDEO_MAGIC + <II (fps, n_frames) + per frame
+# <I length + an IMG-container payload (so frames decode through the
+# SAME M1→M3 chain as pages, and frame_sample can emit stored frames
+# without re-encoding). The 12-byte header alone is parseable METADATA
+# (multimodal.video_metadata — scan-time pass); decode_video validates
+# every frame; transcription collapses consecutive duplicate frames
+# (the held scene transcribes once). Corruption inside any frame fails
+# loudly through the glyph parity checks — error-as-data upstream.
+
+VIDEO_MAGIC = b"PMVI"
+VIDEO_FPS = 24
+#: the one video container the engine decodes natively (the synthetic
+#: codec); mp4/mkv belong to the guarded real-lib hook
+#: (multimodal.decode_video_real) and are NOT allow-listed — routing
+#: them here would flip docs from done-with-skipped-span to failed.
+VIDEO_KINDS = ("avi",)
+
+
+def encode_video(
+    captions: list[str], fps: int = VIDEO_FPS, hold: int = 2, salt: str = ""
+) -> bytes:
+    """Encode a caption sequence as a synthetic video blob: caption i
+    renders once and is held for `hold` byte-identical frames."""
+    if hold < 1:
+        raise ValueError(f"hold must be >= 1, got {hold}")
+    frames: list[bytes] = []
+    for i, cap in enumerate(captions):
+        payload = _pack_image(render_page(cap, f"{salt}#f{i}"), "tiff")
+        frames.extend([payload] * hold)
+    out = [VIDEO_MAGIC, struct.pack("<II", fps, len(frames))]
+    for p in frames:
+        out.append(struct.pack("<I", len(p)))
+        out.append(p)
+    return b"".join(out)
+
+
+def decode_video(blob: bytes) -> tuple[list[str], int, int]:
+    """Decode a synthetic video blob -> (per-frame texts, fps, n_frames).
+
+    Loud CodecError on bad magic, truncated header/frame table/frame,
+    or trailing bytes; per-frame content flows through the full OCR
+    chain (rasterize → binarize/trim → layout → recognize), so frame
+    corruption surfaces as the same parity CodecError pages raise."""
+    b = bytes(blob)
+    if b[:4] != VIDEO_MAGIC:
+        raise CodecError("bad video magic")
+    if len(b) < 12:
+        raise CodecError("truncated video header")
+    fps, n = struct.unpack("<II", b[4:12])
+    off = 12
+    texts: list[str] = []
+    for _ in range(n):
+        if off + 4 > len(b):
+            raise CodecError("truncated video frame table")
+        (flen,) = struct.unpack("<I", b[off : off + 4])
+        off += 4
+        frame = b[off : off + flen]
+        off += flen
+        if len(frame) != flen:
+            raise CodecError("truncated video frame")
+        img = rasterize(frame)[0]
+        binary = binarize_trim(img)
+        lines: list[str] = []
+        for block in segment_columns(binary):
+            lines.extend(recognize_block(segment_lines(block)))
+        texts.append("\n".join(lines))
+    if off != len(b):
+        raise CodecError("trailing bytes after video frames")
+    return texts, int(fps), int(n)
+
+
+def transcribe_video(blob: bytes) -> tuple[str, int, int]:
+    """Full video 'transcription': decode every frame, collapse runs of
+    consecutive identical frame texts (a held static scene transcribes
+    once), join captions by newline -> (transcript, fps, n_frames)."""
+    texts, fps, n = decode_video(blob)
+    caps = [t for i, t in enumerate(texts) if i == 0 or t != texts[i - 1]]
+    return "\n".join(caps), fps, n
+
+
+def video_frames(blob: bytes) -> tuple[list[bytes], int]:
+    """Split a video container into its stored frame payloads (each an
+    IMG container, emitted WITHOUT re-encoding) -> (frames, fps). Used
+    by multimodal.frame_sample; validates structure but does not decode
+    pixels — sampling 1-in-N frames at 100 TB must not pay N decodes."""
+    b = bytes(blob)
+    if b[:4] != VIDEO_MAGIC:
+        raise CodecError("bad video magic")
+    if len(b) < 12:
+        raise CodecError("truncated video header")
+    fps, n = struct.unpack("<II", b[4:12])
+    off = 12
+    frames: list[bytes] = []
+    for _ in range(n):
+        if off + 4 > len(b):
+            raise CodecError("truncated video frame table")
+        (flen,) = struct.unpack("<I", b[off : off + 4])
+        off += 4
+        frame = b[off : off + flen]
+        off += flen
+        if len(frame) != flen:
+            raise CodecError("truncated video frame")
+        frames.append(frame)
+    if off != len(b):
+        raise CodecError("trailing bytes after video frames")
+    return frames, int(fps)
+
+
 # ---------------------------------------------------------------- decode stages
 
 
@@ -400,13 +516,15 @@ def recognize_line(band: np.ndarray) -> str:
 def decode_blob(blob: bytes) -> str:
     """Full per-blob OCR chain M1->M2 (trim + layout)->M3; column blocks
     read in order (left column fully, then the next), page texts joined
-    by newline. Audio containers (round 5) dispatch on magic to the
-    audio codec — same content-magic routing the fused UDF applies to
-    html, so an interleaved document can carry text + image + html +
-    audio spans through ONE decode path."""
+    by newline. Audio and video containers (round 5) dispatch on magic
+    to their codecs — same content-magic routing the fused UDF applies
+    to html, so an interleaved document can carry text + image + html +
+    audio + video spans through ONE decode path."""
     b = bytes(blob)
     if b[:4] == AUDIO_MAGIC:
         return decode_audio(b)[0]
+    if b[:4] == VIDEO_MAGIC:
+        return transcribe_video(b)[0]
     pages = rasterize(bytes(blob))
     page_texts = []
     for img in pages:

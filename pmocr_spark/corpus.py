@@ -262,7 +262,10 @@ def reference_convert(documents: pa.Table, media_blobs: pa.Table) -> dict:
     blob_by_ref = {
         r["media_ref"]: r["content"] for r in media_blobs.to_pylist()
     }
-    allowed = set(codecs.MEDIA_KINDS) | set(html_extract.HTML_KINDS) | {"text"}
+    allowed = (
+        set(codecs.MEDIA_KINDS) | set(html_extract.HTML_KINDS)
+        | set(codecs.AUDIO_KINDS) | set(codecs.VIDEO_KINDS) | {"text"}
+    )
     out = {}
     for row in documents.to_pylist():
         doc_id = row["doc_id"]

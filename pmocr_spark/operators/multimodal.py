@@ -1,13 +1,15 @@
 """Multimodal column operators: image/audio/video as opaque binary
 columns with typed metadata.
 
-The Spark-side plumbing (schemas, batch shapes, mapInPandas iterators,
-partitioning) is real and tested; the actual codec work is either the
-deterministic synthetic image codec (pmocr_spark.codecs — fully
-functional) or, for audio/video where the decode libraries are not in
-this container, a clearly-marked stub behind an import-try that raises
-NotImplementedError (per the build brief) while a deterministic fake
-keeps the plumbing testable.
+All three modalities have REAL decode paths on the deterministic
+synthetic codecs (pmocr_spark.codecs: PMIMG/PMPDF image, PMAU audio,
+PMVI video — each with loud poison-pill validation), and the Spark-side
+plumbing (schemas, Arrow batch shapes, mapInPandas iterators,
+partitioning) is identical to what real container libraries would use.
+Real-library hooks (decode_audio_real / decode_video_real) are guarded
+imports in the engines.py style: they resolve loudly when librosa/cv2
+are absent instead of mis-decoding, and swap in without touching the
+Spark plumbing when installed.
 """
 
 from __future__ import annotations
@@ -205,11 +207,116 @@ def audio_transcribe(content: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+try:  # real video decode libs (cv2 / av) are NOT in this container
+    import cv2  # type: ignore  # noqa: F401
+
+    _HAVE_VIDEO = True
+except ImportError:
+    _HAVE_VIDEO = False
+
+
+def decode_video_real(blob: bytes):
+    """Real-library video decode (mp4/mkv/... containers), guarded the
+    way engines.py guards tesseract: resolves loudly when the library
+    is absent instead of mis-decoding. The DEFAULT engine for this
+    build's video columns is the deterministic synthetic codec
+    (codecs.decode_video) — this hook exists so installing cv2/av
+    swaps in real containers without touching the Spark plumbing."""
+    if not _HAVE_VIDEO:
+        raise RuntimeError(
+            "real video decode requires cv2/av, not installed in this "
+            "container — synthetic PMVI blobs decode via "
+            "codecs.decode_video (the default engine)"
+        )
+    raise NotImplementedError  # pragma: no cover - container lacks cv2
+
+
+VIDEO_META_TYPE = T.StructType(
+    [
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def video_metadata_udf():
+    """Video metadata over a binary column: header-only parse of the
+    synthetic container (codecs.VIDEO_MAGIC + fps + n_frames) — a
+    100 TB metadata pass reads 12 bytes per blob, never the frames
+    (the same scan-time/decode-time split as audio_metadata). Poison
+    blobs land in the error column."""
+
+    @F.pandas_udf(VIDEO_META_TYPE)
+    def video_metadata(content: pd.Series) -> pd.DataFrame:
+        out = {k: [] for k in ("fps", "n_frames", "duration_sec", "error")}
+        for blob in content:
+            try:
+                b = bytes(blob)
+                if b[:4] != codecs.VIDEO_MAGIC:
+                    raise codecs.CodecError("bad video magic")
+                if len(b) < 12:
+                    raise codecs.CodecError("truncated video header")
+                fps, n = struct.unpack("<II", b[4:12])
+                out["fps"].append(fps)
+                out["n_frames"].append(n)
+                out["duration_sec"].append(round(n / fps, 6) if fps else None)
+                out["error"].append(None)
+            except Exception as e:  # noqa: BLE001
+                out["fps"].append(None)
+                out["n_frames"].append(None)
+                out["duration_sec"].append(None)
+                out["error"].append(f"{type(e).__name__}: {e}")
+        return pd.DataFrame(out)
+
+    return video_metadata
+
+
+VIDEO_TEXT_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(VIDEO_TEXT_TYPE)
+def video_transcribe(content: pd.Series) -> pd.DataFrame:
+    """Full video decode ('transcription'): every frame through the OCR
+    chain, consecutive duplicate frames collapsed (a held static scene
+    transcribes once) — codecs.transcribe_video. Frame corruption fails
+    into the error column (M4 error-as-data); a real ASR/captioning
+    engine slots into decode_video_real with the same signature and
+    Arrow batch shape."""
+    out = {k: [] for k in ("text", "fps", "n_frames", "duration_sec", "error")}
+    for blob in content:
+        try:
+            text, fps, n = codecs.transcribe_video(bytes(blob))
+            out["text"].append(text)
+            out["fps"].append(fps)
+            out["n_frames"].append(n)
+            out["duration_sec"].append(round(n / fps, 6) if fps else None)
+            out["error"].append(None)
+        except Exception as e:  # noqa: BLE001
+            out["text"].append(None)
+            out["fps"].append(None)
+            out["n_frames"].append(None)
+            out["duration_sec"].append(None)
+            out["error"].append(f"{type(e).__name__}: {e}")
+    return pd.DataFrame(out)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: a video is modeled as a multi-page
-    blob (our PDF container doubles as a frame sequence); emit every
-    n-th frame as its own row via mapInPandas (iterator API — constant
-    memory regardless of frames per video)."""
+    """Video frame-sampling plumbing: emit every n-th frame as its own
+    row via mapInPandas (iterator API — constant memory regardless of
+    frames per video). PMVI containers (round 5) emit their STORED
+    frame payloads without decoding pixels — sampling 1-in-N at 100 TB
+    must not pay N decodes; multi-page blobs (the PDF container
+    doubling as a frame sequence) keep the rasterize path."""
     schema = T.StructType(
         [
             T.StructField("media_ref", T.StringType()),
@@ -222,8 +329,19 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
         for pdf in batches:
             refs, idxs, frames = [], [], []
             for ref, blob in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(blob)
+                if b[:4] == codecs.VIDEO_MAGIC:
+                    try:
+                        stored, _fps = codecs.video_frames(b)
+                    except Exception:  # noqa: BLE001
+                        continue
+                    for i in range(0, len(stored), every_n):
+                        refs.append(ref)
+                        idxs.append(i)
+                        frames.append(stored[i])
+                    continue
                 try:
-                    pages = codecs.rasterize(bytes(blob))
+                    pages = codecs.rasterize(b)
                 except Exception:  # noqa: BLE001
                     continue
                 for i in range(0, len(pages), every_n):

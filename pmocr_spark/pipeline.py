@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .codecs import AUDIO_KINDS, MEDIA_KINDS
+from .codecs import AUDIO_KINDS, MEDIA_KINDS, VIDEO_KINDS
 from .operators.html_extract import HTML_KINDS
 from .udfs import ocr_extract
 
@@ -174,8 +174,13 @@ def extract_spans(
     # plan, zero extra scans (operators/html_extract.py). audio spans
     # (round 5) ride it too: decode_blob magic-dispatches PMAU blobs to
     # the audio codec, so interleaved text+image+html+audio documents
-    # reassemble through ONE decode path.
-    allowed = list(MEDIA_KINDS) + list(HTML_KINDS) + list(AUDIO_KINDS) + ["text"]
+    # reassemble through ONE decode path. video spans (round 5, third
+    # pass) complete the set: PMVI blobs magic-dispatch to
+    # transcribe_video inside the same fused UDF.
+    allowed = (
+        list(MEDIA_KINDS) + list(HTML_KINDS) + list(AUDIO_KINDS)
+        + list(VIDEO_KINDS) + ["text"]
+    )
     skipped = spans.filter(~F.col("kind").isin(allowed)).select(
         "doc_id",
         "offset",

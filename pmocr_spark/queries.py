@@ -2960,11 +2960,13 @@ def _two_pass_rank(df: DataFrame, key: list, id_col: str) -> DataFrame:
       FROM documents)
     SELECT doc_id,
            'done'              AS status,
-           cast(4 AS INTEGER)  AS span_count,
+           cast(5 AS INTEGER)  AS span_count,
            cast(0 AS INTEGER)  AS error_count,
-           clean || chr(10) || clean || chr(10) || clean || chr(10) || clean AS txt,
+           clean || chr(10) || clean || chr(10) || clean || chr(10) || clean
+                 || chr(10) || clean                                         AS txt,
            regexp_replace(clean || chr(10) || clean || chr(10) || clean
-                          || chr(10) || clean, '  +', ';', 'g')              AS csv
+                          || chr(10) || clean || chr(10) || clean,
+                          '  +', ';', 'g')                                   AS csv
     FROM c
     """,
 )
@@ -2975,16 +2977,19 @@ def q39_pipeline_roundtrip(spark, sf_dir):
     span whose blob wraps the same cleaned text in deterministic
     boilerplate (template keyed on doc_id, all three layouts exercised),
     AND (round 5) one audio span whose blob speaks the same text through
-    the synthetic audio codec — and run through the full engine
-    (explode -> route -> fused pandas-UDF decode: OCR for media,
-    DOM-heuristic boilerplate strip for html, frame/parity audio decode
-    for wav, all dispatched on container magic -> windowed reassembly ->
-    txt/csv targets + status). Because decode(encode(x)) == x holds for
-    every codec (q27's image invariant, html's extract(wrap(x)) == x,
-    audio's decode_audio(encode_audio(x)) == x), plain SQL states the
-    expected output exactly: all four spans reassemble to the cleaned
-    text, so txt == clean joined 4x by newline, status == 'done',
-    span_count == 4, error_count == 0. This retires q28's permanent
+    the synthetic audio codec AND one video span whose blob holds the
+    same text as a 2-frame static scene (PMVI) — and run through the
+    full engine (explode -> route -> fused pandas-UDF decode: OCR for
+    media, DOM-heuristic boilerplate strip for html, frame/parity audio
+    decode for wav, per-frame OCR + held-scene collapse for avi, all
+    dispatched on container magic -> windowed reassembly -> txt/csv
+    targets + status). Because decode(encode(x)) == x holds for every
+    codec (q27's image invariant, html's extract(wrap(x)) == x, audio's
+    decode_audio(encode_audio(x)) == x, video's
+    transcribe_video(encode_video([x])) == x), plain SQL states the
+    expected output exactly: all five spans reassemble to the cleaned
+    text, so txt == clean joined 5x by newline, status == 'done',
+    span_count == 5, error_count == 0. This retires q28's permanent
     no_oracle row as the only unoracled pipeline signal (q28's exact
     span-sequence pytest gate stays as defense in depth). pmOCR analog:
     the end-to-end batch conversion run (pmocr.sh:2546-2593 ->
@@ -3022,12 +3027,22 @@ def q39_pipeline_roundtrip(spark, sf_dir):
             [codecs.encode_audio(t, salt="q39a") for t in text], dtype=object
         )
 
+    @F.pandas_udf(T.BinaryType())
+    def encode_avi(text):
+        # one caption held for 2 frames — transcription collapses the
+        # held scene back to the single caption (codecs.transcribe_video)
+        return pd.Series(
+            [codecs.encode_video([t], hold=2, salt="q39v") for t in text],
+            dtype=object,
+        )
+
     base = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         clean.alias("clean_text"),
         F.concat(F.lit("m:"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.concat(F.lit("h:"), F.col("doc_id").cast("string")).alias("html_ref"),
         F.concat(F.lit("a:"), F.col("doc_id").cast("string")).alias("audio_ref"),
+        F.concat(F.lit("v:"), F.col("doc_id").cast("string")).alias("video_ref"),
     )
     docs = base.select(
         "doc_id",
@@ -3056,6 +3071,12 @@ def q39_pipeline_roundtrip(spark, sf_dir):
                 F.col("audio_ref").alias("media_ref"),
                 F.lit(3).cast("int").alias("offset"),
             ),
+            F.struct(
+                F.lit("avi").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.col("video_ref").alias("media_ref"),
+                F.lit(4).cast("int").alias("offset"),
+            ),
         ).alias("spans"),
     )
     blobs = base.select(
@@ -3073,6 +3094,12 @@ def q39_pipeline_roundtrip(spark, sf_dir):
             F.col("audio_ref").alias("media_ref"),
             F.lit("wav").alias("kind"),
             encode_wav(F.col("clean_text")).alias("content"),
+        )
+    ).unionByName(
+        base.select(
+            F.col("video_ref").alias("media_ref"),
+            F.lit("avi").alias("kind"),
+            encode_avi(F.col("clean_text")).alias("content"),
         )
     )
     out = pipeline.run_batch(spark, docs, blobs)

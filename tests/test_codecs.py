@@ -179,3 +179,59 @@ def test_audio_parity_detects_single_bit_flip():
         raise AssertionError("bit flip not detected")
     except codecs.CodecError as e:
         assert "parity" in str(e)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(media_text(), min_size=1, max_size=3), st.integers(1, 3))
+def test_video_roundtrip_hypothesis(captions, hold):
+    """decode_video(encode_video(caps, hold)) yields each caption held
+    `hold` consecutive frames; transcription collapses the held scenes
+    back to the caption sequence."""
+    blob = codecs.encode_video(captions, hold=hold, salt="h")
+    texts, fps, n = codecs.decode_video(blob)
+    assert fps == codecs.VIDEO_FPS and n == len(captions) * hold
+    expect = [c for c in captions for _ in range(hold)]
+    assert texts == expect
+    transcript, _, _ = codecs.transcribe_video(blob)
+    # consecutive-duplicate collapse: equal ADJACENT captions merge too
+    want = [c for i, c in enumerate(expect) if i == 0 or c != expect[i - 1]]
+    assert transcript == "\n".join(want)
+
+
+def test_video_decode_blob_dispatch():
+    blob = codecs.encode_video(["scene one", "scene two"], hold=2)
+    assert codecs.decode_blob(blob) == "scene one\nscene two"
+
+
+def test_video_frames_emits_stored_img_containers():
+    blob = codecs.encode_video(["a b c"], hold=3)
+    frames, fps = codecs.video_frames(blob)
+    assert fps == codecs.VIDEO_FPS and len(frames) == 3
+    # held frames are byte-identical; each is a decodable IMG container
+    assert frames[0] == frames[1] == frames[2]
+    assert frames[0][:6] == codecs.IMG_MAGIC
+    assert codecs.decode_blob(frames[0]) == "a b c"
+
+
+def test_video_poison_paths():
+    blob = codecs.encode_video(["ok"], hold=1)
+    for bad, msg in [
+        (b"XXXX" + blob[4:], "magic"),
+        (blob[:8], "header"),
+        (blob[:-3], "frame"),
+        (blob + b"zz", "trailing"),
+    ]:
+        with pytest.raises(codecs.CodecError) as e:
+            codecs.decode_video(bad)
+        assert msg in str(e.value), (msg, str(e.value))
+
+
+def test_video_frame_corruption_fails_parity():
+    """Corruption INSIDE a frame surfaces through the glyph parity
+    check — error-as-data upstream, never hallucinated text."""
+    blob = codecs.encode_video(["parity scene"], hold=1)
+    arr = bytearray(blob)
+    # flip a pixel deep inside the frame payload (past both headers)
+    arr[-10] = (arr[-10] + 200) % 256
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_video(bytes(arr))

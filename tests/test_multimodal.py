@@ -270,3 +270,101 @@ def test_transcribe_audio_cli(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--transcribe-audio", "--batch", "--blobs", blobs,
                         "--output", out])
+
+
+def test_video_real_decode_guarded():
+    """The real-library hook resolves LOUDLY when cv2 is absent
+    (engines.py's tesseract discipline) — never a silent mis-decode."""
+    if mm._HAVE_VIDEO:
+        pytest.skip("cv2 installed: guarded path is live")
+    with pytest.raises(RuntimeError, match="cv2"):
+        mm.decode_video_real(b"")
+
+
+def test_video_metadata_header_only(spark):
+    """video_metadata parses the 12-byte header (scan-time pass) —
+    duration from the REAL frame count, poison into the error column.
+    A header with no frame payload is still valid METADATA."""
+    blob = codecs.encode_video(["one", "two"], hold=3, salt="vm")
+    header_only = b"PMVI" + struct.pack("<II", 30, 90)
+    df = spark.createDataFrame(
+        [("v1", blob), ("v2", header_only), ("bad", b"JUNK----")],
+        "media_ref string, content binary",
+    )
+    udf = mm.video_metadata_udf()
+    got = {
+        r["media_ref"]: r.asDict()
+        for r in df.select("media_ref", udf("content").alias("m"))
+        .select("media_ref", "m.*")
+        .collect()
+    }
+    assert got["v1"]["fps"] == codecs.VIDEO_FPS and got["v1"]["n_frames"] == 6
+    assert got["v1"]["duration_sec"] == round(6 / codecs.VIDEO_FPS, 6)
+    assert got["v2"]["fps"] == 30 and got["v2"]["duration_sec"] == 3.0
+    assert got["bad"]["error"] is not None
+
+
+def test_video_transcribe_roundtrip(spark):
+    """transcribe(encode(captions)) == captions through the REAL Spark
+    path (Arrow batches, struct column): held scenes collapse, poison
+    and truncated blobs fail into the error column."""
+    rows = [
+        ("v1", codecs.encode_video(["scene one", "scene two"], hold=2, salt="t1")),
+        ("v2", codecs.encode_video(["solo\nline"], hold=1, salt="t2")),
+        ("bad", codecs.encode_corrupt("z")),
+        ("trunc", codecs.encode_video(["cut"], hold=1, salt="t3")[:-3]),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    got = {
+        r["media_ref"]: r.asDict()
+        for r in df.select("media_ref", mm.video_transcribe("content").alias("t"))
+        .select("media_ref", "t.*")
+        .collect()
+    }
+    assert got["v1"]["text"] == "scene one\nscene two"
+    assert got["v1"]["n_frames"] == 4 and got["v1"]["fps"] == codecs.VIDEO_FPS
+    assert got["v2"]["text"] == "solo\nline"
+    assert got["bad"]["text"] is None and "magic" in got["bad"]["error"]
+    assert got["trunc"]["text"] is None and got["trunc"]["error"] is not None
+
+
+def test_frame_sample_on_video_container(spark):
+    """PMVI blobs sample their STORED frames (no pixel decode, no
+    re-encode): every 2nd frame of a 6-frame video -> indices 0,2,4,
+    each an IMG container that decodes to its scene's caption."""
+    blob = codecs.encode_video(["aa", "bb", "cc"], hold=2, salt="fs")
+    df = spark.createDataFrame([("v", blob)], "media_ref string, content binary")
+    out = sorted(
+        mm.frame_sample(df, every_n=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    assert [codecs.decode_blob(bytes(r["frame"])) for r in out] == ["aa", "bb", "cc"]
+
+
+def test_transcribe_video_cli(spark, tmp_path):
+    """--transcribe-video maintenance mode: blobs table in, per-blob
+    (text, fps, n_frames, duration_sec, error) out; poison rows are
+    error-data; validation rejects missing args / mode mixing."""
+    from pmocr_spark import cli
+
+    rows = [
+        ("v1", "avi", codecs.encode_video(["first scene", "second scene"], hold=2, salt="c1")),
+        ("v2", "avi", codecs.encode_video(["solo"], hold=1, salt="c2")),
+        ("bad", "avi", codecs.encode_corrupt("zz")),
+    ]
+    blobs = str(tmp_path / "blobs")
+    spark.createDataFrame(rows, "media_ref string, kind string, content binary") \
+        .write.parquet(blobs)
+    out = str(tmp_path / "txt")
+    cli.main(["--transcribe-video", "--blobs", blobs, "--output", out,
+              "--master", "local[4]"])
+    got = {r["media_ref"]: r for r in spark.read.parquet(out).collect()}
+    assert got["v1"]["text"] == "first scene\nsecond scene"
+    assert got["v1"]["n_frames"] == 4 and got["v1"]["error"] is None
+    assert got["v2"]["text"] == "solo"
+    assert got["bad"]["text"] is None and "magic" in got["bad"]["error"]
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--transcribe-video", "--blobs", blobs])  # no --output
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--transcribe-video", "--batch", "--blobs", blobs,
+                        "--output", out])

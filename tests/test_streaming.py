@@ -1051,3 +1051,51 @@ def test_audio_span_in_service_mode(spark, dirs, tmp_path):
     lin = {r["doc_id"]: r for r in
            spark.read.parquet(f"{dirs['lineage']}/epoch-0").collect()}
     assert "magic" in lin["poison"]["error"]
+
+
+def test_video_span_in_service_mode(spark, dirs, tmp_path):
+    """Round 5 (third pass): video completes the interleaved set — a
+    service drop with a text+wav+avi doc reassembles exactly as batch
+    would, the held scene collapsing to one caption; a corrupt video
+    blob quarantines instead of failing the epoch."""
+    import pyarrow as pa
+
+    from pmocr_spark import codecs
+
+    wav = codecs.encode_audio("narrated part", salt="sv2")
+    avi = codecs.encode_video(["filmed part"], hold=3, salt="sv2")
+    blobs = pa.Table.from_pylist(
+        [
+            {"media_ref": "a:1", "kind": "wav", "content": wav},
+            {"media_ref": "v:1", "kind": "avi", "content": avi},
+            {"media_ref": "v:2", "kind": "avi", "content": codecs.encode_corrupt("y")},
+        ],
+        schema=corpus.BLOBS_SCHEMA,
+    )
+    pq.write_table(blobs, f"{tmp_path}/blobs.parquet")
+    media = spark.read.parquet(f"{tmp_path}/blobs.parquet")
+    rows = [
+        {"doc_id": "ok", "spans": [
+            {"kind": "text", "text": "written part", "media_ref": None, "offset": 0},
+            {"kind": "wav", "text": None, "media_ref": "a:1", "offset": 1},
+            {"kind": "avi", "text": None, "media_ref": "v:1", "offset": 2},
+        ]},
+        {"doc_id": "poison", "spans": [
+            {"kind": "avi", "text": None, "media_ref": "v:2", "offset": 0},
+        ]},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=corpus.DOCUMENTS_SCHEMA),
+                   f"{dirs['landing']}/drop0.parquet")
+    q = streaming.monitor(
+        spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+        dirs["lineage"], trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in
+           spark.read.parquet(f"{dirs['output']}/epoch-0").collect()}
+    assert got["ok"]["status"] == "done"
+    assert got["ok"]["txt"] == "written part\nnarrated part\nfilmed part"
+    assert got["poison"]["status"] == "failed"
+    lin = {r["doc_id"]: r for r in
+           spark.read.parquet(f"{dirs['lineage']}/epoch-0").collect()}
+    assert "magic" in lin["poison"]["error"]
