@@ -2734,6 +2734,34 @@ _DOMAIN_CAP_SALTS = 16
                  count(*) OVER (PARTITION BY source) AS src_total
           FROM documents)
     WHERE rk <= {_DOMAIN_CAP_K}
+    UNION ALL
+    -- temperature-sampled source mixing: p(s) ∝ n_s^0.5, deterministic
+    -- integer-weight form, first take_s docs per domain by md5(doc_id)
+    SELECT 'mix', dom, doc_id::VARCHAR,
+           cast(rk AS BIGINT), take_s, cast(n_s AS BIGINT)
+    FROM (
+      SELECT doc_id, dom,
+             row_number() OVER (PARTITION BY dom
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM (SELECT doc_id,
+                   'd' || cast(cast(floor(sqrt(cast(doc_id % 64 AS DOUBLE))) AS INT)
+                               AS VARCHAR) AS dom
+            FROM documents)) r
+    JOIN (
+      SELECT dom, n_s,
+             least(n_s, cast(floor(tb * w / tw) AS BIGINT)) AS take_s
+      FROM (
+        SELECT dom, n_s, cast(floor(sqrt(cast(n_s AS DOUBLE)) * 1000) AS BIGINT) AS w
+        FROM (SELECT 'd' || cast(cast(floor(sqrt(cast(doc_id % 64 AS DOUBLE))) AS INT)
+                                 AS VARCHAR) AS dom, count(*) AS n_s
+              FROM documents GROUP BY 1)),
+      (SELECT sum(cast(floor(sqrt(cast(n_s AS DOUBLE)) * 1000) AS BIGINT)) AS tw,
+              cast(floor(sum(n_s) / 4) AS BIGINT) AS tb
+       FROM (SELECT count(*) AS n_s FROM documents
+             GROUP BY 'd' || cast(cast(floor(sqrt(cast(doc_id % 64 AS DOUBLE))) AS INT)
+                                  AS VARCHAR)))) t
+    USING (dom)
+    WHERE rk <= take_s
     """,
 )
 def q35_stratified_sample(spark, sf_dir):
@@ -2759,6 +2787,13 @@ def q35_stratified_sample(spark, sf_dir):
         domain — and phase 2 ranks the <= S*K survivors; each shard's
         global-top-K members are in its local top-K, so only-kept-rows
         output is salt-invariant and equals the oracle's direct window.
+      * part='mix' (round 5): temperature-sampled source mixing (Lample
+        & Conneau XLM'19 §3.1): p(domain) ∝ n^α at α=0.5 in a
+        deterministic integer-weight form — w=floor(sqrt(n)*1000),
+        budget T=total/4, take=min(n, floor(T*w/ΣW)), kept docs = the
+        domain's first take by md5(doc_id). Selection reuses the
+        domain_cap salted two-phase top-K; the weight/take table is
+        #domains-sized and broadcast.
     Scale shape: the model is B log-ratios — a CONSTANT-size broadcast
     (independent of corpus size, so the probe_index broadcast lesson
     does not apply); per-doc scoring is one (doc,bucket) partial agg and
@@ -2867,7 +2902,64 @@ def q35_stratified_sample(spark, sf_dir):
             F.col("n_chars").cast("long").alias("score_u"),
         )
     )
-    return stratum.unionAll(dsir).unionAll(capped)
+    # part='mix' (round 5): temperature-sampled source mixing (Lample &
+    # Conneau XLM'19 §3.1; multilingual-pretraining practice, public):
+    # draw source s with probability ∝ n_s^α (α=0.5), up-weighting
+    # low-resource sources. Deterministic form: per-domain integer
+    # weights w = floor(sqrt(n_s)*1000), budget T = total/4 docs,
+    # per-domain take = min(n_s, floor(T*w/ΣW)); the kept docs are the
+    # domain's first take_s by md5(doc_id) — reproducible, no RNG. The
+    # domain scaffold is skewed by construction (bucket sizes 1..15 per
+    # 64 ids) so the temperature effect is visible: small domains keep
+    # a larger share than proportional sampling gives them. Scale:
+    # counts/weights/takes are a #domains-sized broadcast table;
+    # selection reuses domain_cap's salted two-phase bounded top-K (no
+    # reducer sees a full hot domain). T*w stays far under 2^53 at any
+    # real domain table, so the float division floors identically on
+    # both engines.
+    dom = F.concat(
+        F.lit("d"),
+        F.floor(F.sqrt((F.col("doc_id") % 64).cast("double"))).cast("int").cast("string"),
+    )
+    dd = d.select("doc_id", dom.alias("dom"))
+    wts = dd.groupBy("dom").agg(F.count("*").alias("n_s")).select(
+        "dom",
+        "n_s",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * 1000).cast("long").alias("w"),
+    )
+    tot = wts.agg(
+        F.sum("w").alias("tw"), F.floor(F.sum("n_s") / 4).cast("long").alias("tb")
+    )
+    take = wts.crossJoin(F.broadcast(tot)).select(
+        "dom",
+        "n_s",
+        F.least(
+            F.col("n_s"), F.floor(F.col("tb") * F.col("w") / F.col("tw")).cast("long")
+        ).alias("take_s"),
+    )
+    mkey = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    msalt = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(_DOMAIN_CAP_SALTS))
+    mw1 = W.partitionBy("dom", "salt").orderBy("mkey", "doc_id")
+    mcand = (
+        dd.select("doc_id", "dom", mkey.alias("mkey"), msalt.alias("salt"))
+        .join(F.broadcast(take), "dom")
+        .withColumn("r1", F.row_number().over(mw1))
+        .filter(F.col("r1") <= F.col("take_s"))
+    )
+    mw2 = W.partitionBy("dom").orderBy("mkey", "doc_id")
+    mix = (
+        mcand.withColumn("rk", F.row_number().over(mw2))
+        .filter(F.col("rk") <= F.col("take_s"))
+        .select(
+            F.lit("mix").alias("part"),
+            F.col("dom").alias("k1"),
+            F.col("doc_id").cast("string").alias("k2"),
+            F.col("rk").cast("long").alias("n1"),
+            F.col("take_s").alias("n2"),
+            F.col("n_s").cast("long").alias("score_u"),
+        )
+    )
+    return stratum.unionAll(dsir).unionAll(capped).unionAll(mix)
 
 
 
