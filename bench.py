@@ -833,6 +833,54 @@ def _pq_trained_recall(spark, sf_dir: str, truth: dict) -> dict:
     }
 
 
+#: captions per synthetic video in the video bench (2 scenes x hold=2
+#: frames = 4 decoded frames per blob — the held-scene collapse path)
+VIDEO_BENCH_DOCS = 1000
+
+
+def _bench_video(spark, sf_dir: str) -> dict:
+    """Throughput of the round-5 video route: VIDEO_BENCH_DOCS documents
+    encoded as PMVI 2-scene/hold-2 videos (4 frames each), transcribed
+    through multimodal.video_transcribe (per-frame OCR + held-scene
+    collapse). Map-only pandas UDF — pure per-core decoder cost, the
+    quantity that scales linearly with executors at 10^12 docs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pmocr_spark import codecs
+    from pmocr_spark.operators import multimodal as mm
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(doc_id, text):
+        out = []
+        for i, t in zip(doc_id, text):
+            t = t or ""
+            mid = len(t) // 2
+            out.append(
+                codecs.encode_video([t[:mid] or "x", t[mid:] or "y"], hold=2, salt=str(i))
+            )
+        return pd.Series(out, dtype=object)
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(VIDEO_BENCH_DOCS)
+        .repartition(int(spark.sparkContext.defaultParallelism) * 2)
+        .withColumn("content", enc("doc_id", "text"))
+        .withColumnRenamed("doc_id", "media_ref")
+        .persist()
+    )
+    n = docs.count()  # materialize encoded blobs before timing decode
+    t0 = time.time()
+    _force(
+        docs.select(mm.video_transcribe(F.col("content")).alias("t")).select("t.text")
+    )
+    sec = round(time.time() - t0, 3)
+    docs.unpersist()
+    return {"sec": sec, "blobs": n, "blobs_per_sec": round(n / sec, 2) if sec else 0.0}
+
+
 def _bench_html(spark, sf_dir: str) -> dict:
     """Throughput of the round-4 html route (north rule: boilerplate
     strip / DOM heuristics): every sf_dir document wrapped in
@@ -992,6 +1040,11 @@ def main() -> None:
         )
         bpe = _bench_bpe(spark, sf_dir)
         _log(f"bpe learn {bpe['sec']}s ({bpe['merges']} merges, {bpe['merges_per_sec']}/s)")
+        video = _bench_video(spark, sf_dir)
+        _log(
+            f"video transcribe {video['sec']}s "
+            f"({video['blobs']} blobs, {video['blobs_per_sec']}/s)"
+        )
         qtimes = _bench_queries(spark, sf_dir)
         _log(f"headline queries done: {qtimes}")
         recall, truth = _ann_recall_at5(spark, sf_dir)
@@ -1009,6 +1062,7 @@ def main() -> None:
             "html_extract": html["sec"],
             "phash_near_dup": phash["sec"],
             "bpe_learn": bpe["sec"],
+            "video_transcribe": video["sec"],
             **qtimes,
         }
         result["value"] = round(sum(result["queries"].values()), 3)
@@ -1016,6 +1070,7 @@ def main() -> None:
         result["html_docs_per_sec"] = html["docs_per_sec"]
         result["phash_blobs_per_sec"] = phash["blobs_per_sec"]
         result["bpe_merges_per_sec"] = bpe["merges_per_sec"]
+        result["video_blobs_per_sec"] = video["blobs_per_sec"]
         result["ann_recall_at5"] = recall
         result["ann_recall_floor"] = ANN_RECALL_FLOOR
         result["ivfpq_nprobe_curve"] = nprobe_curve
