@@ -114,7 +114,9 @@ def unpartitioned_window_args(df: DataFrame) -> list[str]:
     out: list[str] = []
     lines = formatted_plan(df).splitlines()
     for i, line in enumerate(lines):
-        if not re.match(r"\(\d+\) Window", line.strip()):
+        # \b excludes WindowGroupLimit (a partitioned per-group top-k
+        # pushdown whose Arguments line has a different shape)
+        if not re.match(r"\(\d+\) Window\b", line.strip()):
             continue
         for j in range(i + 1, min(i + 8, len(lines))):
             arg = lines[j].strip()

@@ -2791,9 +2791,11 @@ def q35_stratified_sample(spark, sf_dir):
         & Conneau XLM'19 §3.1): p(domain) ∝ n^α at α=0.5 in a
         deterministic integer-weight form — w=floor(sqrt(n)*1000),
         budget T=total/4, take=min(n, floor(T*w/ΣW)), kept docs = the
-        domain's first take by md5(doc_id). Selection reuses the
-        domain_cap salted two-phase top-K; the weight/take table is
-        #domains-sized and broadcast.
+        domain's first take by md5(doc_id). take grows with the corpus
+        (unlike domain_cap's constant K), so selection uses ONE
+        corpus-wide two-pass rank on (dom, md5) + broadcast per-domain
+        offsets — never a per-domain rank window; the weight/take
+        table is #domains-sized and broadcast.
     Scale shape: the model is B log-ratios — a CONSTANT-size broadcast
     (independent of corpus size, so the probe_index broadcast lesson
     does not apply); per-doc scoring is one (doc,bucket) partial agg and
@@ -2912,17 +2914,29 @@ def q35_stratified_sample(spark, sf_dir):
     # domain scaffold is skewed by construction (bucket sizes 1..15 per
     # 64 ids) so the temperature effect is visible: small domains keep
     # a larger share than proportional sampling gives them. Scale:
-    # counts/weights/takes are a #domains-sized broadcast table;
-    # selection reuses domain_cap's salted two-phase bounded top-K (no
-    # reducer sees a full hot domain). T*w stays far under 2^53 at any
-    # real domain table, so the float division floors identically on
-    # both engines.
+    # counts/weights/takes are a #domains-sized broadcast table. The
+    # SELECTION must not reuse domain_cap's per-domain rank window —
+    # take_s grows linearly with the corpus (budget T = total/4),
+    # unlike domain_cap's constant K, so a per-domain window would put
+    # take_s rows in one partition. Instead: ONE corpus-wide two-pass
+    # rank (q37 shape, range-partitioned — balanced regardless of
+    # domain skew) over the lexicographic key (dom, md5, doc_id), then
+    # per-domain rank = global rank − the domain's broadcast offset
+    # (cumulative counts over the #domains-row table). T*w stays far
+    # under 2^53 at any real domain table, so the float division
+    # floors identically on both engines.
     dom = F.concat(
         F.lit("d"),
         F.floor(F.sqrt((F.col("doc_id") % 64).cast("double"))).cast("int").cast("string"),
     )
+    from .operators.graph import iter_checkpoint
+
     dd = d.select("doc_id", dom.alias("dom"))
-    wts = dd.groupBy("dom").agg(F.count("*").alias("n_s")).select(
+    # materialized: the #domains-row count table feeds THREE consumers
+    # (weights/budget, takes, offsets) — without the checkpoint each
+    # would re-aggregate the full corpus scan
+    cnts = iter_checkpoint(dd.groupBy("dom").agg(F.count("*").alias("n_s")))
+    wts = cnts.select(
         "dom",
         "n_s",
         F.floor(F.sqrt(F.col("n_s").cast("double")) * 1000).cast("long").alias("w"),
@@ -2938,17 +2952,21 @@ def q35_stratified_sample(spark, sf_dir):
         ).alias("take_s"),
     )
     mkey = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    msalt = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(_DOMAIN_CAP_SALTS))
-    mw1 = W.partitionBy("dom", "salt").orderBy("mkey", "doc_id")
-    mcand = (
-        dd.select("doc_id", "dom", mkey.alias("mkey"), msalt.alias("salt"))
-        .join(F.broadcast(take), "dom")
-        .withColumn("r1", F.row_number().over(mw1))
-        .filter(F.col("r1") <= F.col("take_s"))
+    keyed = dd.select("doc_id", "dom", mkey.alias("mkey"))
+    granked = _two_pass_rank(
+        keyed,
+        [F.col("dom").asc(), F.col("mkey").asc(), F.col("doc_id").asc()],
+        "doc_id",
+        extra_cols=["dom"],
     )
-    mw2 = W.partitionBy("dom").orderBy("mkey", "doc_id")
+    wdom = W.orderBy("dom").rowsBetween(W.unboundedPreceding, -1)
+    offs = cnts.select(
+        "dom", F.coalesce(F.sum("n_s").over(wdom), F.lit(0)).alias("dom_off")
+    )
     mix = (
-        mcand.withColumn("rk", F.row_number().over(mw2))
+        granked.join(F.broadcast(offs), "dom")
+        .join(F.broadcast(take), "dom")
+        .withColumn("rk", F.col("rnk") - F.col("dom_off"))
         .filter(F.col("rk") <= F.col("take_s"))
         .select(
             F.lit("mix").alias("part"),
@@ -3022,10 +3040,14 @@ def q37_global_rank_scalable(spark, sf_dir):
     return orders.unionAll(shuf)
 
 
-def _two_pass_rank(df: DataFrame, key: list, id_col: str) -> DataFrame:
-    """(id_col, rnk): global row_number over `key` without a global sort
-    — range partition, local rank, broadcast offsets (see q37). `key`
-    must be unique per row for rank == row_number determinism."""
+def _two_pass_rank(
+    df: DataFrame, key: list, id_col: str, extra_cols: list | None = None
+) -> DataFrame:
+    """(id_col, *extra_cols, rnk): global row_number over `key` without
+    a global sort — range partition, local rank, broadcast offsets (see
+    q37). `key` must be unique per row for rank == row_number
+    determinism. `extra_cols` are carried through so callers that need
+    more than the id don't pay a corpus-sized join to re-attach them."""
     from .operators.graph import iter_checkpoint
 
     parts = iter_checkpoint(
@@ -3039,7 +3061,9 @@ def _two_pass_rank(df: DataFrame, key: list, id_col: str) -> DataFrame:
         "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
     return local.join(F.broadcast(offsets), "_pid").select(
-        id_col, (F.col("_lr") + F.col("_off")).cast("long").alias("rnk")
+        id_col,
+        *(extra_cols or []),
+        (F.col("_lr") + F.col("_off")).cast("long").alias("rnk"),
     )
 
 

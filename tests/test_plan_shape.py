@@ -143,9 +143,14 @@ def test_q35_sample_single_exchange(spark):
     per-source totals agg (broadcast-joined). A regression to per-branch
     corpus re-aggregation (the separate tc/rc/tt/rt frames this test was
     written against) pushed the PRE-domain_cap budget from 6 to 8+, so
-    the equivalent regression now reads 11+."""
+    the equivalent regression now reads 11+. The round-5 mix arm adds
+    five more, only ONE corpus-sized (the two-pass _pid window reshuffle;
+    its range exchange runs inside the checkpoint job): _pid sizes agg +
+    its SinglePartition offsets, and the #domains-row dom cumsum pair —
+    the take/weight/offset tables all read the CHECKPOINTED count table,
+    never the corpus."""
     df = QUERY_FNS["q35_stratified_sample"](spark, SF)
-    assert shape.count_exchanges(df) <= 9, shape.formatted_plan(df)
+    assert shape.count_exchanges(df) <= 14, shape.formatted_plan(df)
     plan = shape.formatted_plan(df)
     assert "CartesianProduct" not in plan
 
@@ -415,3 +420,23 @@ def test_q24_lm_bucket_no_global_window(spark):
     assert max(sizes) - min(sizes) <= 1, sizes
     assert min(by["head"]) >= max(by["middle"]) - 1e-9
     assert min(by["middle"]) >= max(by["tail"]) - 1e-9
+
+
+def test_q35_mix_no_per_domain_window(spark):
+    """The temperature-mix arm's take_s grows with the corpus (budget
+    = total/4), so selection must be the corpus-wide two-pass rank —
+    the only Windows over the full corpus are the _pid-partitioned
+    local ranks; unpartitioned windows may only span bounded tables
+    (the 16-row two-pass offsets, the #domains offset/cumsum, dsir's
+    B-row model). A window partitioned or sorted by the md5 mix key
+    outside _pid would be the per-domain bottleneck shape."""
+    df = QUERY_FNS["q35_stratified_sample"](spark, SF)
+    for arg in shape.unpartitioned_window_args(df):
+        assert "mkey" not in arg and "n_chars" not in arg, arg
+    plan = shape.formatted_plan(df)
+    import re
+
+    # every Window whose sort involves the mix key must be partitioned
+    # by the two-pass _pid, never by dom alone
+    for m in re.finditer(r"Window \[[^\]]*mkey[^\]]*\]", plan):
+        assert "_pid" in m.group(0), m.group(0)
