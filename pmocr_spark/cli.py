@@ -361,6 +361,22 @@ def build_parser() -> argparse.ArgumentParser:
         "(sniff_html), exactly like the fused pipeline's dispatch",
     )
     p.add_argument(
+        "--fix-text",
+        action="store_true",
+        help="maintenance mode (standalone): OCR text repair over the "
+        "--input table's --text-col column (functions.dehyphenate + "
+        "functions.reflow: hyphenated line-break joins, hard-wrap "
+        "reflow preserving blank-line paragraphs) — writes the table "
+        "with the column repaired plus n_hyphens_repaired / "
+        "n_breaks_reflowed counters; pure codegen regexps, map-only",
+    )
+    p.add_argument(
+        "--text-col",
+        default="text",
+        help="column repaired by --fix-text (default: text; use txt for "
+        "batch-results tables)",
+    )
+    p.add_argument(
         "--phash-max-hamming",
         type=int,
         default=None,
@@ -605,6 +621,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--transcribe-audio", args.transcribe_audio),
             ("--transcribe-video", args.transcribe_video),
             ("--extract-markdown", args.extract_markdown),
+            ("--fix-text", args.fix_text),
             ("--train-quality", args.train_quality),
             ("--score-quality", args.score_quality is not None),
             ("--train-bpe", args.train_bpe is not None),
@@ -727,6 +744,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--extract-markdown is a standalone maintenance mode")
         if not args.blobs or not args.output:
             parser.error("--blobs and --output are required with --extract-markdown")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.fix_text:
+        if args.batch or args.service:
+            parser.error("--fix-text is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --fix-text")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1173,6 +1198,37 @@ def main(argv: list[str] | None = None) -> None:
         print(
             f"pmocr-spark: transcribed {n_ok} video blobs "
             f"({n_err} failed as error rows) to {args.output}"
+        )
+        return
+    if getattr(args, "fix_text", False):
+        from .functions import dehyphenate, reflow
+
+        df = spark.read.parquet(args.input)
+        tc = args.text_col
+        if tc not in df.columns:
+            raise SystemExit(f"pmocr-spark: --fix-text: no column {tc!r} in {args.input}")
+        c = F.col(tc)
+        # count BEFORE repairing so the counters describe what changed;
+        # both expressions stay inside one codegen'd map projection
+        n_hyp = F.regexp_count(c, F.lit("([A-Za-z0-9])-\n[ \t]*[a-z0-9]"))
+        fixed = reflow(dehyphenate(c))
+        out = df.withColumn("n_hyphens_repaired", n_hyp.cast("long")).withColumn(
+            "n_breaks_reflowed",
+            (
+                F.regexp_count(dehyphenate(c), F.lit("\n"))
+                - F.regexp_count(fixed, F.lit("\n"))
+            ).cast("long"),
+        ).withColumn(tc, fixed)
+        out.write.mode("overwrite").parquet(args.output)
+        got = spark.read.parquet(args.output)
+        tot = got.agg(
+            F.coalesce(F.sum("n_hyphens_repaired"), F.lit(0)).alias("h"),
+            F.coalesce(F.sum("n_breaks_reflowed"), F.lit(0)).alias("b"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        print(
+            f"pmocr-spark: repaired {tot['n']} rows ({tot['h']} hyphen breaks, "
+            f"{tot['b']} wraps reflowed) to {args.output}"
         )
         return
     if getattr(args, "extract_markdown", False):

@@ -740,3 +740,40 @@ def test_extract_markdown_mode(spark, tmp_path):
         assert got[ref]["n_tables"] == len(hx.extract_tables(doc))
         assert json.loads(got[ref]["tables_json"]) == hx.extract_tables(doc)
     assert any(got[r]["n_tables"] > 0 for r in html_refs)
+
+
+def test_fix_text_cli(spark, tmp_path):
+    """--fix-text repairs OCR line-wrap artifacts in-place: hyphenated
+    breaks join, single wraps flatten, paragraph breaks survive; the
+    counters report what changed and the summary handles empty input
+    (coalesce, the round-4 ADVICE lesson)."""
+    from pmocr_spark import cli
+
+    rows = [
+        (1, "the quick bro-\nwn fox\njumps", "keep"),
+        (2, "para one line\n\npara two li-\n ne", "keep"),
+        (3, "already clean", "keep"),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "doc_id long, text string, other string").write.parquet(src)
+    out = str(tmp_path / "fixed")
+    cli.main(["--fix-text", "--input", src, "--output", out, "--master", "local[4]"])
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["text"] == "the quick brown fox jumps"
+    assert got[1]["n_hyphens_repaired"] == 1 and got[1]["n_breaks_reflowed"] == 1
+    assert got[2]["text"] == "para one line\n\npara two line"
+    assert got[2]["n_hyphens_repaired"] == 1 and got[2]["n_breaks_reflowed"] == 0
+    assert got[3]["text"] == "already clean" and got[3]["n_hyphens_repaired"] == 0
+    assert got[3]["other"] == "keep"  # untouched columns survive
+    # alternate column name + missing-column failure is loud
+    src2 = str(tmp_path / "in2")
+    spark.createDataFrame([(1, "a-\nb")], "doc_id long, txt string").write.parquet(src2)
+    out2 = str(tmp_path / "fixed2")
+    cli.main(["--fix-text", "--input", src2, "--output", out2,
+              "--text-col", "txt", "--master", "local[4]"])
+    assert spark.read.parquet(out2).collect()[0]["txt"] == "ab"
+    with pytest.raises(SystemExit):
+        cli.main(["--fix-text", "--input", src2, "--output", out2,
+                  "--text-col", "nope", "--master", "local[4]"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--fix-text", "--input", src])  # no --output
