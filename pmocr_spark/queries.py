@@ -1706,13 +1706,38 @@ def _occ_sql(marker: str) -> str:
            CASE greatest(s_en, s_es, s_de, s_fr, s_zh)
              WHEN 0 THEN 'und'
              WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_de THEN 'de'
-             WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang
+             WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang,
+           cast((CASE WHEN s_en > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN s_es > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN s_de > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN s_fr > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN s_zh > 0 THEN 1 ELSE 0 END) AS BIGINT)   AS n_langs,
+           CASE WHEN s_en + s_es + s_de + s_fr + s_zh = 0 THEN NULL
+                ELSE round(greatest(s_en, s_es, s_de, s_fr, s_zh) * 1.0
+                           / (s_en + s_es + s_de + s_fr + s_zh), 4)
+           END                                                       AS dom_ratio,
+           cast(CASE WHEN (CASE WHEN s_en > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN s_es > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN s_de > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN s_fr > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN s_zh > 0 THEN 1 ELSE 0 END) >= 2
+                      AND greatest(s_en, s_es, s_de, s_fr, s_zh) * 2
+                          <= s_en + s_es + s_de + s_fr + s_zh
+                     THEN 1 ELSE 0 END AS BIGINT)                    AS is_mixed
     FROM s
     """,
 )
 def q23_lang_id(spark, sf_dir):
     """Language-ID via marker-token frequency (n-gram heuristic):
-    deterministic argmax with fixed tie-break order en>es>de>fr>zh."""
+    deterministic argmax with fixed tie-break order en>es>de>fr>zh.
+
+    Round 5 adds mixed-language detection (the CCNet/fastText top-2
+    confidence practice, public — real pipelines drop or re-segment
+    code-switched pages): n_langs = marker languages present,
+    dom_ratio = top marker mass / total marker mass (NULL when no
+    markers), is_mixed = >= 2 languages present AND no language holding
+    a majority of the marker mass. Same single codegen'd map
+    projection — zero added scans or shuffles."""
     d = _t(spark, sf_dir, "documents")
 
     def occ(m):
@@ -1720,7 +1745,8 @@ def q23_lang_id(spark, sf_dir):
         return F.floor((F.length(lt) - F.length(F.replace(lt, F.lit(m)))) / len(m)).cast("long")
 
     s = d.select("doc_id", *[occ(m).alias(f"s_{lang}") for lang, m in _LANG_MARKERS])
-    g = F.greatest(*[F.col(f"s_{lang}") for lang, _ in _LANG_MARKERS])
+    cols = [F.col(f"s_{lang}") for lang, _ in _LANG_MARKERS]
+    g = F.greatest(*cols)
     pred = (
         F.when(g == 0, "und")
         .when(g == F.col("s_en"), "en")
@@ -1729,7 +1755,20 @@ def q23_lang_id(spark, sf_dir):
         .when(g == F.col("s_fr"), "fr")
         .otherwise("zh")
     )
-    return s.select("doc_id", pred.alias("pred_lang"))
+    tot = sum(cols[1:], cols[0])
+    n_langs = sum(
+        (F.when(c > 0, 1).otherwise(0) for c in cols[1:]),
+        F.when(cols[0] > 0, 1).otherwise(0),
+    ).cast("long")
+    dom = F.when(tot == 0, F.lit(None)).otherwise(F.round(g * 1.0 / tot, 4))
+    mixed = ((n_langs >= 2) & (g * 2 <= tot)).cast("long")
+    return s.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        n_langs.alias("n_langs"),
+        dom.alias("dom_ratio"),
+        mixed.alias("is_mixed"),
+    )
 
 
 #: corpus-LM vocabulary size for q24's coverage score: a doc's bigrams
