@@ -361,6 +361,17 @@ def build_parser() -> argparse.ArgumentParser:
         "(sniff_html), exactly like the fused pipeline's dispatch",
     )
     p.add_argument(
+        "--audit-blobs",
+        action="store_true",
+        help="maintenance mode (standalone): ingest integrity audit of "
+        "the --blobs table — detect each blob's container by MAGIC "
+        "(PMIMG1/PMPDF1/PMAU/PMVI/html sniff) and compare against its "
+        "declared kind column, writing the mismatch rows (media_ref, "
+        "kind, detected) to --output and printing per-(kind, detected) "
+        "counts; pure codegen head-byte expressions, no Python, no "
+        "full-blob reads beyond the scan",
+    )
+    p.add_argument(
         "--fix-text",
         action="store_true",
         help="maintenance mode (standalone): OCR text repair over the "
@@ -622,6 +633,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--transcribe-video", args.transcribe_video),
             ("--extract-markdown", args.extract_markdown),
             ("--fix-text", args.fix_text),
+            ("--audit-blobs", args.audit_blobs),
             ("--train-quality", args.train_quality),
             ("--score-quality", args.score_quality is not None),
             ("--train-bpe", args.train_bpe is not None),
@@ -744,6 +756,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--extract-markdown is a standalone maintenance mode")
         if not args.blobs or not args.output:
             parser.error("--blobs and --output are required with --extract-markdown")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.audit_blobs:
+        if args.batch or args.service:
+            parser.error("--audit-blobs is a standalone maintenance mode")
+        if not args.blobs or not args.output:
+            parser.error("--blobs and --output are required with --audit-blobs")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1199,6 +1219,56 @@ def main(argv: list[str] | None = None) -> None:
             f"pmocr-spark: transcribed {n_ok} video blobs "
             f"({n_err} failed as error rows) to {args.output}"
         )
+        return
+    if getattr(args, "audit_blobs", False):
+        from . import codecs
+        from .operators.html_extract import HTML_KINDS
+
+        blobs = spark.read.parquet(args.blobs)
+        head6 = F.expr("substring(content, 1, 6)")
+        head4 = F.expr("substring(content, 1, 4)")
+        sniff = F.lower(F.expr("cast(substring(content, 1, 256) AS string)"))
+        detected = (
+            F.when(F.col("content").isNull(), "missing")
+            .when(head6 == F.lit(codecs.IMG_MAGIC), "img")
+            .when(head6 == F.lit(codecs.PDF_MAGIC), "pdf")
+            .when(head4 == F.lit(codecs.AUDIO_MAGIC), "audio")
+            .when(head4 == F.lit(codecs.VIDEO_MAGIC), "video")
+            .when(
+                sniff.contains("<html") | sniff.contains("<!doctype html"), "html"
+            )
+            .otherwise("unknown")
+        )
+        kind_lc = F.lower(F.coalesce(F.col("kind"), F.lit("")))
+        expected = (
+            F.when(kind_lc == "pdf", "pdf")
+            .when(kind_lc.isin(*codecs.IMAGE_KINDS), "img")
+            .when(kind_lc.isin(*codecs.AUDIO_KINDS), "audio")
+            .when(kind_lc.isin(*codecs.VIDEO_KINDS), "video")
+            .when(kind_lc.isin(*HTML_KINDS), "html")
+            .otherwise("unknown")
+        )
+        audited = blobs.select(
+            "media_ref",
+            "kind",
+            detected.alias("detected"),
+            (detected == expected).alias("ok"),
+        )
+        audited.filter(~F.col("ok")).select("media_ref", "kind", "detected").write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        counts = (
+            audited.groupBy("kind", "detected", "ok").count().orderBy("kind", "detected")
+        )
+        n_bad = 0
+        for r in counts.collect():
+            print(
+                f"pmocr-spark: audit kind={r['kind']} detected={r['detected']} "
+                f"ok={r['ok']} n={r['count']}"
+            )
+            if not r["ok"]:
+                n_bad += r["count"]
+        print(f"pmocr-spark: audit wrote {n_bad} mismatched blobs to {args.output}")
         return
     if getattr(args, "fix_text", False):
         from .functions import dehyphenate, reflow

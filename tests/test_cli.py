@@ -777,3 +777,37 @@ def test_fix_text_cli(spark, tmp_path):
                   "--text-col", "nope", "--master", "local[4]"])
     with pytest.raises(SystemExit):
         cli.parse_args(["--fix-text", "--input", src])  # no --output
+
+
+def test_audit_blobs_cli(spark, tmp_path):
+    """--audit-blobs: container magic vs declared kind, pure codegen
+    head-byte detection; mismatches (mislabeled, corrupt, missing)
+    land in the output table, clean blobs don't."""
+    from pmocr_spark import cli, codecs
+
+    rows = [
+        ("ok-img", "tiff", codecs.encode_image("fine", "tiff", salt="a")),
+        ("ok-pdf", "pdf", codecs.encode_pdf(["page"], salt="b")),
+        ("ok-wav", "wav", codecs.encode_audio("sound", salt="c")),
+        ("ok-avi", "avi", codecs.encode_video(["scene"], hold=1, salt="d")),
+        ("ok-html", "html", b"<!DOCTYPE html><html><body>x</body></html>"),
+        # mislabeled: declared tiff, actually audio bytes
+        ("mislabel", "tiff", codecs.encode_audio("oops", salt="e")),
+        # corrupt: declared png, unknown magic
+        ("corrupt", "png", codecs.encode_corrupt("zz")),
+        # missing payload
+        ("nullblob", "pdf", None),
+    ]
+    blobs = str(tmp_path / "blobs")
+    spark.createDataFrame(rows, "media_ref string, kind string, content binary") \
+        .write.parquet(blobs)
+    out = str(tmp_path / "audit")
+    cli.main(["--audit-blobs", "--blobs", blobs, "--output", out,
+              "--master", "local[4]"])
+    bad = {r["media_ref"]: r for r in spark.read.parquet(out).collect()}
+    assert set(bad) == {"mislabel", "corrupt", "nullblob"}
+    assert bad["mislabel"]["detected"] == "audio"
+    assert bad["corrupt"]["detected"] == "unknown"
+    assert bad["nullblob"]["detected"] == "missing"
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--audit-blobs", "--blobs", blobs])  # no --output
