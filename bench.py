@@ -703,12 +703,75 @@ def _run_scale10x(tmp: str, cpus: int) -> dict:
         model, _z = train_quality_classifier(docs)
         return {"docs": n_docs, "w": [round(x, 4) for x in model["w"]]}
 
+    def run_paragraph():
+        # round-5 third-pass operator: cross-corpus paragraph dedup —
+        # the checkpoint claim is ONE explode + ONE map-side-combined
+        # hash agg whose shuffle carries 128-bit keys + counts, never
+        # paragraph text times occurrences
+        ws = F.split(F.col("text"), " ")
+        nch = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
+        paras = F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+        )
+        df = (
+            docs.select("doc_id", F.explode(paras).alias("p"))
+            .groupBy(F.md5(F.col("p").cast("binary")).alias("key"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.count("*").alias("n"),
+                F.countDistinct("doc_id").alias("m"),
+            )
+            .filter(F.col("n") > 1)
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        dups = df.count()
+        return {
+            "dup_paragraphs": dups,
+            "exchanges": plan.count("Exchange"),
+            # count(distinct doc_id) plans as the two-phase distinct
+            # agg: (key, doc_id) partial -> key agg — 2 shuffles total,
+            # both carrying hash keys + counters only
+            "two_shuffle_pin_holds": plan.count("Exchange") <= 2,
+        }
+
+    def run_video():
+        # round-5 third-pass operator: PMVI transcription at 10x the
+        # suite entry's blob count — pure map, per-core decoder cost
+        import pandas as pd
+
+        from pmocr_spark import codecs
+        from pmocr_spark.operators import multimodal as mm
+
+        @F.pandas_udf("binary")
+        def enc(doc_id, text):
+            out_b = []
+            for i, t in zip(doc_id, text):
+                t = t or ""
+                mid = len(t) // 2
+                out_b.append(
+                    codecs.encode_video(
+                        [t[:mid] or "x", t[mid:] or "y"], hold=2, salt=str(i)
+                    )
+                )
+            return pd.Series(out_b, dtype=object)
+
+        vids = docs.limit(10 * VIDEO_BENCH_DOCS).select(
+            enc("doc_id", "text").alias("content")
+        ).persist()
+        n = vids.count()
+        _force(vids.select(mm.video_transcribe(F.col("content")).alias("t")).select("t.text"))
+        vids.unpersist()
+        return {"blobs": n}
+
     measured("substring_dedup", run_substr)
     measured("q18_minhash_lsh", run_q18)
     measured("phash_near_dup", run_phash)
     measured("bpe_learn", run_bpe)
     measured("markdown_extract", run_markdown)
     measured("lr_train", run_lr)
+    measured("paragraph_dedup", run_paragraph)
+    measured("video_transcribe", run_video)
     spark.stop()
     return out
 

@@ -180,3 +180,42 @@ def test_ocr_textrepair_is_codegen_only(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_ocr_repair_inverts_wrap_on_generated_corpus(spark):
+    """Bulk inversion property behind q40 ocrfix: for 200 seeded random
+    word streams (word lengths 1-12 incl. the 5/6 split-threshold
+    boundary, digits mixed in, 1-word and 100-word docs), hyphen-wrap
+    scaffold -> dehyphenate -> reflow reproduces the text exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    texts = []
+    for i in range(200):
+        n_words = int(rng.integers(1, 101)) if i else 1
+        words = [
+            "".join(alpha[j] for j in rng.integers(0, len(alpha), size=int(rng.integers(1, 13))))
+            for _ in range(n_words)
+        ]
+        texts.append(" ".join(words))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    ws = F.split("text", " ")
+    nch = F.floor((F.size(ws) + F.lit(7)) / F.lit(8)).cast("int")
+    broken = F.transform(
+        ws,
+        lambda w: F.when(
+            F.length(w) >= 6,
+            F.concat(F.substring(w, 1, 3), F.lit("-\n"), F.substring(w, 4, 2147483647)),
+        ).otherwise(w),
+    )
+    wrapped = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.array_join(F.slice(broken, i * 8 + 1, 8), " "),
+        ),
+        "\n",
+    )
+    fixed = X.reflow(X.dehyphenate(wrapped))
+    bad = df.filter(fixed != F.col("text")).count()
+    assert bad == 0
