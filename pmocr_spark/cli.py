@@ -361,6 +361,22 @@ def build_parser() -> argparse.ArgumentParser:
         "(sniff_html), exactly like the fused pipeline's dispatch",
     )
     p.add_argument(
+        "--input-format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="batch-mode format of --input and --blobs (default parquet; "
+        "jsonl reads web-pipeline interchange shards with EXPLICIT "
+        "schemas — no inference scan — and base64 media payloads via "
+        "sources/jsonl.py)",
+    )
+    p.add_argument(
+        "--output-format",
+        choices=("parquet", "jsonl"),
+        default="parquet",
+        help="batch-mode results format (jsonl base64-encodes binary "
+        "target columns so lines stay valid JSON)",
+    )
+    p.add_argument(
         "--audit-blobs",
         action="store_true",
         help="maintenance mode (standalone): ingest integrity audit of "
@@ -1500,6 +1516,11 @@ def main(argv: list[str] | None = None) -> None:
 
         blobs = read_media_dir(spark, args.raw)
         docs = lift_to_documents(blobs)
+    elif getattr(args, "input_format", "parquet") == "jsonl":
+        from .sources.jsonl import read_blobs_jsonl, read_documents_jsonl
+
+        docs = read_documents_jsonl(spark, args.input)
+        blobs = read_blobs_jsonl(spark, args.blobs)
     else:
         docs = spark.read.parquet(args.input)
         blobs = spark.read.parquet(args.blobs)
@@ -1541,7 +1562,7 @@ def main(argv: list[str] | None = None) -> None:
     out = pipeline.project_targets(
         cached, targets, job_ts, suffix=suffix, addition=args.filename_addition
     )
-    writer = out.write.mode("append")
+    pcols = []
     if args.partition_by:
         pcols = [c.strip() for c in args.partition_by.split(",") if c.strip()]
         missing = [c for c in pcols if c not in out.columns]
@@ -1550,8 +1571,15 @@ def main(argv: list[str] | None = None) -> None:
                 f"pmocr-spark: error: --partition-by column(s) {missing} not in "
                 f"the results table; available: {', '.join(out.columns)}"
             )
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(args.output)
+    if getattr(args, "output_format", "parquet") == "jsonl":
+        from .sources.jsonl import write_jsonl
+
+        write_jsonl(out, args.output, partition_by=pcols or None)
+    else:
+        writer = out.write.mode("append")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(args.output)
     rows = ckpt.checkpoint_rows(cached, run_id=args.run_id, job_ts=job_ts, prior=lineage)
     ckpt.append_checkpoint(rows, args.lineage)
     cached.unpersist()

@@ -108,3 +108,61 @@ spark.stop()
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "ZIP-OK 8" in r.stdout
+
+
+def test_jsonl_source_and_sink_roundtrip(spark, tmp_path):
+    """The JSONL interchange path (Dolma/C4-style shards, base64 media)
+    must produce byte-identical results to the parquet path on the same
+    corpus, both directions: explicit-schema reads (no inference scan)
+    and a base64 sink that re-decodes to the same pdf blobs."""
+    import base64
+    import json
+
+    from pmocr_spark import cli, codecs, corpus
+
+    docs_t, blobs_t = corpus.generate(n_docs=25, seed=9)
+    pdir = tmp_path / "parquet"
+    pdir.mkdir()
+    corpus._write_tables(str(pdir), docs_t, blobs_t)
+
+    jdocs = tmp_path / "docs.jsonl"
+    with open(jdocs, "w") as f:
+        for row in docs_t.to_pylist():
+            f.write(json.dumps(row) + "\n")
+    jblobs = tmp_path / "blobs.jsonl"
+    with open(jblobs, "w") as f:
+        for row in blobs_t.to_pylist():
+            f.write(json.dumps({
+                "media_ref": row["media_ref"],
+                "kind": row["kind"],
+                "content_b64": base64.b64encode(row["content"]).decode(),
+            }) + "\n")
+
+    common = ["--batch", "--targets", "txt,csv,pdf", "--master", "local[4]",
+              "--job-ts", "2024-01-01T00:00:00Z"]
+    outp = str(tmp_path / "out_parquet")
+    cli.main(["--input", f"{pdir}/documents.parquet",
+              "--blobs", f"{pdir}/media_blobs.parquet",
+              "--output", outp, "--lineage", str(tmp_path / "lin1"), *common])
+    outj = str(tmp_path / "out_jsonl")
+    cli.main(["--input", str(jdocs), "--blobs", str(jblobs),
+              "--input-format", "jsonl", "--output-format", "jsonl",
+              "--output", outj, "--lineage", str(tmp_path / "lin2"), *common])
+
+    ref = {r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
+    got = {}
+    for part in sorted((tmp_path / "out_jsonl").glob("part-*.json")):
+        for line in open(part):
+            r = json.loads(line)
+            got[r["doc_id"]] = r
+    assert set(got) == set(ref)
+    for doc_id, r in ref.items():
+        g = got[doc_id]
+        assert g["status"] == r["status"]
+        assert g.get("txt") == r["txt"] and g.get("csv") == r["csv"]
+        # binary pdf target survives the base64 round-trip byte-for-byte
+        if r["pdf"] is not None:
+            assert base64.b64decode(g["pdf"]) == bytes(r["pdf"])
+            assert codecs.decode_blob(base64.b64decode(g["pdf"])) == r["txt"]
+        else:
+            assert g.get("pdf") is None
