@@ -377,6 +377,15 @@ def build_parser() -> argparse.ArgumentParser:
         "target columns so lines stay valid JSON)",
     )
     p.add_argument(
+        "--corpus-stats",
+        action="store_true",
+        help="maintenance mode (standalone): corpus datasheet over the "
+        "--input documents table (operators/corpus_stats.py — sizes, "
+        "approx token distribution, language mix, approx dup rate, "
+        "top words; one cached scan + sketch aggregates) written as "
+        "JSON to --output",
+    )
+    p.add_argument(
         "--audit-blobs",
         action="store_true",
         help="maintenance mode (standalone): ingest integrity audit of "
@@ -650,6 +659,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--extract-markdown", args.extract_markdown),
             ("--fix-text", args.fix_text),
             ("--audit-blobs", args.audit_blobs),
+            ("--corpus-stats", args.corpus_stats),
             ("--train-quality", args.train_quality),
             ("--score-quality", args.score_quality is not None),
             ("--train-bpe", args.train_bpe is not None),
@@ -772,6 +782,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--extract-markdown is a standalone maintenance mode")
         if not args.blobs or not args.output:
             parser.error("--blobs and --output are required with --extract-markdown")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.corpus_stats:
+        if args.batch or args.service:
+            parser.error("--corpus-stats is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --corpus-stats")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1234,6 +1252,25 @@ def main(argv: list[str] | None = None) -> None:
         print(
             f"pmocr-spark: transcribed {n_ok} video blobs "
             f"({n_err} failed as error rows) to {args.output}"
+        )
+        return
+    if getattr(args, "corpus_stats", False):
+        import json
+
+        from .operators.corpus_stats import corpus_datasheet
+
+        docs = spark.read.parquet(args.input)
+        if "text" not in docs.columns:
+            raise SystemExit(
+                f"pmocr-spark: --corpus-stats: {args.input} has no 'text' column"
+            )
+        sheet = corpus_datasheet(docs)
+        with open(args.output, "w") as fh:
+            json.dump(sheet, fh, indent=1)
+        print(
+            f"pmocr-spark: datasheet for {sheet['n_docs']} docs "
+            f"({sheet['total_tokens']} tokens, dup rate "
+            f"{sheet['approx_exact_dup_rate']}) written to {args.output}"
         )
         return
     if getattr(args, "audit_blobs", False):

@@ -1,0 +1,123 @@
+"""Corpus datasheet: the one-report summary a dataset release ships
+with ("Datasheets for Datasets", Gebru et al. CACM'21; Dolma's and
+FineWeb's released corpus reports are the practice this mirrors —
+public).
+
+Design for 10^12 docs:
+
+- ONE pass over the corpus builds a cached per-doc feature frame
+  (tokens/chars/hash/lang/quality — all codegen expressions, no
+  Python); every aggregate below reads that cached frame, so the raw
+  table is scanned once.
+- Distribution statistics use approx sketches (approx_percentile /
+  approx_count_distinct) — exact percentiles would global-sort the
+  corpus; the sketches are mergeable map-side state.
+- The word-level block (top words, type counts) is the only explode,
+  feeding a hash agg with map-side combine + TakeOrderedAndProject
+  (per-partition heaps — never a global sort of the vocabulary).
+- The result is a driver-sized dict (fixed number of scalars + a
+  bounded top-k list), safe to json.dump anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: marker-token languages, shared with queries.q23 (kept tiny + fixed:
+#: the datasheet's lang mix is the same heuristic the gate verifies)
+LANG_MARKERS = [("en", "the"), ("es", "los"), ("de", "und"), ("fr", "les"), ("zh", "shi")]
+
+#: top-k words reported by the datasheet (bounded driver footprint)
+TOP_WORDS_K = 20
+
+
+def _occ(marker: str):
+    lt = F.lower(F.col("text"))
+    return F.floor(
+        (F.length(lt) - F.length(F.replace(lt, F.lit(marker)))) / len(marker)
+    ).cast("long")
+
+
+def per_doc_features(docs: DataFrame) -> DataFrame:
+    """One codegen projection: everything the aggregates need, computed
+    in a single scan of (doc_id, text)."""
+    scores = [_occ(m).alias(f"s_{lang}") for lang, m in LANG_MARKERS]
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        *scores,
+    )
+    cols = [F.col(f"s_{lang}") for lang, _ in LANG_MARKERS]
+    g = F.greatest(*cols)
+    pred = F.when(g == 0, "und")
+    for lang, _ in LANG_MARKERS:
+        pred = pred.when(g == F.col(f"s_{lang}"), lang)
+    return d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        "n_tokens",
+        "content_hash",
+        pred.alias("lang"),
+    )
+
+
+def corpus_datasheet(docs: DataFrame) -> dict:
+    """Compute the datasheet over a documents(doc_id, text, ...) table.
+
+    Returns a plain dict: corpus sizes, token/char distributions
+    (approx sketches), language mix, exact-duplicate rate
+    (approx_count_distinct over the content hash — the exact-dedup
+    operator q16 is the authoritative version; the datasheet wants the
+    cheap estimate), and the bounded top-k word list."""
+    feats = per_doc_features(docs).persist()
+    try:
+        head = feats.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+            F.approx_count_distinct("content_hash").alias("approx_distinct_docs"),
+            F.percentile_approx(
+                "n_tokens", [0.05, 0.5, 0.95], 10_000
+            ).alias("tokens_p05_50_95"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        ).collect()[0]
+        langs = {
+            r["lang"]: r["n"]
+            for r in feats.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        words = (
+            feats.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count("*").alias("n"))
+        )
+        top = [
+            {"word": r["w"], "count": r["n"]}
+            for r in words.orderBy(F.col("n").desc(), F.col("w").asc())
+            .limit(TOP_WORDS_K)
+            .collect()
+        ]
+        n_docs = head["n_docs"]
+        distinct = min(head["approx_distinct_docs"], n_docs) if n_docs else 0
+        return {
+            "n_docs": n_docs,
+            "total_tokens": head["total_tokens"],
+            "total_chars": head["total_chars"],
+            "tokens_p05_50_95": list(head["tokens_p05_50_95"] or []),
+            "min_tokens": head["min_tokens"],
+            "max_tokens": head["max_tokens"],
+            "approx_distinct_docs": distinct,
+            "approx_exact_dup_rate": (
+                round(1.0 - distinct / n_docs, 6) if n_docs else 0.0
+            ),
+            "lang_mix": dict(sorted(langs.items())),
+            "top_words": top,
+        }
+    finally:
+        feats.unpersist()

@@ -811,3 +811,39 @@ def test_audit_blobs_cli(spark, tmp_path):
     assert bad["nullblob"]["detected"] == "missing"
     with pytest.raises(SystemExit):
         cli.parse_args(["--audit-blobs", "--blobs", blobs])  # no --output
+
+
+def test_corpus_stats_cli(spark, tmp_path):
+    """--corpus-stats datasheet: exact counters verified against a
+    hand-computed corpus (incl. a duplicate pair), sketch fields sane,
+    lang mix from the marker heuristic, bounded top-word list."""
+    import json
+
+    from pmocr_spark import cli
+
+    rows = [
+        (1, "the cat sat on the mat"),          # en: 'the' x2
+        (2, "the cat sat on the mat"),          # exact duplicate of 1
+        (3, "los rios los valles"),             # es
+        (4, "zz yy xx"),                        # und (no markers)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "datasheet.json")
+    cli.main(["--corpus-stats", "--input", src, "--output", out,
+              "--master", "local[4]"])
+    sheet = json.load(open(out))
+    assert sheet["n_docs"] == 4
+    assert sheet["total_tokens"] == 6 + 6 + 4 + 3
+    assert sheet["total_chars"] == sum(len(t) for _, t in rows)
+    assert sheet["min_tokens"] == 3 and sheet["max_tokens"] == 6
+    # 4 docs, 3 distinct contents -> dup rate 0.25 (HLL exact at n=3)
+    assert sheet["approx_distinct_docs"] == 3
+    assert sheet["approx_exact_dup_rate"] == 0.25
+    assert sheet["lang_mix"] == {"en": 2, "es": 1, "und": 1}
+    top = {d["word"]: d["count"] for d in sheet["top_words"]}
+    assert top["the"] == 4 and top["los"] == 2
+    assert len(sheet["top_words"]) <= 20
+    assert len(sheet["tokens_p05_50_95"]) == 3
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--corpus-stats", "--input", src])  # no --output
