@@ -2660,13 +2660,24 @@ def q33_ann_ivf_kmeans(spark, sf_dir):
                   / 5) AS BIGINT)                                   AS n_stop,
              n_chars
       FROM documents
-    )
+    ),
+    tt AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
+    gg AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) ng
+      FROM tt),
+    bb AS (SELECT DISTINCT ng FROM gg WHERE doc_id % 97 = 0),
+    contam AS (SELECT DISTINCT doc_id FROM gg JOIN bb USING (ng))
     SELECT f.doc_id, f.lang,
            cast(f.n_tokens AS BIGINT) AS n_tokens,
            round(1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * (n_stop * 1.0 / n_tokens)
                  - 1.5 * (n_punct * 1.0 / n_tokens) - 0.5))), 4) AS quality
     FROM f JOIN keep USING (doc_id)
-    WHERE 1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * (n_stop * 1.0 / n_tokens)
+    LEFT JOIN contam USING (doc_id)
+    WHERE contam.doc_id IS NULL
+      AND 1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * (n_stop * 1.0 / n_tokens)
           - 1.5 * (n_punct * 1.0 / n_tokens) - 0.5))) >= 0.5
       AND n_tokens >= 5
     """,
@@ -2674,9 +2685,14 @@ def q33_ann_ivf_kmeans(spark, sf_dir):
 def q34_training_corpus(spark, sf_dir):
     """Composed training-data corpus filter — the shape a real pretraining
     pipeline materializes: exact-dedup keepers (q16) JOIN quality score
-    (q24 logistic) with a quality floor and a minimum length. One extra
-    semi-join over the standalone ops; the dedup groupBy and the quality
-    projection each remain single-shuffle/map-side shapes."""
+    (q24 logistic) with a quality floor and a minimum length, MINUS the
+    benchmark-contaminated docs (round-5 third pass — the 4th standard
+    filter, GPT-3 §C decontamination practice: q45's shared-4-gram
+    detection composed as an ANTI-join; benchmark docs drop themselves,
+    which is correct — you never train on the eval set). The dedup
+    groupBy and quality projection remain single-shuffle/map-side; the
+    contamination side broadcasts the fixed-size benchmark gram set and
+    reduces to a distinct doc_id list before the anti-join."""
     d = _t(spark, sf_dir, "documents")
     keep = d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
         F.min("doc_id").alias("doc_id")
@@ -2695,8 +2711,14 @@ def q34_training_corpus(spark, sf_dir):
               - 1.5 * (F.col("n_punct") / F.col("n_tokens")) - 0.5)
         )
     )
+    grams34 = _ngram_rows(d, 4, "ng").distinct()
+    bench34 = grams34.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    contaminated = (
+        grams34.join(F.broadcast(bench34), "ng").select("doc_id").distinct()
+    )
     return (
         f.join(keep, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
         .filter((quality >= 0.5) & (F.col("n_tokens") >= 5))
         .select("doc_id", "lang", "n_tokens", F.round(quality, 4).alias("quality"))
     )
