@@ -364,10 +364,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--input-format",
         choices=("parquet", "jsonl"),
         default="parquet",
-        help="batch-mode format of --input and --blobs (default parquet; "
-        "jsonl reads web-pipeline interchange shards with EXPLICIT "
-        "schemas — no inference scan — and base64 media payloads via "
-        "sources/jsonl.py)",
+        help="format of --input and --blobs in batch AND service modes "
+        "(default parquet; jsonl reads web-pipeline interchange shards "
+        "with EXPLICIT schemas — no inference scan — and base64 media "
+        "payloads via sources/jsonl.py; service-mode landing dirs then "
+        "take .jsonl drops)",
     )
     p.add_argument(
         "--output-format",
@@ -967,6 +968,7 @@ def launch_monitors(spark, args, blobs, job_ts: str, suffix: str, trigger: dict,
             broadcast_spans=(args.span_join != "shuffle"),
             num_partitions=args.num_partitions,
             ocr_udf=ocr_udf,
+            input_format=getattr(args, "input_format", "parquet"),
             dedup_index_dir=sub(args.dedup_index) if args.dedup_index else None,
             substr_index_dir=(
                 sub(args.dedup_substrings_index)
@@ -1533,7 +1535,12 @@ def main(argv: list[str] | None = None) -> None:
     suffix = "" if args.no_suffix else args.suffix
 
     if args.service:
-        blobs = spark.read.parquet(args.blobs)
+        if getattr(args, "input_format", "parquet") == "jsonl":
+            from .sources.jsonl import read_blobs_jsonl
+
+            blobs = read_blobs_jsonl(spark, args.blobs)
+        else:
+            blobs = spark.read.parquet(args.blobs)
         # default: poller interval parity (INOTIFY_POLLER_INTERVAL,
         # default.conf:33); --once: W4 reconciliation pass that drains
         # the landing dir(s) and terminates

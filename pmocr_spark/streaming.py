@@ -285,6 +285,7 @@ def monitor(
     ocr_udf=None,
     dedup_index_dir: str | None = None,
     substr_index_dir: str | None = None,
+    input_format: str = "parquet",
 ):
     """Start the streaming monitor over a landing directory of parquet
     document files. Returns the StreamingQuery.
@@ -398,7 +399,13 @@ def monitor(
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_dir)
+    if input_format == "jsonl":
+        # web-pipeline interchange drops (sources/jsonl.py): same
+        # explicit span schema — streaming schema inference is doubly
+        # forbidden (it would re-scan the landing dir every restart)
+        stream = reader.json(input_dir)
+    else:
+        stream = reader.parquet(input_dir)
 
     from datetime import datetime, timedelta
 

@@ -1099,3 +1099,35 @@ def test_video_span_in_service_mode(spark, dirs, tmp_path):
     lin = {r["doc_id"]: r for r in
            spark.read.parquet(f"{dirs['lineage']}/epoch-0").collect()}
     assert "magic" in lin["poison"]["error"]
+
+
+def test_jsonl_drops_in_service_mode(spark, dirs, tmp_path):
+    """JSONL interchange extends to streaming: a service drop of JSONL
+    document lines (explicit schema — no per-restart inference scan)
+    reassembles exactly like a parquet drop against a base64 blob
+    table."""
+    import base64
+    import json
+
+    from pmocr_spark import codecs
+    from pmocr_spark.sources.jsonl import read_blobs_jsonl
+
+    blob = codecs.encode_image("filmed line", "tiff", salt="j1")
+    with open(f"{tmp_path}/blobs.jsonl", "w") as f:
+        f.write(json.dumps({"media_ref": "b:1", "kind": "tiff",
+                            "content_b64": base64.b64encode(blob).decode()}) + "\n")
+    media = read_blobs_jsonl(spark, f"{tmp_path}/blobs.jsonl")
+    with open(f"{dirs['landing']}/drop0.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": "jd", "spans": [
+            {"kind": "text", "text": "typed line", "media_ref": None, "offset": 0},
+            {"kind": "tiff", "text": None, "media_ref": "b:1", "offset": 1},
+        ]}) + "\n")
+    q = streaming.monitor(
+        spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+        dirs["lineage"], trigger={"availableNow": True}, input_format="jsonl",
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in
+           spark.read.parquet(f"{dirs['output']}/epoch-0").collect()}
+    assert got["jd"]["status"] == "done"
+    assert got["jd"]["txt"] == "typed line\nfilmed line"
