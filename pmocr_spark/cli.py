@@ -362,13 +362,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--input-format",
-        choices=("parquet", "jsonl"),
+        choices=("parquet", "jsonl", "warc"),
         default="parquet",
         help="format of --input and --blobs in batch AND service modes "
         "(default parquet; jsonl reads web-pipeline interchange shards "
         "with EXPLICIT schemas — no inference scan — and base64 media "
         "payloads via sources/jsonl.py; service-mode landing dirs then "
-        "take .jsonl drops)",
+        "take .jsonl drops; warc reads Web ARChive crawl shards from "
+        "--input — documents AND blobs both derive from the records, "
+        "--blobs is ignored; batch mode only, shards are the "
+        "parallelism unit — sources/warc.py)",
     )
     p.add_argument(
         "--output-format",
@@ -886,6 +889,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     # input tree and derives blobs from it
     if args.monitor or args.raw:
         required = ("blobs", "output", "lineage") if args.monitor else ("output", "lineage")
+    elif getattr(args, "input_format", "parquet") == "warc":
+        # warc shards carry documents AND media payloads in one stream
+        required = ("input", "output", "lineage")
     else:
         required = ("input", "blobs", "output", "lineage")
     for req in required:
@@ -1535,6 +1541,15 @@ def main(argv: list[str] | None = None) -> None:
     suffix = "" if args.no_suffix else args.suffix
 
     if args.service:
+        if getattr(args, "input_format", "parquet") == "warc":
+            # the streaming file source has no whole-file binary format;
+            # crawl shards are a bounded-batch input by nature (a crawl
+            # is finished before it ships) — loud error over silent
+            # misread, the engines.py missing-dependency discipline
+            raise SystemExit(
+                "pmocr-spark: --input-format warc is batch-only; "
+                "run batch mode over the shard directory"
+            )
         if getattr(args, "input_format", "parquet") == "jsonl":
             from .sources.jsonl import read_blobs_jsonl
 
@@ -1560,6 +1575,10 @@ def main(argv: list[str] | None = None) -> None:
 
         blobs = read_media_dir(spark, args.raw)
         docs = lift_to_documents(blobs)
+    elif getattr(args, "input_format", "parquet") == "warc":
+        from .sources.warc import read_warc_records, warc_to_documents
+
+        docs, blobs = warc_to_documents(read_warc_records(spark, args.input))
     elif getattr(args, "input_format", "parquet") == "jsonl":
         from .sources.jsonl import read_blobs_jsonl, read_documents_jsonl
 
