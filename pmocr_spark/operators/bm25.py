@@ -1,0 +1,134 @@
+"""BM25 sparse retrieval over the corpus: distributed inverted index +
+Okapi scoring (Robertson et al., TREC-3 '94; the ln(1+x) idf variant
+Lucene ships) — the lexical complement to the dense ANN stack (q21/q22/
+operators/pq.py). Training-data pipelines use exactly this pair: dense
+embeddings for semantic near-dup/search, BM25 for exact-term retrieval
+(eval-set decontamination lookups, targeted corpus audits, RETRO-style
+neighbor mining).
+
+Scale shape (the 10^12-doc contract):
+- The inverted index is ONE explode + ONE map-side-combined hash agg:
+  postings(term, doc_id, tf). Document lengths fold out of the same
+  frame (sum tf per doc) — the corpus is tokenized exactly once.
+- df/idf live in a term-keyed agg over postings — Heaps-law-small
+  relative to the corpus.
+- Queries are a tiny frame: scoring is a broadcast-hash join of query
+  terms against postings, so the posting lists never shuffle; only
+  (query x matched-doc) partials move, and per-query top-k compiles to
+  a partitioned window (WindowGroupLimit pushdown — no global sort).
+- Skew: a stopword query term joins a posting list the size of the
+  corpus. `max_df_frac` drops query terms whose df exceeds that
+  fraction of N — the q17 stop-shingle lesson applied to retrieval
+  (production engines go further with impact-ordered/WAND pruning;
+  the cap is the semantic-preserving first line).
+
+Exact cross-engine parity (the DSIR/PQ integer discipline): each
+(term, doc) partial score is rounded to 1e-6 and cast to BIGINT
+*before* the per-(query, doc) sum, so the total is an exact integer —
+float association order can never flip the driver's value hash. Ranking
+ties break on the integer score then doc_id.
+
+pmOCR analog: none (the reference has no search); this is
+training-pipeline infrastructure per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term): whitespace tokens, lowercased — the engine's
+    standard tokenization (q24/q25/q45 use the same split, so BM25 df
+    statistics are consistent with every other corpus statistic)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("term"),
+    )
+
+
+def build_index(docs: DataFrame, text_col: str = "text") -> dict[str, DataFrame]:
+    """Inverted index: postings(term, doc_id, tf) + dl(doc_id, dl) +
+    df(term, df) + stats(n_docs, sum_dl). One corpus pass; dl and df
+    are derived aggs over the (already reduced) postings frame."""
+    tf = (
+        doc_terms(docs, text_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    return {"postings": tf, "dl": dl, "df": df, "stats": stats}
+
+
+def score_u_col():
+    """Per-(term, doc) BM25 partial in integer micro-units. The
+    arithmetic is written in ONE fixed association order — mirrored
+    token-for-token by the SQL oracle (queries.py _BM25_ORACLE_CTES) —
+    then rounded to 1e-6 and cast, so downstream sums are exact:
+    1e6 * ln(1 + (N - df + .5)/(df + .5)) * (tf*(k1+1)) /
+    (tf + k1*(1 - b + b*(dl*N)/sum_dl))."""
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(K1) * (
+        F.lit(1 - B) + F.lit(B) * (F.col("dl") * F.col("n_docs")) / F.col("sum_dl")
+    )
+    return (
+        F.round(F.lit(1000000.0) * idf * (F.col("tf") * F.lit(K1 + 1)) / denom, 0)
+        .cast("long")
+        .alias("score_u")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    max_df_frac: float | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs per query: (query_id, doc_id, rk, score_u).
+
+    `queries` is (query_id, term) — terms should be pre-deduplicated if
+    query-term multiplicity must not double-count (the catalog's q21
+    arm dedups). Scoring joins query terms into postings (broadcast:
+    the query side is always the small side), sums exact integer
+    partials per (query, doc), and takes the per-query top-k on
+    (score_u desc, doc_id) — fully deterministic."""
+    ix = build_index(docs, text_col)
+    qt = queries
+    if max_df_frac is not None:
+        cap = ix["stats"].select(
+            (F.col("n_docs") * F.lit(max_df_frac)).alias("df_cap")
+        )
+        qt = (
+            qt.join(ix["df"], "term")
+            .crossJoin(F.broadcast(cap))
+            .filter(F.col("df") <= F.col("df_cap"))
+            .select("query_id", "term")
+        )
+    scored = (
+        ix["postings"]
+        .join(F.broadcast(qt), "term")
+        .join(ix["df"], "term")
+        .join(ix["dl"], "doc_id")
+        .crossJoin(F.broadcast(ix["stats"]))
+        .select("query_id", "doc_id", score_u_col())
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_u").alias("score_u"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score_u").desc(), "doc_id")
+    return (
+        scored.select(
+            "query_id", "doc_id", F.row_number().over(w).cast("long").alias("rk"), "score_u"
+        )
+        .filter(F.col("rk") <= topk)
+    )

@@ -1426,10 +1426,45 @@ _PQ_ORACLE_CTES = """
 """
 
 
+#: BM25 oracle CTEs (operators/bm25.py): the arithmetic below mirrors
+#: score_u_col() token-for-token — same association order, same
+#: constants (k1=1.2 -> tf*2.2 numerator, b=0.75 -> 0.25 + 0.75*ratio),
+#: per-(term,doc) partials rounded to micro-units BEFORE the integer
+#: sum, so the per-pair total is exact on both engines.
+_BM25_ORACLE_CTES = """
+    , bt AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents),
+    btf AS (SELECT doc_id, term, cast(count(*) AS BIGINT) AS tf
+            FROM bt GROUP BY doc_id, term),
+    bdl AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY doc_id),
+    bdf AS (SELECT term, cast(count(*) AS BIGINT) AS dfr FROM btf GROUP BY term),
+    bst AS (SELECT cast(count(*) AS BIGINT) AS n_docs,
+                   cast(sum(dl) AS BIGINT) AS sum_dl FROM bdl),
+    bq AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(w[1:3]) AS term
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents WHERE doc_id % 100 = 0)),
+    bsc AS (
+      SELECT q.query_id, f.doc_id,
+             cast(sum(cast(round(1000000.0
+                  * ln(1 + (n_docs - dfr + 0.5) / (dfr + 0.5))
+                  * (f.tf * 2.2)
+                  / (f.tf + 1.2 * (0.25 + 0.75 * (dl * n_docs) / sum_dl)), 0)
+                  AS BIGINT)) AS BIGINT) AS score_u
+      FROM bq q
+      JOIN btf f USING (term)
+      JOIN bdf USING (term)
+      JOIN bdl ON f.doc_id = bdl.doc_id, bst
+      GROUP BY q.query_id, f.doc_id)
+"""
+
+
 @query(
     "q21_ann_bruteforce",
     (_ANN_ORACLE_COMMON
     + _PQ_ORACLE_CTES
+    + _BM25_ORACLE_CTES
     + """
     , icent AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 8),
     iassign AS (
@@ -1476,6 +1511,13 @@ _PQ_ORACLE_CTES = """
              row_number() OVER (PARTITION BY s.query_id
                                 ORDER BY s.sim DESC, s.neighbor_id) AS rk
       FROM sims s JOIN ivfshort USING (query_id, neighbor_id)) WHERE rk <= 5
+    UNION ALL
+    SELECT 'bm25' AS part, query_id, doc_id AS neighbor_id, rk,
+           round(score_u / 1000000.0, 4) AS score FROM (
+      SELECT query_id, doc_id, score_u,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_u DESC, doc_id) AS rk
+      FROM bsc) WHERE rk <= 5
     """).replace("<<NPROBE>>", str(_NPROBE)),
 )
 def q21_ann_bruteforce(spark, sf_dir):
@@ -1503,6 +1545,12 @@ def q21_ann_bruteforce(spark, sf_dir):
         |queries| × |corpus| to |queries| × |cluster| — at 10^12
         vectors this is the production billion-scale ANN shape: probe a
         cluster, scan codes, rerank the shortlist exactly.
+      * part='bm25' (round 5): Okapi BM25 lexical retrieval over the
+        documents table (operators/bm25.py) — the SPARSE side of the
+        production hybrid-retrieval pair. Inverted index = one explode +
+        one map-side-combined agg; query terms broadcast against the
+        postings; integer micro-unit partial scores summed exactly
+        (see _BM25_ORACLE_CTES for the mirrored arithmetic).
     The parts share one normalized-embeddings scan; PQ's codebook is
     the first 16 vectors and IVF's centroids the first 8
     (deterministic, q22's fixed-centroid convention). bench.py reports
@@ -1513,7 +1561,41 @@ def q21_ann_bruteforce(spark, sf_dir):
     number makes visible)."""
     brute = _ann_rerank(_ann_sims(spark, sf_dir), None, "brute")
     pq = _ann_rerank(_ann_sims(spark, sf_dir), _pq_shortlist(spark, sf_dir), "pq")
-    return brute.unionAll(pq).unionAll(ivfpq_search(spark, sf_dir))
+    return (
+        brute.unionAll(pq)
+        .unionAll(ivfpq_search(spark, sf_dir))
+        .unionAll(_bm25_arm(spark, sf_dir))
+    )
+
+
+def _bm25_arm(spark, sf_dir):
+    """q21 part='bm25' (round 5): Okapi BM25 lexical retrieval
+    (operators/bm25.py) — every 100th document stands in for the query
+    log, its first 3 tokens (deduplicated) as the query. Scores are
+    exact integer micro-unit sums (the DSIR/PQ parity discipline);
+    display score = micro/1e6 rounded to 4dp, ranking on the raw
+    integer. The sparse twin of the dense arms: same (part, query_id,
+    neighbor_id, rk, score) rows, directly comparable top-5s."""
+    from pmocr_spark.operators.bm25 import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    q = (
+        d.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 3)
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    return bm25_search(d, q, topk=5).select(
+        F.lit("bm25").alias("part"),
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        "rk",
+        F.round(F.col("score_u") / F.lit(1000000.0), 4).alias("score"),
+    )
 
 
 def _ann_sims(spark, sf_dir):

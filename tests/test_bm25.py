@@ -1,0 +1,127 @@
+"""BM25 retrieval (operators/bm25.py): exact parity with a pure-python
+Okapi reference, the stop-term df cap, and the plan shape (broadcast
+query side, no cartesian, partitioned top-k)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pmocr_spark.operators import bm25
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick blue hare sleeps"),
+    (2, "brown bears eat fish and honey"),
+    (3, "a lazy dog naps beside the fox den"),
+    (4, "quick quick quick repetition document"),
+    (5, "completely unrelated text about spark shuffles"),
+]
+QUERIES = [(100, ["quick", "fox"]), (200, ["brown", "honey"]), (300, ["the"])]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75, topk=5):
+    """Independent single-node reference: same tokenization, same
+    ln(1+x) idf, same per-(term,doc) micro-rounding before the sum."""
+    toks = {d: t.lower().strip().split() for d, t in docs}
+    tf = {d: {} for d, _ in docs}
+    for d, ws in toks.items():
+        for w in ws:
+            tf[d][w] = tf[d].get(w, 0) + 1
+    df = {}
+    for d in tf:
+        for w in tf[d]:
+            df[w] = df.get(w, 0) + 1
+    n = len(docs)
+    sum_dl = sum(len(ws) for ws in toks.values())
+    out = {}
+    for qid, terms in queries:
+        scores = {}
+        for t in set(terms):
+            if t not in df:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            for d, ws in toks.items():
+                if t not in tf[d]:
+                    continue
+                dl = len(ws)
+                partial = (
+                    1000000.0 * idf * (tf[d][t] * 2.2)
+                    / (tf[d][t] + k1 * (0.25 + 0.75 * (dl * n) / sum_dl))
+                )
+                scores[d] = scores.get(d, 0) + int(round(partial))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+        out[qid] = [(d, rk + 1, s) for rk, (d, s) in enumerate(ranked)]
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark):
+    rows = [(q, t) for q, ts in QUERIES for t in ts]
+    return spark.createDataFrame(rows, "query_id long, term string")
+
+
+def test_bm25_matches_python_reference(spark, docs_df, queries_df):
+    got = {}
+    for r in bm25.bm25_search(docs_df, queries_df).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["rk"], r["score_u"])
+        )
+    for q in got:
+        got[q].sort(key=lambda x: x[1])
+    assert got == _py_bm25(DOCS, QUERIES)
+
+
+def test_rarer_term_outscores_common(spark, docs_df, queries_df):
+    """Sanity on the statistic itself: for query (quick, fox), doc 0
+    (has BOTH terms) must rank first, and the unrelated doc 5 must not
+    appear at all (no query term -> never scored)."""
+    rows = bm25.bm25_search(docs_df, queries_df).filter(F.col("query_id") == 100)
+    order = [r["doc_id"] for r in rows.orderBy("rk").collect()]
+    assert order[0] == 0
+    assert 5 not in order
+
+
+def test_max_df_cap_drops_stopword_terms(spark, docs_df, queries_df):
+    """'the' and 'quick' each hit 3/6 docs; a 0.4 cap (df_cap=2.4)
+    drops both — query 300 ('the' alone) returns nothing, query 100
+    still answers through its rarer 'fox' term."""
+    capped = bm25.bm25_search(docs_df, queries_df, max_df_frac=0.4)
+    by_q = {r["query_id"] for r in capped.collect()}
+    assert 300 not in by_q
+    assert 100 in by_q and 200 in by_q
+    # and the capped scores for query 200 (no stopwords) are unchanged
+    full = bm25.bm25_search(docs_df, queries_df)
+    f2 = {(r["doc_id"], r["score_u"]) for r in full.filter("query_id = 200").collect()}
+    c2 = {(r["doc_id"], r["score_u"]) for r in capped.filter("query_id = 200").collect()}
+    assert f2 == c2
+
+
+def test_plan_shape(spark, docs_df, queries_df):
+    """The scale contract: query side broadcasts (postings never
+    reshuffle onto queries), no real cartesian (the 1-row stats
+    crossJoin is a broadcast), and the per-query top-k window is
+    partitioned (no single-partition global window)."""
+    from pmocr_spark.plans import shape
+
+    df = bm25.bm25_search(docs_df, queries_df)
+    assert shape.count_broadcast_joins(df) >= 2  # query terms + stats
+    assert not shape.has_cartesian(df)
+    assert shape.unpartitioned_window_args(df) == []
+
+
+def test_scores_positive_and_deterministic(spark, docs_df, queries_df):
+    a = bm25.bm25_search(docs_df, queries_df).collect()
+    b = bm25.bm25_search(docs_df.repartition(7), queries_df).collect()
+    key = lambda r: (r["query_id"], r["rk"])  # noqa: E731
+    assert sorted(map(tuple, a), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, b), key=lambda t: (t[0], t[2])
+    )
+    assert all(r["score_u"] > 0 for r in a)
