@@ -1964,6 +1964,31 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
              row_number() OVER (ORDER BY common_bigram_frac DESC, doc_id ASC) AS rnk,
              count(*) OVER () AS n
       FROM cov WHERE common_bigram_frac IS NOT NULL),
+    -- Stupid Backoff (Brants EMNLP'07): bigram/unigram counts trained
+    -- on even doc_ids; C(w1) = bigram-left occurrences (so the
+    -- conditional normalizes); per-transition ln rounded to micro-units
+    -- BEFORE the k-weighted sum — mirrors the Spark arm exactly
+    sbu AS (
+      SELECT string_split(bg, ' ')[1] AS wd, cast(count(*) AS BIGINT) AS c
+      FROM g WHERE doc_id % 2 = 0 GROUP BY 1),
+    sbs AS (SELECT cast(sum(c) AS BIGINT) AS n_tok,
+                   cast(count(*) AS BIGINT) AS vsz FROM sbu),
+    sbb AS (SELECT bg, cast(count(*) AS BIGINT) AS cb
+            FROM g WHERE doc_id % 2 = 0 GROUP BY bg),
+    sbk AS (SELECT doc_id, bg, cast(count(*) AS BIGINT) AS k
+            FROM g GROUP BY doc_id, bg),
+    sbj AS (
+      SELECT s.doc_id, s.k,
+             cast(round(1000000.0 * (CASE WHEN b.cb IS NOT NULL
+                  THEN ln(b.cb / u1.c)
+                  ELSE ln(0.4 * ((coalesce(u2.c, 0) + 1) / (n_tok + vsz)))
+                  END), 0) AS BIGINT) AS lp_u
+      FROM sbk s
+      LEFT JOIN sbb b USING (bg)
+      LEFT JOIN sbu u1 ON u1.wd = string_split(s.bg, ' ')[1]
+      LEFT JOIN sbu u2 ON u2.wd = string_split(s.bg, ' ')[2], sbs),
+    sbd AS (SELECT doc_id, cast(sum(k * lp_u) AS BIGINT) AS sb_lp_micro
+            FROM sbj GROUP BY doc_id),
     {_LR_SQL}
     SELECT c.doc_id, n_tokens,
            round(n_punct * 1.0 / n_tokens, 4)                       AS punct_ratio,
@@ -1976,9 +2001,11 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
                 WHEN r.rnk * 3 <= r.n THEN 'head'
                 WHEN r.rnk * 3 <= 2 * r.n THEN 'middle'
                 ELSE 'tail' END                                     AS lm_bucket,
-           lrsc.lr_quality
+           lrsc.lr_quality,
+           sbd.sb_lp_micro
     FROM cov c LEFT JOIN r ON c.doc_id = r.doc_id
                LEFT JOIN lrsc ON c.doc_id = lrsc.doc_id
+               LEFT JOIN sbd ON c.doc_id = sbd.doc_id
     """,
 )
 def q24_quality_score(spark, sf_dir):
@@ -2013,7 +2040,19 @@ def q24_quality_score(spark, sf_dir):
     weight trajectory is bit-identical across engines and
     partitionings and the trained model's per-doc scores sit under the
     driver's hash gate — a learned model verified to 4 decimals by an
-    independent SQL implementation of the same training loop."""
+    independent SQL implementation of the same training loop.
+
+    Round 5 (fourth pass) adds `sb_lp_micro` — a REAL n-gram LM score:
+    Stupid Backoff (Brants et al., EMNLP 2007, the distributed
+    MapReduce LM built for trillion-token corpora), trained on the
+    even-doc_id half and scoring every doc's bigram transitions, with
+    the held-out odd half exercising the backoff path by construction.
+    The per-doc log score is an exact integer (micro-log units, rounded
+    per distinct transition before the weighted sum) so it hash-matches
+    the independent SQL training+scoring implementation. This is the
+    perplexity-filter signal CCNet/ccnet-style pipelines actually rank
+    by; lm_bucket's tertiles show the selection mechanics over the
+    cheaper coverage score."""
     d = _t(spark, sf_dir, "documents")
     lt = F.lower(F.col("text"))
     f = d.select(
@@ -2025,7 +2064,13 @@ def q24_quality_score(spark, sf_dir):
         .cast("long")
         .alias("n_stop"),
     )
-    grams = _ngram_rows(d, 2, "bg")
+    # five consumers now share the exploded bigram frame (coverage's
+    # topv/per_doc/hits + stupid-backoff's train counts/transitions):
+    # session-cache it so the corpus tokenizes once, not five times
+    grams = _cached_df(
+        spark, sf_dir, "documents.parquet", "q24_bigrams",
+        lambda: _ngram_rows(d, 2, "bg"),
+    )
     topv = (
         grams.groupBy("bg")
         .agg(F.count("*").alias("cnt"))
@@ -2067,6 +2112,68 @@ def q24_quality_score(spark, sf_dir):
         .otherwise("tail")
         .alias("lm_bucket"),
     )
+    # Stupid Backoff LM scoring (Brants et al., EMNLP 2007 §4 — the
+    # original distributed MapReduce LM, built for exactly this
+    # corpus-scale setting): train bigram/unigram counts on the
+    # even-doc_id half (the CCNet discipline — score with a model the
+    # scored text did not train; self-trained bigrams would make the
+    # backoff path dead code), score every doc's transitions with
+    # S(w2|w1) = C(w1 w2)/C(w1) when the bigram is known, else
+    # 0.4 * (C(w2)+1)/(N+V) (the paper's alpha=0.4; add-1 on the
+    # unigram backoff so OOV words stay finite — documented deviation).
+    # Parity discipline: each DISTINCT (doc, bigram) transition's
+    # ln(S) rounds to integer micro-units BEFORE the k-weighted sum
+    # (DSIR's lesson), so the per-doc total is an exact BIGINT.
+    # Scale: count tables are Heaps-law-small vs the corpus; the
+    # transitions frame is pre-reduced per (doc, bigram) — map-side
+    # combine softens stopword-bigram hot keys before the three
+    # term-keyed equi-joins (broadcast when the model fits, sort-merge
+    # beyond); one final per-doc agg. The corpus tokenizes once (the
+    # cached grams frame feeds coverage AND this).
+    sb_train = grams.filter(F.col("doc_id") % 2 == 0)
+    sb_uni = (
+        sb_train.select(F.get(F.split("bg", " "), 0).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # unigram counts derive from bigram w1 occurrences: every token of a
+    # doc appears exactly once as a bigram LEFT element except the last
+    # token — the standard conditional-history count C(w1) needs exactly
+    # this (denominator of C(w1 w2)/C(w1)); N/V follow from the same
+    # frame so model normalization is self-consistent
+    sb_stats = sb_uni.agg(
+        F.sum("c").cast("long").alias("n_tok"), F.count("*").cast("long").alias("vsz")
+    )
+    sb_bi = sb_train.groupBy("bg").agg(F.count("*").cast("long").alias("cb"))
+    sb_k = (
+        grams.groupBy("doc_id", "bg")
+        .agg(F.count("*").cast("long").alias("k"))
+        .select(
+            "*",
+            F.get(F.split("bg", " "), 0).alias("w1"),
+            F.get(F.split("bg", " "), 1).alias("w2"),
+        )
+    )
+    ln_s = F.when(
+        F.col("cb").isNotNull(), F.log(F.col("cb") / F.col("c1"))
+    ).otherwise(
+        F.log(
+            F.lit(0.4)
+            * ((F.coalesce(F.col("c2"), F.lit(0)) + 1) / (F.col("n_tok") + F.col("vsz")))
+        )
+    )
+    sbd = (
+        sb_k.join(sb_bi, "bg", "left")
+        .join(sb_uni.select(F.col("wd").alias("w1"), F.col("c").alias("c1")), "w1", "left")
+        .join(sb_uni.select(F.col("wd").alias("w2"), F.col("c").alias("c2")), "w2", "left")
+        .crossJoin(F.broadcast(sb_stats))
+        .select(
+            "doc_id",
+            (F.col("k") * F.round(F.lit(1000000.0) * ln_s, 0).cast("long")).alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("sb_lp_micro"))
+    )
     punct_ratio = F.col("n_punct") / F.col("n_tokens")
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
     quality = 1.0 / (
@@ -2107,16 +2214,22 @@ def q24_quality_score(spark, sf_dir):
     w_lr = qc.train(z, k=len(xcols), n=n_lr)
     lr = z.select("doc_id", F.round(qc.score_col(w_lr), 4).alias("lr_quality"))
 
-    return f.join(coverage, "doc_id", "left").join(bucket, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias("avg_tok_len"),
-        F.round(quality, 4).alias("quality"),
-        "common_bigram_frac",
-        "lm_bucket",
-    ).join(lr, "doc_id", "left")
+    return (
+        f.join(coverage, "doc_id", "left")
+        .join(bucket, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(punct_ratio, 4).alias("punct_ratio"),
+            F.round(stop_ratio, 4).alias("stop_ratio"),
+            F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias("avg_tok_len"),
+            F.round(quality, 4).alias("quality"),
+            "common_bigram_frac",
+            "lm_bucket",
+        )
+        .join(lr, "doc_id", "left")
+        .join(sbd, "doc_id", "left")
+    )
 
 
 @query(
