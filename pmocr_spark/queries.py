@@ -2937,6 +2937,8 @@ _DOMAIN_CAP_K = 10
 #: salt fan-out for the bounded top-K first phase: a hot domain's rows
 #: split across this many reducers before any per-source ranking.
 _DOMAIN_CAP_SALTS = 16
+#: q35 part='weighted': sample size for the A-ES weighted draw.
+_WEIGHTED_K = 50
 
 
 @query(
@@ -3018,6 +3020,22 @@ _DOMAIN_CAP_SALTS = 16
                                   AS VARCHAR)))) t
     USING (dom)
     WHERE rk <= take_s
+    UNION ALL
+    -- A-ES weighted sampling w/o replacement: top-K by ln(u)/w in
+    -- integer nano-units (rounded BEFORE ranking), u from md5(doc_id),
+    -- w = n_chars
+    SELECT 'weighted', 'n_chars', doc_id::VARCHAR,
+           cast(rnk AS BIGINT), cast(n_chars AS BIGINT), key_u
+    FROM (
+      SELECT doc_id, n_chars, key_u,
+             row_number() OVER (ORDER BY key_u DESC, doc_id) AS rnk
+      FROM (
+        SELECT doc_id, n_chars,
+               cast(round(1000000000.0
+                    * (ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                          / 4294967296.0) / n_chars), 0) AS BIGINT) AS key_u
+        FROM documents WHERE n_chars > 0))
+    WHERE rnk <= {_WEIGHTED_K}
     """,
 )
 def q35_stratified_sample(spark, sf_dir):
@@ -3052,6 +3070,10 @@ def q35_stratified_sample(spark, sf_dir):
         corpus-wide two-pass rank on (dom, md5) + broadcast per-domain
         offsets — never a per-domain rank window; the weight/take
         table is #domains-sized and broadcast.
+      * part='weighted' (round 5, fourth pass): exact weighted sampling
+        without replacement (Efraimidis & Spirakis IPL'06 A-ES) — the
+        top-K docs by ln(u)/w with w = n_chars and u a fixed md5
+        uniform; keys in integer nano-units so ranking is float-free.
     Scale shape: the model is B log-ratios — a CONSTANT-size broadcast
     (independent of corpus size, so the probe_index broadcast lesson
     does not apply); per-doc scoring is one (doc,bucket) partial agg and
@@ -3233,7 +3255,49 @@ def q35_stratified_sample(spark, sf_dir):
             F.col("n_s").cast("long").alias("score_u"),
         )
     )
-    return stratum.unionAll(dsir).unionAll(capped).unionAll(mix)
+    # part='weighted' (round 5, fourth pass): weighted sampling WITHOUT
+    # replacement (Efraimidis & Spirakis, IPL 2006 A-ES): each doc draws
+    # key u^(1/w) — equivalently ln(u)/w — and the global top-K by key
+    # IS an exact weight-proportional sample. Here w = n_chars (the
+    # token-budget-aware corpus draw: long docs proportionally likelier)
+    # and u derives from md5(doc_id) — reproducible, no RNG, and the
+    # same A-ES property holds for any fixed hash since u only needs to
+    # be a fixed uniform draw per doc. Parity: the key is rounded to
+    # integer NANO-units before ranking, so both engines rank identical
+    # integers (tie-broken by doc_id) — the float never decides an
+    # order. Scale: the key is a pure map; selection is the q37
+    # two-pass rank (range partition + local rank + broadcast offsets)
+    # — no global sort, no single-partition window, and at K=50 the
+    # kept set is driver-trivial while the rank machinery is the same
+    # one that handles take-millions.
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    key_u = F.round(
+        F.lit(1000000000.0)
+        * (F.log((h + 1) / F.lit(4294967296.0)) / F.col("n_chars")),
+        0,
+    ).cast("long")
+    wbase = d.filter(F.col("n_chars") > 0).select(
+        "doc_id", "n_chars", key_u.alias("key_u")
+    )
+    wranked = _two_pass_rank(
+        wbase,
+        [F.col("key_u").desc(), F.col("doc_id").asc()],
+        "doc_id",
+        extra_cols=["n_chars", "key_u"],
+    )
+    weighted = wranked.filter(F.col("rnk") <= _WEIGHTED_K).select(
+        F.lit("weighted").alias("part"),
+        F.lit("n_chars").alias("k1"),
+        F.col("doc_id").cast("string").alias("k2"),
+        F.col("rnk").alias("n1"),
+        F.col("n_chars").alias("n2"),
+        F.col("key_u").alias("score_u"),
+    )
+    return stratum.unionAll(dsir).unionAll(capped).unionAll(mix).unionAll(weighted)
 
 
 

@@ -159,3 +159,25 @@ def test_ivfpq_nprobe_widens_to_pq(spark):
     # top-5 after rerank need not nest, but the rank-1 self-consistency
     # must hold and every query must still answer at n_probe=1
     assert set(n1) == set(n2) and all(len(v) == 5 for v in n1.values())
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """q35 part='weighted' (A-ES, w = n_chars): the kept set's mean
+    length must sit well above the corpus mean — the whole point of
+    weight-proportional sampling — and be exactly reproducible."""
+    from pmocr_spark.queries import QUERY_FNS
+
+    out = QUERY_FNS["q35_stratified_sample"](spark, SF).filter(
+        F.col("part") == "weighted"
+    )
+    rows = out.collect()
+    assert len(rows) == 50
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r["n2"] for r in rows) / len(rows)
+    # the sf0.01 length distribution is narrow (48..553 chars), so the
+    # length-weighted expectation E[L^2]/E[L] sits ~1.1-1.15x the mean
+    assert sample_mean > 1.05 * corpus_mean
+    again = {r["k2"] for r in QUERY_FNS["q35_stratified_sample"](spark, SF)
+             .filter(F.col("part") == "weighted").collect()}
+    assert again == {r["k2"] for r in rows}
