@@ -281,6 +281,52 @@ def build_parser() -> argparse.ArgumentParser:
         "per-code cluster ids); omit for the exhaustive compressed scan",
     )
     p.add_argument(
+        "--build-text-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: build the persisted BM25 inverted index "
+        "over the --input documents table at DIR (operators/bm25."
+        "write_text_index: postings/dl/df subtables + stats sidecar)",
+    )
+    p.add_argument(
+        "--append-text-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: tokenize the --input batch with the "
+        "index's sidecar params and append — postings/dl/df are "
+        "additive over disjoint doc_id batches, so growth is pure "
+        "append (no merge pass); sidecar stats accumulate",
+    )
+    p.add_argument(
+        "--search-text",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: BM25 top-k search of --query against "
+        "the index at DIR; writes (query_id, doc_id, rk, score_u) "
+        "to --output",
+    )
+    p.add_argument(
+        "--query",
+        default=None,
+        help="--search-text: comma-separated queries, whitespace-"
+        "separated terms (lowercased + deduplicated per query, the "
+        "index tokenizer's normalization)",
+    )
+    p.add_argument(
+        "--search-topk",
+        type=int,
+        default=None,
+        help="--search-text: results per query (default 5)",
+    )
+    p.add_argument(
+        "--max-df",
+        type=float,
+        default=None,
+        help="--search-text: drop query terms whose document frequency "
+        "exceeds this fraction of the corpus (stop-term cap — bounds "
+        "posting-list fan-out on hot terms)",
+    )
+    p.add_argument(
         "--compact-substr-index",
         default=None,
         metavar="DIR",
@@ -651,7 +697,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         for op in ("build", "append", "probe")
         if getattr(args, f"{op}_pq_index")
     ]
-    _maint = _dedup_index_flags + _pq_index_flags + [
+    _text_index_flags = [
+        flag
+        for flag, on in (
+            ("--build-text-index", args.build_text_index),
+            ("--append-text-index", args.append_text_index),
+            ("--search-text", args.search_text),
+        )
+        if on
+    ]
+    _maint = _dedup_index_flags + _pq_index_flags + _text_index_flags + [
         flag
         for flag, on in (
             ("--compact-lineage", args.compact_only),
@@ -749,6 +804,42 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         parser.error("--rerank-vectors/--ivf-nprobe only apply to --probe-pq-index")
     if args.train_codebook is not None:
         parser.error("--train-codebook only applies to --build-pq-index")
+    # BM25 text-index maintenance modes (same standalone contract)
+    text_ops = [
+        (op, d)
+        for op, d in (
+            ("build", args.build_text_index),
+            ("append", args.append_text_index),
+            ("search", args.search_text),
+        )
+        if d
+    ]
+    if len(text_ops) > 1:
+        parser.error("give exactly one --{build,append}-text-index / --search-text")
+    args.text_index_op = text_ops[0] if text_ops else None
+    if args.text_index_op:
+        op, _dir = args.text_index_op
+        if args.batch or args.service:
+            mode = "--search-text" if op == "search" else f"--{op}-text-index"
+            parser.error(f"{mode} is a standalone maintenance mode")
+        if op in ("build", "append") and not args.input:
+            parser.error(f"--input is required with --{op}-text-index")
+        if op == "search":
+            if not args.query:
+                parser.error("--query is required with --search-text")
+            if not args.output:
+                parser.error("--output is required with --search-text")
+        elif args.query or args.search_topk is not None or args.max_df is not None:
+            parser.error("--query/--search-topk/--max-df only apply to --search-text")
+        if args.search_topk is not None and args.search_topk < 1:
+            parser.error("--search-topk must be >= 1")
+        if args.max_df is not None and not (0 < args.max_df <= 1):
+            parser.error("--max-df must be in (0, 1]")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.query or args.search_topk is not None or args.max_df is not None:
+        parser.error("--query/--search-topk/--max-df only apply to --search-text")
     if args.compact_substr_index:
         if args.batch or args.service:
             parser.error("--compact-substr-index is a standalone maintenance mode")
@@ -1185,6 +1276,39 @@ def _run_pq_index_op(spark, args) -> None:
     print(f"pmocr-spark: pq probe hits written to {args.output}")
 
 
+def _run_text_index_op(spark, args) -> None:
+    """BM25 text-index lifecycle, the sparse-retrieval twin of
+    _run_pq_index_op. build persists the inverted index (postings/dl/df
+    + stats sidecar) over the --input documents table; append tokenizes
+    a new (doc_id-disjoint) batch and appends — every component is
+    additive, so there is no merge pass; search scores --query against
+    the persisted index with the exact same _score_topk path the q21
+    gate arm uses."""
+    from .operators import bm25
+
+    op, idx_dir = args.text_index_op
+    if op in ("build", "append"):
+        docs = spark.read.parquet(args.input)
+        mode = "append" if op == "append" else "overwrite"
+        meta = bm25.write_text_index(docs, idx_dir, mode=mode)
+        print(
+            f"pmocr-spark: {op} text index at {idx_dir} "
+            f"({meta['n_docs']} docs, {meta['sum_dl']} tokens)"
+        )
+        return
+    queries = bm25.parse_query_terms(spark, args.query)
+    hits = bm25.search_text_index(
+        spark,
+        idx_dir,
+        queries,
+        topk=args.search_topk or 5,
+        max_df_frac=args.max_df,
+    )
+    hits.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"pmocr-spark: text search wrote {n} hits to {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     from datetime import datetime
 
@@ -1215,6 +1339,9 @@ def main(argv: list[str] | None = None) -> None:
         return
     if getattr(args, "pq_index_op", None):
         _run_pq_index_op(spark, args)
+        return
+    if getattr(args, "text_index_op", None):
+        _run_text_index_op(spark, args)
         return
     if getattr(args, "compact_substr_index", None):
         from .operators.substring_dedup import GRAM_META, read_gram_index

@@ -103,7 +103,15 @@ def bm25_search(
     the query side is always the small side), sums exact integer
     partials per (query, doc), and takes the per-query top-k on
     (score_u desc, doc_id) — fully deterministic."""
-    ix = build_index(docs, text_col)
+    return _score_topk(build_index(docs, text_col), queries, topk, max_df_frac)
+
+
+def _score_topk(
+    ix: dict[str, DataFrame],
+    queries: DataFrame,
+    topk: int,
+    max_df_frac: float | None,
+) -> DataFrame:
     qt = queries
     if max_df_frac is not None:
         cap = ix["stats"].select(
@@ -132,3 +140,106 @@ def bm25_search(
         )
         .filter(F.col("rk") <= topk)
     )
+
+
+#: params sidecar inside the index dir (checkpoint.write_sidecar
+#: pattern — parameters are part of the artifact's identity)
+_META_NAME = "_TEXT_INDEX_META.json"
+#: tokenizer identity recorded in the sidecar: probing an index with a
+#: different tokenization silently misses every term
+_TOKENIZER = "ws_lower_v1"
+
+
+def write_text_index(docs: DataFrame, path: str, mode: str = "overwrite",
+                     text_col: str = "text") -> dict:
+    """Persist the inverted index: postings/dl/df parquet subtables +
+    a stats sidecar. Everything is ADDITIVE, so growth is pure append —
+    the production property for a crawl that never stops arriving:
+      * postings and dl rows are per-doc — disjoint batches append;
+      * df is persisted as per-BATCH partials and summed at read
+        (additive exactly when batches hold disjoint doc_ids — same
+        caller contract as the PQ index's new-vec_ids rule);
+      * n_docs/sum_dl accumulate in the sidecar (driver-sized ints).
+    Returns the sidecar dict actually written."""
+    from pmocr_spark import checkpoint as _ckpt
+
+    spark = docs.sparkSession
+    ix = build_index(docs, text_col)
+    st = ix["stats"].collect()[0]
+    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"] or 0)
+    if mode == "append":
+        meta = _ckpt.read_sidecar(spark, path, _META_NAME)
+        if meta is None:
+            raise ValueError(
+                f"text index at {path} has no {_META_NAME} sidecar — append "
+                "requires an index built by write_text_index."
+            )
+        if meta["tokenizer"] != _TOKENIZER or meta["k1"] != K1 or meta["b"] != B:
+            raise ValueError(
+                f"text index params mismatch at {path}: index "
+                f"({meta['tokenizer']}, k1={meta['k1']}, b={meta['b']}) vs "
+                f"this build ({_TOKENIZER}, k1={K1}, b={B}); rebuild."
+            )
+        meta = {**meta, "n_docs": meta["n_docs"] + n_docs,
+                "sum_dl": meta["sum_dl"] + sum_dl}
+    else:
+        meta = {"tokenizer": _TOKENIZER, "k1": K1, "b": B,
+                "n_docs": n_docs, "sum_dl": sum_dl}
+    wmode = "append" if mode == "append" else "overwrite"
+    ix["postings"].write.mode(wmode).parquet(f"{path}/postings")
+    ix["dl"].write.mode(wmode).parquet(f"{path}/dl")
+    ix["df"].write.mode(wmode).parquet(f"{path}/df")
+    _ckpt.write_sidecar(spark, path, _META_NAME, meta)
+    return meta
+
+
+def read_text_index(spark, path: str) -> tuple[dict[str, DataFrame], dict]:
+    """Load a persisted index: (frames, params). df partials merge with
+    one Heaps-small agg; corpus stats come from the sidecar as exact
+    integers (never re-derived — a partial re-scan would silently skew
+    idf). Loud failure without the sidecar."""
+    from pmocr_spark import checkpoint as _ckpt
+    from pyspark.sql import functions as F  # noqa: F811
+
+    meta = _ckpt.read_sidecar(spark, path, _META_NAME)
+    if meta is None:
+        raise ValueError(
+            f"text index at {path} has no {_META_NAME} sidecar — postings "
+            "are meaningless without the tokenizer/stats that built them."
+        )
+    ix = {
+        "postings": spark.read.parquet(f"{path}/postings"),
+        "dl": spark.read.parquet(f"{path}/dl"),
+        "df": spark.read.parquet(f"{path}/df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df")),
+        "stats": spark.createDataFrame(
+            [(int(meta["n_docs"]), int(meta["sum_dl"]))], "n_docs long, sum_dl long"
+        ),
+    }
+    return ix, meta
+
+
+def search_text_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    topk: int = 5,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """BM25 top-k against a PERSISTED index — identical scoring path to
+    bm25_search (same _score_topk), so probe(write(docs)) == search
+    over the live frames, pinned in tests."""
+    ix, _meta = read_text_index(spark, path)
+    return _score_topk(ix, queries, topk, max_df_frac)
+
+
+def parse_query_terms(spark, qspec: str) -> DataFrame:
+    """CLI query spec -> (query_id, term): comma-separated queries,
+    whitespace-separated terms, lowercased + deduplicated per query
+    (the same normalization the index's tokenizer applied)."""
+    rows = []
+    for qid, q in enumerate(s for s in qspec.split(",") if s.strip()):
+        for t in sorted({w.lower() for w in q.split()}):
+            rows.append((qid, t))
+    return spark.createDataFrame(rows, "query_id long, term string")

@@ -125,3 +125,81 @@ def test_scores_positive_and_deterministic(spark, docs_df, queries_df):
         map(tuple, b), key=lambda t: (t[0], t[2])
     )
     assert all(r["score_u"] > 0 for r in a)
+
+
+def test_persisted_index_matches_live_search(spark, docs_df, queries_df, tmp_path):
+    """probe(write(docs)) == search over the live frames — same
+    _score_topk path, same integers."""
+    idx = str(tmp_path / "tix")
+    bm25.write_text_index(docs_df, idx)
+    live = {tuple(r) for r in bm25.bm25_search(docs_df, queries_df).collect()}
+    persisted = {
+        tuple(r)
+        for r in bm25.search_text_index(spark, idx, queries_df).collect()
+    }
+    assert persisted == live
+
+
+def test_append_equals_rebuild_over_union(spark, docs_df, queries_df, tmp_path):
+    """The additive-growth contract: build(half1) + append(half2) must
+    answer every query exactly like build(half1+half2) — postings, df
+    partials, and sidecar stats all merge correctly."""
+    idx = str(tmp_path / "tix2")
+    h1 = docs_df.filter("doc_id < 3")
+    h2 = docs_df.filter("doc_id >= 3")
+    bm25.write_text_index(h1, idx)
+    meta = bm25.write_text_index(h2, idx, mode="append")
+    full_idx = str(tmp_path / "tix_full")
+    full_meta = bm25.write_text_index(docs_df, full_idx)
+    assert (meta["n_docs"], meta["sum_dl"]) == (
+        full_meta["n_docs"], full_meta["sum_dl"])
+    a = {tuple(r) for r in bm25.search_text_index(spark, idx, queries_df).collect()}
+    b = {tuple(r) for r in bm25.search_text_index(spark, full_idx, queries_df).collect()}
+    assert a == b
+
+
+def test_read_without_sidecar_fails_loud(spark, docs_df, tmp_path):
+    import pytest as _pytest
+
+    idx = str(tmp_path / "tix3")
+    bm25.write_text_index(docs_df, idx)
+    import os
+    os.remove(os.path.join(idx, bm25._META_NAME))
+    with _pytest.raises(ValueError, match="sidecar"):
+        bm25.read_text_index(spark, idx)
+
+
+def test_append_to_unbuilt_dir_fails_loud(spark, docs_df, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="append"):
+        bm25.write_text_index(docs_df, str(tmp_path / "nope"), mode="append")
+
+
+def test_cli_text_index_lifecycle(spark, docs_df, tmp_path):
+    from pmocr_spark import cli
+
+    src = str(tmp_path / "docs.parquet")
+    docs_df.write.parquet(src)
+    idx = str(tmp_path / "cli_tix")
+    cli.main(["--build-text-index", idx, "--input", src, "--master", "local[2]"])
+    out = str(tmp_path / "hits")
+    cli.main([
+        "--search-text", idx, "--query", "quick fox, brown honey",
+        "--output", out, "--search-topk", "3", "--master", "local[2]",
+    ])
+    hits = spark.read.parquet(out).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # query 0 = "quick fox": doc 0 (both terms) first
+    assert min(by_q[0], key=lambda r: r["rk"])["doc_id"] == 0
+    assert all(len(v) <= 3 for v in by_q.values())
+    # validation: search knobs outside --search-text fail fast
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli.main(["--build-text-index", idx, "--input", src, "--query", "x",
+                  "--master", "local[2]"])
+    with _pytest.raises(SystemExit):
+        cli.main(["--batch", "--search-text", idx, "--query", "x",
+                  "--output", out, "--master", "local[2]"])
