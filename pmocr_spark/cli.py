@@ -503,6 +503,27 @@ def build_parser() -> argparse.ArgumentParser:
         "n_bpe_tokens columns appended (Arrow-batched encode UDF)",
     )
     p.add_argument(
+        "--train-unigram",
+        type=int,
+        default=None,
+        metavar="VOCAB_SIZE",
+        help="maintenance mode (standalone): train a unigram-LM "
+        "tokenizer (Kudo ACL'18, the SentencePiece algorithm) of "
+        "VOCAB_SIZE pieces over the --input documents table "
+        "(operators/unigram_lm.py) and persist the model dir to "
+        "--output (piece table + params in a _unigram_model.json "
+        "sidecar)",
+    )
+    p.add_argument(
+        "--encode-unigram",
+        default=None,
+        metavar="MODEL_DIR",
+        help="maintenance mode (standalone): Viterbi-tokenize the "
+        "--input documents table with the unigram model at MODEL_DIR "
+        "(from --train-unigram) and write it to --output with "
+        "uni_tokens + n_uni_tokens columns appended",
+    )
+    p.add_argument(
         "--probe-broadcast",
         choices=("auto", "force"),
         default=None,
@@ -723,6 +744,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--score-quality", args.score_quality is not None),
             ("--train-bpe", args.train_bpe is not None),
             ("--encode-bpe", bool(args.encode_bpe)),
+            ("--train-unigram", args.train_unigram is not None),
+            ("--encode-unigram", bool(args.encode_unigram)),
         )
         if on
     ]
@@ -930,6 +953,24 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--encode-bpe is a standalone maintenance mode")
         if not args.input or not args.output:
             parser.error("--input and --output are required with --encode-bpe")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.train_unigram is not None:
+        if args.batch or args.service:
+            parser.error("--train-unigram is a standalone maintenance mode")
+        if args.train_unigram < 1:
+            parser.error("--train-unigram VOCAB_SIZE must be >= 1")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --train-unigram")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.encode_unigram:
+        if args.batch or args.service:
+            parser.error("--encode-unigram is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --encode-unigram")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1638,6 +1679,48 @@ def main(argv: list[str] | None = None) -> None:
         print(
             f"pmocr-spark: encoded {n[1]} docs ({n[0]} BPE tokens, "
             f"{len(merges)}-merge model) to {args.output}"
+        )
+        return
+    if getattr(args, "train_unigram", None) is not None:
+        from .operators import unigram_lm as uni_op
+
+        docs = spark.read.parquet(args.input)
+        if "text" not in docs.columns:
+            raise SystemExit(
+                f"--train-unigram: {args.input} has no 'text' column (columns: "
+                f"{docs.columns}) — tokenizer modes read a FLAT documents "
+                "table; extract span tables to txt first (--batch --targets txt)"
+            )
+        model = uni_op.train_unigram(docs, args.train_unigram)
+        uni_op.write_model(spark, args.output, model, args.train_unigram)
+        print(
+            f"pmocr-spark: trained {len(model)}-piece unigram-LM tokenizer "
+            f"(requested {args.train_unigram}) to {args.output}"
+        )
+        return
+    if getattr(args, "encode_unigram", None):
+        from .operators import unigram_lm as uni_op
+
+        model = uni_op.read_model(spark, args.encode_unigram)
+        docs = spark.read.parquet(args.input)
+        if "text" not in docs.columns:
+            raise SystemExit(
+                f"--encode-unigram: {args.input} has no 'text' column (columns: "
+                f"{docs.columns}) — tokenizer modes read a FLAT documents "
+                "table; extract span tables to txt first (--batch --targets txt)"
+            )
+        out = (
+            docs.drop("uni_tokens", "n_uni_tokens")
+            .withColumn("uni_tokens", uni_op.encode_udf(model)(F.col("text")))
+            .withColumn("n_uni_tokens", F.size("uni_tokens").cast("long"))
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).agg(
+            F.coalesce(F.sum("n_uni_tokens"), F.lit(0)), F.count("*")
+        ).first()
+        print(
+            f"pmocr-spark: encoded {n[1]} docs ({n[0]} unigram tokens, "
+            f"{len(model)}-piece model) to {args.output}"
         )
         return
     if getattr(args, "dedup_substrings", False):

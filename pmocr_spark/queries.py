@@ -4219,11 +4219,24 @@ def q41_repetition_quality(spark, sf_dir):
     pcnt3 AS (
       SELECT syms[i] AS ml, syms[i+1] AS mr, cast(sum(freq) AS BIGINT) AS cnt
       FROM tok2, unnest(range(1, len(syms))) AS t(i) GROUP BY ml, mr),
-    b3 AS (SELECT * FROM pcnt3 ORDER BY cnt DESC, ml ASC, mr ASC LIMIT 1)
+    b3 AS (SELECT * FROM pcnt3 ORDER BY cnt DESC, ml ASC, mr ASC LIMIT 1),
+    -- unigram-LM seed vocabulary (Kudo ACL'18): every substring of
+    -- length 1..4 of every distinct word, weighted by word frequency
+    useed AS (
+      SELECT 'uni_seed' AS part, piece AS bigram, cast(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               unnest(flatten(list_transform(range(1, len(word) + 1),
+                      i -> list_transform(range(i, least(len(word), i + 3) + 1),
+                           j -> word[i:j])))) AS piece
+        FROM wf)
+      GROUP BY piece ORDER BY cnt DESC, bigram ASC LIMIT 20
+    )
     SELECT * FROM wb UNION ALL SELECT * FROM cb
     UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
     UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
     UNION ALL SELECT 'merge3' AS part, ml || ' ' || mr AS bigram, cnt FROM b3
+    UNION ALL SELECT * FROM useed
     """,
 )
 def q44_bigram_lm_topk(spark, sf_dir):
@@ -4270,12 +4283,17 @@ def q44_bigram_lm_topk(spark, sf_dir):
     )
     from .operators.bpe import learn_bpe
 
-    # ONE corpus pass for the whole family: the cached symbol table
-    # feeds both the iteration-0 statistic (cb) and the merge loop —
-    # without the cache the corpus-sized word count runs twice
+    # ONE corpus pass for the whole family: the cached word-frequency
+    # table feeds the BPE symbol table (cb statistic + merge loop) AND
+    # the unigram-LM seed statistic — without the caches the
+    # corpus-sized word count runs three times
+    wfd = _cached_df(
+        spark, sf_dir, "documents.parquet", "bpe_wordfreqs",
+        lambda: word_freqs(d),
+    )
     sy0 = _cached_df(
         spark, sf_dir, "documents.parquet", "bpe_syms0",
-        lambda: initial_symbols(word_freqs(d)),
+        lambda: initial_symbols(wfd),
     )
     cb = (
         pair_counts(sy0)
@@ -4292,7 +4310,23 @@ def q44_bigram_lm_topk(spark, sf_dir):
         [(f"merge{i + 1}", f"{l} {r}", c) for i, (l, r, c) in enumerate(merges)],
         "part string, bigram string, cnt long",
     )
-    return wb.unionAll(cb).unionAll(mrows)
+    # part='uni_seed' (round 5, fourth pass): the unigram-LM tokenizer's
+    # seed-vocabulary statistic (Kudo ACL'18 — operators/unigram_lm.py):
+    # top-20 substrings (length 1..4) of the distinct-word table
+    # weighted by word frequency — the candidate set EM prunes from.
+    # One codegen substring-explode + agg over the SAME cached word
+    # table; the EM loop itself is pinned by tests/test_unigram_lm.py
+    # against an independent pure-python implementation (the BPE
+    # merges-4-12 verification split).
+    from .operators.unigram_lm import seed_pieces
+
+    useed = (
+        seed_pieces(wfd)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(20)
+        .select(F.lit("uni_seed").alias("part"), F.col("piece").alias("bigram"), "cnt")
+    )
+    return wb.unionAll(cb).unionAll(mrows).unionAll(useed)
 
 
 @query(
