@@ -1014,6 +1014,127 @@ def _bench_bpe(spark, sf_dir: str) -> dict:
     }
 
 
+#: unigram-LM bench: vocab size + EM rounds sized like the BPE entry —
+#: enough to measure the per-iteration steady state, small enough to
+#: stay comparable round-over-round
+UNIGRAM_BENCH_VOCAB = 400
+UNIGRAM_BENCH_ITERS = 2
+
+
+def _bench_unigram(spark, sf_dir: str) -> dict:
+    """Distributed unigram-LM tokenizer training (operators/
+    unigram_lm.py, round-5 fourth pass): one corpus-sized word count,
+    one substring-seed agg, then UNIGRAM_BENCH_ITERS EM rounds of
+    Viterbi-UDF + piece-count agg + vocab-sized collect. The
+    per-iteration rate is the scale signal — each round touches only
+    the Heaps-small word table."""
+    from pmocr_spark.operators import unigram_lm as uni
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    model = uni.train_unigram(
+        docs, vocab_size=UNIGRAM_BENCH_VOCAB, em_iters=UNIGRAM_BENCH_ITERS
+    )
+    sec = round(time.time() - t0, 3)
+    return {"sec": sec, "pieces": len(model), "em_iters": UNIGRAM_BENCH_ITERS}
+
+
+#: BM25 bench: query count sized to measure the broadcast-join scoring
+#: path, not driver overhead
+BM25_BENCH_QUERIES = 50
+
+
+def _bench_bm25(spark, sf_dir: str, tmp: str) -> dict:
+    """BM25 lifecycle (operators/bm25.py, round-5 fourth pass): build +
+    persist the inverted index over every sf_dir document, then answer
+    BM25_BENCH_QUERIES 3-term queries against the persisted index
+    (broadcast query terms x postings, integer scoring, per-query
+    top-5). Index build is the corpus-sized leg; search cost should be
+    postings-bounded."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.operators import bm25
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    idx = os.path.join(tmp, "bm25_index")
+    t0 = time.time()
+    bm25.write_text_index(docs, idx)
+    build_sec = round(time.time() - t0, 3)
+    queries = (
+        docs.filter(F.col("doc_id") % max(1, docs.count() // BM25_BENCH_QUERIES) == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 3)
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    t0 = time.time()
+    n_hits = bm25.search_text_index(spark, idx, queries).count()
+    search_sec = round(time.time() - t0, 3)
+    return {
+        "sec": round(build_sec + search_sec, 3),
+        "build_sec": build_sec,
+        "search_sec": search_sec,
+        "hits": n_hits,
+    }
+
+
+#: WARC bench: records per synthetic shard / number of shards — sized so
+#: the parse cost dominates the listing cost (the 100 TB regime)
+WARC_BENCH_SHARDS = 16
+WARC_BENCH_RECS = 250
+
+
+def _bench_warc(spark, sf_dir: str, tmp: str) -> dict:
+    """WARC ingestion (sources/warc.py, round-5 fourth pass): write
+    WARC_BENCH_SHARDS gzip shards of WARC_BENCH_RECS html-response
+    records each (from sf_dir document texts), then parse + lift to the
+    span shape. File-granular tasks — the per-record parse rate is the
+    per-core number that scales linearly with executors over
+    CommonCrawl's ~90k shards."""
+    from pmocr_spark.operators.html_extract import wrap_boilerplate
+    from pmocr_spark.sources import warc as warc_src
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(WARC_BENCH_SHARDS * WARC_BENCH_RECS)
+        .collect()
+    )
+    shard_dir = os.path.join(tmp, "warc_shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    for s in range(WARC_BENCH_SHARDS):
+        recs = [
+            {
+                "record_id": f"r-{row['doc_id']}",
+                "warc_type": "response",
+                "target_uri": f"http://bench.example/{row['doc_id']}",
+                "content_type": "text/html",
+                "payload": wrap_boilerplate(
+                    row["text"] or "x", doc_id=int(row["doc_id"])
+                ).encode(),
+                "http": True,
+            }
+            for row in docs[s::WARC_BENCH_SHARDS]
+        ]
+        with open(os.path.join(shard_dir, f"shard-{s:05d}.warc.gz"), "wb") as f:
+            f.write(warc_src.build_warc(recs, gz=True))
+    n_recs = sum(1 for _ in docs)
+    t0 = time.time()
+    records = warc_src.read_warc_records(spark, shard_dir)
+    d, b = warc_src.warc_to_documents(records)
+    _force(d)
+    _force(b)
+    sec = round(time.time() - t0, 3)
+    return {
+        "sec": sec,
+        "records": n_recs,
+        "records_per_sec": round(n_recs / sec, 2) if sec else 0.0,
+    }
+
+
 def _lsh_precision(spark, sf_dir: str) -> dict:
     """Banding quality: what fraction of q18's LSH candidate pairs
     survive exact-Jaccard verification (q17 part='lsh_verified'). Cheap
@@ -1108,6 +1229,15 @@ def main() -> None:
             f"video transcribe {video['sec']}s "
             f"({video['blobs']} blobs, {video['blobs_per_sec']}/s)"
         )
+        unigram = _bench_unigram(spark, sf_dir)
+        _log(f"unigram train {unigram['sec']}s ({unigram['pieces']} pieces)")
+        bm25 = _bench_bm25(spark, sf_dir, tmp)
+        _log(
+            f"bm25 index+search {bm25['sec']}s "
+            f"(build {bm25['build_sec']}s, search {bm25['search_sec']}s)"
+        )
+        warc = _bench_warc(spark, sf_dir, tmp)
+        _log(f"warc ingest {warc['sec']}s ({warc['records_per_sec']} rec/s)")
         qtimes = _bench_queries(spark, sf_dir)
         _log(f"headline queries done: {qtimes}")
         recall, truth = _ann_recall_at5(spark, sf_dir)
@@ -1126,9 +1256,14 @@ def main() -> None:
             "phash_near_dup": phash["sec"],
             "bpe_learn": bpe["sec"],
             "video_transcribe": video["sec"],
+            "unigram_train": unigram["sec"],
+            "bm25_index_search": bm25["sec"],
+            "warc_ingest": warc["sec"],
             **qtimes,
         }
         result["value"] = round(sum(result["queries"].values()), 3)
+        result["warc_records_per_sec"] = warc["records_per_sec"]
+        result["bm25_detail"] = {k: bm25[k] for k in ("build_sec", "search_sec", "hits")}
         result["ocr_docs_per_sec"] = ocr["docs_per_sec"]
         result["html_docs_per_sec"] = html["docs_per_sec"]
         result["phash_blobs_per_sec"] = phash["blobs_per_sec"]
