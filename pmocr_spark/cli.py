@@ -421,10 +421,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--output-format",
-        choices=("parquet", "jsonl"),
+        choices=("parquet", "jsonl", "wet"),
         default="parquet",
         help="batch-mode results format (jsonl base64-encodes binary "
-        "target columns so lines stay valid JSON)",
+        "target columns so lines stay valid JSON; wet writes "
+        "CommonCrawl-style extracted-text shards — gzip WARC conversion "
+        "records of the done docs' txt target, sources/warc.write_wet; "
+        "lineage still records every doc)",
     )
     p.add_argument(
         "--corpus-stats",
@@ -1844,7 +1847,24 @@ def main(argv: list[str] | None = None) -> None:
                 f"pmocr-spark: error: --partition-by column(s) {missing} not in "
                 f"the results table; available: {', '.join(out.columns)}"
             )
-    if getattr(args, "output_format", "parquet") == "jsonl":
+    if getattr(args, "output_format", "parquet") == "wet":
+        from .sources.warc import write_wet
+
+        if pcols:
+            raise SystemExit(
+                "pmocr-spark: --partition-by does not compose with "
+                "--output-format wet (shard layout is the format)"
+            )
+        if "txt" not in out.columns:
+            raise SystemExit(
+                "pmocr-spark: --output-format wet needs the txt target; "
+                "add txt to --targets"
+            )
+        # WET is the extracted-text artifact: done docs only (failures
+        # and skips live in lineage, exactly like CommonCrawl's WET
+        # files carry successful conversions only)
+        write_wet(out.filter(F.col("status") == "done"), args.output, job_ts=job_ts)
+    elif getattr(args, "output_format", "parquet") == "jsonl":
         from .sources.jsonl import write_jsonl
 
         write_jsonl(out, args.output, partition_by=pcols or None)

@@ -301,3 +301,71 @@ def warc_to_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("doc_id").alias("media_ref"), "kind", F.col("payload").alias("content")
     )
     return docs, blobs
+
+
+def write_wet(
+    results: DataFrame,
+    path: str,
+    job_ts: str = "",
+    n_shards: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "txt",
+    uri_col: str | None = None,
+) -> None:
+    """Results -> WET shards (CommonCrawl's extracted-text artifact:
+    gzip WARC files of `conversion` records, text/plain payloads) — the
+    write half of the crawl loop this module's reader opens. Each shard
+    leads with a warcinfo record (the per-file convention) and is
+    written gzip multi-member-compatible.
+
+    Determinism (the X10 fixed-timestamp discipline): rows hash-
+    repartition on `id_col` and sort within shards, and WARC-Date comes
+    from the caller's job clock — two runs over the same table produce
+    byte-identical shards. Executors stream their own shard via
+    foreachPartition (no driver collect); the destination must be a
+    task-visible filesystem path (local/NFS — the same contract as any
+    posix sink; object stores take the parquet/jsonl sinks).
+    """
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(path, exist_ok=True)
+    date = (job_ts or "1970-01-01 00:00:00").replace(" ", "T") + "Z"
+    cols = [F.col(id_col).cast("string").alias("_id"), F.col(text_col).alias("_txt")]
+    cols.append(
+        F.col(uri_col).alias("_uri") if uri_col
+        else F.concat(F.lit("urn:doc:"), F.col(id_col).cast("string")).alias("_uri")
+    )
+    rows = results.select(*cols)
+    if n_shards is not None:
+        rows = rows.repartition(n_shards, "_id")
+    rows = rows.sortWithinPartitions("_id")
+
+    def _write(it):
+        pid = TaskContext.get().partitionId()
+        recs = [
+            {
+                "record_id": f"wetinfo-{pid}",
+                "warc_type": "warcinfo",
+                "warc_date": date,
+                "content_type": "application/warc-fields",
+                "payload": b"software: pmocr-spark WET writer\r\n",
+            }
+        ]
+        for r in it:
+            recs.append(
+                {
+                    "record_id": r["_id"],
+                    "warc_type": "conversion",
+                    "target_uri": r["_uri"],
+                    "warc_date": date,
+                    "content_type": "text/plain",
+                    "payload": (r["_txt"] or "").encode(),
+                }
+            )
+        if len(recs) > 1:  # empty partitions write nothing
+            with open(os.path.join(path, f"wet-{pid:05d}.warc.gz"), "wb") as f:
+                f.write(build_warc(recs, gz=True))
+
+    rows.foreachPartition(_write)

@@ -148,9 +148,12 @@ def test_q35_sample_single_exchange(spark):
     its range exchange runs inside the checkpoint job): _pid sizes agg +
     its SinglePartition offsets, and the #domains-row dom cumsum pair —
     the take/weight/offset tables all read the CHECKPOINTED count table,
-    never the corpus."""
+    never the corpus. The round-5 fourth-pass weighted arm (A-ES) adds
+    three via its own two-pass rank: the corpus-sized _pid window
+    reshuffle (range exchange inside the checkpoint job), the _pid
+    sizes agg, and its SinglePartition offsets cumsum."""
     df = QUERY_FNS["q35_stratified_sample"](spark, SF)
-    assert shape.count_exchanges(df) <= 14, shape.formatted_plan(df)
+    assert shape.count_exchanges(df) <= 17, shape.formatted_plan(df)
     plan = shape.formatted_plan(df)
     assert "CartesianProduct" not in plan
 
@@ -239,8 +242,10 @@ def test_q44_topk_no_global_sort(spark):
     df = QUERY_FNS["q44_bigram_lm_topk"](spark, SF)
     plan = shape.formatted_plan(df)
     assert plan.count("TakeOrderedAndProject") >= 2, plan  # one per part
-    # word-bigram agg + word-freq agg + char-pair agg, nothing else
-    assert shape.count_exchanges(df) <= 3, plan
+    # word-bigram agg + word-freq agg + char-pair agg + the round-5
+    # fourth-pass uni_seed substring agg (over the CACHED word table —
+    # the corpus itself is still scanned once), nothing else
+    assert shape.count_exchanges(df) <= 4, plan
 
 
 def test_q45_contamination_broadcasts_benchmark(spark):

@@ -226,3 +226,62 @@ def test_service_mode_rejects_warc(tmp_path):
             "--lineage", str(tmp_path / "l"),
             "--master", "local[2]",
         ])
+
+
+def test_wet_writer_roundtrip(spark, tmp_path):
+    """write_wet shards read back through the module's own parser:
+    conversion records, text payloads exact, per-file warcinfo lead,
+    deterministic across reruns."""
+    df = spark.createDataFrame(
+        [(i, f"extracted text {i}", "done") for i in range(20)],
+        "doc_id long, txt string, status string",
+    )
+    out = str(tmp_path / "wet")
+    warc.write_wet(df, out, job_ts="2024-01-01 00:00:00", n_shards=3)
+    recs = warc.read_warc_records(spark, out).collect()
+    conv = {r["record_id"]: r for r in recs if r["warc_type"] == "conversion"}
+    assert set(conv) == {str(i) for i in range(20)}
+    for i in range(20):
+        assert bytes(conv[str(i)]["payload"]) == f"extracted text {i}".encode()
+        assert conv[str(i)]["warc_date"] == "2024-01-01T00:00:00Z"
+        assert conv[str(i)]["target_uri"] == f"urn:doc:{i}"
+    # per-file warcinfo lead records
+    n_files = len({r["warc_file"] for r in recs})
+    assert sum(1 for r in recs if r["warc_type"] == "warcinfo") == n_files
+    # determinism: rerun produces byte-identical shards
+    import hashlib, os
+    h1 = {f: hashlib.md5(open(os.path.join(out, f), "rb").read()).hexdigest()
+          for f in sorted(os.listdir(out))}
+    out2 = str(tmp_path / "wet2")
+    warc.write_wet(df, out2, job_ts="2024-01-01 00:00:00", n_shards=3)
+    h2 = {f: hashlib.md5(open(os.path.join(out2, f), "rb").read()).hexdigest()
+          for f in sorted(os.listdir(out2))}
+    assert list(h1.values()) == list(h2.values())
+
+
+def test_cli_warc_to_wet_full_loop(tmp_path, spark):
+    """The complete CommonCrawl loop: WARC responses in, batch pipeline
+    extracts, WET conversions out — and the WET text round-trips."""
+    from pmocr_spark import cli
+
+    shard_dir = tmp_path / "crawl"
+    os.makedirs(shard_dir)
+    with open(shard_dir / "s0.warc", "wb") as f:
+        f.write(warc.build_warc(_records()[1:5]))
+    outp = str(tmp_path / "wet_out")
+    cli.main([
+        "--batch", "--input-format", "warc", "--input", str(shard_dir),
+        "--output-format", "wet",
+        "--output", outp, "--lineage", str(tmp_path / "lin"),
+        "--targets", "txt", "--master", "local[4]",
+        "--job-ts", "2024-01-01T00:00:00Z",
+    ])
+    conv = {
+        r["record_id"]: bytes(r["payload"]).decode()
+        for r in warc.read_warc_records(spark, outp).collect()
+        if r["warc_type"] == "conversion"
+    }
+    assert conv["rec-text"] == "plain extracted text"
+    assert conv["rec-pdf"] == "pdf page line"
+    body = ("Crawled paragraph one is long enough to score. " * 3).strip()
+    assert conv["rec-html"] == body
