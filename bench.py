@@ -764,6 +764,50 @@ def _run_scale10x(tmp: str, cpus: int) -> dict:
         vids.unpersist()
         return {"blobs": n}
 
+    def run_unigram():
+        # round-5 fourth-pass operator: one EM round at 10x — the
+        # checkpoint claim is that the per-iteration cost is bounded by
+        # the Heaps-small word table (Viterbi UDF + one map-side-
+        # combined agg + a VOCAB-sized collect, never corpus-sized)
+        from pmocr_spark.operators import unigram_lm as uni
+
+        model = uni.train_unigram(docs, vocab_size=400, em_iters=1)
+        return {
+            "pieces": len(model),
+            "vocab_sized_collect_holds": len(model) <= 400,
+        }
+
+    def run_bm25():
+        # round-5 fourth-pass operator: persisted-index build + 50-query
+        # search at 10x — the pins are the search plan's shape: query
+        # terms broadcast onto postings (lists never reshuffle), no
+        # cartesian anywhere
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from pmocr_spark.operators import bm25
+        from pmocr_spark.plans import shape
+
+        idx = os.path.join(tmp, "bm25_10x")
+        bm25.write_text_index(docs, idx)
+        queries = (
+            docs.filter(F.col("doc_id") % max(1, n_docs // 50) == 0)
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(
+                    F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 3)
+                ).alias("term"),
+            )
+            .distinct()
+        )
+        hits = bm25.search_text_index(spark, idx, queries)
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        n_hits = hits.count()
+        return {
+            "hits": n_hits,
+            "broadcast_query_side_holds": "BroadcastHashJoin" in plan,
+            "no_cartesian_holds": "CartesianProduct" not in plan,
+        }
+
     measured("substring_dedup", run_substr)
     measured("q18_minhash_lsh", run_q18)
     measured("phash_near_dup", run_phash)
@@ -772,6 +816,8 @@ def _run_scale10x(tmp: str, cpus: int) -> dict:
     measured("lr_train", run_lr)
     measured("paragraph_dedup", run_paragraph)
     measured("video_transcribe", run_video)
+    measured("unigram_train", run_unigram)
+    measured("bm25_index_search", run_bm25)
     spark.stop()
     return out
 

@@ -506,6 +506,30 @@ def build_parser() -> argparse.ArgumentParser:
         "n_bpe_tokens columns appended (Arrow-batched encode UDF)",
     )
     p.add_argument(
+        "--extract-links",
+        action="store_true",
+        help="maintenance mode (standalone): extract the host-level "
+        "link graph from the HTML blobs in --blobs "
+        "(operators/linkgraph.edges_from_html — stdlib parser, "
+        "content-magic dispatch) and write distinct (src, dst) edges "
+        "to --output",
+    )
+    p.add_argument(
+        "--pagerank",
+        action="store_true",
+        help="maintenance mode (standalone): integer micro-unit "
+        "PageRank over the (src, dst) edges table at --input "
+        "(operators/linkgraph.pagerank — the host-level quality prior "
+        "crawl pipelines publish); writes (node, rank_u, out_degree) "
+        "to --output",
+    )
+    p.add_argument(
+        "--pr-iters",
+        type=int,
+        default=None,
+        help="--pagerank iterations (default 10)",
+    )
+    p.add_argument(
         "--train-unigram",
         type=int,
         default=None,
@@ -749,6 +773,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--encode-bpe", bool(args.encode_bpe)),
             ("--train-unigram", args.train_unigram is not None),
             ("--encode-unigram", bool(args.encode_unigram)),
+            ("--extract-links", args.extract_links),
+            ("--pagerank", args.pagerank),
         )
         if on
     ]
@@ -959,6 +985,26 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
+    if args.extract_links:
+        if args.batch or args.service:
+            parser.error("--extract-links is a standalone maintenance mode")
+        if not args.blobs or not args.output:
+            parser.error("--blobs and --output are required with --extract-links")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.pagerank:
+        if args.batch or args.service:
+            parser.error("--pagerank is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --pagerank")
+        if args.pr_iters is not None and args.pr_iters < 1:
+            parser.error("--pr-iters must be >= 1")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.pr_iters is not None:
+        parser.error("--pr-iters only applies to --pagerank")
     if args.train_unigram is not None:
         if args.batch or args.service:
             parser.error("--train-unigram is a standalone maintenance mode")
@@ -1682,6 +1728,35 @@ def main(argv: list[str] | None = None) -> None:
         print(
             f"pmocr-spark: encoded {n[1]} docs ({n[0]} BPE tokens, "
             f"{len(merges)}-merge model) to {args.output}"
+        )
+        return
+    if getattr(args, "extract_links", False):
+        from .operators.linkgraph import edges_from_html
+
+        blobs = spark.read.parquet(args.blobs)
+        edges = edges_from_html(blobs)
+        edges.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"pmocr-spark: extracted {n} host-level link edges to {args.output}")
+        return
+    if getattr(args, "pagerank", False):
+        from .operators.linkgraph import pagerank as pr_op
+
+        edges = spark.read.parquet(args.input)
+        missing = [c for c in ("src", "dst") if c not in edges.columns]
+        if missing:
+            raise SystemExit(
+                f"--pagerank: {args.input} lacks column(s) {missing}; "
+                "expected an edges table (src, dst) — build one with "
+                "--extract-links"
+            )
+        iters = args.pr_iters or 10
+        ranks = pr_op(edges, iters=iters)
+        ranks.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(
+            f"pmocr-spark: pagerank ({iters} iters) over {n} hosts "
+            f"written to {args.output}"
         )
         return
     if getattr(args, "train_unigram", None) is not None:

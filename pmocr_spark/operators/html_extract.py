@@ -518,3 +518,30 @@ def extract_tables(doc: str) -> list[list[list[str]]]:
     p.feed(doc)
     p.close()
     return p.tables
+
+
+class _LinkCollector(HTMLParser):
+    """Collect <a href> targets in document order (skipping fragment-
+    only and javascript: pseudo-links — neither is an outlink)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "a":
+            return
+        href = next((v for k, v in attrs if k == "href" and v), None)
+        if not href or href.startswith("#") or href.lower().startswith("javascript:"):
+            return
+        self.links.append(href)
+
+
+def extract_links(doc: str) -> list[str]:
+    """All outlink hrefs of an HTML document, in document order — the
+    raw material of the link graph (operators/linkgraph.py). stdlib
+    parser, same error tolerance as the other builders here."""
+    c = _LinkCollector()
+    c.feed(doc or "")
+    c.close()
+    return c.links

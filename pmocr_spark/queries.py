@@ -2679,36 +2679,101 @@ r(a, b) AS (
   SELECT a, b FROM sym
   UNION
   SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
-)
-SELECT a AS doc_id, min(b) AS component_id,
-       (CASE WHEN a = min(b) THEN 1 ELSE 0 END)::INT AS is_keeper
+),
+-- integer-micro PageRank over the deterministic host scaffold
+-- (operators/linkgraph.py arithmetic, 2 chained iterations — the q33
+-- Lloyd/q44 merge CTE pattern for iterative algorithms)
+pge AS (SELECT DISTINCT doc_id % 64 AS s, (doc_id * 31 + 7) % 64 AS d FROM documents),
+-- explicit DISTINCT subquery, not a bare UNION: inside this WITH
+-- RECURSIVE clause DuckDB evaluated `x UNION y` without cross-branch
+-- dedup (128 rows from two 64-row permutation branches), silently
+-- doubling n and every in-degree
+pgn AS (SELECT DISTINCT node FROM
+        (SELECT s AS node FROM pge UNION ALL SELECT d FROM pge)),
+pgod AS (SELECT s, cast(count(*) AS BIGINT) AS od FROM pge GROUP BY s),
+pgt AS (SELECT cast(count(*) AS BIGINT) AS n FROM pgn),
+pgr0 AS (SELECT node, cast(floor(1000000.0 / n) AS BIGINT) AS r FROM pgn, pgt),
+pgr1 AS (
+  SELECT v.node,
+         cast(floor(150000.0 / t.n)
+              + coalesce(sum(cast(floor((850 * r.r) / (1000.0 * o.od)) AS BIGINT)), 0)
+              AS BIGINT) AS r
+  FROM pgn v CROSS JOIN pgt t
+  LEFT JOIN pge e ON e.d = v.node
+  LEFT JOIN pgr0 r ON r.node = e.s
+  LEFT JOIN pgod o ON o.s = e.s
+  GROUP BY v.node, t.n),
+pgr2 AS (
+  SELECT v.node,
+         cast(floor(150000.0 / t.n)
+              + coalesce(sum(cast(floor((850 * r.r) / (1000.0 * o.od)) AS BIGINT)), 0)
+              AS BIGINT) AS r
+  FROM pgn v CROSS JOIN pgt t
+  LEFT JOIN pge e ON e.d = v.node
+  LEFT JOIN pgr1 r ON r.node = e.s
+  LEFT JOIN pgod o ON o.s = e.s
+  GROUP BY v.node, t.n)
+SELECT 'component' AS part, a AS node, min(b) AS value_a,
+       cast(CASE WHEN a = min(b) THEN 1 ELSE 0 END AS BIGINT) AS value_b
 FROM r GROUP BY a
+UNION ALL
+SELECT 'pagerank', v.node, v.r, coalesce(o.od, 0)
+FROM pgr2 v LEFT JOIN pgod o ON o.s = v.node
 """
 
 
 @query("q50_dup_components")  # oracle registered below (composes q18's SQL)
 def q50_dup_components(spark, sf_dir):
-    """Connected components over near-dup candidate pairs (q18 MinHash
-    edges) -> canonical keeper per duplicate cluster. Near-dup edges are
-    not transitive, so real dedup pipelines need CC to pick ONE keeper
-    per cluster; Spark has no built-in CC, so this delegates to
-    operators.graph.connected_components — alternating large-star /
-    small-star (Kiveris et al., SoCC'14), O(log^2 n) rounds for ANY
-    graph shape including the adversarial boilerplate chains that defeat
-    plain min-label propagation (the round-2 verdict's q50 fix). Each
-    round is two groupBy+join pairs keyed on the node id; the driver
-    reads only a 2-scalar convergence checksum per round. Set
-    PMOCR_RELIABLE_CHECKPOINT=1 (plus sparkContext.setCheckpointDir) on
-    a real cluster for executor-loss-safe iteration checkpoints."""
+    """GRAPH-algorithm family in ONE gate slot, `part`-discriminated
+    (round-5 fourth pass: columns generalized doc_id/component_id/
+    is_keeper -> node/value_a/value_b so both algorithms share the row
+    shape — see COVERAGE.md ledger):
+      * part='component': connected components over near-dup candidate
+        pairs (q18 MinHash edges) -> canonical keeper per duplicate
+        cluster. Near-dup edges are not transitive, so real dedup
+        pipelines need CC to pick ONE keeper per cluster; Spark has no
+        built-in CC, so this delegates to
+        operators.graph.connected_components — alternating large-star /
+        small-star (Kiveris et al., SoCC'14), O(log^2 n) rounds for ANY
+        graph shape including the adversarial boilerplate chains that
+        defeat plain min-label propagation (the round-2 verdict's q50
+        fix). Each round is two groupBy+join pairs keyed on the node
+        id; the driver reads only a 2-scalar convergence checksum per
+        round. value_a=component_id, value_b=is_keeper.
+      * part='pagerank' (round 5, fourth pass): integer micro-unit
+        PageRank (operators/linkgraph.py — the host-level quality prior
+        CommonCrawl publishes per crawl) over a deterministic host
+        scaffold (host = doc_id % 64, one outlink per doc to
+        (doc_id*31+7) % 64 — coprime multiplier, no self-loops, every
+        host sources edges). Two iterations under the gate, each ONE
+        rank-onto-edges equi-join + ONE map-side-combined agg; the
+        oracle chains both as CTEs (the q33 Lloyd / q44 merge pattern
+        for iterative algorithms). value_a=rank_u, value_b=out_degree.
+    Set PMOCR_RELIABLE_CHECKPOINT=1 (plus sparkContext.setCheckpointDir)
+    on a real cluster for executor-loss-safe iteration checkpoints."""
     from .operators.graph import connected_components
+    from .operators.linkgraph import pagerank
 
     edges = q18_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(edges, src="doc_a", dst="doc_b")
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("component_id"),
-        (F.col("node") == F.col("label")).cast("int").alias("is_keeper"),
+    comp = labels.select(
+        F.lit("component").alias("part"),
+        F.col("node"),
+        F.col("label").alias("value_a"),
+        (F.col("node") == F.col("label")).cast("long").alias("value_b"),
     )
+    d = _t(spark, sf_dir, "documents")
+    scaffold = d.select(
+        (F.col("doc_id") % 64).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 64).alias("dst"),
+    ).distinct()
+    pr = pagerank(scaffold, iters=2).select(
+        F.lit("pagerank").alias("part"),
+        "node",
+        F.col("rank_u").alias("value_a"),
+        F.col("out_degree").alias("value_b"),
+    )
+    return comp.unionAll(pr)
 
 
 #: q33 kmeans-IVF parameters: embeddings are 64-d at every SF; centroids
