@@ -506,6 +506,16 @@ def build_parser() -> argparse.ArgumentParser:
         "n_bpe_tokens columns appended (Arrow-batched encode UDF)",
     )
     p.add_argument(
+        "--warc-cdx",
+        action="store_true",
+        help="maintenance mode (standalone): build the CDX random-"
+        "access index (urlkey, ts, warc_file, offset, length, digest, "
+        "content_type) over the WARC shard tree at --input and write "
+        "it to --output — after this one sequential pass, selective "
+        "re-fetches seek straight to records (sources/warc.warc_cdx + "
+        "read_records_at)",
+    )
+    p.add_argument(
         "--extract-links",
         action="store_true",
         help="maintenance mode (standalone): extract the host-level "
@@ -775,6 +785,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--encode-unigram", bool(args.encode_unigram)),
             ("--extract-links", args.extract_links),
             ("--pagerank", args.pagerank),
+            ("--warc-cdx", args.warc_cdx),
         )
         if on
     ]
@@ -982,6 +993,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--encode-bpe is a standalone maintenance mode")
         if not args.input or not args.output:
             parser.error("--input and --output are required with --encode-bpe")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.warc_cdx:
+        if args.batch or args.service:
+            parser.error("--warc-cdx is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --warc-cdx")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1729,6 +1748,14 @@ def main(argv: list[str] | None = None) -> None:
             f"pmocr-spark: encoded {n[1]} docs ({n[0]} BPE tokens, "
             f"{len(merges)}-merge model) to {args.output}"
         )
+        return
+    if getattr(args, "warc_cdx", False):
+        from .sources.warc import read_warc_records, warc_cdx
+
+        idx = warc_cdx(read_warc_records(spark, args.input))
+        idx.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"pmocr-spark: cdx index of {n} records written to {args.output}")
         return
     if getattr(args, "extract_links", False):
         from .operators.linkgraph import edges_from_html

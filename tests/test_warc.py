@@ -285,3 +285,62 @@ def test_cli_warc_to_wet_full_loop(tmp_path, spark):
     assert conv["rec-pdf"] == "pdf page line"
     body = ("Crawled paragraph one is long enough to score. " * 3).strip()
     assert conv["rec-html"] == body
+
+
+def test_cdx_index_and_selective_fetch(spark, tmp_path):
+    """The random-access story: one sequential pass builds the CDX
+    index (offset/length/digest per fetched record); a later selective
+    fetch seeks straight to chosen records — plain and gzip shards —
+    and returns byte-identical payloads."""
+    import hashlib
+
+    recs_a = [dict(r, record_id=f"{r['record_id']}-a",
+                   target_uri=f"http://host-{i}.example/p{i}")
+              for i, r in enumerate(_records()[1:5])]
+    recs_b = [dict(r, record_id=f"{r['record_id']}-b",
+                   target_uri=f"http://www.host-{i}.example/q{i}")
+              for i, r in enumerate(_records()[1:5])]
+    with open(tmp_path / "a.warc", "wb") as f:
+        f.write(warc.build_warc(recs_a))
+    with open(tmp_path / "b.warc.gz", "wb") as f:
+        f.write(warc.build_warc(recs_b, gz=True))
+    records = warc.read_warc_records(spark, str(tmp_path))
+    cdx = warc.warc_cdx(records)
+    rows = cdx.collect()
+    assert len(rows) == 8  # every fetched record indexed
+    # SURT keys: host reversed, www stripped, path appended
+    keys = {r["urlkey"] for r in rows}
+    assert "example,host-0)/p0" in keys and "example,host-0)/q0" in keys
+    # digest matches the payload the full parse produced
+    payloads = {
+        (r["warc_file"], r["offset"]): bytes(r["payload"])
+        for r in records.collect() if r["target_uri"]
+    }
+    for r in rows:
+        assert r["digest"] == hashlib.md5(payloads[(r["warc_file"], r["offset"])]).hexdigest()
+    # selective fetch: pick 3 records by urlkey prefix (one per shard +
+    # one gz), re-read ONLY those, payloads byte-identical
+    picks = cdx.filter(F.col("urlkey").rlike("^example,host-[12]\\)"))
+    got = warc.read_records_at(spark, picks).collect()
+    want_ids = {"rec-text-a", "rec-pdf-a", "rec-text-b", "rec-pdf-b"}
+    assert {r["record_id"] for r in got} == want_ids
+    for r in got:
+        assert bytes(r["payload"]) == payloads[(r["warc_file"], r["offset"])]
+        assert r["error"] is None
+
+
+def test_cli_warc_cdx(spark, tmp_path):
+    from pmocr_spark import cli
+
+    shard_dir = tmp_path / "crawl"
+    os.makedirs(shard_dir)
+    recs = [dict(r, target_uri=f"http://h{i}.example/p")
+            for i, r in enumerate(_records()[1:4])]
+    with open(shard_dir / "s.warc", "wb") as f:
+        f.write(warc.build_warc(recs))
+    out = str(tmp_path / "cdx")
+    cli.main(["--warc-cdx", "--input", str(shard_dir), "--output", out,
+              "--master", "local[2]"])
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert all(r["length"] > 0 and r["digest"] for r in rows)
