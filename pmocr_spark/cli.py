@@ -795,6 +795,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     # --compact-lineage etc. must not silently swallow a train-bpe knob
     if args.bpe_min_count is not None and args.train_bpe is None:
         parser.error("--bpe-min-count only applies to --train-bpe")
+    if args.pr_iters is not None and not args.pagerank:
+        parser.error("--pr-iters only applies to --pagerank")
+    if (
+        args.query or args.search_topk is not None or args.max_df is not None
+    ) and not args.search_text:
+        parser.error("--query/--search-topk/--max-df only apply to --search-text")
     if args.compact_only:
         if not args.lineage:
             parser.error("--lineage is required with --compact-lineage")
@@ -892,8 +898,6 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                 parser.error("--query is required with --search-text")
             if not args.output:
                 parser.error("--output is required with --search-text")
-        elif args.query or args.search_topk is not None or args.max_df is not None:
-            parser.error("--query/--search-topk/--max-df only apply to --search-text")
         if args.search_topk is not None and args.search_topk < 1:
             parser.error("--search-topk must be >= 1")
         if args.max_df is not None and not (0 < args.max_df <= 1):
@@ -901,8 +905,6 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
-    if args.query or args.search_topk is not None or args.max_df is not None:
-        parser.error("--query/--search-topk/--max-df only apply to --search-text")
     if args.compact_substr_index:
         if args.batch or args.service:
             parser.error("--compact-substr-index is a standalone maintenance mode")
@@ -1022,8 +1024,6 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
-    if args.pr_iters is not None:
-        parser.error("--pr-iters only applies to --pagerank")
     if args.train_unigram is not None:
         if args.batch or args.service:
             parser.error("--train-unigram is a standalone maintenance mode")

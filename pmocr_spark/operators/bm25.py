@@ -48,7 +48,7 @@ def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("term"),
-    )
+    ).filter(F.length("term") > 0)  # empty docs must not skew dl/df/avgdl
 
 
 def build_index(docs: DataFrame, text_col: str = "text") -> dict[str, DataFrame]:
@@ -165,6 +165,10 @@ def write_text_index(docs: DataFrame, path: str, mode: str = "overwrite",
 
     spark = docs.sparkSession
     ix = build_index(docs, text_col)
+    # ONE corpus tokenization per invocation: dl/df/stats and all three
+    # writes derive from the postings frame — persist it so the
+    # explode+agg runs once, not four times
+    ix["postings"].persist()
     st = ix["stats"].collect()[0]
     n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"] or 0)
     if mode == "append":
@@ -174,12 +178,7 @@ def write_text_index(docs: DataFrame, path: str, mode: str = "overwrite",
                 f"text index at {path} has no {_META_NAME} sidecar — append "
                 "requires an index built by write_text_index."
             )
-        if meta["tokenizer"] != _TOKENIZER or meta["k1"] != K1 or meta["b"] != B:
-            raise ValueError(
-                f"text index params mismatch at {path}: index "
-                f"({meta['tokenizer']}, k1={meta['k1']}, b={meta['b']}) vs "
-                f"this build ({_TOKENIZER}, k1={K1}, b={B}); rebuild."
-            )
+        _check_params(meta, path)
         meta = {**meta, "n_docs": meta["n_docs"] + n_docs,
                 "sum_dl": meta["sum_dl"] + sum_dl}
     else:
@@ -189,8 +188,22 @@ def write_text_index(docs: DataFrame, path: str, mode: str = "overwrite",
     ix["postings"].write.mode(wmode).parquet(f"{path}/postings")
     ix["dl"].write.mode(wmode).parquet(f"{path}/dl")
     ix["df"].write.mode(wmode).parquet(f"{path}/df")
+    ix["postings"].unpersist()
     _ckpt.write_sidecar(spark, path, _META_NAME, meta)
     return meta
+
+
+def _check_params(meta: dict, path: str) -> None:
+    """The sidecar params are the artifact's identity: an index built
+    under a different tokenizer or k1/b must fail LOUDLY on read and
+    append alike — probing it would silently miss or mis-score every
+    term."""
+    if meta.get("tokenizer") != _TOKENIZER or meta.get("k1") != K1 or meta.get("b") != B:
+        raise ValueError(
+            f"text index params mismatch at {path}: index "
+            f"({meta.get('tokenizer')}, k1={meta.get('k1')}, b={meta.get('b')}) vs "
+            f"this build ({_TOKENIZER}, k1={K1}, b={B}); rebuild."
+        )
 
 
 def read_text_index(spark, path: str) -> tuple[dict[str, DataFrame], dict]:
@@ -207,6 +220,7 @@ def read_text_index(spark, path: str) -> tuple[dict[str, DataFrame], dict]:
             f"text index at {path} has no {_META_NAME} sidecar — postings "
             "are meaningless without the tokenizer/stats that built them."
         )
+    _check_params(meta, path)
     ix = {
         "postings": spark.read.parquet(f"{path}/postings"),
         "dl": spark.read.parquet(f"{path}/dl"),

@@ -171,7 +171,9 @@ def train_unigram(
     vocab_size. `wf` lets a caller that already paid the corpus pass
     (q44) hand in the word table."""
     wfd = iter_checkpoint(wf if wf is not None else word_freqs(docs, text_col), reliable)
-    seeds = seed_pieces(wfd)
+    # persist: the char and multi collects below both read the seed agg
+    # (a ~MAX_PIECE_LEN x word-table explode) — run it once
+    seeds = iter_checkpoint(seed_pieces(wfd), reliable)
     chars = {
         r["piece"]: int(r["cnt"])
         for r in seeds.filter(F.length("piece") == 1).collect()
@@ -183,6 +185,7 @@ def train_unigram(
         .limit(SEED_MULTI)
         .collect()
     }
+    seeds.unpersist()
     counts = {**chars, **multi}
     lp = _lp_table(counts)
     for _ in range(em_iters):

@@ -1436,7 +1436,7 @@ _BM25_ORACLE_CTES = """
       SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
       FROM documents),
     btf AS (SELECT doc_id, term, cast(count(*) AS BIGINT) AS tf
-            FROM bt GROUP BY doc_id, term),
+            FROM bt WHERE term <> '' GROUP BY doc_id, term),
     bdl AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY doc_id),
     bdf AS (SELECT term, cast(count(*) AS BIGINT) AS dfr FROM btf GROUP BY term),
     bst AS (SELECT cast(count(*) AS BIGINT) AS n_docs,

@@ -73,6 +73,9 @@ KIND_BY_CONTENT_TYPE = {
     "video/x-msvideo": "avi",
 }
 
+#: column order of RECORDS_SCHEMA (single source for both parsers)
+_RECORD_COLS = [f.split()[0] for f in RECORDS_SCHEMA.split(", ")]
+
 _RESYNC = b"\r\n\r\nWARC/"
 
 
@@ -250,7 +253,7 @@ def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
     )
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.split()[0] for f in RECORDS_SCHEMA.split(", ")]
+        cols = _RECORD_COLS
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
@@ -280,6 +283,9 @@ def warc_to_documents(records: DataFrame) -> tuple[DataFrame, DataFrame]:
             for ct, k in KIND_BY_CONTENT_TYPE.items()
         ],
         F.element_at(F.split(F.col("content_type"), "/"), -1),
+        # Content-Type is optional per ISO 28500: a typeless record must
+        # still surface (as a skipped-kind blob), never drop silently
+        F.lit("unknown"),
     )
     content = records.filter(
         F.col("warc_type").isin("response", "resource", "conversion")
@@ -314,7 +320,7 @@ def write_wet(
     results: DataFrame,
     path: str,
     job_ts: str = "",
-    n_shards: int | None = None,
+    n_shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "txt",
     uri_col: str | None = None,
@@ -344,10 +350,11 @@ def write_wet(
         F.col(uri_col).alias("_uri") if uri_col
         else F.concat(F.lit("urn:doc:"), F.col(id_col).cast("string")).alias("_uri")
     )
-    rows = results.select(*cols)
-    if n_shards is not None:
-        rows = rows.repartition(n_shards, "_id")
-    rows = rows.sortWithinPartitions("_id")
+    # UNCONDITIONAL hash repartition: shard membership must derive from
+    # doc ids, never from whatever partitioning the upstream plan (or a
+    # different --master / AQE decision) happened to produce — that is
+    # what makes reruns byte-identical
+    rows = results.select(*cols).repartition(n_shards, "_id").sortWithinPartitions("_id")
 
     def _write(it):
         pid = TaskContext.get().partitionId()
@@ -437,7 +444,7 @@ def read_records_at(spark: SparkSession, cdx: DataFrame) -> DataFrame:
     shards/records the predicate selects."""
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.rsplit(" ", 1)[0].strip() for f in RECORDS_SCHEMA.split(", ")]
+        cols = _RECORD_COLS
         cache: dict[str, bytes] = {}
         for pdf in batches:
             rows: list[dict] = []
