@@ -281,6 +281,64 @@ def build_parser() -> argparse.ArgumentParser:
         "per-code cluster ids); omit for the exhaustive compressed scan",
     )
     p.add_argument(
+        "--build-bloom-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: build the Bloom membership pre-filter "
+        "over the --input table's --bloom-key-col content hashes and "
+        "persist set-bit positions + (m,k) geometry sidecar at DIR "
+        "(operators/bloom; the cheap first tier of incremental dedup — "
+        "probe answers 'definitely new' with zero shuffle)",
+    )
+    p.add_argument(
+        "--append-bloom-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: add the --input batch's positions to "
+        "the filter at DIR (Bloom OR == pure append of position rows; "
+        "geometry comes from the sidecar and a mismatch is refused). "
+        "Run --compact-bloom-index periodically to drop duplicates",
+    )
+    p.add_argument(
+        "--probe-bloom-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: membership-test the --input batch "
+        "against the filter at DIR; writes the input columns + (n_set, "
+        "maybe_member) to --output. maybe_member=0 is definitive "
+        "(no false negatives) — only the maybe rows need the exact "
+        "--probe-dedup-index pass",
+    )
+    p.add_argument(
+        "--compact-bloom-index",
+        default=None,
+        metavar="DIR",
+        help="maintenance mode: rewrite the filter at DIR to distinct "
+        "positions (appends accumulate duplicates; compaction makes "
+        "the probe-side dedup free)",
+    )
+    p.add_argument(
+        "--bloom-m",
+        type=int,
+        default=None,
+        help="--build-bloom-index: filter bits (default 65536; size "
+        "with m ~= 9.6n for 1%% FP at n expected members)",
+    )
+    p.add_argument(
+        "--bloom-k",
+        type=int,
+        default=None,
+        help="--build-bloom-index: hash functions (default 4; 7 pairs "
+        "with the 1%% FP sizing)",
+    )
+    p.add_argument(
+        "--bloom-key-col",
+        default=None,
+        metavar="COL",
+        help="--{build,append,probe}-bloom-index: column whose md5 is "
+        "the membership key (default text)",
+    )
+    p.add_argument(
         "--build-text-index",
         default=None,
         metavar="DIR",
@@ -764,7 +822,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         )
         if on
     ]
-    _maint = _dedup_index_flags + _pq_index_flags + _text_index_flags + [
+    _bloom_index_flags = [
+        f"--{op}-bloom-index"
+        for op in ("build", "append", "probe", "compact")
+        if getattr(args, f"{op}_bloom_index")
+    ]
+    _maint = _dedup_index_flags + _pq_index_flags + _text_index_flags + _bloom_index_flags + [
         flag
         for flag, on in (
             ("--compact-lineage", args.compact_only),
@@ -797,6 +860,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         parser.error("--bpe-min-count only applies to --train-bpe")
     if args.pr_iters is not None and not args.pagerank:
         parser.error("--pr-iters only applies to --pagerank")
+    if (
+        args.bloom_m is not None or args.bloom_k is not None or args.bloom_key_col
+    ) and not _bloom_index_flags:
+        parser.error(
+            "--bloom-m/--bloom-k/--bloom-key-col only apply to the "
+            "--{build,append,probe}-bloom-index maintenance modes"
+        )
     if (
         args.query or args.search_topk is not None or args.max_df is not None
     ) and not args.search_text:
@@ -873,6 +943,37 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         parser.error("--rerank-vectors/--ivf-nprobe only apply to --probe-pq-index")
     if args.train_codebook is not None:
         parser.error("--train-codebook only applies to --build-pq-index")
+    # Bloom-index maintenance modes (same standalone contract)
+    bloom_ops = [
+        (op, getattr(args, f"{op}_bloom_index"))
+        for op in ("build", "append", "probe", "compact")
+        if getattr(args, f"{op}_bloom_index")
+    ]
+    if len(bloom_ops) > 1:
+        parser.error("give exactly one --{build,append,probe,compact}-bloom-index")
+    args.bloom_index_op = bloom_ops[0] if bloom_ops else None
+    if args.bloom_index_op:
+        op, _dir = args.bloom_index_op
+        if args.batch or args.service:
+            parser.error(f"--{op}-bloom-index is a standalone maintenance mode")
+        if op in ("build", "append", "probe") and not args.input:
+            parser.error(f"--input is required with --{op}-bloom-index")
+        if op == "probe" and not args.output:
+            parser.error("--output is required with --probe-bloom-index")
+        if op != "build" and (args.bloom_m is not None or args.bloom_k is not None):
+            # geometry is an index property persisted at build time —
+            # appends/probes read it from the sidecar; a flag here would
+            # otherwise be silently dropped by this early return
+            parser.error("--bloom-m/--bloom-k only apply to --build-bloom-index")
+        if args.bloom_m is not None and args.bloom_m < 2:
+            parser.error("--bloom-m must be >= 2")
+        if args.bloom_k is not None and args.bloom_k < 1:
+            parser.error("--bloom-k must be >= 1")
+        if args.bloom_key_col is not None and op == "compact":
+            parser.error("--bloom-key-col does not apply to --compact-bloom-index")
+        args.target_list = []
+        args.monitor_list = []
+        return args
     # BM25 text-index maintenance modes (same standalone contract)
     text_ops = [
         (op, d)
@@ -1418,6 +1519,67 @@ def _run_text_index_op(spark, args) -> None:
     print(f"pmocr-spark: text search wrote {n} hits to {args.output}")
 
 
+def _run_bloom_index_op(spark, args) -> None:
+    """Bloom membership pre-filter lifecycle, the cheap first tier in
+    front of _run_dedup_index_op. build hashes the --input table's
+    --bloom-key-col into k set-bit positions and persists them with the
+    (m, k) geometry sidecar; append is the Bloom OR (pure position
+    append, geometry enforced); probe answers definitely-new /
+    maybe-member per input row with zero probe-side shuffle (the
+    broadcast path) — route only the maybe rows to the exact index;
+    compact rewrites the positions distinct."""
+    from pyspark.sql import functions as F
+
+    from .operators import bloom
+
+    op, idx_dir = args.bloom_index_op
+    if op == "compact":
+        n = bloom.compact_bloom_index(spark, idx_dir)
+        print(f"pmocr-spark: compacted bloom index at {idx_dir} to {n} positions")
+        return
+    key_col = args.bloom_key_col or "text"
+    batch = spark.read.parquet(args.input)
+    if key_col not in batch.columns:
+        raise SystemExit(
+            f"pmocr-spark: error: --input has no column {key_col!r} "
+            f"(columns: {', '.join(batch.columns)}); set --bloom-key-col"
+        )
+    keyed = batch.withColumn("_bkey", F.md5(F.col(key_col).cast("binary")))
+    if op == "build":
+        m = args.bloom_m if args.bloom_m is not None else bloom.BLOOM_M
+        k = args.bloom_k if args.bloom_k is not None else bloom.BLOOM_K
+        bits = bloom.bloom_build(keyed, key_col="_bkey", m=m, k=k)
+        bloom.write_bloom_index(bits, idx_dir, m=m, k=k)
+        print(f"pmocr-spark: built bloom index at {idx_dir} (m={m}, k={k})")
+        return
+    bits, meta = bloom.read_bloom_index(spark, idx_dir)
+    if op == "append":
+        add = bloom.bloom_build(keyed, key_col="_bkey", m=meta["m"], k=meta["k"])
+        bloom.write_bloom_index(
+            add, idx_dir, m=meta["m"], k=meta["k"], mode="append"
+        )
+        print(f"pmocr-spark: appended batch positions to bloom index at {idx_dir}")
+        return
+    # probe
+    out = bloom.bloom_probe(
+        keyed, bits, key_col="_bkey", m=meta["m"], k=meta["k"]
+    ).drop("_bkey")
+    out.write.mode("overwrite").parquet(args.output)
+    counts = (
+        spark.read.parquet(args.output)
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("maybe_member"), F.lit(0)).alias("maybe"),
+        )
+        .collect()[0]
+    )
+    print(
+        f"pmocr-spark: probed {counts['n']} rows against {idx_dir}: "
+        f"{counts['maybe']} maybe-member (exact-check these), "
+        f"{counts['n'] - counts['maybe']} definitely new"
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     from datetime import datetime
 
@@ -1451,6 +1613,9 @@ def main(argv: list[str] | None = None) -> None:
         return
     if getattr(args, "text_index_op", None):
         _run_text_index_op(spark, args)
+        return
+    if getattr(args, "bloom_index_op", None):
+        _run_bloom_index_op(spark, args)
         return
     if getattr(args, "compact_substr_index", None):
         from .operators.substring_dedup import GRAM_META, read_gram_index

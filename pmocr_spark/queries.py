@@ -4650,10 +4650,104 @@ def _q47_pq_arm(spark, sf_dir):
     )
 
 
+def _q47_bloom_arm(spark, sf_dir):
+    """part='bloom' (round 5, fifth pass): the Bloom-filter membership
+    PRE-FILTER lifecycle under the gate (operators/bloom.py) — the
+    cheap first tier of incremental dedup. Members = every even doc_id's
+    content hash; build the set-bits table, write_bloom_index (positions
+    parquet + (m,k) geometry sidecar) to a scratch dir, read_bloom_index
+    back, then probe the WHOLE corpus through the broadcast path (k
+    broadcast-hash joins, zero probe-side exchanges). id_a = doc_id,
+    id_b = set positions found (0..k), n = maybe_member verdict.
+    Verdicts — including any false positives — are deterministic (md5
+    positions), so the oracle states the exact same arithmetic in SQL;
+    a lossy sidecar, geometry drift, or a broken read path all surface
+    as a gate hash mismatch. No false negative is possible by
+    construction, and the oracle proves it: every even doc_id row must
+    carry n = 1."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.bloom import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_build,
+        bloom_probe,
+        read_bloom_index,
+        write_bloom_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.col("text").cast("binary"))
+    members = d.filter(F.col("doc_id") % 2 == 0).select(key.alias("key"))
+    skey = hashlib.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"pmocr_q47_bloom_{skey}")
+    _q47_scratch_register(path)
+    write_bloom_index(bloom_build(members), path, m=BLOOM_M, k=BLOOM_K)
+    bits, meta = read_bloom_index(spark, path)
+    probed = bloom_probe(
+        d.select("doc_id", key.alias("key")),
+        bits,
+        m=meta["m"],
+        k=meta["k"],
+    )
+    return probed.select(
+        F.lit("bloom").alias("part"),
+        F.col("doc_id").alias("id_a"),
+        F.col("n_set").alias("id_b"),
+        F.col("maybe_member").alias("n"),
+    )
+
+
+def _bloom_oracle_ctes() -> str:
+    """q47 bloom-arm oracle CTEs — the same md5-position arithmetic as
+    operators/bloom.bloom_positions, stated independently in DuckDB,
+    with (m, k) read from the operator constants so the two sides can
+    never drift."""
+    from .operators.bloom import BLOOM_K, BLOOM_M
+
+    ks = ", ".join(str(i) for i in range(BLOOM_K))
+    pos = (
+        "('0x' || substr(md5(cast(i AS varchar) || '|' || md5(text)), 1, 8))::BIGINT"
+        f" % {BLOOM_M}"
+    )
+    return f"""
+    , bbits AS (
+      SELECT DISTINCT {pos} AS pos
+      FROM documents, unnest([{ks}]) AS u(i)
+      WHERE doc_id % 2 = 0
+    ),
+    bprobe AS (
+      SELECT doc_id, {pos} AS pos
+      FROM documents, unnest([{ks}]) AS u(i)
+    )
+"""
+
+
+def _bloom_oracle_select() -> str:
+    """The q47 bloom arm's UNION ALL branch (pairs with
+    _bloom_oracle_ctes): per probed doc, set positions found and the
+    maybe-member verdict; k from the operator constant."""
+    from .operators.bloom import BLOOM_K
+
+    return f"""
+    UNION ALL
+    SELECT 'bloom' AS part, p.doc_id AS id_a,
+           cast(count(b.pos) AS BIGINT) AS id_b,
+           cast(CASE WHEN count(b.pos) = {BLOOM_K} THEN 1 ELSE 0 END AS BIGINT) AS n
+    FROM bprobe p LEFT JOIN bbits b ON p.pos = b.pos
+    GROUP BY p.doc_id
+"""
+
+
 @query(
     "q47_dedup_index_probe",
     _ANN_ORACLE_COMMON
     + _PQ_ORACLE_CTES
+    + _bloom_oracle_ctes()
     + f"""
     , sh AS (
       SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
@@ -4682,12 +4776,18 @@ def _q47_pq_arm(spark, sf_dir):
              row_number() OVER (PARTITION BY ss.query_id
                                 ORDER BY ss.sim DESC, ss.neighbor_id) AS rk
       FROM sims ss JOIN pqshort USING (query_id, neighbor_id)) WHERE rk <= 5
-    """,
+    """
+    + _bloom_oracle_select(),
 )
 def q47_dedup_index_probe(spark, sf_dir):
     """Persisted-INDEX probe family in ONE gate slot,
-    `part`-discriminated: the two index artifacts this engine persists
-    (the banded-MinHash dedup index and the PQ ANN index), each built
-    fresh, round-tripped through storage where applicable, and probed —
-    see _q47_minhash_arm / _q47_pq_arm for each arm's contract."""
-    return _q47_minhash_arm(spark, sf_dir).unionAll(_q47_pq_arm(spark, sf_dir))
+    `part`-discriminated: the three index artifacts this engine persists
+    (the banded-MinHash dedup index, the PQ ANN index, and the Bloom
+    membership pre-filter), each built fresh, round-tripped through
+    storage where applicable, and probed — see _q47_minhash_arm /
+    _q47_pq_arm / _q47_bloom_arm for each arm's contract."""
+    return (
+        _q47_minhash_arm(spark, sf_dir)
+        .unionAll(_q47_pq_arm(spark, sf_dir))
+        .unionAll(_q47_bloom_arm(spark, sf_dir))
+    )
