@@ -3667,6 +3667,12 @@ _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 
 
+#: q40 part='blocklist' entries — one of each match shape the UT1
+#: suffix semantics must handle: exact subdomain host, registrable
+#: domain (blocks all subdomains), middle suffix, plain apex host.
+_Q40_BLOCKLIST = ["ads.src0.com", "src1.net", "tracker.src2.org", "src3.com"]
+
+
 @query(
     "q40_pii_redact",
     f"""
@@ -3809,6 +3815,33 @@ _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
                     THEN text || repeat(' #$%~@!', length(text) // 50 + 1)
                     ELSE text END AS noised
         FROM documents))
+    UNION ALL
+    -- blocklist: UT1-style domain-suffix filter over the scaffold host;
+    -- the suffix chain and the literal list are restated independently
+    SELECT 'blocklist' AS part, doc_id, host AS out_text,
+           cast(len(sfx) AS BIGINT) AS n_a,
+           cast(n_hit AS BIGINT)    AS n_b,
+           cast(CASE WHEN n_hit = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM (
+      SELECT doc_id, host, sfx,
+             len(list_intersect(sfx,
+                 ['{"', '".join(_Q40_BLOCKLIST)}'])) AS n_hit
+      FROM (
+        SELECT doc_id, host,
+               list_transform(range(1, len(parts) + 1),
+                 i -> array_to_string(list_slice(parts, i, len(parts)), '.')) AS sfx
+        FROM (
+          SELECT doc_id, host, string_split(host, '.') AS parts
+          FROM (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 11 = 0 THEN 'ads.'
+                         WHEN doc_id % 13 = 0 THEN 'cdn.tracker.'
+                         ELSE '' END)
+                   || source || '.'
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'com'
+                            WHEN doc_id % 3 = 1 THEN 'net'
+                            ELSE 'org' END) AS host
+            FROM documents))))
     """,
 )
 def q40_pii_redact(spark, sf_dir):
@@ -4072,12 +4105,42 @@ def q40_pii_redact(spark, sf_dir):
         n_badtok.alias("n_b"),
         ((n_bad == 0) & (n_badtok == 0)).cast("long").alias("keep"),
     )
+    # part='blocklist' (round 5, fifth pass): UT1/RefinedWeb-style
+    # domain-blocklist filter (operators/blocklist.py) with SUFFIX
+    # semantics — an entry 'src1.net' blocks the host and every
+    # subdomain. Scaffold host built from (doc_id mods, source)
+    # identically on both oracle sides; _Q40_BLOCKLIST exercises all
+    # three match shapes (exact subdomain, registrable domain, middle
+    # suffix). The literal-array form keeps the family's 0-exchange
+    # pin: suffix chain + array_intersect are pure codegen, map-only.
+    from pmocr_spark.operators.blocklist import blocklist_verdict_lit, host_suffixes
+
+    host = F.concat(
+        F.when(F.col("doc_id") % 11 == 0, F.lit("ads."))
+        .when(F.col("doc_id") % 13 == 0, F.lit("cdn.tracker."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("."),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("net"))
+        .otherwise(F.lit("org")),
+    )
+    n_hit = blocklist_verdict_lit(host, _Q40_BLOCKLIST)
+    blocked = d.select(
+        F.lit("blocklist").alias("part"),
+        "doc_id",
+        host.alias("out_text"),
+        F.size(host_suffixes(host)).cast("long").alias("n_a"),
+        n_hit.cast("long").alias("n_b"),
+        (n_hit == 0).cast("long").alias("keep"),
+    )
     return (
         pii.unionAll(c4)
         .unionAll(linededup)
         .unionAll(md)
         .unionAll(ocrfix)
         .unionAll(garbage)
+        .unionAll(blocked)
     )
 
 
