@@ -193,6 +193,19 @@ def reflow(col) -> Column:
     return F.regexp_replace(spaced, REFLOW_SENTINEL, "\n\n")
 
 
+def split_sentences(col) -> Column:
+    """Sentence segmentation: split AFTER terminal punctuation
+    ([.!?], possibly repeated) followed by whitespace — each sentence
+    keeps its punctuation, inter-sentence whitespace is consumed. The
+    pre-chunking step LLM pipelines run so context-window splits land
+    on sentence boundaries instead of mid-sentence (q46 part='chunk'
+    consumes its output shape). One codegen split (Java-regex
+    lookbehind), map-only; row amplification bounded by sentence
+    count."""
+    target = F.col(col) if isinstance(col, str) else col
+    return F.split(target, r"(?<=[.!?])\s+")
+
+
 def array_contains(arr_col, needle) -> Column:
     """X9 — ArrayContains (pmocr.sh:1374-1389)."""
     return F.array_contains(arr_col, needle)

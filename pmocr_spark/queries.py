@@ -424,6 +424,21 @@ def q13_rollup(spark, sf_dir):
       SELECT user_id FROM events WHERE event_type = 'click'
       UNION
       SELECT user_id FROM events WHERE event_type = 'view')
+    UNION ALL
+    SELECT op, user_id FROM (
+      SELECT CASE WHEN a.doc_id IS NULL THEN 'snap_added'
+                  WHEN b.doc_id IS NULL THEN 'snap_removed'
+                  WHEN a.h <> b.h THEN 'snap_changed' END AS op,
+             coalesce(a.doc_id, b.doc_id) AS user_id
+      FROM (SELECT doc_id, md5(text) AS h FROM documents
+            WHERE doc_id % 5 <> 0) a
+      FULL OUTER JOIN
+           (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]'
+                            ELSE text END) AS h
+            FROM documents WHERE doc_id % 7 <> 0) b
+        ON a.doc_id = b.doc_id)
+    WHERE op IS NOT NULL
     """,
 )
 def q14_set_ops(spark, sf_dir):
@@ -445,10 +460,45 @@ def q14_set_ops(spark, sf_dir):
     def tag(df, op):
         return df.select(F.lit(op).alias("op"), "user_id")
 
+    # snap_* arms (round 5, fifth pass): corpus SNAPSHOT DIFF — the
+    # between-crawls CDC question ("what changed since the last ingest")
+    # asked of two content-hash snapshots derived deterministically from
+    # documents (A drops every 5th doc, B drops every 7th and revises
+    # every 3rd). ONE hash-partitioned full outer join on doc_id yields
+    # all three classes in a single shuffle pass — never three separate
+    # anti/semi joins over the same 10^12-row pair. pmOCR analog: the
+    # poller's filename set-difference (pmocr.sh:1626) upgraded to
+    # content identity.
+    d = _t(spark, sf_dir, "documents")
+    snap_a = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("ha")
+    )
+    snap_b = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("hb"),
+    )
+    diff = (
+        snap_a.join(snap_b, "doc_id", "full_outer")
+        .select(
+            F.when(F.col("ha").isNull(), F.lit("snap_added"))
+            .when(F.col("hb").isNull(), F.lit("snap_removed"))
+            .when(F.col("ha") != F.col("hb"), F.lit("snap_changed"))
+            .alias("op"),
+            F.col("doc_id").alias("user_id"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
     return (
         tag(click.intersect(purchase), "intersect")
         .unionAll(tag(click.subtract(big_purchase), "except"))
         .unionAll(tag(click.union(view).distinct(), "union"))
+        .unionAll(diff)
     )
 
 
@@ -4529,6 +4579,22 @@ _CHUNK_TOKENS = 32
            cast(i AS BIGINT) AS bin,
            md5(array_to_string(wsc, ' ')) AS key
     FROM ch
+    UNION ALL
+    -- sentence: expected sentences stated INDEPENDENTLY by
+    -- construction; the Spark side recovers them from the punctuated
+    -- scaffold with the real regex splitter
+    SELECT 'sentence' AS part, doc_id,
+           cast(len(swc) AS BIGINT) AS n_tokens,
+           cast(i * L AS BIGINT)    AS cum_before,
+           cast(i AS BIGINT)        AS bin,
+           md5(array_to_string(swc, ' ') ||
+               CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                    WHEN (doc_id + i) % 3 = 1 THEN '!'
+                    ELSE '?' END) AS key
+    FROM (
+      SELECT doc_id, i, L, list_slice(ws, i * L + 1, (i + 1) * L) AS swc
+      FROM (SELECT doc_id, ws, 5 + doc_id % 4 AS L FROM w),
+           unnest(range(0, cast(ceil(len(ws) / L) AS BIGINT))) AS u(i))
     """,
 )
 def q46_pack_sequences(spark, sf_dir):
@@ -4610,7 +4676,50 @@ def q46_pack_sequences(spark, sf_dir):
             F.md5(F.concat_ws(" ", "c.wsc").cast("binary")).alias("key"),
         )
     )
-    return pack.unionAll(chunk)
+    # part='sentence' (round 5, fifth pass): sentence segmentation
+    # (functions.split_sentences) — the boundary-aware pre-chunking
+    # step. The flat word corpus carries no punctuation, so the q40
+    # scaffold pattern applies: re-punctuate deterministically (one
+    # sentence per L = 5 + doc_id%4 words, terminal [.!?] cycling on
+    # (doc_id + i) % 3), run the REAL regex splitter over the
+    # punctuated text, and pin every recovered sentence's md5 against
+    # the oracle's independent by-construction statement. n_tokens =
+    # words in the sentence, cum_before = starting word offset,
+    # bin = sentence index. Pure map (explode bounded by sentence
+    # count) — zero added exchanges, zero Python.
+    from pmocr_spark.functions import split_sentences
+
+    sL = (F.lit(5) + F.col("doc_id") % 4).cast("int")
+    n_sent = F.ceil(F.size("ws") / sL.cast("double")).cast("int")
+    punct_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_sent - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice("ws", i * sL + 1, sL), " "),
+                F.when((F.col("doc_id") + i) % 3 == 0, F.lit("."))
+                .when((F.col("doc_id") + i) % 3 == 1, F.lit("!"))
+                .otherwise(F.lit("?")),
+            ),
+        ),
+        " ",
+    )
+    sent = (
+        w.select("doc_id", sL.alias("_L"), punct_text.alias("_ptext"))
+        .select(
+            "doc_id",
+            "_L",
+            F.posexplode(split_sentences(F.col("_ptext"))).alias("i", "s"),
+        )
+        .select(
+            F.lit("sentence").alias("part"),
+            "doc_id",
+            F.size(F.split("s", " ")).cast("long").alias("n_tokens"),
+            (F.col("i") * F.col("_L")).cast("long").alias("cum_before"),
+            F.col("i").cast("long").alias("bin"),
+            F.md5(F.col("s").cast("binary")).alias("key"),
+        )
+    )
+    return pack.unionAll(chunk).unionAll(sent)
 
 
 def _q47_minhash_arm(spark, sf_dir):

@@ -219,3 +219,19 @@ def test_ocr_repair_inverts_wrap_on_generated_corpus(spark):
     fixed = X.reflow(X.dehyphenate(wrapped))
     bad = df.filter(fixed != F.col("text")).count()
     assert bad == 0
+
+
+def test_split_sentences(spark):
+    cases = [
+        ("one two three. four five! six seven? eight.",
+         ["one two three.", "four five!", "six seven?", "eight."]),
+        ("double end!!  spaced   start.", ["double end!!", "spaced   start."]),
+        ("no terminal punctuation at all", ["no terminal punctuation at all"]),
+        ("pi is 3.14 not 3. 15", ["pi is 3.14 not 3.", "15"]),  # regex, not NLP
+        ("", [""]),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = {r["text"]: r["s"] for r in
+           df.select("text", X.split_sentences("text").alias("s")).collect()}
+    for text, want in cases:
+        assert got[text] == want, (text, got[text])
