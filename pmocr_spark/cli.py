@@ -644,8 +644,10 @@ def build_parser() -> argparse.ArgumentParser:
         "'codec' (default; the deterministic synthetic codec — the only "
         "oracle-checkable engine) or 'tesseract' (real OCR via "
         "pytesseract+Pillow; requires them plus the tesseract binary on "
-        "every executor). Additional engines via "
-        "engines.register_engine().",
+        "every executor). A comma-separated chain ('tesseract,codec') "
+        "falls back per blob: first engine that decodes wins, all "
+        "failing yields one error row naming each engine's failure. "
+        "Additional engines via engines.register_engine().",
     )
     p.add_argument(
         "--dedup-index",

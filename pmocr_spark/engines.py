@@ -60,13 +60,50 @@ def decode_fn_for(name: str) -> Callable[[bytes], str]:
     return factory()
 
 
+def fallback_decode(names: list[str]) -> Callable[[bytes], str]:
+    """Engine FALLBACK CHAIN: try each engine in order per blob, return
+    the first success; if every engine fails, raise one error carrying
+    each engine's failure (the error-as-data wrapper turns it into the
+    row's error struct). pmOCR retries a failed conversion with the
+    SAME engine and then quarantines (pmocr.sh:926-987, 2103-2108);
+    the chain is the production extension — a cheap/fast primary with
+    a slower, more robust secondary ('tesseract,codec') — at zero plan
+    cost: the chain lives inside the one fused UDF closure, so a
+    fallback decode never re-shuffles or re-reads the blob, and the
+    per-blob time budget covers the WHOLE chain (a runaway primary
+    cannot launder extra wall-clock through its fallback).
+
+    All factories resolve NOW, driver-side — a chain naming an
+    unavailable engine fails at CLI parse time, not mid-job on an
+    executor."""
+    fns = [(n, decode_fn_for(n)) for n in names]
+
+    def decode(blob: bytes) -> str:
+        errs = []
+        for n, fn in fns:
+            try:
+                return fn(blob)
+            except Exception as e:  # noqa: BLE001 — try the next engine
+                errs.append(f"{n}: {type(e).__name__}: {e}")
+        raise RuntimeError(
+            f"all {len(fns)} engines failed — " + " | ".join(errs)
+        )
+
+    return decode
+
+
 def ocr_udf_for(name: str, **udf_kwargs):
     """The selected engine as the pipeline's fused extraction UDF
     (udfs.make_ocr_extract with this engine's decode_fn); pass the
-    result as run_batch/monitor's `ocr_udf`."""
+    result as run_batch/monitor's `ocr_udf`. A comma-separated `name`
+    ('tesseract,codec') builds a fallback_decode chain."""
     from .udfs import make_ocr_extract
 
-    return make_ocr_extract(decode_fn=decode_fn_for(name), **udf_kwargs)
+    names = [n.strip() for n in name.split(",") if n.strip()]
+    if not names:
+        raise ValueError(f"no engine named in {name!r}")
+    fn = decode_fn_for(names[0]) if len(names) == 1 else fallback_decode(names)
+    return make_ocr_extract(decode_fn=fn, **udf_kwargs)
 
 
 def _codec_factory() -> Callable[[bytes], str]:

@@ -147,3 +147,93 @@ def test_cli_engine_flag_service_mode(corpus_dir, tmp_path):
         f"SELECT status, txt FROM read_parquet('{tmp_path}/out/epoch-0/*.parquet')"
     ).fetchall()
     assert any("[fake-engine]" in t for s, t in rows if s == "done" and t)
+
+
+def test_fallback_chain_decode():
+    """fallback_decode: first success wins, later engines untouched;
+    a primary failure falls through; total failure names every engine."""
+    calls = []
+
+    def _flaky_factory():
+        def decode(blob: bytes) -> str:
+            calls.append("flaky")
+            text = codecs.decode_blob(blob)
+            if "MARKER" in text:
+                raise ValueError("flaky engine cannot read this")
+            return "flaky:" + text
+
+        return decode
+
+    def _solid_factory():
+        def decode(blob: bytes) -> str:
+            calls.append("solid")
+            return "solid:" + codecs.decode_blob(blob)
+
+        return decode
+
+    engines.register_engine("flaky", _flaky_factory)
+    engines.register_engine("solid", _solid_factory)
+    chain = engines.fallback_decode(["flaky", "solid"])
+
+    good = codecs.encode_image("plain doc", "png", salt="a")
+    assert chain(good) == "flaky:plain doc"
+    assert calls == ["flaky"]  # secondary never ran
+
+    calls.clear()
+    bad_for_primary = codecs.encode_image("has MARKER inside", "png", salt="b")
+    assert chain(bad_for_primary) == "solid:has MARKER inside"
+    assert calls == ["flaky", "solid"]
+
+    def _dead_factory():
+        def decode(blob: bytes) -> str:
+            raise RuntimeError("dead engine")
+
+        return decode
+
+    engines.register_engine("dead", _dead_factory)
+    both = engines.fallback_decode(["dead", "flaky"])
+    with pytest.raises(RuntimeError, match=r"all 2 engines failed.*dead.*flaky"):
+        both(codecs.encode_image("x MARKER y", "png", salt="c"))
+
+    # an unavailable engine anywhere in the chain fails at RESOLVE time
+    with pytest.raises(ValueError, match="unknown OCR engine"):
+        engines.fallback_decode(["codec", "abbyy"])
+
+
+def test_cli_engine_chain(corpus_dir, tmp_path):
+    """--engine a,b drives the full batch pipeline through the fallback
+    chain: spans the primary rejects are recovered by the secondary,
+    and the poison pill (which every engine rejects) still quarantines
+    with the chain's combined error."""
+
+    def _picky_factory():
+        def decode(blob: bytes) -> str:
+            text = codecs.decode_blob(blob)
+            if "7" in text:  # rejects a deterministic subset
+                raise ValueError("picky engine rejects 7s")
+            return text + " [picky]"
+
+        return decode
+
+    engines.register_engine("picky", _picky_factory)
+    out, lineage = str(tmp_path / "out"), str(tmp_path / "lineage")
+    cli.main(
+        [
+            "--batch",
+            "--input", f"{corpus_dir}/documents.parquet",
+            "--blobs", f"{corpus_dir}/media_blobs.parquet",
+            "--output", out,
+            "--lineage", lineage,
+            "--targets", "txt",
+            "--engine", "picky,codec",
+            "--master", "local[4]",
+        ]
+    )
+    rows = duckdb.sql(
+        f"SELECT status, txt FROM read_parquet('{out}/*.parquet')"
+    ).fetchall()
+    done = [t for s, t in rows if s == "done"]
+    assert any("[picky]" in t for t in done), "primary engine never used"
+    # fallback recovered the rejected spans: media text present, unmarked
+    assert any("[picky]" not in t and t for t in done)
+    assert any(s == "failed" for s, _t in rows)  # poison still quarantined
