@@ -121,3 +121,64 @@ def corpus_datasheet(docs: DataFrame) -> dict:
         }
     finally:
         feats.unpersist()
+
+
+# ---------------------------------------------------------------------
+# Deterministic HyperLogLog (Flajolet et al. AofA'07) — bounded-memory
+# cardinality with ORACLE-CHECKABLE state.
+# ---------------------------------------------------------------------
+
+#: register-index bits: m = 2^HLL_P registers per group (~1.04/sqrt(m)
+#: = 6.5% standard error — the corpus-datasheet accuracy class)
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: rank ceiling for the 32-bit md5 prefix: 24 value bits + 1
+_HLL_MAX_RANK = 33 - HLL_P
+
+
+def hll_sketch(df: DataFrame, key, group_cols: list[str]) -> DataFrame:
+    """The HLL register table for `key`'s distinct count per group:
+    (group_cols..., bucket, rank) with rank = max leading-zero rank of
+    the 24-bit md5 suffix whose 8-bit prefix routes to `bucket`.
+
+    Spark's approx_count_distinct is the production one-liner; THIS
+    exists because its sketch is opaque — here the registers are plain
+    rows whose arithmetic (md5 -> 32-bit int -> bucket/rank via integer
+    ops and bit-length, never a float) restates exactly in any engine,
+    so the driver gate can hash-verify the distributed state itself
+    (q30 part='hll'). The shape is the 100 TB one regardless: ONE hash
+    agg with map-side combine; registers are mergeable by element-wise
+    max (union semantics — tested), so per-partition partial sketches
+    combine associatively like any Spark partial agg. Absent buckets
+    mean rank 0; hll_estimate accounts for them."""
+    h = F.conv(
+        F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    w = F.floor(h / HLL_M).cast("long")
+    rank = F.when(w == 0, F.lit(_HLL_MAX_RANK)).otherwise(
+        F.lit(_HLL_MAX_RANK) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, (h % HLL_M).alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").cast("long").alias("rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality estimates from a register table: the raw HLL
+    harmonic-mean estimator with the standard small-range linear-
+    counting correction (E <= 2.5m with empty registers present).
+    Distributed: one agg per group over <= m register rows. Floats
+    live HERE only (the gate verifies the integer registers;
+    tests/test_corpus_stats pins estimator accuracy vs exact counts)."""
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)  # standard alpha_m, m >= 128
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rank"))).alias("_s"),
+        F.count("*").alias("_nz"),
+    )
+    zeros = F.lit(HLL_M) - F.col("_nz")
+    raw = F.lit(alpha * HLL_M * HLL_M) / (F.col("_s") + zeros)
+    lin = F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / zeros)
+    est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0), lin).otherwise(raw)
+    return agg.select(*group_cols, F.floor(est).cast("long").alias("n_distinct_est"))

@@ -2420,15 +2420,43 @@ def q29_hourly_rollup(spark, sf_dir):
     UNION ALL
     SELECT 'nusers', event_type, '', count(DISTINCT user_id)
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'hll', event_type, cast(b AS VARCHAR), cast(max(rank) AS BIGINT)
+    FROM (
+      SELECT event_type, h % 256 AS b,
+             CASE WHEN h // 256 = 0 THEN 25
+                  ELSE 25 - length(bin(h // 256)) END AS rank
+      FROM (SELECT event_type,
+                   ('0x' || substr(md5(cast(user_id AS varchar)), 1, 8))::BIGINT AS h
+            FROM events))
+    GROUP BY event_type, b
     """,
 )
 def q30_distinct_sources(spark, sf_dir):
     """Distinct family in ONE gate slot: whole-row DISTINCT (dedup
     special case) plus exact per-group COUNT(DISTINCT) — the
     approx_count_distinct sketch is the 100 TB path; the exact op is the
-    oracle-checked one. (Folded q30/q35 per the round-3 verdict.)"""
+    oracle-checked one. (Folded q30/q35 per the round-3 verdict.)
+
+    part='hll' (round 5, fifth pass): the 100 TB path itself under the
+    gate — deterministic HyperLogLog REGISTERS
+    (operators/corpus_stats.hll_sketch, md5-routed, integer-only) for
+    per-event-type distinct users; the oracle restates bucket/rank
+    arithmetic verbatim, so the gate hash-verifies the distributed
+    sketch state (k1 = event_type, k2 = bucket, n = max rank). The
+    float estimator (hll_estimate, with linear-counting correction)
+    stays out of the gate by design and is accuracy-pinned against the
+    exact 'nusers' counts in tests/test_corpus_stats."""
+    from .operators.corpus_stats import hll_sketch
+
     d = _t(spark, sf_dir, "documents")
     ev = _t(spark, sf_dir, "events")
+    hll = hll_sketch(ev, F.col("user_id"), ["event_type"]).select(
+        F.lit("hll").alias("part"),
+        F.col("event_type").alias("k1"),
+        F.col("bucket").cast("string").alias("k2"),
+        F.col("rank").alias("n"),
+    )
     pairs = (
         d.select("source", "lang")
         .distinct()
@@ -2445,7 +2473,7 @@ def q30_distinct_sources(spark, sf_dir):
         F.lit("").alias("k2"),
         F.col("n").cast("long").alias("n"),
     )
-    return pairs.unionAll(nusers)
+    return pairs.unionAll(nusers).unionAll(hll)
 
 
 # =====================================================================
