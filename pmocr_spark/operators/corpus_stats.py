@@ -182,3 +182,77 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     lin = F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / zeros)
     est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0), lin).otherwise(raw)
     return agg.select(*group_cols, F.floor(est).cast("long").alias("n_distinct_est"))
+
+
+# ---------------------------------------------------------------------
+# Deterministic Count-Min sketch (Cormode & Muthukrishnan JAlg'05) —
+# bounded-memory frequency estimation, FULLY gate-verifiable (counters
+# AND point estimates are integers).
+# ---------------------------------------------------------------------
+
+#: depth (independent hash rows; error probability ~ e^-d)
+CMS_D = 4
+#: width (counters per row; overestimate bound ~ e/w * total_count)
+CMS_W = 512
+
+
+def _cms_cols(key, i: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}|"), key).cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def cms_sketch(df: DataFrame, key, weight=None) -> DataFrame:
+    """Build the counter table (row, col, cnt) for a stream of keys
+    (optionally weighted). d*w = 2048 integer counters regardless of
+    corpus size — the bounded-memory heavy-hitter state every ingest
+    monitor keeps. ONE explode (xd, map-side) + ONE hash agg with
+    map-side combine; counters from separate batches MERGE BY ADDITION
+    (test-pinned), so incremental ingest just unions + re-sums — no
+    raw-data replay."""
+    w = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    pos = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), _cms_cols(key, i).alias("col"))
+            for i in range(CMS_D)
+        ]
+    )
+    return (
+        df.select(F.explode(pos).alias("rc"), w.alias("_w"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_query(counters: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
+    """Point-frequency estimates: est(key) = min over the d counters the
+    key routes to — never under the true count, over by at most
+    ~(e/w)*total with probability 1-e^-d (the classic CMS guarantee;
+    both sides of it test-pinned). The counter table (<= d*w rows)
+    broadcasts; probes stream map-side through the join, then one
+    groupBy(key) takes the min — the per-key estimate never needs the
+    raw stream again. Counters never incremented read as 0 (left join +
+    coalesce), so absent keys estimate 0-or-collision like the paper's
+    sketch, not NULL."""
+    key = F.col(key_col)
+    pos = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), _cms_cols(key, i).alias("col"))
+            for i in range(CMS_D)
+        ]
+    )
+    ex = probes.select(key_col, F.explode(pos).alias("rc")).select(
+        key_col, F.col("rc.row").alias("row"), F.col("rc.col").alias("col")
+    )
+    return (
+        ex.join(F.broadcast(counters), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

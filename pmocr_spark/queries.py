@@ -4437,12 +4437,33 @@ def q41_repetition_quality(spark, sf_dir):
                            j -> word[i:j])))) AS piece
         FROM wf)
       GROUP BY piece ORDER BY cnt DESC, bigram ASC LIMIT 20
-    )
+    ),
+    -- Count-Min sketch (Cormode & Muthukrishnan): d=4 x w=512 integer
+    -- counters over the word stream (built from wf — weighting by freq
+    -- is the same arithmetic as per-occurrence increments), point
+    -- estimate = min over the 4 counters each probe word routes to
+    cmsc AS (
+      SELECT i,
+             ('0x' || substr(md5(cast(i AS varchar) || '|' || word), 1, 8))::BIGINT
+               % 512 AS col,
+             cast(sum(freq) AS BIGINT) AS cnt
+      FROM wf, unnest([0, 1, 2, 3]) AS u(i)
+      GROUP BY 1, 2),
+    cmsp AS (
+      SELECT word, i,
+             ('0x' || substr(md5(cast(i AS varchar) || '|' || word), 1, 8))::BIGINT
+               % 512 AS col
+      FROM (SELECT word FROM wf ORDER BY freq DESC, word ASC LIMIT 20),
+           unnest([0, 1, 2, 3]) AS u(i))
     SELECT * FROM wb UNION ALL SELECT * FROM cb
     UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
     UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
     UNION ALL SELECT 'merge3' AS part, ml || ' ' || mr AS bigram, cnt FROM b3
     UNION ALL SELECT * FROM useed
+    UNION ALL
+    SELECT 'cms' AS part, word AS bigram, cast(min(coalesce(c.cnt, 0)) AS BIGINT) AS cnt
+    FROM cmsp p LEFT JOIN cmsc c ON p.i = c.i AND p.col = c.col
+    GROUP BY word
     """,
 )
 def q44_bigram_lm_topk(spark, sf_dir):
@@ -4532,7 +4553,29 @@ def q44_bigram_lm_topk(spark, sf_dir):
         .limit(20)
         .select(F.lit("uni_seed").alias("part"), F.col("piece").alias("bigram"), "cnt")
     )
-    return wb.unionAll(cb).unionAll(mrows).unionAll(useed)
+    # part='cms' (round 5, fifth pass): Count-Min sketch point
+    # estimates (operators/corpus_stats.cms_sketch/cms_query) for the
+    # top-20 words — the bounded-memory heavy-hitter monitor. Both the
+    # 2048 counters and the min-estimates are integers, so the GATE
+    # verifies the whole sketch->query path (contrast the HLL arm,
+    # whose float estimator stays pytest-side). Built from the SAME
+    # cached word-frequency table (freq-weighted increments == per-
+    # occurrence increments), so the family still scans the corpus
+    # once; counter table broadcasts into the probe join.
+    from .operators.corpus_stats import cms_query, cms_sketch
+
+    counters = cms_sketch(wfd, F.col("word"), weight=F.col("freq"))
+    top_words = (
+        wfd.orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(20)
+        .select("word")
+    )
+    cms = cms_query(counters, top_words, "word").select(
+        F.lit("cms").alias("part"),
+        F.col("word").alias("bigram"),
+        F.col("est").alias("cnt"),
+    )
+    return wb.unionAll(cb).unionAll(mrows).unionAll(useed).unionAll(cms)
 
 
 @query(

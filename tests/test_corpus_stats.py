@@ -75,3 +75,96 @@ def test_estimate_multi_group_and_duplicates(spark):
     ests = {r["grp"]: r["n_distinct_est"] for r in hll_estimate(regs, ["grp"]).collect()}
     assert abs(ests["big"] - 1000) / 1000 < 0.20, ests
     assert abs(ests["small"] - 100) / 100 < 0.20, ests
+
+
+# --------------------------- Count-Min sketch ------------------------
+
+from pmocr_spark.operators.corpus_stats import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    cms_query,
+    cms_sketch,
+)
+
+
+def _py_cms(stream):
+    from collections import Counter
+
+    counters = Counter()
+    for v in stream:
+        for i in range(CMS_D):
+            col = int(hashlib.md5(f"{i}|{v}".encode()).hexdigest()[:8], 16) % CMS_W
+            counters[(i, col)] += 1
+    return counters
+
+
+def _stream():
+    # zipf-ish deterministic stream: word k appears ~200//(k+1) times
+    return [f"w{k}" for k in range(60) for _ in range(200 // (k + 1))]
+
+
+def test_cms_counters_match_python(spark):
+    stream = _stream()
+    df = spark.createDataFrame([(s,) for s in stream], "word string")
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_sketch(df, F.col("word")).collect()
+    }
+    assert got == dict(_py_cms(stream))
+
+
+def test_cms_one_sided_and_bounded(spark):
+    """est >= true for EVERY key (never undercounts), and the classic
+    (e/w)*N overestimate bound holds for all probes here."""
+    from collections import Counter
+
+    stream = _stream()
+    true = Counter(stream)
+    df = spark.createDataFrame([(s,) for s in stream], "word string")
+    probes = spark.createDataFrame([(w,) for w in true], "word string")
+    est = {
+        r["word"]: r["est"]
+        for r in cms_query(cms_sketch(df, F.col("word")), probes, "word").collect()
+    }
+    bound = 2.718281828 / CMS_W * len(stream)
+    for w, t in true.items():
+        assert est[w] >= t, (w, est[w], t)
+        assert est[w] - t <= bound, (w, est[w], t, bound)
+    # absent key: estimate is 0 or a small collision, never NULL
+    ghost = spark.createDataFrame([("never-seen",)], "word string")
+    g = cms_query(cms_sketch(df, F.col("word")), ghost, "word").collect()[0]["est"]
+    assert 0 <= g <= bound
+
+
+def test_cms_weighted_equals_stream_and_merge_adds(spark):
+    """freq-weighted build == per-occurrence build (what lets q44 reuse
+    the cached word-frequency table), and counters from separate
+    batches merge by ADDITION."""
+    from collections import Counter
+
+    stream = _stream()
+    df = spark.createDataFrame([(s,) for s in stream], "word string")
+    wf = spark.createDataFrame(
+        [(w, c) for w, c in Counter(stream).items()], "word string, freq long"
+    )
+    per_occ = {
+        (r["row"], r["col"]): r["cnt"] for r in cms_sketch(df, F.col("word")).collect()
+    }
+    weighted = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_sketch(wf, F.col("word"), weight=F.col("freq")).collect()
+    }
+    assert per_occ == weighted
+
+    half = len(stream) // 2
+    a = spark.createDataFrame([(s,) for s in stream[:half]], "word string")
+    b = spark.createDataFrame([(s,) for s in stream[half:]], "word string")
+    merged = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_sketch(a, F.col("word"))
+        .unionAll(cms_sketch(b, F.col("word")))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .collect()
+    }
+    assert merged == per_occ
