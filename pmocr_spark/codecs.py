@@ -513,6 +513,63 @@ def recognize_line(band: np.ndarray) -> str:
     return out[0] if out else ""
 
 
+def recognize_words(blob: bytes) -> list[tuple[int, int, str, int, int, int, int]]:
+    """M3c — hOCR-style word geometry: decode a media blob and report
+    every word with its bounding box in integer pixel coordinates.
+
+    This is the layout output real engines expose next to plain text —
+    tesseract's hOCR/TSV modes emit per-word bboxes, and pmOCR forwards
+    whatever container the engine writes (the engine output-extension
+    plumbing around pmocr.sh:1923-1963); the plain-text targets just
+    drop the geometry. Here the synthetic codec makes the boxes exact
+    and therefore oracle-checkable.
+
+    Returns (line_no, word_no, word, x0, y0, x1, y1):
+      * line_no — global reading-order line index (across column blocks
+        and pages);
+      * word_no — 0-based within the line; words are maximal space-free
+        runs of the recognized string;
+      * x0/x1 — ink-column span, BLOCK-LOCAL trimmed coordinates,
+        x1 exclusive. The positions come from the IMAGE (flatnonzero
+        of the decoded column mask), not from string arithmetic, so a
+        segmentation shift moves the boxes and fails the oracle hash;
+      * y0/y1 — the line band's rows (bands sit at block-local
+        ``band_index * (GLYPH_H + 1)``).
+    """
+    import re
+
+    pages = rasterize(bytes(blob))
+    out: list[tuple[int, int, str, int, int, int, int]] = []
+    line_no = 0
+    for img in pages:
+        binary = binarize_trim(img)
+        for block in segment_columns(binary):
+            bands = segment_lines(block)
+            texts = recognize_block(bands)  # parity-validated
+            for bi, (band, text) in enumerate(zip(bands, texts)):
+                if band.size:
+                    bits = band[:7, :].astype(np.uint8)
+                    codes = (bits * (1 << np.arange(7, dtype=np.uint8))[:, None]).sum(axis=0)
+                    cols = np.flatnonzero((codes > 0) & (codes != ANCHOR_CODE))
+                else:
+                    cols = np.empty(0, dtype=np.int64)
+                y0 = bi * (GLYPH_H + 1)
+                for wno, m in enumerate(re.finditer(r"[^ ]+", text)):
+                    out.append(
+                        (
+                            line_no,
+                            wno,
+                            m.group(0),
+                            int(cols[m.start()]),
+                            y0,
+                            int(cols[m.end() - 1]) + 1,
+                            y0 + GLYPH_H,
+                        )
+                    )
+                line_no += 1
+    return out
+
+
 def decode_blob(blob: bytes) -> str:
     """Full per-blob OCR chain M1->M2 (trim + layout)->M3; column blocks
     read in order (left column fully, then the next), page texts joined

@@ -2337,16 +2337,59 @@ def q26_fingerprint(spark, sf_dir):
 @query(
     "q27_media_roundtrip",
     """
-    SELECT doc_id,
-           trim(regexp_replace(text, '[^ -~]', '', 'g')) AS text_out
-    FROM documents
+    WITH clean AS (
+      SELECT doc_id, trim(regexp_replace(text, '[^ -~]', '', 'g')) AS t
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, k AS line_no, substr(t, 1 + 40*k, 40) AS line
+      FROM clean, generate_series(0, 63) AS g(k)
+      WHERE 40*k < length(t)
+    ),
+    pieces AS (
+      SELECT doc_id, line_no, generate_subscripts(ps, 1) AS i, unnest(ps) AS pc
+      FROM (SELECT doc_id, line_no, string_split(line, ' ') AS ps FROM lines)
+    ),
+    pos AS (
+      SELECT doc_id, line_no, i, pc,
+             1 + (i - 1) + coalesce(sum(length(pc)) OVER (
+                 PARTITION BY doc_id, line_no ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_p
+      FROM pieces
+    )
+    SELECT 'word' AS part, doc_id, cast(line_no AS BIGINT) AS line_no,
+           cast(row_number() OVER (PARTITION BY doc_id, line_no ORDER BY i) - 1
+                AS BIGINT) AS word_no,
+           pc AS text_out,
+           cast(start_p AS BIGINT) AS x0,
+           cast(line_no * 9 AS BIGINT) AS y0,
+           cast(start_p + length(pc) AS BIGINT) AS x1,
+           cast(line_no * 9 + 8 AS BIGINT) AS y1
+    FROM pos WHERE pc <> ''
+    UNION ALL
+    SELECT 'text', doc_id, -1, -1, t, -1, -1, -1, -1 FROM clean
     """,
 )
 def q27_media_roundtrip(spark, sf_dir):
-    """The full vectorized media path, oracle-checked: encode each
-    document's text into a synthetic TIFF blob (pandas UDF), then run the
-    real OCR decode chain (rasterize->binarize->segment->recognize).
-    decode(encode(x)) == x, so plain SQL can oracle the whole UDF path."""
+    """The media-path family (schema-changing fold, round 5 sixth pass).
+
+    part='text': the full vectorized media path, oracle-checked —
+    encode each document's text into a synthetic TIFF blob (pandas
+    UDF), then run the real OCR decode chain
+    (rasterize->binarize->segment->recognize). decode(encode(x)) == x,
+    so plain SQL can oracle the whole UDF path.
+
+    part='word' (round 5): hOCR-style word GEOMETRY under the gate —
+    the text wraps into 40-char lines, encodes as a multi-line page,
+    and codecs.recognize_words reports every word's bbox with x taken
+    from the image's decoded ink-column mask (not string arithmetic).
+    The oracle restates the expected boxes independently by string
+    arithmetic over the same wrap (word starts via split-part lengths,
+    x0 = 1-based char position because glyph columns sit at
+    1 + char_index past the anchor column; y from the 9-row band
+    pitch), so a one-pixel segmentation shift hash-mismatches.
+    tesseract's hOCR/TSV analog; the reference forwards engine layout
+    output untouched (pmocr.sh:1923-1963)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -2359,10 +2402,60 @@ def q27_media_roundtrip(spark, sf_dir):
             [codecs.encode_image(t, "tiff", salt="rt") for t in text], dtype=object
         )
 
+    @F.pandas_udf(T.BinaryType())
+    def encode_wrapped(text):
+        return pd.Series(
+            [
+                codecs.encode_image(
+                    "\n".join(t[i : i + 40] for i in range(0, len(t), 40)),
+                    "tiff",
+                    salt="wb",
+                )
+                for t in text
+            ],
+            dtype=object,
+        )
+
+    @F.pandas_udf(
+        "array<struct<line_no:long,word_no:long,token:string,"
+        "x0:long,y0:long,x1:long,y1:long>>"
+    )
+    def word_boxes(blobs):
+        return pd.Series(
+            [codecs.recognize_words(b) for b in blobs], dtype=object
+        )
+
     d = _t(spark, sf_dir, "documents")
     clean = F.trim(F.regexp_replace("text", "[^ -~]", ""))
+    neg1 = F.lit(-1).cast("long")
     enc = d.select("doc_id", encode_blob(clean).alias("content"))
-    return enc.select("doc_id", ocr_extract("content")["text"].alias("text_out"))
+    text_arm = enc.select(
+        F.lit("text").alias("part"),
+        "doc_id",
+        neg1.alias("line_no"),
+        neg1.alias("word_no"),
+        ocr_extract("content")["text"].alias("text_out"),
+        neg1.alias("x0"),
+        neg1.alias("y0"),
+        neg1.alias("x1"),
+        neg1.alias("y1"),
+    )
+    word_arm = (
+        d.select("doc_id", encode_wrapped(clean).alias("content"))
+        .select("doc_id", F.explode(word_boxes("content")).alias("w"))
+        .select(
+            F.lit("word").alias("part"),
+            "doc_id",
+            F.col("w.line_no").alias("line_no"),
+            F.col("w.word_no").alias("word_no"),
+            F.col("w.token").alias("text_out"),
+            F.col("w.x0").alias("x0"),
+            F.col("w.y0").alias("y0"),
+            F.col("w.x1").alias("x1"),
+            F.col("w.y1").alias("y1"),
+        )
+    )
+    return text_arm.unionByName(word_arm)
 
 
 @query("q28_ocr_pipeline")  # no SQL oracle: full span pipeline (pytest-gated)

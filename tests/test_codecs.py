@@ -235,3 +235,53 @@ def test_video_frame_corruption_fails_parity():
     arr[-10] = (arr[-10] + 200) % 256
     with pytest.raises(codecs.CodecError):
         codecs.decode_video(bytes(arr))
+
+
+# ---------------------------------------------------------------- word boxes
+
+
+def _expected_words(lines_text: str, line_no0: int = 0):
+    """Independent string-arithmetic reference for recognize_words:
+    word chars [a, b) of line li -> x0 = a+1 (glyph columns start one
+    past the anchor), x1 = b+1, y0 = band pitch 9*li block-local."""
+    import re
+
+    exp = []
+    for bi, line in enumerate(lines_text.split("\n")):
+        for wno, m in enumerate(re.finditer(r"[^ ]+", line)):
+            exp.append(
+                (
+                    line_no0 + bi,
+                    wno,
+                    m.group(0),
+                    m.start() + 1,
+                    bi * 9,
+                    m.end() + 1,
+                    bi * 9 + 8,
+                )
+            )
+    return exp
+
+
+@given(media_text())
+@settings(max_examples=40, deadline=None)
+def test_recognize_words_matches_string_arithmetic(text):
+    blob = codecs.encode_image(text, "tiff", salt="w")
+    assert codecs.recognize_words(blob) == _expected_words(text)
+
+
+def test_recognize_words_two_column_block_local():
+    """Multi-block pages: line_no runs globally in reading order, x/y
+    are block-local (each block is its own trimmed coordinate frame)."""
+    left, right = "ab cd\nef", "ghi j"
+    blob = codecs.encode_image_columns([left, right], "tif", salt="w2")
+    exp = _expected_words(left) + _expected_words(right, line_no0=2)
+    assert codecs.recognize_words(blob) == exp
+
+
+def test_recognize_words_empty_and_spaces():
+    assert codecs.recognize_words(codecs.encode_image("x", "png", salt="e"))[0][2] == "x"
+    assert (
+        codecs.recognize_words(codecs.encode_image(" lead  mid ", "png", salt="e"))
+        == _expected_words(" lead  mid ")
+    )
