@@ -465,6 +465,19 @@ def build_parser() -> argparse.ArgumentParser:
         "(sniff_html), exactly like the fused pipeline's dispatch",
     )
     p.add_argument(
+        "--word-boxes",
+        action="store_true",
+        help="maintenance mode (standalone): hOCR/TSV-style layout "
+        "geometry for the image/pdf blobs in the --blobs table "
+        "(codecs.recognize_words) — one row per recognized word "
+        "(media_ref, line_no, word_no, word, x0, y0, x1, y1, error) "
+        "written to --output; x comes from the image's decoded "
+        "ink-column mask. Non-image blobs are skipped by content "
+        "magic; undecodable image blobs land as error rows "
+        "(tesseract's hocr/tsv output configs; the reference forwards "
+        "engine layout containers untouched, pmocr.sh:1923-1963)",
+    )
+    p.add_argument(
         "--input-format",
         choices=("parquet", "jsonl", "warc"),
         default="parquet",
@@ -839,6 +852,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--transcribe-audio", args.transcribe_audio),
             ("--transcribe-video", args.transcribe_video),
             ("--extract-markdown", args.extract_markdown),
+            ("--word-boxes", args.word_boxes),
             ("--fix-text", args.fix_text),
             ("--audit-blobs", args.audit_blobs),
             ("--corpus-stats", args.corpus_stats),
@@ -1045,6 +1059,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--extract-markdown is a standalone maintenance mode")
         if not args.blobs or not args.output:
             parser.error("--blobs and --output are required with --extract-markdown")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.word_boxes:
+        if args.batch or args.service:
+            parser.error("--word-boxes is a standalone maintenance mode")
+        if not args.blobs or not args.output:
+            parser.error("--blobs and --output are required with --word-boxes")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1817,6 +1839,55 @@ def main(argv: list[str] | None = None) -> None:
         n = spark.read.parquet(args.output).count()
         print(
             f"pmocr-spark: extracted markdown for {n} html blobs to {args.output}"
+        )
+        return
+    if getattr(args, "word_boxes", False):
+        import pandas as pd
+
+        from . import codecs
+
+        blobs = spark.read.parquet(args.blobs)
+
+        schema = (
+            "media_ref string, line_no long, word_no long, word string, "
+            "x0 long, y0 long, x1 long, y1 long, error string"
+        )
+
+        def boxes(batches):
+            # iterator mapInPandas: constant memory; only image/pdf
+            # containers are OCR-able layout sources (audio/html/video
+            # skipped by the same magic dispatch the fused UDF uses);
+            # undecodable image blobs become one error row each — the
+            # engine's error-as-data discipline, never a lost blob.
+            for pdf in batches:
+                rows = []
+                for ref, blob in zip(pdf["media_ref"], pdf["content"]):
+                    if blob is None:
+                        continue
+                    b = bytes(blob)
+                    if b[:6] not in (codecs.IMG_MAGIC, codecs.PDF_MAGIC):
+                        continue
+                    try:
+                        for ln, wn, w, x0, y0, x1, y1 in codecs.recognize_words(b):
+                            rows.append((ref, ln, wn, w, x0, y0, x1, y1, None))
+                    except codecs.CodecError as e:
+                        rows.append((ref, -1, -1, None, -1, -1, -1, -1, str(e)))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_ref", "line_no", "word_no", "word",
+                        "x0", "y0", "x1", "y1", "error",
+                    ],
+                )
+
+        out = blobs.select("media_ref", "content").mapInPandas(boxes, schema)
+        out.write.mode("overwrite").parquet(args.output)
+        got = spark.read.parquet(args.output)
+        n_ok = got.filter(F.col("error").isNull()).count()
+        n_err = got.filter(F.col("error").isNotNull()).count()
+        print(
+            f"pmocr-spark: {n_ok} word boxes "
+            f"({n_err} undecodable blobs as error rows) to {args.output}"
         )
         return
     if getattr(args, "phash_dedup", False):

@@ -847,3 +847,47 @@ def test_corpus_stats_cli(spark, tmp_path):
     assert len(sheet["tokens_p05_50_95"]) == 3
     with pytest.raises(SystemExit):
         cli.parse_args(["--corpus-stats", "--input", src])  # no --output
+
+
+def test_word_boxes_mode(spark, tmp_path):
+    """--word-boxes: image/pdf blobs (content-magic dispatch) yield
+    per-word hOCR-style geometry rows; non-image blobs are skipped;
+    undecodable image blobs land as error rows; good rows equal
+    recognize_words on the raw blob."""
+    from pmocr_spark import codecs
+
+    blobs = {
+        "i:0": codecs.encode_image("two words\nmore here now", "tif", salt="wb"),
+        "i:1": codecs.encode_pdf(["page one", "page two words"], salt="wb"),
+        # image magic but truncated payload -> CodecError -> error row
+        "bad": codecs.encode_image("poison pill", "png", salt="wb")[:30],
+        "a:0": codecs.encode_audio("not an image", salt="wb"),
+    }
+    bdir = str(tmp_path / "blobs")
+    spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "media_ref string, content binary",
+    ).write.parquet(bdir)
+
+    out = str(tmp_path / "boxes")
+    cli.main(
+        ["--word-boxes", "--blobs", bdir, "--output", out,
+         "--master", "local[2]"]
+    )
+    got = spark.read.parquet(out).collect()
+    by_ref: dict[str, list] = {}
+    for r in got:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert set(by_ref) == {"i:0", "i:1", "bad"}  # audio skipped by magic
+    errs = [r for r in by_ref["bad"]]
+    assert len(errs) == 1 and errs[0]["error"] and errs[0]["word"] is None
+    for ref in ("i:0", "i:1"):
+        exp = codecs.recognize_words(blobs[ref])
+        rows = sorted(
+            (r["line_no"], r["word_no"], r["word"],
+             r["x0"], r["y0"], r["x1"], r["y1"])
+            for r in by_ref[ref]
+        )
+        assert rows == sorted(exp) and all(r["error"] is None for r in by_ref[ref])
+    # pdf blob: words span both pages (global line numbering)
+    assert {r["line_no"] for r in by_ref["i:1"]} == {0, 1}
