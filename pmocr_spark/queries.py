@@ -4547,7 +4547,50 @@ def q41_repetition_quality(spark, sf_dir):
              ('0x' || substr(md5(cast(i AS varchar) || '|' || word), 1, 8))::BIGINT
                % 512 AS col
       FROM (SELECT word FROM wf ORDER BY freq DESC, word ASC LIMIT 20),
-           unnest([0, 1, 2, 3]) AS u(i))
+           unnest([0, 1, 2, 3]) AS u(i)),
+    -- SymSpell correction (round 5, sixth pass): corrupt every trusted
+    -- word by deleting its md5-chosen character (freq-1 near-words),
+    -- then correct rare words back via symmetric-delete variant
+    -- intersection + (freq desc, cand asc) argmax
+    spw AS (SELECT word, freq FROM wf WHERE freq >= 8 AND len(word) >= 5),
+    spc AS (
+      SELECT substr(word, 1, p - 1) || substr(word, p + 1) AS word,
+             cast(1 AS BIGINT) AS freq
+      FROM (SELECT word,
+                   cast(1 + ('0x' || substr(md5(word), 1, 8))::BIGINT % len(word)
+                        AS INTEGER) AS p
+            FROM spw)),
+    spv AS (
+      SELECT word, cast(sum(freq) AS BIGINT) AS freq
+      FROM (SELECT word, cast(freq AS BIGINT) AS freq FROM wf
+            UNION ALL SELECT * FROM spc)
+      GROUP BY word),
+    spt AS (SELECT word, freq FROM spv
+            WHERE freq <= 2 AND len(word) BETWEEN 4 AND 12),
+    spd AS (SELECT word AS cand, freq FROM spv
+            WHERE freq >= 8 AND len(word) BETWEEN 3 AND 13),
+    sptv AS (
+      SELECT DISTINCT word, variant FROM (
+        SELECT word,
+               unnest(list_append(list_transform(range(1, len(word) + 1),
+                      i -> substr(word, 1, i - 1) || substr(word, i + 1)),
+                      word)) AS variant
+        FROM spt)),
+    spdv AS (
+      SELECT DISTINCT cand, freq, variant FROM (
+        SELECT cand, freq,
+               unnest(list_append(list_transform(range(1, len(cand) + 1),
+                      i -> substr(cand, 1, i - 1) || substr(cand, i + 1)),
+                      cand)) AS variant
+        FROM spd)),
+    spcand AS (
+      SELECT DISTINCT word, cand, freq
+      FROM sptv JOIN spdv USING (variant) WHERE word <> cand),
+    spbest AS (
+      SELECT word, cand, freq,
+             row_number() OVER (PARTITION BY word
+                                ORDER BY freq DESC, cand ASC) AS rn
+      FROM spcand)
     SELECT * FROM wb UNION ALL SELECT * FROM cb
     UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
     UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
@@ -4557,6 +4600,9 @@ def q41_repetition_quality(spark, sf_dir):
     SELECT 'cms' AS part, word AS bigram, cast(min(coalesce(c.cnt, 0)) AS BIGINT) AS cnt
     FROM cmsp p LEFT JOIN cmsc c ON p.i = c.i AND p.col = c.col
     GROUP BY word
+    UNION ALL
+    SELECT 'spell' AS part, word || '>' || cand AS bigram, freq AS cnt
+    FROM spbest WHERE rn = 1
     """,
 )
 def q44_bigram_lm_topk(spark, sf_dir):
@@ -4668,7 +4714,52 @@ def q44_bigram_lm_topk(spark, sf_dir):
         F.col("word").alias("bigram"),
         F.col("est").alias("cnt"),
     )
-    return wb.unionAll(cb).unionAll(mrows).unionAll(useed).unionAll(cms)
+    # part='spell' (round 5, sixth pass): SymSpell dictionary
+    # correction (operators/spellfix.py) under the gate. The corpus
+    # vocabulary is closed (31 words), so the arm corrupts it
+    # deterministically first — every trusted word (freq >= 8,
+    # len >= 5) loses its md5-chosen character, entering the vocab as
+    # a freq-1 near-word — then the REAL operator (deletion-variant
+    # broadcast equi-join + argmax window) corrects the rare words
+    # back. The oracle restates corruption and correction by the same
+    # string arithmetic, so candidate generation, the intersection
+    # semantics AND the (freq desc, cand asc) argmax are all under the
+    # driver hash. Same cached word table — still one corpus scan.
+    from .operators.spellfix import spell_corrections
+
+    spw = wfd.filter((F.col("freq") >= 8) & (F.length("word") >= 5))
+    corrupted = (
+        spw.withColumn(
+            "p",
+            (
+                F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+                % F.length("word")
+                + 1
+            ).cast("int"),
+        )
+        .select(
+            F.expr(
+                "concat(substring(word, 1, p - 1),"
+                "       substring(word, p + 1, length(word)))"
+            ).alias("word"),
+            F.lit(1).cast("long").alias("freq"),
+        )
+    )
+    scaffold = (
+        wfd.select("word", F.col("freq").cast("long").alias("freq"))
+        .unionAll(corrupted)
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    spell = spell_corrections(scaffold).select(
+        F.lit("spell").alias("part"),
+        F.concat_ws(">", "wrong", "corrected").alias("bigram"),
+        F.col("freq").alias("cnt"),
+    )
+    return (
+        wb.unionAll(cb).unionAll(mrows).unionAll(useed).unionAll(cms)
+        .unionAll(spell)
+    )
 
 
 @query(

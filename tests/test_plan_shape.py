@@ -244,9 +244,17 @@ def test_q44_topk_no_global_sort(spark):
     assert plan.count("TakeOrderedAndProject") >= 2, plan  # one per part
     # word-bigram agg + word-freq agg + char-pair agg + the round-5
     # fourth-pass uni_seed substring agg + the fifth-pass Count-Min
-    # counter agg (all over the CACHED word table — the corpus itself
-    # is still scanned once), nothing else
-    assert shape.count_exchanges(df) <= 5, plan
+    # counter agg + the sixth-pass SymSpell arm (scaffold re-agg +
+    # candidate distinct/argmax window; its variant join BROADCASTS the
+    # dictionary side, pinned below) — all over the CACHED word table,
+    # the corpus itself is still scanned once. Budget: 5 keyed aggs +
+    # <= 3 vocab-sized spell shuffles (scaffold agg, candidate
+    # distinct, argmax window — AQE may collapse some, cache
+    # materialization state shifts the exact count by 1)
+    assert shape.count_exchanges(df) <= 8, plan
+    # the SymSpell candidate join must never be a nested loop
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_q45_contamination_broadcasts_benchmark(spark):
