@@ -946,6 +946,71 @@ def _pq_trained_recall(spark, sf_dir: str, truth: dict) -> dict:
 #: frames = 4 decoded frames per blob — the held-scene collapse path)
 VIDEO_BENCH_DOCS = 1000
 
+#: blobs in the word-box (hOCR geometry) bench
+WORDBOX_BENCH_DOCS = 1000
+
+
+def _bench_word_boxes(spark, sf_dir: str) -> dict:
+    """Throughput of the round-5 sixth-pass layout-geometry route:
+    WORDBOX_BENCH_DOCS documents 40-char-wrapped, encoded as multi-line
+    tiff pages, and run through codecs.recognize_words (rasterize ->
+    binarize -> segment -> per-word bbox from the decoded ink-column
+    mask — the CLI --word-boxes path). Map-only pandas stage: pure
+    per-core geometry cost, linear in executors at 10^12 docs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pmocr_spark import codecs
+
+    @F.pandas_udf("binary")
+    def enc(text):
+        out = []
+        for t in text:
+            t = t or "x"
+            out.append(
+                codecs.encode_image(
+                    "\n".join(t[i : i + 40] for i in range(0, len(t), 40)),
+                    "tiff",
+                    salt="wbx",
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    blobs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("text")
+        .limit(WORDBOX_BENCH_DOCS)
+        .repartition(int(spark.sparkContext.defaultParallelism) * 2)
+        .select(enc("text").alias("content"))
+        .persist()
+    )
+    n = blobs.count()  # materialize encoded blobs before timing decode
+
+    def boxes(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                rows.extend(codecs.recognize_words(bytes(blob)))
+            yield pd.DataFrame(
+                rows,
+                columns=["line_no", "word_no", "word", "x0", "y0", "x1", "y1"],
+            )
+
+    t0 = time.time()
+    n_words = blobs.mapInPandas(
+        boxes,
+        "line_no long, word_no long, word string, "
+        "x0 long, y0 long, x1 long, y1 long",
+    ).count()
+    sec = round(time.time() - t0, 3)
+    blobs.unpersist()
+    return {
+        "sec": sec,
+        "blobs": n,
+        "words": n_words,
+        "blobs_per_sec": round(n / sec, 2) if sec else 0.0,
+    }
+
 
 def _bench_video(spark, sf_dir: str) -> dict:
     """Throughput of the round-5 video route: VIDEO_BENCH_DOCS documents
@@ -1275,6 +1340,11 @@ def main() -> None:
             f"video transcribe {video['sec']}s "
             f"({video['blobs']} blobs, {video['blobs_per_sec']}/s)"
         )
+        wordbox = _bench_word_boxes(spark, sf_dir)
+        _log(
+            f"word boxes {wordbox['sec']}s "
+            f"({wordbox['words']} words, {wordbox['blobs_per_sec']} blobs/s)"
+        )
         unigram = _bench_unigram(spark, sf_dir)
         _log(f"unigram train {unigram['sec']}s ({unigram['pieces']} pieces)")
         bm25 = _bench_bm25(spark, sf_dir, tmp)
@@ -1302,6 +1372,7 @@ def main() -> None:
             "phash_near_dup": phash["sec"],
             "bpe_learn": bpe["sec"],
             "video_transcribe": video["sec"],
+            "word_boxes": wordbox["sec"],
             "unigram_train": unigram["sec"],
             "bm25_index_search": bm25["sec"],
             "warc_ingest": warc["sec"],
@@ -1315,6 +1386,7 @@ def main() -> None:
         result["phash_blobs_per_sec"] = phash["blobs_per_sec"]
         result["bpe_merges_per_sec"] = bpe["merges_per_sec"]
         result["video_blobs_per_sec"] = video["blobs_per_sec"]
+        result["wordbox_blobs_per_sec"] = wordbox["blobs_per_sec"]
         result["ann_recall_at5"] = recall
         result["ann_recall_floor"] = ANN_RECALL_FLOOR
         result["ivfpq_nprobe_curve"] = nprobe_curve
