@@ -808,6 +808,94 @@ def _run_scale10x(tmp: str, cpus: int) -> dict:
             "no_cartesian_holds": "CartesianProduct" not in plan,
         }
 
+    def run_wordbox():
+        # round-5 sixth-pass operator: hOCR word-box geometry at 10x
+        # the suite entry's blob count — pure map, per-core cost only
+        import pandas as pd
+
+        from pmocr_spark import codecs
+
+        @F.pandas_udf("binary")
+        def enc(text):
+            return pd.Series(
+                [
+                    codecs.encode_image(
+                        "\n".join((t or "x")[i : i + 40] for i in range(0, max(len(t or "x"), 1), 40)),
+                        "tiff",
+                        salt="wbx",
+                    )
+                    for t in text
+                ],
+                dtype=object,
+            )
+
+        blobs = (
+            docs.limit(10 * WORDBOX_BENCH_DOCS)
+            .select(enc("text").alias("content"))
+            .persist()
+        )
+        n = blobs.count()
+
+        def boxes(batches):
+            for pdf in batches:
+                rows = []
+                for blob in pdf["content"]:
+                    rows.extend(codecs.recognize_words(bytes(blob)))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["line_no", "word_no", "word", "x0", "y0", "x1", "y1"],
+                )
+
+        n_words = blobs.mapInPandas(
+            boxes,
+            "line_no long, word_no long, word string, "
+            "x0 long, y0 long, x1 long, y1 long",
+        ).count()
+        blobs.unpersist()
+        return {"blobs": n, "words": n_words}
+
+    def run_spell():
+        # round-5 sixth-pass operator: SymSpell correction at 10x — the
+        # checkpoint claims are (a) the dictionary-variant side still
+        # broadcasts (vocab is Heaps-bounded, NOT corpus-sized) and
+        # (b) the candidate join never degenerates to a nested loop
+        from pmocr_spark.operators.bpe import word_freqs
+        from pmocr_spark.operators.spellfix import spell_corrections
+
+        wfd = word_freqs(docs)
+        scaffold = (
+            wfd.select("word", F.col("freq").cast("long").alias("freq"))
+            .unionAll(
+                wfd.filter((F.col("freq") >= 8) & (F.length("word") >= 5))
+                .withColumn(
+                    "p",
+                    (
+                        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+                        % F.length("word")
+                        + 1
+                    ).cast("int"),
+                )
+                .select(
+                    F.expr(
+                        "concat(substring(word, 1, p - 1),"
+                        "       substring(word, p + 1, length(word)))"
+                    ).alias("word"),
+                    F.lit(1).cast("long").alias("freq"),
+                )
+            )
+            .groupBy("word")
+            .agg(F.sum("freq").alias("freq"))
+        )
+        fixes = spell_corrections(scaffold)
+        plan = fixes._jdf.queryExecution().executedPlan().toString()
+        n_fixes = fixes.count()
+        return {
+            "corrections": n_fixes,
+            "broadcast_dict_holds": "BroadcastHashJoin" in plan,
+            "no_cartesian_holds": "CartesianProduct" not in plan
+            and "BroadcastNestedLoopJoin" not in plan,
+        }
+
     measured("substring_dedup", run_substr)
     measured("q18_minhash_lsh", run_q18)
     measured("phash_near_dup", run_phash)
@@ -818,6 +906,8 @@ def _run_scale10x(tmp: str, cpus: int) -> dict:
     measured("video_transcribe", run_video)
     measured("unigram_train", run_unigram)
     measured("bm25_index_search", run_bm25)
+    measured("word_boxes", run_wordbox)
+    measured("spell_corrections", run_spell)
     spark.stop()
     return out
 

@@ -478,6 +478,13 @@ def build_parser() -> argparse.ArgumentParser:
         "engine layout containers untouched, pmocr.sh:1923-1963)",
     )
     p.add_argument(
+        "--hocr",
+        action="store_true",
+        help="with --word-boxes: write one hOCR XHTML document per blob "
+        "(media_ref, hocr, n_words, error) instead of per-word rows — "
+        "the container tesseract's hocr config emits (codecs.to_hocr)",
+    )
+    p.add_argument(
         "--input-format",
         choices=("parquet", "jsonl", "warc"),
         default="parquet",
@@ -1847,11 +1854,15 @@ def main(argv: list[str] | None = None) -> None:
         from . import codecs
 
         blobs = spark.read.parquet(args.blobs)
+        as_hocr = bool(getattr(args, "hocr", False))
 
-        schema = (
-            "media_ref string, line_no long, word_no long, word string, "
-            "x0 long, y0 long, x1 long, y1 long, error string"
-        )
+        if as_hocr:
+            schema = "media_ref string, hocr string, n_words long, error string"
+        else:
+            schema = (
+                "media_ref string, line_no long, word_no long, word string, "
+                "x0 long, y0 long, x1 long, y1 long, error string"
+            )
 
         def boxes(batches):
             # iterator mapInPandas: constant memory; only image/pdf
@@ -1868,25 +1879,37 @@ def main(argv: list[str] | None = None) -> None:
                     if b[:6] not in (codecs.IMG_MAGIC, codecs.PDF_MAGIC):
                         continue
                     try:
-                        for ln, wn, w, x0, y0, x1, y1 in codecs.recognize_words(b):
-                            rows.append((ref, ln, wn, w, x0, y0, x1, y1, None))
+                        ws = codecs.recognize_words(b)
+                        if as_hocr:
+                            rows.append(
+                                (ref, codecs.to_hocr(ws, page_id=ref), len(ws), None)
+                            )
+                        else:
+                            for ln, wn, w, x0, y0, x1, y1 in ws:
+                                rows.append((ref, ln, wn, w, x0, y0, x1, y1, None))
                     except codecs.CodecError as e:
-                        rows.append((ref, -1, -1, None, -1, -1, -1, -1, str(e)))
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
+                        if as_hocr:
+                            rows.append((ref, None, -1, str(e)))
+                        else:
+                            rows.append((ref, -1, -1, None, -1, -1, -1, -1, str(e)))
+                cols = (
+                    ["media_ref", "hocr", "n_words", "error"]
+                    if as_hocr
+                    else [
                         "media_ref", "line_no", "word_no", "word",
                         "x0", "y0", "x1", "y1", "error",
-                    ],
+                    ]
                 )
+                yield pd.DataFrame(rows, columns=cols)
 
         out = blobs.select("media_ref", "content").mapInPandas(boxes, schema)
         out.write.mode("overwrite").parquet(args.output)
         got = spark.read.parquet(args.output)
         n_ok = got.filter(F.col("error").isNull()).count()
         n_err = got.filter(F.col("error").isNotNull()).count()
+        what = "hOCR documents" if as_hocr else "word boxes"
         print(
-            f"pmocr-spark: {n_ok} word boxes "
+            f"pmocr-spark: {n_ok} {what} "
             f"({n_err} undecodable blobs as error rows) to {args.output}"
         )
         return

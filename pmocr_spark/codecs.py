@@ -570,6 +570,62 @@ def recognize_words(blob: bytes) -> list[tuple[int, int, str, int, int, int, int
     return out
 
 
+def to_hocr(
+    words: list[tuple[int, int, str, int, int, int, int]], page_id: str = "page_1"
+) -> str:
+    """Format recognize_words output as an hOCR document — the actual
+    XHTML microformat tesseract emits for its `hocr` output config
+    (ocr_page / ocr_line / ocrx_word classes, bbox in the title attr;
+    pmOCR forwards the engine's container untouched,
+    pmocr.sh:1923-1963). Line and page bboxes are the unions of their
+    words'; text is XML-escaped. Deterministic: element ids derive
+    from line/word numbers only."""
+    from xml.sax.saxutils import escape
+
+    by_line: dict[int, list] = {}
+    for ln, wn, w, x0, y0, x1, y1 in words:
+        by_line.setdefault(ln, []).append((wn, w, x0, y0, x1, y1))
+    lines_html = []
+    page_box = None
+    for ln in sorted(by_line):
+        ws = sorted(by_line[ln])
+        lx0 = min(w[2] for w in ws)
+        ly0 = min(w[3] for w in ws)
+        lx1 = max(w[4] for w in ws)
+        ly1 = max(w[5] for w in ws)
+        page_box = (
+            (lx0, ly0, lx1, ly1)
+            if page_box is None
+            else (
+                min(page_box[0], lx0),
+                min(page_box[1], ly0),
+                max(page_box[2], lx1),
+                max(page_box[3], ly1),
+            )
+        )
+        spans = "".join(
+            f"<span class='ocrx_word' id='word_{ln}_{wn}' "
+            f"title='bbox {x0} {y0} {x1} {y1}'>{escape(w)}</span>"
+            for wn, w, x0, y0, x1, y1 in ws
+        )
+        lines_html.append(
+            f"<span class='ocr_line' id='line_{ln}' "
+            f"title='bbox {lx0} {ly0} {lx1} {ly1}'>{spans}</span>"
+        )
+    px0, py0, px1, py1 = page_box or (0, 0, 0, 0)
+    body = "".join(lines_html)
+    return (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+        "<html xmlns=\"http://www.w3.org/1999/xhtml\"><head>"
+        "<meta name='ocr-system' content='pmocr-spark'/>"
+        "<meta name='ocr-capabilities' content='ocr_page ocr_line ocrx_word'/>"
+        "</head><body>"
+        f"<div class='ocr_page' id='{page_id}' "
+        f"title='bbox {px0} {py0} {px1} {py1}'>{body}</div>"
+        "</body></html>"
+    )
+
+
 def decode_blob(blob: bytes) -> str:
     """Full per-blob OCR chain M1->M2 (trim + layout)->M3; column blocks
     read in order (left column fully, then the next), page texts joined

@@ -891,3 +891,35 @@ def test_word_boxes_mode(spark, tmp_path):
         assert rows == sorted(exp) and all(r["error"] is None for r in by_ref[ref])
     # pdf blob: words span both pages (global line numbering)
     assert {r["line_no"] for r in by_ref["i:1"]} == {0, 1}
+
+
+def test_word_boxes_hocr_mode(spark, tmp_path):
+    """--word-boxes --hocr: one hOCR XHTML document per decodable blob,
+    parse-back equal to recognize_words; error rows keep the
+    error-as-data shape."""
+    from pmocr_spark import codecs
+    from tests.test_codecs import _parse_hocr
+
+    blobs = {
+        "i:0": codecs.encode_image("alpha beta\ngamma", "tif", salt="hc"),
+        "bad": codecs.encode_image("x", "png", salt="hc")[:25],
+    }
+    bdir = str(tmp_path / "blobs")
+    spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "media_ref string, content binary",
+    ).write.parquet(bdir)
+
+    out = str(tmp_path / "hocr")
+    cli.main(
+        ["--word-boxes", "--hocr", "--blobs", bdir, "--output", out,
+         "--master", "local[2]"]
+    )
+    got = {r["media_ref"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"i:0", "bad"}
+    ok = got["i:0"]
+    assert ok["error"] is None and ok["n_words"] == 3
+    assert _parse_hocr(ok["hocr"]) == codecs.recognize_words(blobs["i:0"])
+    assert f"id='i:0'" in ok["hocr"]  # page id carries the media_ref
+    bad = got["bad"]
+    assert bad["hocr"] is None and bad["n_words"] == -1 and bad["error"]

@@ -285,3 +285,47 @@ def test_recognize_words_empty_and_spaces():
         codecs.recognize_words(codecs.encode_image(" lead  mid ", "png", salt="e"))
         == _expected_words(" lead  mid ")
     )
+
+
+def _parse_hocr(doc: str):
+    """Regex hOCR reader: recover (line_no, word_no, word, x0, y0, x1, y1)."""
+    import re
+    from xml.sax.saxutils import unescape
+
+    out = []
+    for m in re.finditer(
+        r"<span class='ocrx_word' id='word_(\d+)_(\d+)' "
+        r"title='bbox (\d+) (\d+) (\d+) (\d+)'>(.*?)</span>",
+        doc,
+    ):
+        ln, wn, x0, y0, x1, y1, w = m.groups()
+        out.append(
+            (int(ln), int(wn), unescape(w), int(x0), int(y0), int(x1), int(y1))
+        )
+    return out
+
+
+@given(media_text())
+@settings(max_examples=30, deadline=None)
+def test_hocr_roundtrip(text):
+    words = codecs.recognize_words(codecs.encode_image(text, "tif", salt="h"))
+    assert _parse_hocr(codecs.to_hocr(words)) == words
+
+
+def test_hocr_escapes_and_boxes():
+    doc = codecs.to_hocr(
+        codecs.recognize_words(codecs.encode_image("a<b> &c", "png", salt="h"))
+    )
+    assert "a&lt;b&gt;" in doc and "&amp;c" in doc
+    # line bbox is the union of its words' boxes
+    import re
+
+    line = re.search(r"ocr_line' id='line_0' title='bbox (\d+) (\d+) (\d+) (\d+)'", doc)
+    assert line.groups() == ("1", "0", "8", "8")  # chars 0..6, anchor-offset x
+    page = re.search(r"ocr_page' id='page_1' title='bbox (\d+) (\d+) (\d+) (\d+)'", doc)
+    assert page.groups() == ("1", "0", "8", "8")
+
+
+def test_hocr_empty_words():
+    doc = codecs.to_hocr([])
+    assert "bbox 0 0 0 0" in doc and "class='ocrx_word'" not in doc
