@@ -454,3 +454,20 @@ def test_q35_mix_no_per_domain_window(spark):
     # by the two-pass _pid, never by dom alone
     for m in re.finditer(r"Window \[[^\]]*mkey[^\]]*\]", plan):
         assert "_pid" in m.group(0), m.group(0)
+
+
+def test_q27_media_family_map_only(spark):
+    """The media-path family (text roundtrip + word-box geometry) is
+    shuffle-FREE: every stage is a map (encode UDF, fused decode UDF,
+    word-box UDF + explode, union) — at 10^12 docs the family costs
+    two column-pruned scans and per-core codec work, nothing keyed.
+    All Python stages must be Arrow-batched, never row-at-a-time."""
+    import re
+
+    df = QUERY_FNS["q27_media_roundtrip"](spark, SF)
+    plan = shape.formatted_plan(df)
+    assert shape.count_exchanges(df) == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+    # encode+decode (text arm) and encode+wordbox (word arm) detail
+    # headers — 3 Arrow stages total (ocr_extract fuses decode)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 3, plan
