@@ -860,33 +860,9 @@ def _run_scale10x(tmp: str, cpus: int) -> dict:
         # broadcasts (vocab is Heaps-bounded, NOT corpus-sized) and
         # (b) the candidate join never degenerates to a nested loop
         from pmocr_spark.operators.bpe import word_freqs
-        from pmocr_spark.operators.spellfix import spell_corrections
+        from pmocr_spark.operators.spellfix import corrupt_trusted, spell_corrections
 
-        wfd = word_freqs(docs)
-        scaffold = (
-            wfd.select("word", F.col("freq").cast("long").alias("freq"))
-            .unionAll(
-                wfd.filter((F.col("freq") >= 8) & (F.length("word") >= 5))
-                .withColumn(
-                    "p",
-                    (
-                        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
-                        % F.length("word")
-                        + 1
-                    ).cast("int"),
-                )
-                .select(
-                    F.expr(
-                        "concat(substring(word, 1, p - 1),"
-                        "       substring(word, p + 1, length(word)))"
-                    ).alias("word"),
-                    F.lit(1).cast("long").alias("freq"),
-                )
-            )
-            .groupBy("word")
-            .agg(F.sum("freq").alias("freq"))
-        )
-        fixes = spell_corrections(scaffold)
+        fixes = spell_corrections(corrupt_trusted(word_freqs(docs)))
         plan = fixes._jdf.queryExecution().executedPlan().toString()
         n_fixes = fixes.count()
         return {

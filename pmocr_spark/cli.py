@@ -881,6 +881,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     # --compact-lineage etc. must not silently swallow a train-bpe knob
     if args.bpe_min_count is not None and args.train_bpe is None:
         parser.error("--bpe-min-count only applies to --train-bpe")
+    if getattr(args, "hocr", False) and not args.word_boxes:
+        parser.error("--hocr requires --word-boxes")
     if args.pr_iters is not None and not args.pagerank:
         parser.error("--pr-iters only applies to --pagerank")
     if (
@@ -1887,7 +1889,11 @@ def main(argv: list[str] | None = None) -> None:
                         else:
                             for ln, wn, w, x0, y0, x1, y1 in ws:
                                 rows.append((ref, ln, wn, w, x0, y0, x1, y1, None))
-                    except codecs.CodecError as e:
+                    # broad catch, same as the fused UDF (udfs.py): a
+                    # magic-valid blob with a torn header raises raw
+                    # struct.error from rasterize, and error-as-data
+                    # means NO exception may kill the task
+                    except Exception as e:  # noqa: BLE001
                         if as_hocr:
                             rows.append((ref, None, -1, str(e)))
                         else:

@@ -546,10 +546,21 @@ def recognize_words(blob: bytes) -> list[tuple[int, int, str, int, int, int, int
         for block in segment_columns(binary):
             bands = segment_lines(block)
             texts = recognize_block(bands)  # parity-validated
+            # the column-code mask in ONE stacked pass for the whole
+            # block (recognize_block's own lesson: per-band numpy
+            # dispatch was ~half of multi-line decode time), sliced
+            # per band below
+            nonempty = [b for b in bands if b.size]
+            if nonempty:
+                stack_bits = np.stack(nonempty)[:, :7, :].astype(np.uint8)
+                block_codes = (
+                    stack_bits * (1 << np.arange(7, dtype=np.uint8))[None, :, None]
+                ).sum(axis=1)
+            ne_i = 0
             for bi, (band, text) in enumerate(zip(bands, texts)):
                 if band.size:
-                    bits = band[:7, :].astype(np.uint8)
-                    codes = (bits * (1 << np.arange(7, dtype=np.uint8))[:, None]).sum(axis=0)
+                    codes = block_codes[ne_i]
+                    ne_i += 1
                     cols = np.flatnonzero((codes > 0) & (codes != ANCHOR_CODE))
                 else:
                     cols = np.empty(0, dtype=np.int64)
@@ -578,9 +589,12 @@ def to_hocr(
     (ocr_page / ocr_line / ocrx_word classes, bbox in the title attr;
     pmOCR forwards the engine's container untouched,
     pmocr.sh:1923-1963). Line and page bboxes are the unions of their
-    words'; text is XML-escaped. Deterministic: element ids derive
-    from line/word numbers only."""
+    words'; text AND the caller-supplied page_id are XML-escaped (the
+    CLI passes raw media_refs as page ids). Deterministic: element ids
+    derive from line/word numbers only."""
     from xml.sax.saxutils import escape
+
+    page_id = escape(page_id, {"'": "&apos;", '"': "&quot;"})
 
     by_line: dict[int, list] = {}
     for ln, wn, w, x0, y0, x1, y1 in words:

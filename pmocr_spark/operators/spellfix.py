@@ -42,6 +42,40 @@ _VARIANTS = (
 )
 
 
+def corrupt_trusted(wfd: DataFrame, min_freq: int = 8, min_len: int = 5) -> DataFrame:
+    """Deterministic vocabulary-corruption scaffold shared by the q44
+    part='spell' gate arm and the 10x bench checkpoint: every trusted
+    word (freq >= min_freq, length >= min_len) loses its md5-chosen
+    character and re-enters the vocabulary as a freq-1 near-word
+    (merged by a word-keyed re-agg with the original table). The same
+    arithmetic is restated in q44's DuckDB oracle — change it in BOTH
+    places or the gate hash-mismatches."""
+    corrupted = (
+        wfd.filter((F.col("freq") >= min_freq) & (F.length("word") >= min_len))
+        .withColumn(
+            "p",
+            (
+                F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+                % F.length("word")
+                + 1
+            ).cast("int"),
+        )
+        .select(
+            F.expr(
+                "concat(substring(word, 1, p - 1),"
+                "       substring(word, p + 1, length(word)))"
+            ).alias("word"),
+            F.lit(1).cast("long").alias("freq"),
+        )
+    )
+    return (
+        wfd.select("word", F.col("freq").cast("long").alias("freq"))
+        .unionAll(corrupted)
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
 def deletion_variants(words: DataFrame) -> DataFrame:
     """Explode each (word, freq) row into its symmetric-delete variant
     set: the word itself plus every single-character deletion

@@ -2342,9 +2342,12 @@ def q26_fingerprint(spark, sf_dir):
       FROM documents
     ),
     lines AS (
-      SELECT doc_id, k AS line_no, substr(t, 1 + 40*k, 40) AS line
-      FROM clean, generate_series(0, 63) AS g(k)
-      WHERE 40*k < length(t)
+      -- regex chunking wraps at ANY text length (no fixed series cap
+      -- to fall out of sync with the unbounded Spark-side wrap);
+      -- clean text is newline-free so '.' covers every char
+      SELECT doc_id, generate_subscripts(c, 1) - 1 AS line_no,
+             unnest(c) AS line
+      FROM (SELECT doc_id, regexp_extract_all(t, '.{1,40}') AS c FROM clean)
     ),
     pieces AS (
       SELECT doc_id, line_no, generate_subscripts(ps, 1) AS i, unnest(ps) AS pc
@@ -4725,32 +4728,9 @@ def q44_bigram_lm_topk(spark, sf_dir):
     # string arithmetic, so candidate generation, the intersection
     # semantics AND the (freq desc, cand asc) argmax are all under the
     # driver hash. Same cached word table — still one corpus scan.
-    from .operators.spellfix import spell_corrections
+    from .operators.spellfix import corrupt_trusted, spell_corrections
 
-    spw = wfd.filter((F.col("freq") >= 8) & (F.length("word") >= 5))
-    corrupted = (
-        spw.withColumn(
-            "p",
-            (
-                F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
-                % F.length("word")
-                + 1
-            ).cast("int"),
-        )
-        .select(
-            F.expr(
-                "concat(substring(word, 1, p - 1),"
-                "       substring(word, p + 1, length(word)))"
-            ).alias("word"),
-            F.lit(1).cast("long").alias("freq"),
-        )
-    )
-    scaffold = (
-        wfd.select("word", F.col("freq").cast("long").alias("freq"))
-        .unionAll(corrupted)
-        .groupBy("word")
-        .agg(F.sum("freq").alias("freq"))
-    )
+    scaffold = corrupt_trusted(wfd)
     spell = spell_corrections(scaffold).select(
         F.lit("spell").alias("part"),
         F.concat_ws(">", "wrong", "corrected").alias("bigram"),

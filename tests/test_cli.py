@@ -861,6 +861,9 @@ def test_word_boxes_mode(spark, tmp_path):
         "i:1": codecs.encode_pdf(["page one", "page two words"], salt="wb"),
         # image magic but truncated payload -> CodecError -> error row
         "bad": codecs.encode_image("poison pill", "png", salt="wb")[:30],
+        # magic intact, HEADER torn mid-struct -> raw struct.error from
+        # rasterize; error-as-data must survive non-CodecError exceptions
+        "torn": codecs.encode_image("p", "png", salt="wb")[:12],
         "a:0": codecs.encode_audio("not an image", salt="wb"),
     }
     bdir = str(tmp_path / "blobs")
@@ -878,9 +881,10 @@ def test_word_boxes_mode(spark, tmp_path):
     by_ref: dict[str, list] = {}
     for r in got:
         by_ref.setdefault(r["media_ref"], []).append(r)
-    assert set(by_ref) == {"i:0", "i:1", "bad"}  # audio skipped by magic
-    errs = [r for r in by_ref["bad"]]
-    assert len(errs) == 1 and errs[0]["error"] and errs[0]["word"] is None
+    assert set(by_ref) == {"i:0", "i:1", "bad", "torn"}  # audio skipped
+    for bad_ref in ("bad", "torn"):
+        errs = by_ref[bad_ref]
+        assert len(errs) == 1 and errs[0]["error"] and errs[0]["word"] is None
     for ref in ("i:0", "i:1"):
         exp = codecs.recognize_words(blobs[ref])
         rows = sorted(
@@ -923,3 +927,10 @@ def test_word_boxes_hocr_mode(spark, tmp_path):
     assert f"id='i:0'" in ok["hocr"]  # page id carries the media_ref
     bad = got["bad"]
     assert bad["hocr"] is None and bad["n_words"] == -1 and bad["error"]
+
+
+def test_hocr_without_word_boxes_rejected():
+    with pytest.raises(SystemExit):
+        cli.parse_args(
+            ["--extract-markdown", "--blobs", "b", "--output", "o", "--hocr"]
+        )

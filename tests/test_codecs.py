@@ -329,3 +329,8 @@ def test_hocr_escapes_and_boxes():
 def test_hocr_empty_words():
     doc = codecs.to_hocr([])
     assert "bbox 0 0 0 0" in doc and "class='ocrx_word'" not in doc
+
+
+def test_hocr_page_id_escaped():
+    doc = codecs.to_hocr([], page_id="o'brien <&> 1")
+    assert "id='o&apos;brien &lt;&amp;&gt; 1'" in doc
