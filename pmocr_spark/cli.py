@@ -485,6 +485,15 @@ def build_parser() -> argparse.ArgumentParser:
         "the container tesseract's hocr config emits (codecs.to_hocr)",
     )
     p.add_argument(
+        "--tables",
+        action="store_true",
+        help="with --word-boxes: geometric table reconstruction "
+        "(codecs.detect_table — full-height >=2px whitespace channels "
+        "as column separators, the csv hack's 2-space rule made "
+        "layout-true): one row per cell (media_ref, row_no, col_no, "
+        "cell, x0, y0, x1, y1, error)",
+    )
+    p.add_argument(
         "--input-format",
         choices=("parquet", "jsonl", "warc"),
         default="parquet",
@@ -883,6 +892,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         parser.error("--bpe-min-count only applies to --train-bpe")
     if getattr(args, "hocr", False) and not args.word_boxes:
         parser.error("--hocr requires --word-boxes")
+    if getattr(args, "tables", False) and not args.word_boxes:
+        parser.error("--tables requires --word-boxes")
+    if getattr(args, "tables", False) and getattr(args, "hocr", False):
+        parser.error("--tables and --hocr are mutually exclusive outputs")
     if args.pr_iters is not None and not args.pagerank:
         parser.error("--pr-iters only applies to --pagerank")
     if (
@@ -1857,9 +1870,15 @@ def main(argv: list[str] | None = None) -> None:
 
         blobs = spark.read.parquet(args.blobs)
         as_hocr = bool(getattr(args, "hocr", False))
+        as_tables = bool(getattr(args, "tables", False))
 
         if as_hocr:
             schema = "media_ref string, hocr string, n_words long, error string"
+        elif as_tables:
+            schema = (
+                "media_ref string, row_no long, col_no long, cell string, "
+                "x0 long, y0 long, x1 long, y1 long, error string"
+            )
         else:
             schema = (
                 "media_ref string, line_no long, word_no long, word string, "
@@ -1886,6 +1905,9 @@ def main(argv: list[str] | None = None) -> None:
                             rows.append(
                                 (ref, codecs.to_hocr(ws, page_id=ref), len(ws), None)
                             )
+                        elif as_tables:
+                            for rn, cn, cell, x0, x1, y0, y1 in codecs.detect_table(ws):
+                                rows.append((ref, rn, cn, cell, x0, y0, x1, y1, None))
                         else:
                             for ln, wn, w, x0, y0, x1, y1 in ws:
                                 rows.append((ref, ln, wn, w, x0, y0, x1, y1, None))
@@ -1898,14 +1920,18 @@ def main(argv: list[str] | None = None) -> None:
                             rows.append((ref, None, -1, str(e)))
                         else:
                             rows.append((ref, -1, -1, None, -1, -1, -1, -1, str(e)))
-                cols = (
-                    ["media_ref", "hocr", "n_words", "error"]
-                    if as_hocr
-                    else [
+                if as_hocr:
+                    cols = ["media_ref", "hocr", "n_words", "error"]
+                elif as_tables:
+                    cols = [
+                        "media_ref", "row_no", "col_no", "cell",
+                        "x0", "y0", "x1", "y1", "error",
+                    ]
+                else:
+                    cols = [
                         "media_ref", "line_no", "word_no", "word",
                         "x0", "y0", "x1", "y1", "error",
                     ]
-                )
                 yield pd.DataFrame(rows, columns=cols)
 
         out = blobs.select("media_ref", "content").mapInPandas(boxes, schema)
@@ -1913,7 +1939,11 @@ def main(argv: list[str] | None = None) -> None:
         got = spark.read.parquet(args.output)
         n_ok = got.filter(F.col("error").isNull()).count()
         n_err = got.filter(F.col("error").isNotNull()).count()
-        what = "hOCR documents" if as_hocr else "word boxes"
+        what = (
+            "hOCR documents"
+            if as_hocr
+            else ("table cells" if as_tables else "word boxes")
+        )
         print(
             f"pmocr-spark: {n_ok} {what} "
             f"({n_err} undecodable blobs as error rows) to {args.output}"

@@ -581,6 +581,71 @@ def recognize_words(blob: bytes) -> list[tuple[int, int, str, int, int, int, int
     return out
 
 
+def detect_table(
+    words: list[tuple[int, int, str, int, int, int, int]], min_gap: int = 2
+) -> list[tuple[int, int, str, int, int, int, int]]:
+    """M3d — GEOMETRIC table reconstruction from word boxes: column
+    separators are x-gaps of >= min_gap pixels that no word of ANY
+    line crosses (full-height whitespace channels), columns are the
+    occupied spans between them, and a cell is the words of one
+    (line, column) in x order.
+
+    The layout-true analog of pmOCR's csv hack (pmocr.sh:2017/2031,
+    a per-line textual 's/  +/;/' rewrite): the textual form splits
+    each row independently and mis-aligns ragged tables; the geometric
+    form recovers the actual column structure the way table-aware OCR
+    engines do. min_gap=2 matches the csv hack's 2-space rule, so on
+    a perfectly aligned space-padded table both agree.
+
+    Input: recognize_words output for ONE block (block-local x).
+    Returns (row_no, col_no, cell, x0, x1, y0, y1): row_no/col_no are
+    0-based dense indexes over lines-with-words and detected columns;
+    x0/x1 the column's occupied span; y0/y1 the line band's rows.
+    Cells are emitted only where a word exists (empty cells have no
+    geometry to anchor them)."""
+    if not words:
+        return []
+    xmin = min(w[3] for w in words)
+    xmax = max(w[5] for w in words)
+    occupied = np.zeros(xmax - xmin, dtype=bool)
+    for _, _, _, x0, _, x1, _ in words:
+        occupied[x0 - xmin : x1 - xmin] = True
+    # column spans: occupied islands merged across sub-min_gap gaps
+    cols: list[tuple[int, int]] = []  # absolute-x [a, b) spans
+    run_start = None
+    gap = 0
+    for i, occ in enumerate(occupied):
+        if occ:
+            if run_start is None:
+                run_start = i
+            elif gap >= min_gap:
+                cols.append((run_start + xmin, last_end + xmin))
+                run_start = i
+            gap = 0
+            last_end = i + 1
+        elif run_start is not None:
+            gap += 1
+    cols.append((run_start + xmin, last_end + xmin))
+    lines = sorted({w[0] for w in words})
+    row_of = {ln: i for i, ln in enumerate(lines)}
+    cells: dict[tuple[int, int], list] = {}
+    for ln, _, w, x0, y0, x1, y1 in sorted(words, key=lambda t: (t[0], t[3])):
+        ci = next(i for i, (a, b) in enumerate(cols) if a <= x0 < b)
+        cells.setdefault((row_of[ln], ci), []).append((w, y0, y1))
+    return [
+        (
+            r,
+            c,
+            " ".join(w for w, _, _ in ws),
+            cols[c][0],
+            cols[c][1],
+            ws[0][1],
+            ws[0][2],
+        )
+        for (r, c), ws in sorted(cells.items())
+    ]
+
+
 def to_hocr(
     words: list[tuple[int, int, str, int, int, int, int]], page_id: str = "page_1"
 ) -> str:

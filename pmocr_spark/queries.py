@@ -2359,6 +2359,53 @@ def q26_fingerprint(spark, sf_dir):
                  PARTITION BY doc_id, line_no ORDER BY i
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_p
       FROM pieces
+    ),
+    -- geometric table reconstruction (part='cell'): expected cells by
+    -- occupied-union / separator-run (>= 2 blank cols) / dense-column
+    -- arithmetic over the deterministic 2x3 space-padded table rows
+    celltbl AS (
+      SELECT doc_id,
+             rpad(substr(s, 1, 8), 10, ' ') || rpad(substr(s, 9, 6), 8, ' ')
+               || substr(s, 15, 7) AS row1,
+             rpad(substr(s, 22, 8), 10, ' ') || rpad(substr(s, 30, 6), 8, ' ')
+               || substr(s, 36, 7) AS row2
+      FROM (SELECT doc_id, replace(t, ' ', '_') AS s FROM clean)
+    ),
+    cpos AS (
+      SELECT doc_id, p,
+             (substr(row1, p, 1) NOT IN ('', ' ')
+              OR substr(row2, p, 1) NOT IN ('', ' ')) AS occ
+      FROM celltbl, generate_series(1, 25) AS g(p)
+    ),
+    cseprun AS (
+      SELECT doc_id, min(p) AS a, max(p) AS b
+      FROM (SELECT doc_id, p,
+                   p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+            FROM cpos WHERE NOT occ)
+      GROUP BY doc_id, grp HAVING count(*) >= 2
+    ),
+    ccolg AS (
+      SELECT o.doc_id, o.p,
+             (SELECT count(*) FROM cseprun s
+              WHERE s.doc_id = o.doc_id AND s.b < o.p) AS colg
+      FROM cpos o WHERE o.occ
+    ),
+    ccols AS (
+      SELECT doc_id, colg, min(p) AS a, max(p) AS b
+      FROM ccolg GROUP BY doc_id, colg
+    ),
+    ccols2 AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY colg) - 1 AS col_no,
+             a, b
+      FROM ccols
+    ),
+    crows AS (
+      SELECT doc_id, k, rt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS row_no
+      FROM (SELECT doc_id, k, CASE WHEN k = 1 THEN row1 ELSE row2 END AS rt
+            FROM celltbl, unnest([1, 2]) AS u(k))
+      WHERE trim(rt) <> ''
     )
     SELECT 'word' AS part, doc_id, cast(line_no AS BIGINT) AS line_no,
            cast(row_number() OVER (PARTITION BY doc_id, line_no ORDER BY i) - 1
@@ -2371,6 +2418,14 @@ def q26_fingerprint(spark, sf_dir):
     FROM pos WHERE pc <> ''
     UNION ALL
     SELECT 'text', doc_id, -1, -1, t, -1, -1, -1, -1 FROM clean
+    UNION ALL
+    SELECT 'cell', r.doc_id, cast(r.row_no AS BIGINT),
+           cast(c.col_no AS BIGINT),
+           trim(substr(r.rt, c.a, c.b - c.a + 1)),
+           cast(c.a AS BIGINT), cast((r.k - 1) * 9 AS BIGINT),
+           cast(c.b + 1 AS BIGINT), cast((r.k - 1) * 9 + 8 AS BIGINT)
+    FROM crows r JOIN ccols2 c USING (doc_id)
+    WHERE trim(substr(r.rt, c.a, c.b - c.a + 1)) <> ''
     """,
 )
 def q27_media_roundtrip(spark, sf_dir):
@@ -2392,7 +2447,18 @@ def q27_media_roundtrip(spark, sf_dir):
     1 + char_index past the anchor column; y from the 9-row band
     pitch), so a one-pixel segmentation shift hash-mismatches.
     tesseract's hOCR/TSV analog; the reference forwards engine layout
-    output untouched (pmocr.sh:1923-1963)."""
+    output untouched (pmocr.sh:1923-1963).
+
+    part='cell' (round 5, sixth pass): GEOMETRIC table reconstruction
+    (codecs.detect_table) under the gate — each doc's cleaned text
+    (spaces -> '_' so cells are space-free) fills a deterministic
+    2-row x 3-column space-padded table, encodes as a page, and the
+    full decode -> word boxes -> column detection (full-height x-gap
+    channels >= 2px, the csv hack's 2-space rule made geometric) runs
+    for real; the oracle restates the expected cells independently by
+    the same occupied-union / separator-run / dense-column arithmetic
+    over the row STRINGS. Short texts exercise vanishing cells,
+    columns and rows — the oracle's run-length CTEs track all of it."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -2458,7 +2524,51 @@ def q27_media_roundtrip(spark, sf_dir):
             F.col("w.y1").alias("y1"),
         )
     )
-    return text_arm.unionByName(word_arm)
+
+    @F.pandas_udf(T.BinaryType())
+    def encode_table(text):
+        return pd.Series(
+            [
+                codecs.encode_image(
+                    t[0:8].ljust(10) + t[8:14].ljust(8) + t[14:21]
+                    + "\n"
+                    + t[21:29].ljust(10) + t[29:35].ljust(8) + t[35:42],
+                    "tif",
+                    salt="cell",
+                )
+                for t in text
+            ],
+            dtype=object,
+        )
+
+    @F.pandas_udf(
+        "array<struct<row_no:long,col_no:long,cell:string,"
+        "x0:long,x1:long,y0:long,y1:long>>"
+    )
+    def table_cells(blobs):
+        return pd.Series(
+            [codecs.detect_table(codecs.recognize_words(b)) for b in blobs],
+            dtype=object,
+        )
+
+    cell_arm = (
+        d.select(
+            "doc_id", encode_table(F.translate(clean, " ", "_")).alias("content")
+        )
+        .select("doc_id", F.explode(table_cells("content")).alias("c"))
+        .select(
+            F.lit("cell").alias("part"),
+            "doc_id",
+            F.col("c.row_no").alias("line_no"),
+            F.col("c.col_no").alias("word_no"),
+            F.col("c.cell").alias("text_out"),
+            F.col("c.x0").alias("x0"),
+            F.col("c.y0").alias("y0"),
+            F.col("c.x1").alias("x1"),
+            F.col("c.y1").alias("y1"),
+        )
+    )
+    return text_arm.unionByName(word_arm).unionByName(cell_arm)
 
 
 @query("q28_ocr_pipeline")  # no SQL oracle: full span pipeline (pytest-gated)

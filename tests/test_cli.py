@@ -934,3 +934,36 @@ def test_hocr_without_word_boxes_rejected():
         cli.parse_args(
             ["--extract-markdown", "--blobs", "b", "--output", "o", "--hocr"]
         )
+
+
+def test_word_boxes_tables_mode(spark, tmp_path):
+    """--word-boxes --tables: geometric cell rows per blob, equal to
+    detect_table(recognize_words(blob)); --tables+--hocr rejected."""
+    from pmocr_spark import codecs
+
+    t = "alpha     beta    gamma\nx                 z"
+    blobs = {"i:0": codecs.encode_image(t, "tif", salt="ct")}
+    bdir = str(tmp_path / "blobs")
+    spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "media_ref string, content binary",
+    ).write.parquet(bdir)
+    out = str(tmp_path / "cells")
+    cli.main(
+        ["--word-boxes", "--tables", "--blobs", bdir, "--output", out,
+         "--master", "local[2]"]
+    )
+    got = sorted(
+        (r["row_no"], r["col_no"], r["cell"], r["x0"], r["x1"], r["y0"], r["y1"])
+        for r in spark.read.parquet(out).collect()
+    )
+    exp = sorted(codecs.detect_table(codecs.recognize_words(blobs["i:0"])))
+    assert got == exp
+    # the ragged row keeps column identity (col 1 empty, z in col 2)
+    assert (1, 2, "z") in {(r, c, w) for r, c, w, *_ in got}
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--word-boxes", "--tables", "--hocr",
+                        "--blobs", "b", "--output", "o"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--extract-markdown", "--blobs", "b", "--output", "o",
+                        "--tables"])

@@ -334,3 +334,60 @@ def test_hocr_empty_words():
 def test_hocr_page_id_escaped():
     doc = codecs.to_hocr([], page_id="o'brien <&> 1")
     assert "id='o&apos;brien &lt;&amp;&gt; 1'" in doc
+
+
+# ------------------------------------------------------------- table geometry
+
+
+def _table_cells(text):
+    blob = codecs.encode_image(text, "tif", salt="tt")
+    return codecs.detect_table(codecs.recognize_words(blob))
+
+
+def test_detect_table_aligned_grid():
+    t = "alpha     beta    gamma\ndd        ee      ff"
+    cells = _table_cells(t)
+    grid = {(r, c): cell for r, c, cell, *_ in cells}
+    assert grid == {
+        (0, 0): "alpha", (0, 1): "beta", (0, 2): "gamma",
+        (1, 0): "dd", (1, 1): "ee", (1, 2): "ff",
+    }
+    # on an aligned table the geometric split agrees with the textual
+    # csv hack (2+ spaces), the reference's approximation
+    for r, line in enumerate(t.split("\n")):
+        want = codecs.csv_hack(line).rstrip(";").split(";")
+        got = [cell for (rr, c), cell in sorted(grid.items()) if rr == r]
+        assert got == want
+
+
+def test_detect_table_ragged_rows_keep_column_identity():
+    """THE case the textual csv hack gets wrong: a row with an empty
+    middle cell. Textually 'x         z' splits into two fields and
+    'z' lands in column 1; geometrically 'z' stays in column 2."""
+    t = "alpha     beta    gamma\nx                 z"
+    cells = _table_cells(t)
+    grid = {(r, c): cell for r, c, cell, *_ in cells}
+    assert grid[(1, 0)] == "x" and grid[(1, 2)] == "z" and (1, 1) not in grid
+    # the textual hack demonstrably mis-assigns the same row
+    assert codecs.csv_hack("x                 z").split(";")[1] == "z"
+
+
+def test_detect_table_single_space_does_not_split():
+    """min_gap=2 (the csv hack's 2-space rule): single spaces are
+    intra-cell, so a two-word cell stays one cell."""
+    cells = _table_cells("a b       c\nd e       f")
+    grid = {(r, c): cell for r, c, cell, *_ in cells}
+    assert grid == {(0, 0): "a b", (0, 1): "c", (1, 0): "d e", (1, 1): "f"}
+
+
+def test_detect_table_column_spans_are_occupied_unions():
+    cells = _table_cells("wide_cell  b\nx          y")
+    by_col = {}
+    for _, c, _, x0, x1, _, _ in cells:
+        by_col.setdefault(c, set()).add((x0, x1))
+    assert by_col[0] == {(1, 10)}  # 'wide_cell' spans chars 0-8 -> x 1..10
+    assert len(by_col[1]) == 1
+
+
+def test_detect_table_empty():
+    assert codecs.detect_table([]) == []

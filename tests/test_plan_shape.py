@@ -457,17 +457,19 @@ def test_q35_mix_no_per_domain_window(spark):
 
 
 def test_q27_media_family_map_only(spark):
-    """The media-path family (text roundtrip + word-box geometry) is
-    shuffle-FREE: every stage is a map (encode UDF, fused decode UDF,
-    word-box UDF + explode, union) — at 10^12 docs the family costs
-    two column-pruned scans and per-core codec work, nothing keyed.
-    All Python stages must be Arrow-batched, never row-at-a-time."""
+    """The media-path family (text roundtrip + word-box geometry +
+    geometric table cells) is shuffle-FREE: every stage is a map
+    (encode UDFs, fused decode UDF, word-box/cell UDFs + explode,
+    union) — at 10^12 docs the family costs three column-pruned scans
+    and per-core codec work, nothing keyed. All Python stages must be
+    Arrow-batched, never row-at-a-time."""
     import re
 
     df = QUERY_FNS["q27_media_roundtrip"](spark, SF)
     plan = shape.formatted_plan(df)
     assert shape.count_exchanges(df) == 0, plan
     assert "BatchEvalPython" not in plan, plan
-    # encode+decode (text arm) and encode+wordbox (word arm) detail
-    # headers — 3 Arrow stages total (ocr_extract fuses decode)
-    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 3, plan
+    # per-arm Arrow detail headers: text = encode + fused decode,
+    # word = encode + wordbox, cell = encode + detect (encode+detect
+    # fuse into one stage when Spark chains them) — 5 stages total
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 5, plan
