@@ -1876,8 +1876,8 @@ def main(argv: list[str] | None = None) -> None:
             schema = "media_ref string, hocr string, n_words long, error string"
         elif as_tables:
             schema = (
-                "media_ref string, row_no long, col_no long, cell string, "
-                "x0 long, y0 long, x1 long, y1 long, error string"
+                "media_ref string, block_no long, row_no long, col_no long, "
+                "cell string, x0 long, y0 long, x1 long, y1 long, error string"
             )
         else:
             schema = (
@@ -1900,16 +1900,27 @@ def main(argv: list[str] | None = None) -> None:
                     if b[:6] not in (codecs.IMG_MAGIC, codecs.PDF_MAGIC):
                         continue
                     try:
-                        ws = codecs.recognize_words(b)
-                        if as_hocr:
+                        if as_tables:
+                            # per COLUMN BLOCK: detect_table's whitespace
+                            # channels are only meaningful inside one
+                            # block's coordinate frame — a two-column
+                            # page is two independent tables
+                            for bno, (bws, _n) in enumerate(
+                                codecs.recognize_words_blocks(b)
+                            ):
+                                for rn, cn, cell, x0, x1, y0, y1 in (
+                                    codecs.detect_table(bws)
+                                ):
+                                    rows.append(
+                                        (ref, bno, rn, cn, cell, x0, y0, x1, y1, None)
+                                    )
+                        elif as_hocr:
+                            ws = codecs.recognize_words(b)
                             rows.append(
                                 (ref, codecs.to_hocr(ws, page_id=ref), len(ws), None)
                             )
-                        elif as_tables:
-                            for rn, cn, cell, x0, x1, y0, y1 in codecs.detect_table(ws):
-                                rows.append((ref, rn, cn, cell, x0, y0, x1, y1, None))
                         else:
-                            for ln, wn, w, x0, y0, x1, y1 in ws:
+                            for ln, wn, w, x0, y0, x1, y1 in codecs.recognize_words(b):
                                 rows.append((ref, ln, wn, w, x0, y0, x1, y1, None))
                     # broad catch, same as the fused UDF (udfs.py): a
                     # magic-valid blob with a torn header raises raw
@@ -1918,13 +1929,17 @@ def main(argv: list[str] | None = None) -> None:
                     except Exception as e:  # noqa: BLE001
                         if as_hocr:
                             rows.append((ref, None, -1, str(e)))
+                        elif as_tables:
+                            rows.append(
+                                (ref, -1, -1, -1, None, -1, -1, -1, -1, str(e))
+                            )
                         else:
                             rows.append((ref, -1, -1, None, -1, -1, -1, -1, str(e)))
                 if as_hocr:
                     cols = ["media_ref", "hocr", "n_words", "error"]
                 elif as_tables:
                     cols = [
-                        "media_ref", "row_no", "col_no", "cell",
+                        "media_ref", "block_no", "row_no", "col_no", "cell",
                         "x0", "y0", "x1", "y1", "error",
                     ]
                 else:

@@ -536,11 +536,31 @@ def recognize_words(blob: bytes) -> list[tuple[int, int, str, int, int, int, int
       * y0/y1 — the line band's rows (bands sit at block-local
         ``band_index * (GLYPH_H + 1)``).
     """
+    out: list[tuple[int, int, str, int, int, int, int]] = []
+    offset = 0
+    for words, n_bands in recognize_words_blocks(blob):
+        out.extend(
+            (ln + offset, wn, w, x0, y0, x1, y1)
+            for ln, wn, w, x0, y0, x1, y1 in words
+        )
+        offset += n_bands
+    return out
+
+
+def recognize_words_blocks(
+    blob: bytes,
+) -> list[tuple[list[tuple[int, int, str, int, int, int, int]], int]]:
+    """Per-BLOCK view of recognize_words: one (words, n_bands) pair per
+    column block in reading order, line_no and x both block-local.
+    This is the shape detect_table needs — its whitespace-channel
+    column detection is only meaningful within one block's coordinate
+    frame (recognize_words' flat output reuses x ranges across
+    blocks). n_bands counts wordless (all-space) bands too, so callers
+    can reconstruct recognize_words' global line numbering exactly."""
     import re
 
     pages = rasterize(bytes(blob))
-    out: list[tuple[int, int, str, int, int, int, int]] = []
-    line_no = 0
+    out: list[tuple[list, int]] = []
     for img in pages:
         binary = binarize_trim(img)
         for block in segment_columns(binary):
@@ -557,6 +577,7 @@ def recognize_words(blob: bytes) -> list[tuple[int, int, str, int, int, int, int
                     stack_bits * (1 << np.arange(7, dtype=np.uint8))[None, :, None]
                 ).sum(axis=1)
             ne_i = 0
+            words: list[tuple[int, int, str, int, int, int, int]] = []
             for bi, (band, text) in enumerate(zip(bands, texts)):
                 if band.size:
                     codes = block_codes[ne_i]
@@ -566,9 +587,9 @@ def recognize_words(blob: bytes) -> list[tuple[int, int, str, int, int, int, int
                     cols = np.empty(0, dtype=np.int64)
                 y0 = bi * (GLYPH_H + 1)
                 for wno, m in enumerate(re.finditer(r"[^ ]+", text)):
-                    out.append(
+                    words.append(
                         (
-                            line_no,
+                            bi,
                             wno,
                             m.group(0),
                             int(cols[m.start()]),
@@ -577,7 +598,7 @@ def recognize_words(blob: bytes) -> list[tuple[int, int, str, int, int, int, int
                             y0 + GLYPH_H,
                         )
                     )
-                line_no += 1
+            out.append((words, len(bands)))
     return out
 
 

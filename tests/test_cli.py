@@ -942,7 +942,12 @@ def test_word_boxes_tables_mode(spark, tmp_path):
     from pmocr_spark import codecs
 
     t = "alpha     beta    gamma\nx                 z"
-    blobs = {"i:0": codecs.encode_image(t, "tif", salt="ct")}
+    blobs = {
+        "i:0": codecs.encode_image(t, "tif", salt="ct"),
+        # two-COLUMN page: each layout block is its own table — mixing
+        # their block-local x frames would fabricate phantom columns
+        "i:1": codecs.encode_image_columns(["k  v\na  b", "p   q"], "tif", salt="ct"),
+    }
     bdir = str(tmp_path / "blobs")
     spark.createDataFrame(
         [(k, bytearray(v)) for k, v in blobs.items()],
@@ -953,14 +958,22 @@ def test_word_boxes_tables_mode(spark, tmp_path):
         ["--word-boxes", "--tables", "--blobs", bdir, "--output", out,
          "--master", "local[2]"]
     )
+    rows = spark.read.parquet(out).collect()
     got = sorted(
         (r["row_no"], r["col_no"], r["cell"], r["x0"], r["x1"], r["y0"], r["y1"])
-        for r in spark.read.parquet(out).collect()
+        for r in rows if r["media_ref"] == "i:0"
     )
     exp = sorted(codecs.detect_table(codecs.recognize_words(blobs["i:0"])))
     assert got == exp
     # the ragged row keeps column identity (col 1 empty, z in col 2)
     assert (1, 2, "z") in {(r, c, w) for r, c, w, *_ in got}
+    # the two-column blob yields one independent table per block
+    two = [r for r in rows if r["media_ref"] == "i:1"]
+    assert {r["block_no"] for r in two} == {0, 1}
+    left = {(r["row_no"], r["col_no"]): r["cell"] for r in two if r["block_no"] == 0}
+    right = {(r["row_no"], r["col_no"]): r["cell"] for r in two if r["block_no"] == 1}
+    assert left == {(0, 0): "k", (0, 1): "v", (1, 0): "a", (1, 1): "b"}
+    assert right == {(0, 0): "p", (0, 1): "q"}
     with pytest.raises(SystemExit):
         cli.parse_args(["--word-boxes", "--tables", "--hocr",
                         "--blobs", "b", "--output", "o"])
