@@ -882,8 +882,65 @@ def _run_scale10x(tmp: str, cpus: int) -> dict:
     measured("video_transcribe", run_video)
     measured("unigram_train", run_unigram)
     measured("bm25_index_search", run_bm25)
+    def run_tables():
+        # round-5 sixth-pass operator: geometric table reconstruction
+        # at 10x — per-block detection over real two-column pages mixed
+        # with aligned single-block tables; pure map, per-core cost
+        import pandas as pd
+
+        from pmocr_spark import codecs
+
+        @F.pandas_udf("binary")
+        def enc(doc_id, text):
+            out_b = []
+            for i, t in zip(doc_id, text):
+                t = (t or "x").replace(" ", "_")
+                row1 = t[0:8].ljust(10) + t[8:14].ljust(8) + t[14:21]
+                row2 = t[21:29].ljust(10) + t[29:35].ljust(8) + t[35:42]
+                if int(i) % 5 == 0:  # every 5th: two-column page
+                    out_b.append(
+                        codecs.encode_image_columns([row1, row2], "tif", salt="t10")
+                    )
+                else:
+                    out_b.append(
+                        codecs.encode_image(row1 + "\n" + row2, "tif", salt="t10")
+                    )
+            return pd.Series(out_b, dtype=object)
+
+        blobs = (
+            docs.limit(10 * WORDBOX_BENCH_DOCS)
+            .select(enc("doc_id", "text").alias("content"))
+            .persist()
+        )
+        n = blobs.count()
+
+        def cells(batches):
+            for pdf in batches:
+                rows = []
+                for blob in pdf["content"]:
+                    for bno, (bws, _nb) in enumerate(
+                        codecs.recognize_words_blocks(bytes(blob))
+                    ):
+                        rows.extend(
+                            (bno, *c) for c in codecs.detect_table(bws)
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["block_no", "row_no", "col_no", "cell",
+                             "x0", "x1", "y0", "y1"],
+                )
+
+        n_cells = blobs.mapInPandas(
+            cells,
+            "block_no long, row_no long, col_no long, cell string, "
+            "x0 long, x1 long, y0 long, y1 long",
+        ).count()
+        blobs.unpersist()
+        return {"blobs": n, "cells": n_cells}
+
     measured("word_boxes", run_wordbox)
     measured("spell_corrections", run_spell)
+    measured("table_detect", run_tables)
     spark.stop()
     return out
 
