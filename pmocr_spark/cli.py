@@ -549,8 +549,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--text-col",
         default="text",
-        help="column repaired by --fix-text (default: text; use txt for "
-        "batch-results tables)",
+        help="column repaired by --fix-text / --spell-fix (default: "
+        "text; use txt for batch-results tables)",
+    )
+    p.add_argument(
+        "--spell-fix",
+        action="store_true",
+        help="maintenance mode (standalone): SymSpell dictionary "
+        "correction (operators/spellfix.py) over the --input table's "
+        "--text-col column — the dictionary is the corpus's OWN "
+        "frequent vocabulary, corrections are rare words with an "
+        "edit-distance-1 trusted neighbour; rewrites matching tokens "
+        "(case-insensitive match, corrected form as learned) and adds "
+        "an n_spellfixed counter. The correction map is rare-vocab-"
+        "bounded (Heaps law) and ships to executors as a broadcast "
+        "dict; the corpus is never shuffled",
     )
     p.add_argument(
         "--phash-max-hamming",
@@ -870,6 +883,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--extract-markdown", args.extract_markdown),
             ("--word-boxes", args.word_boxes),
             ("--fix-text", args.fix_text),
+            ("--spell-fix", args.spell_fix),
             ("--audit-blobs", args.audit_blobs),
             ("--corpus-stats", args.corpus_stats),
             ("--train-quality", args.train_quality),
@@ -1113,6 +1127,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--fix-text is a standalone maintenance mode")
         if not args.input or not args.output:
             parser.error("--input and --output are required with --fix-text")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.spell_fix:
+        if args.batch or args.service:
+            parser.error("--spell-fix is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --spell-fix")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1807,6 +1829,68 @@ def main(argv: list[str] | None = None) -> None:
         print(
             f"pmocr-spark: repaired {tot['n']} rows ({tot['h']} hyphen breaks, "
             f"{tot['b']} wraps reflowed) to {args.output}"
+        )
+        return
+    if getattr(args, "spell_fix", False):
+        import re as _re
+
+        import pandas as pd
+
+        from .operators.bpe import word_freqs
+        from .operators.spellfix import spell_corrections
+
+        df = spark.read.parquet(args.input)
+        tc = args.text_col
+        if tc not in df.columns:
+            raise SystemExit(
+                f"pmocr-spark: --spell-fix: no column {tc!r} in {args.input}"
+            )
+        wfd = word_freqs(df.withColumnRenamed(tc, "text") if tc != "text" else df)
+        # the correction map is rare-vocab-bounded (Heaps law): the
+        # targets are freq<=2 words, so this collect is the same
+        # driver-small footprint as the BPE merge loop / PQ codebooks
+        mapping = {
+            r["wrong"]: r["corrected"] for r in spell_corrections(wfd).collect()
+        }
+        bmap = spark.sparkContext.broadcast(mapping)
+        word_re = _re.compile(r"\S+")
+
+        @F.pandas_udf("struct<fixed:string,n:long>")
+        def fix(texts):
+            m = bmap.value
+
+            def one(t):
+                if t is None:
+                    return {"fixed": None, "n": 0}
+                n = 0
+
+                def sub(match):
+                    nonlocal n
+                    rep = m.get(match.group(0).lower())
+                    if rep is None:
+                        return match.group(0)
+                    n += 1
+                    return rep
+
+                return {"fixed": word_re.sub(sub, t), "n": n}
+
+            return pd.DataFrame([one(t) for t in texts])
+
+        out = (
+            df.withColumn("_fx", fix(F.col(tc)))
+            .withColumn(tc, F.col("_fx.fixed"))
+            .withColumn("n_spellfixed", F.col("_fx.n"))
+            .drop("_fx")
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        got = spark.read.parquet(args.output)
+        tot = got.agg(
+            F.coalesce(F.sum("n_spellfixed"), F.lit(0)).alias("f"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        print(
+            f"pmocr-spark: spell-fixed {tot['n']} rows ({tot['f']} tokens "
+            f"corrected, {len(mapping)} dictionary corrections) to {args.output}"
         )
         return
     if getattr(args, "extract_markdown", False):

@@ -79,3 +79,23 @@ def test_deletion_variants_are_distinct_and_complete(spark):
     vs = {r["variant"] for r in rows}
     assert vs == {"abca", "bca", "aca", "abc", "aba"}
     assert len(rows) == len(vs)  # duplicates collapsed pre-explode
+
+
+def test_spell_fix_cli(spark, tmp_path):
+    """--spell-fix end to end: the corpus's own frequent vocabulary
+    corrects its rare near-words in place; clean rows byte-identical,
+    counter accurate, case-insensitive token match."""
+    from pmocr_spark import cli
+
+    rows = [(i, "recognition pipeline document spark extract") for i in range(12)]
+    rows.append((100, "the Recognltion pipelne works, zzzzqqq"))
+    din = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(din)
+    out = str(tmp_path / "fixed")
+    cli.main(["--spell-fix", "--input", din, "--output", out,
+              "--master", "local[2]"])
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[100]["text"] == "the recognition pipeline works, zzzzqqq"
+    assert got[100]["n_spellfixed"] == 2
+    for i in range(12):
+        assert got[i]["text"] == rows[i][1] and got[i]["n_spellfixed"] == 0
