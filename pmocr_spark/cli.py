@@ -495,7 +495,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--input-format",
-        choices=("parquet", "jsonl", "warc"),
+        choices=("parquet", "jsonl", "warc", "orc"),
         default="parquet",
         help="format of --input and --blobs in batch AND service modes "
         "(default parquet; jsonl reads web-pipeline interchange shards "
@@ -504,16 +504,21 @@ def build_parser() -> argparse.ArgumentParser:
         "take .jsonl drops; warc reads Web ARChive crawl shards from "
         "--input — documents AND blobs both derive from the records, "
         "--blobs is ignored; batch mode only, shards are the "
-        "parallelism unit — sources/warc.py)",
+        "parallelism unit — sources/warc.py; orc reads Hive/ORC "
+        "interchange tables via Spark's native vectorized reader — "
+        "blobs stay ORC BINARY, no transcoding — and service landing "
+        "dirs then take .orc drops with the same explicit schema)",
     )
     p.add_argument(
         "--output-format",
-        choices=("parquet", "jsonl", "wet"),
+        choices=("parquet", "jsonl", "wet", "orc"),
         default="parquet",
         help="batch-mode results format (jsonl base64-encodes binary "
         "target columns so lines stay valid JSON; wet writes "
         "CommonCrawl-style extracted-text shards — gzip WARC conversion "
         "records of the done docs' txt target, sources/warc.write_wet; "
+        "orc writes the results as Hive/ORC with binary targets as "
+        "native ORC BINARY — composes with --partition-by; "
         "lineage still records every doc)",
     )
     p.add_argument(
@@ -2265,6 +2270,8 @@ def main(argv: list[str] | None = None) -> None:
             from .sources.jsonl import read_blobs_jsonl
 
             blobs = read_blobs_jsonl(spark, args.blobs)
+        elif getattr(args, "input_format", "parquet") == "orc":
+            blobs = spark.read.orc(args.blobs)
         else:
             blobs = spark.read.parquet(args.blobs)
         # default: poller interval parity (INOTIFY_POLLER_INTERVAL,
@@ -2295,6 +2302,9 @@ def main(argv: list[str] | None = None) -> None:
 
         docs = read_documents_jsonl(spark, args.input)
         blobs = read_blobs_jsonl(spark, args.blobs)
+    elif getattr(args, "input_format", "parquet") == "orc":
+        docs = spark.read.orc(args.input)
+        blobs = spark.read.orc(args.blobs)
     else:
         docs = spark.read.parquet(args.input)
         blobs = spark.read.parquet(args.blobs)
@@ -2370,7 +2380,10 @@ def main(argv: list[str] | None = None) -> None:
         writer = out.write.mode("append")
         if pcols:
             writer = writer.partitionBy(*pcols)
-        writer.parquet(args.output)
+        if getattr(args, "output_format", "parquet") == "orc":
+            writer.orc(args.output)
+        else:
+            writer.parquet(args.output)
     rows = ckpt.checkpoint_rows(cached, run_id=args.run_id, job_ts=job_ts, prior=lineage)
     ckpt.append_checkpoint(rows, args.lineage)
     cached.unpersist()

@@ -404,6 +404,10 @@ def monitor(
         # explicit span schema — streaming schema inference is doubly
         # forbidden (it would re-scan the landing dir every restart)
         stream = reader.json(input_dir)
+    elif input_format == "orc":
+        # Hive/ORC interchange drops: Spark's native ORC file source
+        # takes the same explicit schema (no inference re-scan)
+        stream = reader.orc(input_dir)
     else:
         stream = reader.parquet(input_dir)
 

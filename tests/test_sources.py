@@ -166,3 +166,44 @@ def test_jsonl_source_and_sink_roundtrip(spark, tmp_path):
             assert codecs.decode_blob(base64.b64decode(g["pdf"])) == r["txt"]
         else:
             assert g.get("pdf") is None
+
+
+def test_orc_interchange_cli_roundtrip(spark, tmp_path):
+    """Hive/ORC interchange (--input-format orc / --output-format orc):
+    Spark's native vectorized ORC reader/writer carries the same corpus
+    — blob BINARY columns untranscoded — and the batch results must be
+    byte-identical to the parquet path's."""
+    from pmocr_spark import cli, corpus
+
+    docs_t, blobs_t = corpus.generate(n_docs=25, seed=9)
+    pdir = tmp_path / "parquet"
+    pdir.mkdir()
+    corpus._write_tables(str(pdir), docs_t, blobs_t)
+    odocs = str(tmp_path / "docs_orc")
+    oblobs = str(tmp_path / "blobs_orc")
+    spark.read.parquet(f"{pdir}/documents.parquet").write.orc(odocs)
+    spark.read.parquet(f"{pdir}/media_blobs.parquet").write.orc(oblobs)
+
+    common = ["--batch", "--targets", "txt,csv,pdf", "--master", "local[4]",
+              "--job-ts", "2024-01-01T00:00:00Z"]
+    outp = str(tmp_path / "out_parquet")
+    cli.main(["--input", f"{pdir}/documents.parquet",
+              "--blobs", f"{pdir}/media_blobs.parquet",
+              "--output", outp, "--lineage", str(tmp_path / "lin1"), *common])
+    outo = str(tmp_path / "out_orc")
+    cli.main(["--input", odocs, "--blobs", oblobs,
+              "--input-format", "orc", "--output-format", "orc",
+              "--output", outo, "--lineage", str(tmp_path / "lin2"), *common])
+
+    ref = {r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
+    got = {r["doc_id"]: r for r in spark.read.orc(outo).collect()}
+    assert set(got) == set(ref)
+    for doc_id, r in ref.items():
+        g = got[doc_id]
+        assert g["status"] == r["status"]
+        assert g["txt"] == r["txt"] and g["csv"] == r["csv"]
+        # binary pdf target survives ORC BINARY byte-for-byte
+        if r["pdf"] is None:
+            assert g["pdf"] is None
+        else:
+            assert bytes(g["pdf"]) == bytes(r["pdf"])

@@ -1131,3 +1131,46 @@ def test_jsonl_drops_in_service_mode(spark, dirs, tmp_path):
            spark.read.parquet(f"{dirs['output']}/epoch-0").collect()}
     assert got["jd"]["status"] == "done"
     assert got["jd"]["txt"] == "typed line\nfilmed line"
+
+
+def test_orc_drops_in_service_mode(spark, dirs, tmp_path):
+    """ORC interchange extends to streaming: a single-file .orc drop in
+    the landing dir (explicit DOCUMENTS_SCHEMA — no per-restart
+    inference scan) reassembles exactly like a parquet drop."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from pmocr_spark import codecs
+
+    blob = codecs.encode_image("orc filmed line", "tiff", salt="o1")
+    media = spark.createDataFrame(
+        [("b:orc1", "tiff", blob)], "media_ref string, kind string, content binary"
+    )
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": ["od"],
+            "spans": pa.array(
+                [[
+                    {"kind": "text", "text": "orc typed line",
+                     "media_ref": None, "offset": 0},
+                    {"kind": "tiff", "text": None,
+                     "media_ref": "b:orc1", "offset": 1},
+                ]],
+                type=pa.list_(span_t),
+            ),
+        }
+    )
+    po.write_table(tbl, f"{dirs['landing']}/drop0.orc")
+    q = streaming.monitor(
+        spark, dirs["landing"], media, dirs["output"], dirs["stream_ckpt"],
+        dirs["lineage"], trigger={"availableNow": True}, input_format="orc",
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in
+           spark.read.parquet(f"{dirs['output']}/epoch-0").collect()}
+    assert got["od"]["status"] == "done"
+    assert got["od"]["txt"] == "orc typed line\norc filmed line"
