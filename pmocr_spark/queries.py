@@ -1441,6 +1441,14 @@ _ANN_ORACLE_COMMON = """
 #: Programmatic callers use ivfpq_search(..., n_probe=k) instead.
 _NPROBE = int(__import__("os").environ.get("PMOCR_IVFPQ_NPROBE", "2"))
 
+#: RRF fusion constants (Cormack, Clarke & Buettcher, SIGIR 2009): the
+#: paper's k=60 damping plus a fusion depth of 50 candidates per system
+#: — deep enough that either system can promote a result the other
+#: ranked modestly, shallow enough that each system ships only a
+#: top-50, never its full scored list.
+_RRF_K = 60
+_RRF_DEPTH = 50
+
 
 #: PQ search oracle CTEs (integer micro-unit ADC; see operators/pq.py)
 #: shared by q21 (part='pq'/'ivfpq') and q47 (part='pq' — the persisted
@@ -1568,7 +1576,35 @@ _BM25_ORACLE_CTES = """
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score_u DESC, doc_id) AS rk
       FROM bsc) WHERE rk <= 5
-    """).replace("<<NPROBE>>", str(_NPROBE)),
+    UNION ALL
+    -- hybrid: RRF fusion (Cormack SIGIR'09, k=60) of the dense cosine
+    -- and BM25 top-50 rank lists; integer micro-unit contributions
+    SELECT 'hybrid' AS part, query_id, neighbor_id, rk,
+           round(rrf_u / 1000000.0, 4) AS score FROM (
+      SELECT query_id, neighbor_id, rrf_u,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_u DESC, neighbor_id) AS rk
+      FROM (
+        SELECT query_id, neighbor_id, cast(sum(u) AS BIGINT) AS rrf_u FROM (
+          SELECT query_id, neighbor_id,
+                 cast(round(1000000.0 / (<<RRFK>> + drk), 0) AS BIGINT) AS u FROM (
+            SELECT hn.vec_id AS query_id, hc.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY hn.vec_id ORDER BY
+                     list_sum(list_transform(range(1, len(hn.e)+1),
+                                             i -> hn.e[i] * hc.e[i]))
+                       / (hn.nrm * hc.nrm) DESC, hc.vec_id ASC) AS drk
+            FROM n hn, n hc WHERE hn.vec_id % 100 = 0) WHERE drk <= <<RRFD>>
+          UNION ALL
+          SELECT query_id, doc_id AS neighbor_id,
+                 cast(round(1000000.0 / (<<RRFK>> + lrk), 0) AS BIGINT) AS u FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_u DESC, doc_id) AS lrk
+            FROM bsc) WHERE lrk <= <<RRFD>>)
+        GROUP BY query_id, neighbor_id)) WHERE rk <= 5
+    """).replace("<<NPROBE>>", str(_NPROBE))
+       .replace("<<RRFK>>", str(_RRF_K))
+       .replace("<<RRFD>>", str(_RRF_DEPTH)),
 )
 def q21_ann_bruteforce(spark, sf_dir):
     """Exact-vs-compressed ANN scan family in ONE gate slot,
@@ -1601,6 +1637,14 @@ def q21_ann_bruteforce(spark, sf_dir):
         one map-side-combined agg; query terms broadcast against the
         postings; integer micro-unit partial scores summed exactly
         (see _BM25_ORACLE_CTES for the mirrored arithmetic).
+      * part='hybrid' (round 5, seventh pass): the two retrieval
+        families FUSED — Reciprocal Rank Fusion (Cormack et al.,
+        SIGIR 2009, k=60) over the dense cosine and BM25 top-50 rank
+        lists for a shared query set (every 100th id; documents and
+        embeddings are 1:1 on id). Fusing on RANKS sidesteps the
+        incomparable score scales; the integer micro-unit rank
+        contributions make the fused score an exact BIGINT under the
+        hash gate. The production RAG-retrieval shape.
     The parts share one normalized-embeddings scan; PQ's codebook is
     the first 16 vectors and IVF's centroids the first 8
     (deterministic, q22's fixed-centroid convention). bench.py reports
@@ -1615,6 +1659,83 @@ def q21_ann_bruteforce(spark, sf_dir):
         brute.unionAll(pq)
         .unionAll(ivfpq_search(spark, sf_dir))
         .unionAll(_bm25_arm(spark, sf_dir))
+        .unionAll(_hybrid_arm(spark, sf_dir))
+    )
+
+
+def _hybrid_arm(spark, sf_dir):
+    """q21 part='hybrid' (round 5, seventh pass): hybrid dense+sparse
+    retrieval fused with Reciprocal Rank Fusion (Cormack et al., SIGIR
+    2009) — the production RAG-retrieval shape (BM25 postings + vector
+    search, fused on RANKS so the incomparable score scales never
+    meet). Every 100th document is a query against BOTH systems (the
+    testdata's documents and embeddings tables are 1:1 on id): dense =
+    exact cosine over the normalized embeddings (broadcast-queries ×
+    scan, the brute arm's 100 TB shape), sparse = the BM25 arm's
+    integer-micro-unit scoring, each contributing its top-50 ranks;
+    RRF_u(d) = Σ_systems round(1e6/(k + rank_s(d))) — a pure integer
+    function of ranks, so the fused total is an exact BIGINT under the
+    hash gate. Missing-from-one-system docs simply lack that term (the
+    paper's convention). Scale: the only shuffle beyond the two
+    systems' own is the (query × ≤100 rows) fusion groupBy — query-set
+    sized, never corpus-sized."""
+    from pmocr_spark.operators.bm25 import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    v = _norm_embeddings(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sims = (
+        v.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("sim")
+        )
+    )
+    wd = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    dense = (
+        sims.select("query_id", "neighbor_id", F.row_number().over(wd).alias("r"))
+        .filter(F.col("r") <= _RRF_DEPTH)
+    )
+    qterms = (
+        d.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 3)
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    lex = bm25_search(d, qterms, topk=_RRF_DEPTH).select(
+        "query_id", F.col("doc_id").alias("neighbor_id"), F.col("rk").alias("r")
+    )
+    u = F.round(F.lit(1000000.0) / (F.lit(_RRF_K) + F.col("r")), 0).cast("long")
+    fused = (
+        dense.select("query_id", "neighbor_id", u.alias("u"))
+        .unionAll(lex.select("query_id", "neighbor_id", u.alias("u")))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("u").cast("long").alias("rrf_u"))
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("rrf_u").desc(), "neighbor_id")
+    return (
+        fused.select(
+            "query_id", "neighbor_id", F.row_number().over(wr).cast("long").alias("rk"), "rrf_u"
+        )
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.lit("hybrid").alias("part"),
+            "query_id",
+            "neighbor_id",
+            "rk",
+            F.round(F.col("rrf_u") / F.lit(1000000.0), 4).alias("score"),
+        )
     )
 
 
