@@ -494,6 +494,17 @@ def build_parser() -> argparse.ArgumentParser:
         "cell, x0, y0, x1, y1, error)",
     )
     p.add_argument(
+        "--lsh-plan",
+        metavar="N_HASHES,THRESHOLD[,FP_W[,FN_W]]",
+        help="maintenance mode (standalone, no Spark session): print "
+        "the best MinHash-LSH (bands, rows) factorization of an "
+        "N_HASHES signature for a target Jaccard THRESHOLD as one JSON "
+        "line (operators/lsh_plan.py — S-curve FP/FN area minimization, "
+        "MMDS §3.4; FP_W/FN_W weight wasted-verification vs "
+        "missed-duplicate cost, default 1,1). Size --dedup-index before "
+        "building it",
+    )
+    p.add_argument(
         "--input-format",
         choices=("parquet", "jsonl", "warc", "orc"),
         default="parquet",
@@ -900,6 +911,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--extract-links", args.extract_links),
             ("--pagerank", args.pagerank),
             ("--warc-cdx", args.warc_cdx),
+            ("--lsh-plan", bool(args.lsh_plan)),
         )
         if on
     ]
@@ -1223,6 +1235,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--input and --output are required with --dedup-substrings")
         if args.substr_k is not None and args.substr_k < 2:
             parser.error("--substr-k must be >= 2")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.lsh_plan:
+        if args.batch or args.service:
+            parser.error("--lsh-plan is a standalone maintenance mode")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -1663,6 +1681,28 @@ def main(argv: list[str] | None = None) -> None:
     from .session import get_spark
 
     args = parse_args(argv)
+    if getattr(args, "lsh_plan", None):
+        # pure driver-side arithmetic: no Spark session, instant
+        import json as _json
+
+        from .operators.lsh_plan import plan_bands
+
+        parts = [x.strip() for x in args.lsh_plan.split(",")]
+        if len(parts) < 2 or len(parts) > 4:
+            raise SystemExit(
+                "pmocr-spark: --lsh-plan wants N_HASHES,THRESHOLD[,FP_W[,FN_W]]"
+            )
+        try:
+            plan = plan_bands(
+                int(parts[0]),
+                float(parts[1]),
+                fp_weight=float(parts[2]) if len(parts) > 2 else 1.0,
+                fn_weight=float(parts[3]) if len(parts) > 3 else 1.0,
+            )
+        except ValueError as e:
+            raise SystemExit(f"pmocr-spark: --lsh-plan: {e}")
+        print(_json.dumps(plan))
+        return
     targets = args.target_list
     # resolve the engine BEFORE any Spark work: a missing tesseract
     # install (or an unknown name) fails fast at the CLI, not deep in an
