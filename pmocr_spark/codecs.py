@@ -46,6 +46,11 @@ INK_MIN = 160               # ink pixels are in [INK_MIN, 255]
 PAPER_MAX = 100             # paper pixels are in [0, PAPER_MAX]
 GUTTER_W = 3                # inter-column gutter width written by render_columns
 GUTTER_MIN = 2              # layout analysis: >= this many blank cols = column break
+# Deskew threshold: the reference runs ImageMagick `-deskew 40`
+# (default.conf:97, README.md:115) — a 40% shear threshold, i.e. the
+# preprocessor straightens pages whose edge-to-edge drift is up to
+# 0.4 × page height. Same bound here.
+MAX_SKEW_SLOPE = 0.4
 
 # pmOCR's input allow-list: default.conf:14 `pdf|tif|tiff|png|jpg|jpeg|bmp|pcx|dcx`
 MEDIA_KINDS = ("pdf", "tif", "tiff", "png", "jpg", "jpeg", "bmp", "pcx", "dcx")
@@ -114,6 +119,56 @@ def encode_image(text: str, kind: str = "tiff", salt: str = "") -> bytes:
     if kind not in IMAGE_KINDS:
         raise ValueError(f"not an image kind: {kind}")
     return _pack_image(render_page(text, salt), kind)
+
+
+def _shear_shifts(h: int, drift: int) -> np.ndarray:
+    """Per-row horizontal shift of an integer shear: row ``y`` of an
+    ``h``-row page moves right by ``round(drift * y / (h-1))`` pixels
+    (round-half-away-from-zero, exact integer arithmetic — shared by
+    the encoder and the deskew estimator so inversion is pixel-exact).
+    ``drift`` is the edge-to-edge displacement: row 0 stays, the last
+    row moves by exactly ``drift``."""
+    if h <= 1 or drift == 0:
+        return np.zeros(h, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    mag = (2 * abs(int(drift)) * y + (h - 1)) // (2 * (h - 1))
+    return mag if drift > 0 else -mag
+
+
+def shear_page(img: np.ndarray, drift: int, salt: str = "") -> np.ndarray:
+    """Apply an integer horizontal shear to a grayscale page: row ``y``
+    shifts by ``_shear_shifts(h, drift)[y]``; the vacated margin fills
+    with paper noise (sub-threshold, so binarization erases it)."""
+    h, w = img.shape
+    shifts = _shear_shifts(h, drift)
+    lo, hi = int(shifts.min()), int(shifts.max())
+    out_w = w + (hi - lo)
+    rng = _rng_for(f"{drift}:{h}x{w}", "shear" + salt)
+    out = rng.integers(0, PAPER_MAX + 1, size=(h, out_w), dtype=np.uint8)
+    for y in range(h):
+        off = int(shifts[y]) - lo
+        out[y, off : off + w] = img[y]
+    return out
+
+
+def encode_image_skewed(text: str, drift: int, kind: str = "tiff", salt: str = "") -> bytes:
+    """Encode text as a SKEWED single-page image blob — the scanned-
+    rotated-page case pmOCR's ImageMagick ``-deskew 40`` preprocessor
+    exists for (default.conf:97, README.md:115). ``drift`` is the
+    edge-to-edge horizontal displacement in pixels (negative = leans
+    the other way); it must be within the decoder's ``-deskew``-
+    equivalent threshold (|drift| <= MAX_SKEW_SLOPE × (h-1)) or the
+    page would be unrecoverable by design — rejected loudly here."""
+    if kind not in IMAGE_KINDS:
+        raise ValueError(f"not an image kind: {kind}")
+    img = render_page(text, salt)
+    max_drift = int(MAX_SKEW_SLOPE * (img.shape[0] - 1))
+    if abs(int(drift)) > max_drift:
+        raise ValueError(
+            f"drift {drift} exceeds deskew threshold {max_drift} for a "
+            f"{img.shape[0]}-row page (MAX_SKEW_SLOPE={MAX_SKEW_SLOPE})"
+        )
+    return _pack_image(shear_page(img, int(drift), salt), kind)
 
 
 def render_columns(col_texts: list[str], salt: str = "") -> np.ndarray:
@@ -402,13 +457,98 @@ def rasterize(blob: bytes) -> list[np.ndarray]:
     raise CodecError(f"bad magic: {blob[:6]!r}")
 
 
+def _shear_score(ys: np.ndarray, xs: np.ndarray, shifts: np.ndarray) -> int:
+    """Column-concentration score of an unshear candidate: sum of
+    squared per-column ink counts after shifting each row back. The
+    true inverse shear re-merges every glyph column (and the all-ink
+    anchor spine) into single pixel columns, maximizing concentration;
+    any other shift smears them (Cauchy–Schwarz: total ink is fixed,
+    so the split a+b contributes a²+b² < (a+b)²)."""
+    x2 = xs - shifts[ys]
+    x2 = x2 - x2.min()
+    cnt = np.bincount(x2).astype(np.int64)
+    return int((cnt * cnt).sum())
+
+
+def estimate_drift(binary: np.ndarray) -> int:
+    """Estimate the integer edge-to-edge shear drift of a binarized
+    page (0 = straight). Fast path: every rendered line starts with an
+    all-ink anchor column, so on a straight page the per-row leftmost
+    ink x is CONSTANT — one vectorized check and no scoring work on
+    the (overwhelmingly common) straight page. Slow path: coarse
+    least-squares slope of the leftmost-ink spine, then exact
+    column-concentration scoring over a ±2 refinement window (ties
+    prefer the smaller |drift|, then the smaller drift — deterministic
+    on every engine)."""
+    h = binary.shape[0] if binary.ndim == 2 else 0
+    if h <= 1 or binary.size == 0:
+        return 0
+    max_drift = int(MAX_SKEW_SLOPE * (h - 1))
+    if max_drift == 0:
+        return 0
+    has_ink = binary.any(axis=1)
+    rows = np.flatnonzero(has_ink)
+    if rows.size < 2:
+        return 0
+    minx = binary.argmax(axis=1)[rows]
+    if np.all(minx == minx[0]):
+        return 0  # vertical anchor spine — straight page
+    yr = rows.astype(np.float64)
+    xr = minx.astype(np.float64)
+    yc = yr - yr.mean()
+    denom = float((yc * yc).sum())
+    slope = float((yc * (xr - xr.mean())).sum()) / denom if denom > 0 else 0.0
+    coarse = int(np.clip(round(slope * (h - 1)), -max_drift, max_drift))
+    ys, xs = np.nonzero(binary)
+    cands = {0}
+    for k in range(coarse - 2, coarse + 3):
+        if -max_drift <= k <= max_drift:
+            cands.add(k)
+    best_k, best_key = 0, None
+    for k in sorted(cands):
+        score = _shear_score(ys, xs, _shear_shifts(h, k))
+        key = (-score, abs(k), k)
+        if best_key is None or key < best_key:
+            best_k, best_key = k, key
+    return best_k
+
+
+def unshear(binary: np.ndarray, drift: int) -> np.ndarray:
+    """Invert an integer shear on a binary page: shift row ``y`` back
+    by ``_shear_shifts(h, drift)[y]``. Width grows by the shift range
+    (margins are all-paper and vanish at the trim step); for a page
+    produced by shear_page with the same drift this reproduces the
+    original binary exactly."""
+    if drift == 0 or binary.size == 0:
+        return binary
+    h, w = binary.shape
+    shifts = _shear_shifts(h, drift)
+    lo, hi = int(shifts.min()), int(shifts.max())
+    out = np.zeros((h, w + hi - lo), dtype=bool)
+    for y in range(h):
+        off = hi - int(shifts[y])
+        out[y, off : off + w] = binary[y]
+    return out
+
+
 def binarize_trim(img: np.ndarray) -> np.ndarray:
-    """M2 — threshold to ink/paper and trim blank borders.
+    """M2 — threshold to ink/paper, DESKEW, and trim blank borders.
 
     pmOCR analog: ImageMagick border/trim/deskew preprocessing
-    (pmocr.sh:1906-1921, default.conf:96-99).
+    (pmocr.sh:1906-1921, default.conf:96-99 — the reference ships
+    ``-deskew 40`` in OCR_PREPROCESSOR_ARGS, default.conf:97 /
+    README.md:115: scanned pages arrive rotated and the preprocessor
+    straightens them before recognition). Here the skew model is an
+    integer horizontal shear (the small-angle rotation approximation,
+    exactly invertible pixel-for-pixel), estimated per page by
+    estimate_drift and undone by unshear — so a page encoded with
+    encode_image_skewed decodes through the SAME downstream stages as
+    a straight page, byte-identical text and word-box geometry.
     """
     binary = img >= BINARIZE_THRESHOLD
+    drift = estimate_drift(binary)
+    if drift:
+        binary = unshear(binary, drift)
     rows = np.flatnonzero(binary.any(axis=1))
     cols = np.flatnonzero(binary.any(axis=0))
     if rows.size == 0 or cols.size == 0:

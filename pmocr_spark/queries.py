@@ -2638,6 +2638,27 @@ def q26_fingerprint(spark, sf_dir):
            cast(c.b + 1 AS BIGINT), cast((r.k - 1) * 9 + 8 AS BIGINT)
     FROM crows r JOIN ccols2 c USING (doc_id)
     WHERE trim(substr(r.rt, c.a, c.b - c.a + 1)) <> ''
+    UNION ALL
+    -- deskew (round 5, seventh pass): the page is SHEARED at encode
+    -- time by a per-doc drift (md5 arithmetic, -4..4 px — always
+    -- within the decoder's `-deskew 40` threshold since the shortest
+    -- page is 12 rows); the real estimate->unshear->decode chain must
+    -- recover BOTH the exact drift (line_no column) and the
+    -- byte-identical wrapped text
+    -- single-line pages (<= 40 chars) alias drift +-3 with +-1 (the
+    -- shift profiles differ by a constant on the 8 ink rows — decode
+    -- is still exact, but the canonical estimate is the smaller one),
+    -- so +-3 remaps to the alias-free +-2 there; enumeration over all
+    -- page heights shows multi-line pages are alias-free across -4..4
+    SELECT 'deskew', doc_id,
+           cast(CASE WHEN length(t) <= 40 AND abs(d) = 3 THEN d // 3 * 2
+                     ELSE d END AS BIGINT),
+           -1,
+           array_to_string(regexp_extract_all(t, '.{1,40}'), chr(10)),
+           -1, -1, -1, -1
+    FROM (SELECT doc_id, t,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 9 - 4 AS d
+          FROM clean)
     """,
 )
 def q27_media_roundtrip(spark, sf_dir):
@@ -2670,7 +2691,17 @@ def q27_media_roundtrip(spark, sf_dir):
     for real; the oracle restates the expected cells independently by
     the same occupied-union / separator-run / dense-column arithmetic
     over the row STRINGS. Short texts exercise vanishing cells,
-    columns and rows — the oracle's run-length CTEs track all of it."""
+    columns and rows — the oracle's run-length CTEs track all of it.
+
+    part='deskew' (round 5, seventh pass): the scanned-rotated-page
+    case pmOCR's ImageMagick `-deskew 40` preprocessor exists for
+    (default.conf:97, README.md:115). Each doc's wrapped text encodes
+    as a page SHEARED by a per-doc md5-derived drift (-4..4 px, always
+    within the threshold), and the real estimate->unshear->decode
+    chain (codecs.estimate_drift / unshear, run inside binarize_trim
+    exactly like ImageMagick runs -deskew inside the preprocessor
+    pass) must recover both the exact drift (line_no column — the
+    oracle restates the md5 arithmetic) and the byte-identical text."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -2763,6 +2794,66 @@ def q27_media_roundtrip(spark, sf_dir):
             dtype=object,
         )
 
+    @F.pandas_udf(T.BinaryType())
+    def encode_skewed(text, drift):
+        return pd.Series(
+            [
+                codecs.encode_image_skewed(
+                    "\n".join(t[i : i + 40] for i in range(0, len(t), 40)),
+                    int(k),
+                    "tiff",
+                    salt="dsk",
+                )
+                for t, k in zip(text, drift)
+            ],
+            dtype=object,
+        )
+
+    @F.pandas_udf("struct<txt:string,est:long>")
+    def decode_with_drift(blobs):
+        rows = []
+        for b in blobs:
+            img = codecs.rasterize(bytes(b))[0]
+            rows.append(
+                {
+                    "txt": codecs.decode_blob(bytes(b)),
+                    "est": codecs.estimate_drift(img >= codecs.BINARIZE_THRESHOLD),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 9
+        - 4
+    )
+    # single-line pages alias drift +-3 with +-1 (constant-offset shift
+    # profiles on the 8 ink rows) — remap to the alias-free +-2 there,
+    # mirrored in the oracle
+    drift_col = F.when(
+        (F.length(clean) <= 40) & (F.abs(draw) == 3),
+        F.floor(draw / 3).cast("long") * 2,
+    ).otherwise(draw)
+    deskew_arm = (
+        d.select("doc_id", encode_skewed(clean, drift_col).alias("content"))
+        .select("doc_id", decode_with_drift("content").alias("r"))
+        .select(
+            F.lit("deskew").alias("part"),
+            "doc_id",
+            F.col("r.est").alias("line_no"),
+            neg1.alias("word_no"),
+            F.col("r.txt").alias("text_out"),
+            neg1.alias("x0"),
+            neg1.alias("y0"),
+            neg1.alias("x1"),
+            neg1.alias("y1"),
+        )
+    )
+
     cell_arm = (
         d.select(
             "doc_id", encode_table(F.translate(clean, " ", "_")).alias("content")
@@ -2780,7 +2871,9 @@ def q27_media_roundtrip(spark, sf_dir):
             F.col("c.y1").alias("y1"),
         )
     )
-    return text_arm.unionByName(word_arm).unionByName(cell_arm)
+    return (
+        text_arm.unionByName(word_arm).unionByName(cell_arm).unionByName(deskew_arm)
+    )
 
 
 @query("q28_ocr_pipeline")  # no SQL oracle: full span pipeline (pytest-gated)

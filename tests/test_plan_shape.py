@@ -470,6 +470,7 @@ def test_q27_media_family_map_only(spark):
     assert shape.count_exchanges(df) == 0, plan
     assert "BatchEvalPython" not in plan, plan
     # per-arm Arrow detail headers: text = encode + fused decode,
-    # word = encode + wordbox, cell = encode + detect (encode+detect
-    # fuse into one stage when Spark chains them) — 5 stages total
-    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 5, plan
+    # word = encode + wordbox, cell = encode + detect and deskew =
+    # encode + decode-with-drift (each pair fuses into one stage when
+    # Spark chains them) — 6 distinct stages total
+    assert len(set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))) == 6, plan
