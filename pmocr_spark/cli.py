@@ -505,6 +505,23 @@ def build_parser() -> argparse.ArgumentParser:
         "building it",
     )
     p.add_argument(
+        "--optimize-layout",
+        metavar="COL_A,COL_B",
+        help="maintenance mode (standalone): rewrite the --input table "
+        "z-ordered on two numeric columns (operators/zorder.py — "
+        "Morton bit-interleave of 8-bit min/max-scaled buckets, the "
+        "Delta/Iceberg OPTIMIZE ZORDER BY move): one range shuffle, "
+        "every output file covers a contiguous z-range, so parquet "
+        "min/max stats prune later scans on EITHER column — partition "
+        "pruning without physical partitioning",
+    )
+    p.add_argument(
+        "--layout-files",
+        type=int,
+        default=None,
+        help="--optimize-layout output file count (default 16)",
+    )
+    p.add_argument(
         "--input-format",
         choices=("parquet", "jsonl", "warc", "orc"),
         default="parquet",
@@ -912,6 +929,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--pagerank", args.pagerank),
             ("--warc-cdx", args.warc_cdx),
             ("--lsh-plan", bool(args.lsh_plan)),
+            ("--optimize-layout", bool(args.optimize_layout)),
         )
         if on
     ]
@@ -1244,6 +1262,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
+    if args.optimize_layout:
+        if args.batch or args.service:
+            parser.error("--optimize-layout is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --optimize-layout")
+        if len([c for c in args.optimize_layout.split(",") if c.strip()]) != 2:
+            parser.error("--optimize-layout wants exactly two columns: COL_A,COL_B")
+        if args.layout_files is not None and args.layout_files < 1:
+            parser.error("--layout-files must be >= 1")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.layout_files is not None:
+        parser.error("--layout-files only applies to --optimize-layout")
     if not (args.batch or args.service):
         parser.error("one of --batch / --service is required (flag or config)")
     if args.batch and args.service:
@@ -1936,6 +1968,34 @@ def main(argv: list[str] | None = None) -> None:
         print(
             f"pmocr-spark: spell-fixed {tot['n']} rows ({tot['f']} tokens "
             f"corrected, {len(mapping)} dictionary corrections) to {args.output}"
+        )
+        return
+    if getattr(args, "optimize_layout", None):
+        from .operators.zorder import optimize_layout
+
+        col_a, col_b = [c.strip() for c in args.optimize_layout.split(",")]
+        df = spark.read.parquet(args.input)
+        for c in (col_a, col_b):
+            if c not in df.columns:
+                raise SystemExit(
+                    f"pmocr-spark: --optimize-layout: no column {c!r} in {args.input}"
+                )
+            if df.schema[c].dataType.simpleString() not in (
+                "tinyint", "smallint", "int", "bigint"
+            ):
+                raise SystemExit(
+                    f"pmocr-spark: --optimize-layout: column {c!r} is "
+                    f"{df.schema[c].dataType.simpleString()}; z-ordering needs an "
+                    "integer column (cast dates/timestamps to epoch first)"
+                )
+        n_files = args.layout_files if args.layout_files is not None else 16
+        optimize_layout(df, col_a, col_b, n_files=n_files).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(
+            f"pmocr-spark: z-ordered {n} rows on ({col_a}, {col_b}) into "
+            f"{n_files} files at {args.output}"
         )
         return
     if getattr(args, "extract_markdown", False):

@@ -3965,6 +3965,25 @@ def q35_stratified_sample(spark, sf_dir):
     SELECT 'shuffle' AS part, doc_id AS id,
            cast(row_number() OVER (ORDER BY md5('42|' || cast(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
     FROM documents
+    UNION ALL
+    -- zorder (round 5, seventh pass): Morton interleave of the
+    -- 8-bit min/max-scaled (n_chars, doc_id) buckets — bit i of the
+    -- n_chars bucket at position 2i+1, bit i of the doc_id bucket at
+    -- 2i; the z-value every row would be laid out by under
+    -- operators/zorder.optimize_layout
+    SELECT 'zorder' AS part, doc_id AS id,
+           cast(sum(((ba >> i) & 1) * (1::BIGINT << (2 * i + 1))
+                    + ((bb >> i) & 1) * (1::BIGINT << (2 * i)))
+                AS BIGINT) AS rnk
+    FROM (
+      SELECT doc_id,
+             (n_chars - min(n_chars) OVER ()) * 256
+               // (max(n_chars) OVER () - min(n_chars) OVER () + 1) AS ba,
+             (doc_id - min(doc_id) OVER ()) * 256
+               // (max(doc_id) OVER () - min(doc_id) OVER () + 1) AS bb
+      FROM documents),
+      generate_series(0, 7) AS g(i)
+    GROUP BY doc_id
     """,
 )
 def q37_global_rank_scalable(spark, sf_dir):
@@ -3977,6 +3996,12 @@ def q37_global_rank_scalable(spark, sf_dir):
         global training order every pretraining run needs. Rank over
         md5(seed|doc_id): seeded, so epoch 2 reshuffles by changing one
         literal, and any node can recompute any doc's position.
+      * part='zorder' (round 5, seventh pass): the Morton z-value of
+        the 8-bit-bucketed (n_chars, doc_id) plane — the key
+        operators/zorder.optimize_layout physically re-clusters a
+        corpus by so parquet min/max stats prune scans on EITHER
+        column (Delta/Iceberg's OPTIMIZE ZORDER BY). Pure codegen
+        shift/and interleave; the oracle restates the bit arithmetic.
 
     Both arms share the two-pass pattern (_two_pass_rank):
 
@@ -4011,7 +4036,25 @@ def q37_global_rank_scalable(spark, sf_dir):
     shuf = _two_pass_rank(d, skey, "doc_id").select(
         F.lit("shuffle").alias("part"), F.col("doc_id").alias("id"), "rnk"
     )
-    return orders.unionAll(shuf)
+    # part='zorder' (round 5, seventh pass): the Morton z-value each
+    # row would be laid out by under operators/zorder.optimize_layout —
+    # the data-layout twin of the ordering arms (a linear sort clusters
+    # one column; the z-curve clusters both, so parquet min/max stats
+    # prune on either). Pure codegen shift/and chain + ONE broadcast
+    # 4-number min/max agg; the gate hash-verifies the exact interleave
+    # arithmetic the layout writer sorts by.
+    from .operators.zorder import with_zvalue
+
+    zd = with_zvalue(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "n_chars",
+        "doc_id",
+    ).select(
+        F.lit("zorder").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("_z").alias("rnk"),
+    )
+    return orders.unionAll(shuf).unionAll(zd)
 
 
 def _two_pass_rank(
