@@ -1878,34 +1878,42 @@ def main(argv: list[str] | None = None) -> None:
         print(f"pmocr-spark: audit wrote {n_bad} mismatched blobs to {args.output}")
         return
     if getattr(args, "fix_text", False):
-        from .functions import dehyphenate, reflow
+        from .functions import dehyphenate, fix_mojibake, is_mojibake, reflow
 
         df = spark.read.parquet(args.input)
         tc = args.text_col
         if tc not in df.columns:
             raise SystemExit(f"pmocr-spark: --fix-text: no column {tc!r} in {args.input}")
-        c = F.col(tc)
-        # count BEFORE repairing so the counters describe what changed;
-        # both expressions stay inside one codegen'd map projection
+        # encoding repair FIRST (mojibake survives reflow but confuses
+        # the hyphen heuristics), then count BEFORE the text repairs so
+        # the counters describe what changed; everything stays inside
+        # one codegen'd map projection
+        c = fix_mojibake(F.col(tc))
         n_hyp = F.regexp_count(c, F.lit("([A-Za-z0-9])-\n[ \t]*[a-z0-9]"))
         fixed = reflow(dehyphenate(c))
-        out = df.withColumn("n_hyphens_repaired", n_hyp.cast("long")).withColumn(
-            "n_breaks_reflowed",
-            (
-                F.regexp_count(dehyphenate(c), F.lit("\n"))
-                - F.regexp_count(fixed, F.lit("\n"))
-            ).cast("long"),
-        ).withColumn(tc, fixed)
+        out = (
+            df.withColumn("n_mojibake_repaired", is_mojibake(F.col(tc)))
+            .withColumn("n_hyphens_repaired", n_hyp.cast("long"))
+            .withColumn(
+                "n_breaks_reflowed",
+                (
+                    F.regexp_count(dehyphenate(c), F.lit("\n"))
+                    - F.regexp_count(fixed, F.lit("\n"))
+                ).cast("long"),
+            )
+            .withColumn(tc, fixed)
+        )
         out.write.mode("overwrite").parquet(args.output)
         got = spark.read.parquet(args.output)
         tot = got.agg(
+            F.coalesce(F.sum("n_mojibake_repaired"), F.lit(0)).alias("m"),
             F.coalesce(F.sum("n_hyphens_repaired"), F.lit(0)).alias("h"),
             F.coalesce(F.sum("n_breaks_reflowed"), F.lit(0)).alias("b"),
             F.count("*").alias("n"),
         ).collect()[0]
         print(
-            f"pmocr-spark: repaired {tot['n']} rows ({tot['h']} hyphen breaks, "
-            f"{tot['b']} wraps reflowed) to {args.output}"
+            f"pmocr-spark: repaired {tot['n']} rows ({tot['m']} mojibake docs, "
+            f"{tot['h']} hyphen breaks, {tot['b']} wraps reflowed) to {args.output}"
         )
         return
     if getattr(args, "spell_fix", False):

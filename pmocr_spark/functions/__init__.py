@@ -206,6 +206,41 @@ def split_sentences(col) -> Column:
     return F.split(target, r"(?<=[.!?])\s+")
 
 
+#: chars outside Latin-1 (> U+00FF) — text containing any cannot be a
+#: bytes-misread-as-Latin-1 artifact, so the repair skips it
+_NON_LATIN1 = "[^\\x00-\\xff]"
+
+
+def fix_mojibake(col) -> Column:
+    """Repair UTF-8-read-as-Latin-1 mojibake (ftfy's core fix, the
+    classic OCR/web-ingest encoding bug): 'hÃ©llo' was 'héllo' whose
+    UTF-8 bytes got decoded as Latin-1 once. The inverse is
+    re-encoding as Latin-1 and decoding as UTF-8 — applied ONLY when
+    (a) every char is Latin-1-representable and (b) the resulting
+    bytes are valid UTF-8 (F.is_valid_utf8), both checked lazily
+    inside the CASE so Spark 4's MALFORMED_CHARACTER_CODING errors
+    can never fire; anything else passes through untouched. Pure
+    codegen — encode/decode/rlike, no Python. ASCII text is a fixed
+    point of the transform (single-byte UTF-8 == Latin-1), so clean
+    corpora are untouched by construction; the known ftfy tradeoff —
+    text that legitimately spells 'Ã©' — repairs too, and real
+    corpora accept it (such sequences are vanishingly rare outside
+    actual mojibake)."""
+    c = F.col(col) if isinstance(col, str) else col
+    enc = F.encode(c, "ISO-8859-1")
+    return F.when(
+        ~c.rlike(_NON_LATIN1) & F.is_valid_utf8(enc), F.decode(enc, "UTF-8")
+    ).otherwise(c)
+
+
+def is_mojibake(col) -> Column:
+    """1 when fix_mojibake performs a real repair: a multi-byte UTF-8
+    sequence collapsed, so the repaired text is strictly shorter (an
+    ASCII/no-op pass-through keeps its length)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(fix_mojibake(c)) < F.length(c)).cast("long")
+
+
 def array_contains(arr_col, needle) -> Column:
     """X9 — ArrayContains (pmocr.sh:1374-1389)."""
     return F.array_contains(arr_col, needle)

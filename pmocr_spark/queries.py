@@ -4474,6 +4474,27 @@ _Q40_BLOCKLIST = ["ads.src0.com", "src1.net", "tracker.src2.org", "src3.com"]
                             WHEN doc_id % 3 = 1 THEN 'net'
                             ELSE 'org' END) AS host
             FROM documents))))
+    UNION ALL
+    -- mojibake: UTF-8-read-as-Latin-1 repair (ftfy's core fix). The
+    -- scaffold injects Latin-1 accents (a->228, e->233, o->248), the
+    -- corruption is restated as string arithmetic (the UTF-8 bytes of
+    -- each accent read as Latin-1: 233 -> chr(195)||chr(169)), and the
+    -- expected repair is the accented original — the Spark side runs
+    -- the REAL charset round-trip (functions.fix_mojibake)
+    SELECT 'mojibake' AS part, doc_id, acc AS out_text,
+           cast(len(regexp_extract_all(cor, chr(195))) AS BIGINT) AS n_a,
+           cast(length(cor) - length(acc) AS BIGINT)              AS n_b,
+           cast(CASE WHEN length(cor) > length(acc) THEN 1 ELSE 0 END
+                AS BIGINT)                                        AS keep
+    FROM (
+      SELECT doc_id, acc,
+             replace(replace(replace(acc, chr(228), chr(195) || chr(164)),
+                     chr(233), chr(195) || chr(169)),
+                     chr(248), chr(195) || chr(184)) AS cor
+      FROM (SELECT doc_id,
+                   replace(replace(replace(text, 'a', chr(228)),
+                           'e', chr(233)), 'o', chr(248)) AS acc
+            FROM documents))
     """,
 )
 def q40_pii_redact(spark, sf_dir):
@@ -4497,6 +4518,12 @@ def q40_pii_redact(spark, sf_dir):
         detection + strip (Kulp & Kontostathis 2007, public) over a
         length-scaled noise scaffold on every 11th doc; n_a/n_b =
         symbol chars / non-alnum tokens, keep = noise-free verdict.
+      * part='mojibake' (round 5, seventh pass) — UTF-8-read-as-
+        Latin-1 repair (functions.fix_mojibake, ftfy's core fix) via
+        the real encode/validate/decode charset round-trip; the
+        oracle restates corruption AND expected repair as string
+        arithmetic. n_a = mojibake lead chars, n_b = chars recovered,
+        keep = a real repair happened.
     The synthetic corpus is a flat word stream with no PII and no line
     structure, so both parts run on deterministic scaffolding computed
     identically on both oracle sides: every 7th doc gains a synthetic
@@ -4766,6 +4793,35 @@ def q40_pii_redact(spark, sf_dir):
         n_hit.cast("long").alias("n_b"),
         (n_hit == 0).cast("long").alias("keep"),
     )
+    # part='mojibake' (round 5, seventh pass): the REAL charset
+    # round-trip repair (functions.fix_mojibake — encode Latin-1,
+    # validate UTF-8, decode; guarded lazily so Spark 4's
+    # MALFORMED_CHARACTER_CODING can't fire) over a scaffold whose
+    # corruption the oracle restates as plain string arithmetic.
+    # Docs without a/e/o stay pure ASCII and exercise the no-op
+    # branch (keep=0, out_text == text). Map-only codegen — the
+    # family's 0-exchange pin carries it.
+    from pmocr_spark.functions import fix_mojibake, is_mojibake
+
+    acc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("a"), F.lit("ä")),
+            F.lit("e"),
+            F.lit("é"),
+        ),
+        F.lit("o"),
+        F.lit("ø"),
+    )
+    cor = F.decode(F.encode(acc, "UTF-8"), "ISO-8859-1")
+    fixed = fix_mojibake(cor)
+    moji = d.select(
+        F.lit("mojibake").alias("part"),
+        "doc_id",
+        fixed.alias("out_text"),
+        F.regexp_count(cor, F.lit("Ã")).cast("long").alias("n_a"),
+        (F.length(cor) - F.length(fixed)).cast("long").alias("n_b"),
+        is_mojibake(cor).alias("keep"),
+    )
     return (
         pii.unionAll(c4)
         .unionAll(linededup)
@@ -4773,6 +4829,7 @@ def q40_pii_redact(spark, sf_dir):
         .unionAll(ocrfix)
         .unionAll(garbage)
         .unionAll(blocked)
+        .unionAll(moji)
     )
 
 

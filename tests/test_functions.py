@@ -235,3 +235,40 @@ def test_split_sentences(spark):
            df.select("text", X.split_sentences("text").alias("s")).collect()}
     for text, want in cases:
         assert got[text] == want, (text, got[text])
+
+
+def test_fix_mojibake(spark):
+    # classic UTF-8-bytes-read-as-Latin-1 artifacts and their repairs;
+    # pure-ASCII and non-Latin-1 inputs are fixed points
+    hello = "h\u00e9llo w\u00f6rld"
+    moji = hello.encode("utf-8").decode("latin-1")  # 'hÃ©llo wÃ¶rld'
+    cases = [
+        (moji, hello, 1),
+        ("plain ascii text", "plain ascii text", 0),
+        ("emoji \U0001f389 stays", "emoji \U0001f389 stays", 0),  # > U+FF: skipped
+        ("lone \u00c3( invalid", "lone \u00c3( invalid", 0),  # C3 28 not valid UTF-8
+        ("", "", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in cases], "text string")
+    got = {
+        r["text"]: (r["f"], r["m"])
+        for r in df.select(
+            "text",
+            X.fix_mojibake("text").alias("f"),
+            X.is_mojibake("text").alias("m"),
+        ).collect()
+    }
+    for t, want, flag in cases:
+        assert got[t] == (want, flag), (t, got[t])
+
+
+def test_fix_mojibake_double_encoding_needs_two_passes(spark):
+    # doubly-mojibake'd text (encoded/misdecoded twice) repairs one
+    # layer per application — documented behavior, matching ftfy
+    hello = "caf\u00e9"
+    double = hello.encode("utf-8").decode("latin-1").encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame([(double,)], "text string")
+    once = df.select(X.fix_mojibake("text").alias("f")).collect()[0]["f"]
+    assert once == hello.encode("utf-8").decode("latin-1")
+    twice = df.select(X.fix_mojibake(X.fix_mojibake("text")).alias("f")).collect()[0]["f"]
+    assert twice == hello
