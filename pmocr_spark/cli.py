@@ -522,6 +522,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="--optimize-layout output file count (default 16)",
     )
     p.add_argument(
+        "--compact-output",
+        action="store_true",
+        help="maintenance mode (standalone): compact a results "
+        "directory's many small parquet files (service mode lands one "
+        "small file set per micro-batch epoch — the classic streaming "
+        "small-file problem) into ~--target-file-mb files: recursive "
+        "read (epoch-*/ subdirs included), size-derived file count, "
+        "hash-repartition + in-partition sort on the table's key "
+        "column so the row->file assignment is deterministic",
+    )
+    p.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=None,
+        help="--compact-output target file size in MB (default 128 — "
+        "the parquet/HDFS block-sized sweet spot for scan parallelism)",
+    )
+    p.add_argument(
         "--input-format",
         choices=("parquet", "jsonl", "warc", "orc"),
         default="parquet",
@@ -930,6 +948,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--warc-cdx", args.warc_cdx),
             ("--lsh-plan", bool(args.lsh_plan)),
             ("--optimize-layout", bool(args.optimize_layout)),
+            ("--compact-output", args.compact_output),
         )
         if on
     ]
@@ -1276,6 +1295,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         return args
     if args.layout_files is not None:
         parser.error("--layout-files only applies to --optimize-layout")
+    if args.compact_output:
+        if args.batch or args.service:
+            parser.error("--compact-output is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --compact-output")
+        if args.target_file_mb is not None and args.target_file_mb < 1:
+            parser.error("--target-file-mb must be >= 1")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.target_file_mb is not None:
+        parser.error("--target-file-mb only applies to --compact-output")
     if not (args.batch or args.service):
         parser.error("one of --batch / --service is required (flag or config)")
     if args.batch and args.service:
@@ -2004,6 +2035,40 @@ def main(argv: list[str] | None = None) -> None:
         print(
             f"pmocr-spark: z-ordered {n} rows on ({col_a}, {col_b}) into "
             f"{n_files} files at {args.output}"
+        )
+        return
+    if getattr(args, "compact_output", False):
+        import math
+        import os
+        from urllib.parse import urlparse
+
+        df = spark.read.option("recursiveFileLookup", "true").parquet(args.input)
+        in_files = df.inputFiles()
+        # size the output from the INPUT bytes (compression ratio is
+        # preserved by a rewrite of the same rows); at cluster scale
+        # the FS listing already carries sizes — locally, stat them
+        total = 0
+        for f in in_files:
+            p = urlparse(f).path
+            if os.path.exists(p):
+                total += os.path.getsize(p)
+        target_mb = args.target_file_mb if args.target_file_mb is not None else 128
+        n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        # deterministic row->file assignment: hash-repartition + sort
+        # on the leading key column (the WET-sink discipline), so a
+        # re-run compacts identically and downstream diffs are clean
+        key = df.columns[0]
+        (
+            df.repartition(n_files, F.col(key))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(args.output)
+        )
+        n = spark.read.parquet(args.output).count()
+        print(
+            f"pmocr-spark: compacted {len(in_files)} files "
+            f"({total / 1048576:.1f} MB) into {n_files} at {args.output} "
+            f"({n} rows, key={key})"
         )
         return
     if getattr(args, "extract_markdown", False):

@@ -166,3 +166,48 @@ def test_layout_files_requires_mode():
     )
     assert r.returncode != 0
     assert "--layout-files only applies" in (r.stdout + r.stderr)
+
+
+# ------------------------------------------------- --compact-output CLI
+
+
+def test_compact_output_cli(tmp_path, spark):
+    # simulate service-mode epoch layout: many tiny files across
+    # epoch-*/ subdirs
+    src = tmp_path / "sout"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for e in range(6):
+        docs.filter(F.col("doc_id") % 6 == e).repartition(4).write.parquet(
+            str(src / f"epoch-{e}")
+        )
+    n_in = len(glob.glob(f"{src}/epoch-*/part-*.parquet"))
+    assert n_in >= 20  # genuinely fragmented
+    out = str(tmp_path / "compacted")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pmocr_spark.cli",
+            "--compact-output", "--input", str(src), "--output", out,
+            "--target-file-mb", "64", "--master", "local[4]",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"compacted {n_in} files" in r.stdout
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 1  # ~1 MB of input -> one 64 MB-target file
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.join(docs, "doc_id", "left_anti").count() == 0
+    assert docs.join(back, "doc_id", "left_anti").count() == 0
+
+
+def test_target_file_mb_requires_mode():
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pmocr_spark.cli",
+            "--batch", "--target-file-mb", "64",
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode != 0
+    assert "--target-file-mb only applies" in (r.stdout + r.stderr)
