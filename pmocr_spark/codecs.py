@@ -493,6 +493,26 @@ def estimate_drift(binary: np.ndarray) -> int:
     minx = binary.argmax(axis=1)[rows]
     if np.all(minx == minx[0]):
         return 0  # vertical anchor spine — straight page
+    # Exact path: a PURE shear of a straight page displaces the anchor
+    # spine by exactly the shear-shift profile, so the leftmost-ink
+    # offsets (minx - min) must EQUAL sh[rows] - min(sh[rows]) for the
+    # true drift. A unique profile match is definitive — this is what
+    # disambiguates tiny pages where column-concentration scoring can
+    # coincidentally prefer a wrong candidate (the '1^?!'/drift=2
+    # hypothesis counterexample: score(0)=158 > score(2)=156 on a
+    # 12x9 page). Damaged/noisy spines match nothing and fall through
+    # to the scoring path below.
+    prof = minx - minx.min()
+    exact = [
+        k
+        for k in range(-max_drift, max_drift + 1)
+        if k != 0
+        and np.array_equal(
+            (sr := _shear_shifts(h, k)[rows]) - sr.min(), prof
+        )
+    ]
+    if len(exact) == 1:
+        return exact[0]
     yr = rows.astype(np.float64)
     xr = minx.astype(np.float64)
     yc = yr - yr.mean()

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from pmocr_spark import codecs
@@ -137,7 +137,7 @@ def test_pdf_mixed_layout_roundtrip(p1, left, right):
 # ---------------------------------------------------------------- audio codec
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 _ascii_text = st.text(
@@ -401,6 +401,10 @@ def test_detect_table_empty():
 
 @given(media_text(), st.integers(-4, 4))
 @settings(max_examples=60, deadline=None)
+@example(
+    text='1^?!',
+    drift=2,
+).via('discovered failure')
 def test_skewed_roundtrip(text, drift):
     blob = codecs.encode_image_skewed(text, drift, "tiff", salt="sk")
     assert codecs.decode_blob(blob) == text
