@@ -676,6 +676,24 @@ def build_parser() -> argparse.ArgumentParser:
         "to --output",
     )
     p.add_argument(
+        "--robots-filter",
+        metavar="ROBOTS_PARQUET",
+        default=None,
+        help="maintenance mode (standalone): RFC 9309 robots.txt URL "
+        "admission (operators/robots.py) — evaluate every (host, path) "
+        "row of the --input table (a single 'url' column is split "
+        "automatically) against the robots.txt blob table at "
+        "ROBOTS_PARQUET (columns host, content), longest-match / "
+        "allow-wins-tie / default-allow semantics, and write the input "
+        "plus an 'allowed' 0/1 column to --output; --robots-agent "
+        "picks the user-agent group (default *)",
+    )
+    p.add_argument(
+        "--robots-agent",
+        default=None,
+        help="--robots-filter user-agent product token (default *)",
+    )
+    p.add_argument(
         "--pagerank",
         action="store_true",
         help="maintenance mode (standalone): integer micro-unit "
@@ -945,6 +963,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--encode-unigram", bool(args.encode_unigram)),
             ("--extract-links", args.extract_links),
             ("--pagerank", args.pagerank),
+            ("--robots-filter", bool(args.robots_filter)),
             ("--warc-cdx", args.warc_cdx),
             ("--lsh-plan", bool(args.lsh_plan)),
             ("--optimize-layout", bool(args.optimize_layout)),
@@ -1237,6 +1256,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
+    if args.robots_filter:
+        if args.batch or args.service:
+            parser.error("--robots-filter is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --robots-filter")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.robots_agent is not None and not args.robots_filter:
+        parser.error("--robots-agent only applies to --robots-filter")
     if args.pagerank:
         if args.batch or args.service:
             parser.error("--pagerank is a standalone maintenance mode")
@@ -2339,6 +2368,44 @@ def main(argv: list[str] | None = None) -> None:
         edges.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"pmocr-spark: extracted {n} host-level link edges to {args.output}")
+        return
+    if getattr(args, "robots_filter", None):
+        from pyspark.sql import functions as F
+
+        from .operators.robots import evaluate, rules_table
+
+        urls = spark.read.parquet(args.input)
+        if "host" not in urls.columns or "path" not in urls.columns:
+            if "url" not in urls.columns:
+                raise SystemExit(
+                    f"--robots-filter: {args.input} needs (host, path) "
+                    f"columns or a 'url' column (columns: {urls.columns})"
+                )
+            host_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+            path_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"
+            raw_path = F.regexp_extract("url", path_re, 1)
+            urls = urls.withColumn(
+                "host", F.lower(F.regexp_extract("url", host_re, 1))
+            ).withColumn(
+                "path", F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+            )
+        robots = spark.read.parquet(args.robots_filter)
+        missing = [c for c in ("host", "content") if c not in robots.columns]
+        if missing:
+            raise SystemExit(
+                f"--robots-filter: {args.robots_filter} lacks column(s) "
+                f"{missing}; expected a robots.txt blob table (host, content)"
+            )
+        agent = args.robots_agent or "*"
+        out = evaluate(urls, rules_table(robots, agent=agent))
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+        n = res.count()
+        n_ok = res.filter(F.col("allowed") == 1).count()
+        print(
+            f"pmocr-spark: robots-filtered {n} urls for agent '{agent}': "
+            f"{n_ok} allowed, {n - n_ok} disallowed -> {args.output}"
+        )
         return
     if getattr(args, "pagerank", False):
         from .operators.linkgraph import pagerank as pr_op

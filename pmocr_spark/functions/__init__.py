@@ -241,6 +241,29 @@ def is_mojibake(col) -> Column:
     return (F.length(fix_mojibake(c)) < F.length(c)).cast("long")
 
 
+def nfc_normalize(col) -> Column:
+    """Unicode NFC normalization (UAX #15) — canonical composition so
+    'e' + U+0301 and precomposed U+00E9 hash identically. The text-
+    hygiene step every multilingual corpus runs before dedup/counting:
+    decomposed sequences (common in OCR output and mac-filesystem
+    provenance) otherwise split exact-dedup clusters and token counts.
+
+    The ONE function in this module that is not a Catalyst builtin —
+    Spark has no NFC expression, so this is the documented Arrow-
+    batched exception (pandas UDF over unicodedata; map-only, never
+    row-at-a-time Python). Under the driver gate as q40 part='nfc'
+    against DuckDB's independent nfc_normalize()."""
+    import unicodedata
+
+    _nfc = F.pandas_udf(
+        lambda s: s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        ),
+        "string",
+    )
+    return _nfc(F.col(col) if isinstance(col, str) else col)
+
+
 def array_contains(arr_col, needle) -> Column:
     """X9 — ArrayContains (pmocr.sh:1374-1389)."""
     return F.array_contains(arr_col, needle)

@@ -149,7 +149,7 @@ def rules_table(
     )
 
     @F.pandas_udf(out_t)
-    def parse(content: pd.Series) -> pd.Series:
+    def parse(content):
         res = []
         for body in content:
             if body is None:
@@ -197,10 +197,11 @@ def evaluate(
     # escape regex metachars, then * -> .*, trailing $ -> anchor
     esc = F.regexp_replace(F.col("rule"), r"([.^$+?()\[\]{}|\\])", r"\\$1")
     wild = F.regexp_replace(esc, r"\*", ".*")
-    # trailing escaped \$ back to an end anchor
-    rx = F.concat(F.lit("^"), F.regexp_replace(wild, r"\\\$$", "$"))
+    # trailing escaped \$ back to an end anchor (replacement $ must
+    # itself be escaped — bare $ is a group reference in Java regex)
+    rx = F.concat(F.lit("^"), F.regexp_replace(wild, r"\\\$$", r"\$"))
     hit = F.when(F.col("wildcard") == 0, path.startswith(F.col("rule"))).otherwise(
-        path.rlike(rx)
+        F.regexp_like(path, rx)
     )
     # encode (match_len, allow) into one word so argmax+tiebreak is a
     # single max(): mlen * 2 + allow — longer match dominates, allow

@@ -4304,6 +4304,23 @@ _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 #: domain (blocks all subdomains), middle suffix, plain apex host.
 _Q40_BLOCKLIST = ["ads.src0.com", "src1.net", "tracker.src2.org", "src3.com"]
 
+#: q40 part='robots' literal rule set (RFC 9309 prefix rules): exercises
+#: plain deny, longer-allow-overrides-deny, sibling-prefix deny with a
+#: carve-out, and a deep deny that only fires on the /deep suffix docs.
+_Q40_ROBOTS = [
+    ("/src0", 0),
+    ("/src0/p3", 1),
+    ("/src1/p", 0),
+    ("/src1/p2", 1),
+    ("/src2/p4/deep", 0),
+]
+
+
+def _q40_robots_sql_lit() -> str:
+    return "[" + ", ".join(
+        "{'r': '%s', 'a': %d}" % (r, a) for r, a in _Q40_ROBOTS
+    ) + "]"
+
 
 @query(
     "q40_pii_redact",
@@ -4495,6 +4512,44 @@ _Q40_BLOCKLIST = ["ads.src0.com", "src1.net", "tracker.src2.org", "src3.com"]
                    replace(replace(replace(text, 'a', chr(228)),
                            'e', chr(233)), 'o', chr(248)) AS acc
             FROM documents))
+    UNION ALL
+    -- robots: RFC 9309 longest-match URL admission over the literal
+    -- rule set; filter + length-argmax + allow-wins-tie + default-allow
+    -- restated independently over the same scaffold path
+    SELECT 'robots' AS part, doc_id, path AS out_text,
+           cast(len(m) AS BIGINT)  AS n_a,
+           cast(best AS BIGINT)    AS n_b,
+           cast(CASE WHEN len(m) = 0 THEN 1
+                     ELSE list_max(list_transform(
+                            list_filter(m, e -> length(e.r) = best),
+                            e -> e.a))
+                END AS BIGINT)     AS keep
+    FROM (
+      SELECT doc_id, path, m,
+             coalesce(list_max(list_transform(m, e -> length(e.r))), 0) AS best
+      FROM (
+        SELECT doc_id, path,
+               list_filter({_q40_robots_sql_lit()},
+                           e -> starts_with(path, e.r)) AS m
+        FROM (
+          SELECT doc_id,
+                 '/' || source || '/p' || (doc_id % 7)
+                 || CASE WHEN doc_id % 5 = 0 THEN '/deep' ELSE '' END AS path
+          FROM documents)))
+    UNION ALL
+    -- nfc: DuckDB's own nfc_normalize() is the INDEPENDENT oracle for
+    -- the Spark-side unicodedata NFC composition over the decomposed
+    -- scaffold (a+U+0300, e+U+0301, o+U+0303)
+    SELECT 'nfc' AS part, doc_id, nfc_normalize(dtxt) AS out_text,
+           cast(length(dtxt) AS BIGINT)                AS n_a,
+           cast(length(nfc_normalize(dtxt)) AS BIGINT) AS n_b,
+           cast(CASE WHEN length(dtxt) > length(nfc_normalize(dtxt))
+                THEN 1 ELSE 0 END AS BIGINT)           AS keep
+    FROM (
+      SELECT doc_id,
+             replace(replace(replace(text, 'a', 'a' || chr(768)),
+                     'e', 'e' || chr(769)), 'o', 'o' || chr(771)) AS dtxt
+      FROM documents)
     """,
 )
 def q40_pii_redact(spark, sf_dir):
@@ -4524,6 +4579,14 @@ def q40_pii_redact(spark, sf_dir):
         oracle restates corruption AND expected repair as string
         arithmetic. n_a = mojibake lead chars, n_b = chars recovered,
         keep = a real repair happened.
+      * part='robots' (round 5, eighth pass) — RFC 9309 longest-match
+        URL admission (operators/robots.py literal codegen form) over
+        a scaffold path; the oracle restates filter + length-argmax +
+        allow-wins-tie + default-allow. keep = allowed.
+      * part='nfc' (round 5, eighth pass) — Unicode NFC composition
+        (functions.nfc_normalize, Arrow-batched unicodedata) over a
+        decomposed combining-mark scaffold, verified against DuckDB's
+        INDEPENDENT nfc_normalize(). keep = composition happened.
     The synthetic corpus is a flat word stream with no PII and no line
     structure, so both parts run on deterministic scaffolding computed
     identically on both oracle sides: every 7th doc gains a synthetic
@@ -4822,6 +4885,62 @@ def q40_pii_redact(spark, sf_dir):
         (F.length(cor) - F.length(fixed)).cast("long").alias("n_b"),
         is_mojibake(cor).alias("keep"),
     )
+    # part='robots' (round 5, eighth pass): RFC 9309 longest-match URL
+    # admission (operators/robots.py — the crawl-policy filter upstream
+    # of every extraction pipeline; CommonCrawl honors robots per host).
+    # Scaffold path from (source, doc_id mods) identically on both
+    # oracle sides; _Q40_ROBOTS exercises deny, longer-allow-override,
+    # sibling carve-out, and a deep-only deny. The literal codegen form
+    # (higher-order filter/transform over a literal rule array) keeps
+    # the family's 0-exchange pin; the parse + broadcast-join form is
+    # pinned by tests/test_robots.py. n_a = matching rules, n_b = best
+    # match length, keep = the allow verdict.
+    from pmocr_spark.operators.robots import longest_match_lit
+
+    rpath = F.concat(
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/p"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/deep")).otherwise(F.lit("")),
+    )
+    n_m, best_len, allow = longest_match_lit(rpath, _Q40_ROBOTS)
+    robots = d.select(
+        F.lit("robots").alias("part"),
+        "doc_id",
+        rpath.alias("out_text"),
+        n_m.cast("long").alias("n_a"),
+        best_len.cast("long").alias("n_b"),
+        allow.cast("long").alias("keep"),
+    )
+    # part='nfc' (round 5, eighth pass): Unicode NFC canonical
+    # composition (functions.nfc_normalize — the multilingual-corpus
+    # hygiene step before dedup/counting; decomposed sequences split
+    # exact-dedup clusters). Scaffold injects combining marks
+    # (a+U+0300, e+U+0301, o+U+0303); the oracle runs DuckDB's
+    # INDEPENDENT nfc_normalize() over the same scaffold, so the gate
+    # verifies composition itself, not a restatement. The family's
+    # second Arrow-batched stage (plan pin updated), still map-only.
+    from pmocr_spark.functions import nfc_normalize
+
+    dec = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("a"), F.lit("a\u0300")),
+            F.lit("e"),
+            F.lit("e\u0301"),
+        ),
+        F.lit("o"),
+        F.lit("o\u0303"),
+    )
+    comp = nfc_normalize(dec)
+    nfc = d.select("doc_id", dec.alias("dec"), comp.alias("comp")).select(
+        F.lit("nfc").alias("part"),
+        "doc_id",
+        F.col("comp").alias("out_text"),
+        F.length("dec").cast("long").alias("n_a"),
+        F.length("comp").cast("long").alias("n_b"),
+        (F.length("dec") > F.length("comp")).cast("long").alias("keep"),
+    )
     return (
         pii.unionAll(c4)
         .unionAll(linededup)
@@ -4830,6 +4949,8 @@ def q40_pii_redact(spark, sf_dir):
         .unionAll(garbage)
         .unionAll(blocked)
         .unionAll(moji)
+        .unionAll(robots)
+        .unionAll(nfc)
     )
 
 
@@ -5108,7 +5229,20 @@ def q41_repetition_quality(spark, sf_dir):
       SELECT word, cand, freq,
              row_number() OVER (PARTITION BY word
                                 ORDER BY freq DESC, cand ASC) AS rn
-      FROM spcand)
+      FROM spcand),
+    -- anchor-text aggregation (round 5, eighth pass): top-3 anchor
+    -- strings per target host over the deterministic host/anchor
+    -- scaffold (the q50 pagerank host arithmetic + one doc word)
+    anc AS (
+      SELECT 'h' || ((doc_id * 31 + 7) % 64) AS dst,
+             (string_split_regex(lower(trim(text)), '\\s+'))[1 + doc_id % 3]
+               AS anchor
+      FROM documents),
+    anck AS (
+      SELECT dst, anchor, cast(count(*) AS BIGINT) AS cnt,
+             row_number() OVER (PARTITION BY dst
+                                ORDER BY count(*) DESC, anchor ASC) AS rk
+      FROM anc GROUP BY dst, anchor)
     SELECT * FROM wb UNION ALL SELECT * FROM cb
     UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
     UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
@@ -5121,6 +5255,9 @@ def q41_repetition_quality(spark, sf_dir):
     UNION ALL
     SELECT 'spell' AS part, word || '>' || cand AS bigram, freq AS cnt
     FROM spbest WHERE rn = 1
+    UNION ALL
+    SELECT 'anchor' AS part, dst || '>' || anchor AS bigram, cnt
+    FROM anck WHERE rk <= 3
     """,
 )
 def q44_bigram_lm_topk(spark, sf_dir):
@@ -5144,6 +5281,10 @@ def q44_bigram_lm_topk(spark, sf_dir):
         delimiter-wrapped string replace (provably the same greedy
         non-overlapping scan — see the SQL comment); merges 4-12 stay
         pytest-pinned vs the pure-python reference (tests/test_bpe.py).
+      * part='anchor' (round 5, eighth pass): anchor-text aggregation
+        (operators/linkgraph.anchor_topk) — top-3 anchor strings per
+        target host over a deterministic host/word scaffold; the HTML
+        extraction side is pinned by tests/test_linkgraph.py.
 
     Scale: word bigrams come from the shuffle-free arrays_zip
     construction (each doc's adjacency lives in its own row — no window
@@ -5251,9 +5392,34 @@ def q44_bigram_lm_topk(spark, sf_dir):
         F.concat_ws(">", "wrong", "corrected").alias("bigram"),
         F.col("freq").alias("cnt"),
     )
+    # part='anchor' (round 5, eighth pass): anchor-text aggregation —
+    # the top-k anchor strings per TARGET host (how the web names a
+    # page; the off-page relevance signal next to q50's pagerank).
+    # Scaffold: the q50 host arithmetic gives the target, a doc word
+    # gives the anchor; the aggregation routes through the REAL
+    # operator (linkgraph.anchor_topk: map-side-combined (dst, anchor)
+    # count + per-host top-k window over the already-aggregated,
+    # Heaps-law-small table). The HTML side (extract_anchors /
+    # anchors_from_html) is pinned by tests/test_linkgraph.py.
+    from .operators.linkgraph import anchor_topk
+
+    anc = d.select(
+        F.concat(F.lit("h"), ((F.col("doc_id") * 31 + 7) % 64).cast("string")).alias(
+            "dst"
+        ),
+        F.element_at(
+            _toks_col(), (F.lit(1) + F.col("doc_id") % 3).cast("int")
+        ).alias("anchor"),
+    )
+    anchor = anchor_topk(anc, k=3).select(
+        F.lit("anchor").alias("part"),
+        F.concat_ws(">", "dst", "anchor").alias("bigram"),
+        "cnt",
+    )
     return (
         wb.unionAll(cb).unionAll(mrows).unionAll(useed).unionAll(cms)
         .unionAll(spell)
+        .unionAll(anchor)
     )
 
 

@@ -272,3 +272,25 @@ def test_fix_mojibake_double_encoding_needs_two_passes(spark):
     assert once == hello.encode("utf-8").decode("latin-1")
     twice = df.select(X.fix_mojibake(X.fix_mojibake("text")).alias("f")).collect()[0]["f"]
     assert twice == hello
+
+
+def test_nfc_normalize(spark):
+    from pmocr_spark.functions import nfc_normalize
+
+    rows = [
+        ("étude",),        # decomposed -> composed
+        ("café",),          # already NFC: fixed point
+        ("à õ",),    # two combining marks
+        ("plain ascii",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    out = [r["n"] for r in df.select(nfc_normalize("t").alias("n")).collect()]
+    assert out[0] == "étude" and len(out[0]) == 5
+    assert out[1] == "café"
+    assert out[2] == "à õ" and len(out[2]) == 3
+    assert out[3] == "plain ascii"
+    assert out[4] is None
+    # idempotent
+    out2 = [r["n"] for r in df.select(nfc_normalize(nfc_normalize("t")).alias("n")).collect()]
+    assert out2[:4] == out[:4]

@@ -138,3 +138,68 @@ def test_cli_extract_links_then_pagerank(spark, tmp_path):
     with _pytest.raises(SystemExit):
         cli.main(["--pr-iters", "3", "--batch", "--input", "x", "--blobs", "y",
                   "--output", "z", "--lineage", "l", "--master", "local[2]"])
+
+
+# ---------------------------------------------------------------------------
+# anchor-text extraction + aggregation (round 5, eighth pass)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_anchors_parser():
+    from pmocr_spark.operators.html_extract import extract_anchors
+
+    html = (
+        "<html><body>"
+        "<a href='http://b.example/x'>Plain  link</a>"
+        "<a href='/rel'>rel <b>nested</b> text</a>"
+        "<a href='#frag'>skipped</a>"
+        "<a href='javascript:void(0)'>skipped too</a>"
+        "<a href='http://c.example/'><img src='i.png'></a>"
+        "<a href='http://d.example/'>unclosed tail"
+    )
+    assert extract_anchors(html) == [
+        ("http://b.example/x", "Plain link"),      # whitespace normalized
+        ("/rel", "rel nested text"),                # nested markup text kept
+        ("http://c.example/", ""),                  # image-only: empty anchor
+        ("http://d.example/", "unclosed tail"),     # closes at EOF
+    ]
+
+
+def test_anchors_from_html(spark):
+    html = (
+        b"<html><body>"
+        b"<a href='http://b.example/x'>Beta Page</a>"
+        b"<a href='http://b.example/y'>Beta Page</a>"
+        b"<a href='http://c.example/'><img src='i.png'></a>"  # empty: dropped
+        b"</body></html>"
+    )
+    blobs = spark.createDataFrame(
+        [("a.example", bytearray(html)), ("z.example", bytearray(b"not html"))],
+        "media_ref string, content binary",
+    )
+    rows = {(r["src"], r["dst"], r["anchor"])
+            for r in lg.anchors_from_html(blobs).collect()}
+    assert rows == {("a.example", "b.example", "Beta Page"),
+                    ("a.example", "b.example", "Beta Page")} or rows == {
+        ("a.example", "b.example", "Beta Page")}
+    # two rows collapse to one only in the set; check the real count
+    assert lg.anchors_from_html(blobs).count() == 2
+
+
+def test_anchor_topk_counts_and_ties(spark):
+    data = [
+        ("s", "t1", "alpha"), ("s", "t1", "alpha"), ("s", "t1", "beta"),
+        ("s", "t1", "beta"), ("s", "t1", "gamma"), ("s", "t1", "delta"),
+        ("s", "t2", "only"),
+    ]
+    df = spark.createDataFrame(data, "src string, dst string, anchor string")
+    out = {(r["dst"], r["rk"]): (r["anchor"], r["cnt"])
+           for r in lg.anchor_topk(df, k=3).collect()}
+    # counts: alpha 2, beta 2, gamma 1, delta 1 -> top-3 by (cnt desc,
+    # anchor asc) = alpha, beta, delta (delta < gamma lexically)
+    assert out == {
+        ("t1", 1): ("alpha", 2),
+        ("t1", 2): ("beta", 2),
+        ("t1", 3): ("delta", 1),
+        ("t2", 1): ("only", 1),
+    }
