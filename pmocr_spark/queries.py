@@ -2659,6 +2659,48 @@ def q26_fingerprint(spark, sf_dir):
     FROM (SELECT doc_id, t,
                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 9 - 4 AS d
           FROM clean)
+    UNION ALL
+    -- extraction-quality eval (part='eval'): token P/R/F1 of the
+    -- degraded extraction (drop every 5th token — DuckDB lambda index
+    -- is 1-based, Spark's 0-based, both drop positions 5,10,...; every
+    -- 9th doc appends a noise token) vs gold; tp restated via an
+    -- INDEPENDENT unnest + least() multiset-intersection join
+    SELECT 'eval', s.doc_id,
+           cast(coalesce(t.tp, 0) AS BIGINT),
+           cast(len(s.g) AS BIGINT),
+           array_to_string(s.x, ' '),
+           cast(len(s.x) AS BIGINT),
+           cast(CASE WHEN len(s.x) > 0
+                THEN (coalesce(t.tp, 0) * 1000000) // len(s.x) ELSE 0 END AS BIGINT),
+           cast(CASE WHEN len(s.g) > 0
+                THEN (coalesce(t.tp, 0) * 1000000) // len(s.g) ELSE 0 END AS BIGINT),
+           cast(CASE WHEN len(s.g) + len(s.x) > 0
+                THEN (2 * coalesce(t.tp, 0) * 1000000) // (len(s.g) + len(s.x))
+                ELSE 0 END AS BIGINT)
+    FROM (
+      SELECT doc_id, g,
+             list_concat(list_filter(g, (tok, i) -> i % 5 != 0),
+                         CASE WHEN doc_id % 9 = 0 THEN ['ZZNOISE9']
+                              ELSE []::VARCHAR[] END) AS x
+      FROM (SELECT doc_id, string_split(t, ' ') AS g FROM clean)) s
+    LEFT JOIN (
+      SELECT gc.doc_id, sum(least(gc.c, xc.c)) AS tp
+      FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM clean)
+        GROUP BY doc_id, tok) gc
+      JOIN (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (
+          SELECT doc_id,
+                 unnest(list_concat(
+                   list_filter(string_split(t, ' '), (tok, i) -> i % 5 != 0),
+                   CASE WHEN doc_id % 9 = 0 THEN ['ZZNOISE9']
+                        ELSE []::VARCHAR[] END)) AS tok
+          FROM clean)
+        GROUP BY doc_id, tok) xc
+      ON gc.doc_id = xc.doc_id AND gc.tok = xc.tok
+      GROUP BY gc.doc_id) t ON s.doc_id = t.doc_id
     """,
 )
 def q27_media_roundtrip(spark, sf_dir):
@@ -2701,7 +2743,14 @@ def q27_media_roundtrip(spark, sf_dir):
     chain (codecs.estimate_drift / unshear, run inside binarize_trim
     exactly like ImageMagick runs -deskew inside the preprocessor
     pass) must recover both the exact drift (line_no column — the
-    oracle restates the md5 arithmetic) and the byte-identical text."""
+    oracle restates the md5 arithmetic) and the byte-identical text.
+
+    part='eval' (round 5, eighth pass): extraction-quality evaluation
+    (operators/extraction_eval.py) — token-level precision/recall/F1
+    in integer micro-units of a deterministically-degraded extraction
+    vs the gold text (the graded form of pmOCR's exact-fixture test
+    strategy, run_tests.sh). Columns: line_no=tp, word_no=n_gold,
+    text_out=extracted text, x0=n_ext, y0=prec, x1=rec, y1=f1."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -2871,8 +2920,44 @@ def q27_media_roundtrip(spark, sf_dir):
             F.col("c.y1").alias("y1"),
         )
     )
+    # part='eval' (round 5, eighth pass): extraction-quality evaluation
+    # (operators/extraction_eval.py) — token-level P/R/F1 of a
+    # deterministically-degraded extraction against the gold text
+    # (every 5th token dropped; every 9th doc gains a noise token), the
+    # graded version of pmOCR's exact-fixture test strategy. One extra
+    # Arrow stage (Counter intersection per row), still map-only; the
+    # oracle restates tp via an independent unnest + least() join.
+    from .operators.extraction_eval import micro_scores, token_eval
+
+    ws_ev = F.split(clean, " ")
+    ext_arr = F.filter(ws_ev, lambda t, i: i % 5 != 4)
+    ext_arr = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(ext_arr, F.array(F.lit("ZZNOISE9"))),
+    ).otherwise(ext_arr)
+    ext_txt = F.array_join(ext_arr, " ")
+    ev = d.select(
+        "doc_id",
+        ext_txt.alias("ext_t"),
+        token_eval(clean, ext_txt).alias("s"),
+    ).select("doc_id", "ext_t", "s.tp", "s.n_gold", "s.n_ext")
+    prec, rec, f1 = micro_scores(F.col("tp"), F.col("n_gold"), F.col("n_ext"))
+    eval_arm = ev.select(
+        F.lit("eval").alias("part"),
+        "doc_id",
+        F.col("tp").alias("line_no"),
+        F.col("n_gold").alias("word_no"),
+        F.col("ext_t").alias("text_out"),
+        F.col("n_ext").alias("x0"),
+        prec.alias("y0"),
+        rec.alias("x1"),
+        f1.alias("y1"),
+    )
     return (
-        text_arm.unionByName(word_arm).unionByName(cell_arm).unionByName(deskew_arm)
+        text_arm.unionByName(word_arm)
+        .unionByName(cell_arm)
+        .unionByName(deskew_arm)
+        .unionByName(eval_arm)
     )
 
 

@@ -1,0 +1,63 @@
+"""Extraction-quality eval (operators/extraction_eval.py): known-value
+P/R/F1, multiset (not set) intersection semantics, empty-side zeros,
+and the map-only plan pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmocr_spark.operators.extraction_eval import MICRO, micro_scores, token_eval
+
+
+def _scores(spark, gold, ext):
+    df = spark.createDataFrame([(gold, ext)], "g string, e string")
+    row = df.select(token_eval("g", "e").alias("s")).select("s.*").collect()[0]
+    prec, rec, f1 = micro_scores(F.col("tp"), F.col("n_gold"), F.col("n_ext"))
+    out = (
+        df.select(token_eval("g", "e").alias("s"))
+        .select("s.*")
+        .select(prec.alias("p"), rec.alias("r"), f1.alias("f"))
+        .collect()[0]
+    )
+    return (row["tp"], row["n_gold"], row["n_ext"], out["p"], out["r"], out["f"])
+
+
+def test_known_values(spark):
+    # gold: 4 tokens; ext: 3 correct + 1 wrong -> tp=3, P=R=750000
+    tp, ng, ne, p, r, f = _scores(spark, "a b c d", "a b c x")
+    assert (tp, ng, ne) == (3, 4, 4)
+    assert p == r == f == 750_000
+
+    # multiset semantics: gold has 'a' twice, ext once -> tp counts min
+    tp, ng, ne, p, r, f = _scores(spark, "a a b", "a b b")
+    assert (tp, ng, ne) == (2, 3, 3)  # min(2,1) + min(1,2)
+    assert p == r == f == 666_666  # floor(2e6/3)
+
+    # perfect extraction
+    tp, ng, ne, p, r, f = _scores(spark, "x y", "x y")
+    assert (tp, p, r, f) == (2, MICRO, MICRO, MICRO)
+
+    # asymmetric counts: P and R diverge, F1 is the harmonic combine
+    tp, ng, ne, p, r, f = _scores(spark, "a b c d", "a b")
+    assert (tp, ng, ne) == (2, 4, 2)
+    assert (p, r) == (MICRO, 500_000)
+    assert f == 666_666  # 2*2e6 // 6
+
+
+def test_empty_sides(spark):
+    assert _scores(spark, "a b", "") == (0, 2, 0, 0, 0, 0)
+    assert _scores(spark, "", "a b") == (0, 0, 2, 0, 0, 0)
+    assert _scores(spark, "", "") == (0, 0, 0, 0, 0, 0)
+    # None behaves as empty
+    df = spark.createDataFrame([(None, "a")], "g string, e string")
+    row = df.select(token_eval("g", "e").alias("s")).select("s.*").collect()[0]
+    assert (row["tp"], row["n_gold"], row["n_ext"]) == (0, 0, 1)
+
+
+def test_map_only_plan(spark):
+    from pmocr_spark.plans import shape
+
+    df = spark.createDataFrame([("a", "a")] * 4, "g string, e string")
+    out = df.select(token_eval("g", "e").alias("s")).select("s.*")
+    assert shape.count_exchanges(out) == 0, shape.formatted_plan(out)
+    assert "BatchEvalPython" not in shape.formatted_plan(out)

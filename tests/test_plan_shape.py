@@ -476,5 +476,6 @@ def test_q27_media_family_map_only(spark):
     # per-arm Arrow detail headers: text = encode + fused decode,
     # word = encode + wordbox, cell = encode + detect and deskew =
     # encode + decode-with-drift (each pair fuses into one stage when
-    # Spark chains them) — 6 distinct stages total
-    assert len(set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))) == 6, plan
+    # Spark chains them), plus the eighth-pass eval arm's Counter
+    # intersection — 7 distinct stages total
+    assert len(set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))) == 7, plan
