@@ -676,6 +676,17 @@ def build_parser() -> argparse.ArgumentParser:
         "to --output",
     )
     p.add_argument(
+        "--eval-extraction",
+        metavar="GOLD_PARQUET",
+        default=None,
+        help="maintenance mode (standalone): grade the --input table's "
+        "--text-col column against the gold documents table at "
+        "GOLD_PARQUET (doc_id, text) — token-level precision/recall/F1 "
+        "in integer micro-units per doc (operators/extraction_eval.py; "
+        "the graded form of pmOCR's exact-fixture tests) written to "
+        "--output, corpus micro+macro averages printed",
+    )
+    p.add_argument(
         "--robots-filter",
         metavar="ROBOTS_PARQUET",
         default=None,
@@ -964,6 +975,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--extract-links", args.extract_links),
             ("--pagerank", args.pagerank),
             ("--robots-filter", bool(args.robots_filter)),
+            ("--eval-extraction", bool(args.eval_extraction)),
             ("--warc-cdx", args.warc_cdx),
             ("--lsh-plan", bool(args.lsh_plan)),
             ("--optimize-layout", bool(args.optimize_layout)),
@@ -1261,6 +1273,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--robots-filter is a standalone maintenance mode")
         if not args.input or not args.output:
             parser.error("--input and --output are required with --robots-filter")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.eval_extraction:
+        if args.batch or args.service:
+            parser.error("--eval-extraction is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --eval-extraction")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -2368,6 +2388,57 @@ def main(argv: list[str] | None = None) -> None:
         edges.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"pmocr-spark: extracted {n} host-level link edges to {args.output}")
+        return
+    if getattr(args, "eval_extraction", None):
+        from pyspark.sql import functions as F
+
+        from .operators.extraction_eval import micro_scores, token_eval
+
+        ext = spark.read.parquet(args.input)
+        tc = args.text_col
+        if "doc_id" not in ext.columns or tc not in ext.columns:
+            raise SystemExit(
+                f"--eval-extraction: {args.input} needs (doc_id, {tc}) "
+                f"columns (columns: {ext.columns}; --text-col overrides)"
+            )
+        gold = spark.read.parquet(args.eval_extraction)
+        if "doc_id" not in gold.columns or "text" not in gold.columns:
+            raise SystemExit(
+                f"--eval-extraction: {args.eval_extraction} needs "
+                f"(doc_id, text) columns (columns: {gold.columns})"
+            )
+        # LEFT join from gold: gold docs the pipeline never extracted
+        # score recall 0 (the honest eval convention) instead of
+        # silently dropping out of the average
+        pairs = gold.select("doc_id", F.col("text").alias("_gold")).join(
+            ext.select("doc_id", F.coalesce(F.col(tc), F.lit("")).alias("_ext")),
+            "doc_id",
+            "left",
+        ).withColumn("_ext", F.coalesce(F.col("_ext"), F.lit("")))
+        s = pairs.select(
+            "doc_id", token_eval(F.col("_gold"), F.col("_ext")).alias("s")
+        ).select("doc_id", "s.tp", "s.n_gold", "s.n_ext")
+        prec, rec, f1 = micro_scores(F.col("tp"), F.col("n_gold"), F.col("n_ext"))
+        scored = s.select(
+            "doc_id", "tp", "n_gold", "n_ext",
+            prec.alias("prec_micro"), rec.alias("rec_micro"), f1.alias("f1_micro"),
+        )
+        scored.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+        agg = res.agg(
+            F.count("*").alias("n"),
+            F.sum("tp").alias("tp"),
+            F.sum("n_gold").alias("ng"),
+            F.sum("n_ext").alias("ne"),
+            F.avg("f1_micro").alias("macro_f1"),
+        ).collect()[0]
+        micro_p = (agg["tp"] or 0) * 1000000 // agg["ne"] if agg["ne"] else 0
+        micro_r = (agg["tp"] or 0) * 1000000 // agg["ng"] if agg["ng"] else 0
+        print(
+            f"pmocr-spark: evaluated {agg['n']} docs -> {args.output}; "
+            f"micro P={micro_p / 10000:.2f}% R={micro_r / 10000:.2f}%, "
+            f"macro F1={(agg['macro_f1'] or 0) / 10000:.2f}%"
+        )
         return
     if getattr(args, "robots_filter", None):
         from pyspark.sql import functions as F

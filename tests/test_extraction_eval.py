@@ -61,3 +61,43 @@ def test_map_only_plan(spark):
     out = df.select(token_eval("g", "e").alias("s")).select("s.*")
     assert shape.count_exchanges(out) == 0, shape.formatted_plan(out)
     assert "BatchEvalPython" not in shape.formatted_plan(out)
+
+
+def test_cli_eval_extraction(spark, tmp_path, capsys):
+    """E2E: grade a degraded extraction table against gold via the CLI,
+    including a gold doc the pipeline never produced (recall 0)."""
+    from pmocr_spark import cli
+
+    gold_src = str(tmp_path / "gold.parquet")
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "m n o")],
+        "doc_id long, text string",
+    ).write.parquet(gold_src)
+    ext_src = str(tmp_path / "ext.parquet")
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "x y")],  # doc 3 missing entirely
+        "doc_id long, txt string",
+    ).write.parquet(ext_src)
+    out = str(tmp_path / "scores")
+    cli.main([
+        "--eval-extraction", gold_src, "--input", ext_src, "--output", out,
+        "--text-col", "txt", "--master", "local[2]",
+    ])
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["tp"] == 3 and rows[1]["rec_micro"] == 750_000
+    assert rows[1]["prec_micro"] == 1_000_000
+    assert rows[2]["f1_micro"] == 1_000_000
+    assert rows[3]["tp"] == 0 and rows[3]["n_ext"] == 0  # never extracted
+    assert rows[3]["rec_micro"] == 0 and rows[3]["f1_micro"] == 0
+    cap = capsys.readouterr().out
+    assert "micro P=" in cap and "macro F1=" in cap
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.main(["--eval-extraction", gold_src, "--batch", "--input", ext_src,
+                  "--blobs", "b", "--output", out, "--lineage", "l",
+                  "--master", "local[2]"])
+    with _pytest.raises(SystemExit):  # missing text col
+        cli.main(["--eval-extraction", gold_src, "--input", ext_src,
+                  "--output", out, "--text-col", "nope", "--master", "local[2]"])
