@@ -682,9 +682,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="maintenance mode (standalone): grade the --input table's "
         "--text-col column against the gold documents table at "
         "GOLD_PARQUET (doc_id, text) — token-level precision/recall/F1 "
-        "in integer micro-units per doc (operators/extraction_eval.py; "
-        "the graded form of pmOCR's exact-fixture tests) written to "
-        "--output, corpus micro+macro averages printed",
+        "plus character/word error rates (CER/WER, the ISRI OCR-eval "
+        "metrics) in integer micro-units per doc "
+        "(operators/extraction_eval.py; the graded form of pmOCR's "
+        "exact-fixture tests) written to --output, corpus micro+macro "
+        "averages printed",
     )
     p.add_argument(
         "--robots-filter",
@@ -2392,7 +2394,12 @@ def main(argv: list[str] | None = None) -> None:
     if getattr(args, "eval_extraction", None):
         from pyspark.sql import functions as F
 
-        from .operators.extraction_eval import micro_scores, token_eval
+        from .operators.extraction_eval import (
+            edit_eval,
+            micro_scores,
+            rate_micro,
+            token_eval,
+        )
 
         ext = spark.read.parquet(args.input)
         tc = args.text_col
@@ -2416,12 +2423,22 @@ def main(argv: list[str] | None = None) -> None:
             "left",
         ).withColumn("_ext", F.coalesce(F.col("_ext"), F.lit("")))
         s = pairs.select(
-            "doc_id", token_eval(F.col("_gold"), F.col("_ext")).alias("s")
-        ).select("doc_id", "s.tp", "s.n_gold", "s.n_ext")
+            "doc_id",
+            token_eval(F.col("_gold"), F.col("_ext")).alias("s"),
+            edit_eval(F.col("_gold"), F.col("_ext")).alias("w"),
+            F.levenshtein("_gold", "_ext").cast("long").alias("cdist"),
+            F.length("_gold").cast("long").alias("n_gold_c"),
+        ).select(
+            "doc_id", "s.tp", "s.n_gold", "s.n_ext",
+            "w.wdist", "w.n_gold_w", "cdist", "n_gold_c",
+        )
         prec, rec, f1 = micro_scores(F.col("tp"), F.col("n_gold"), F.col("n_ext"))
         scored = s.select(
             "doc_id", "tp", "n_gold", "n_ext",
             prec.alias("prec_micro"), rec.alias("rec_micro"), f1.alias("f1_micro"),
+            "cdist", "n_gold_c", "wdist", "n_gold_w",
+            rate_micro(F.col("cdist"), F.col("n_gold_c")).alias("cer_micro"),
+            rate_micro(F.col("wdist"), F.col("n_gold_w")).alias("wer_micro"),
         )
         scored.write.mode("overwrite").parquet(args.output)
         res = spark.read.parquet(args.output)
@@ -2431,13 +2448,20 @@ def main(argv: list[str] | None = None) -> None:
             F.sum("n_gold").alias("ng"),
             F.sum("n_ext").alias("ne"),
             F.avg("f1_micro").alias("macro_f1"),
+            F.sum("cdist").alias("cd"),
+            F.sum("n_gold_c").alias("ngc"),
+            F.sum("wdist").alias("wd"),
+            F.sum("n_gold_w").alias("ngw"),
         ).collect()[0]
         micro_p = (agg["tp"] or 0) * 1000000 // agg["ne"] if agg["ne"] else 0
         micro_r = (agg["tp"] or 0) * 1000000 // agg["ng"] if agg["ng"] else 0
+        cer = (agg["cd"] or 0) * 1000000 // agg["ngc"] if agg["ngc"] else 0
+        wer = (agg["wd"] or 0) * 1000000 // agg["ngw"] if agg["ngw"] else 0
         print(
             f"pmocr-spark: evaluated {agg['n']} docs -> {args.output}; "
             f"micro P={micro_p / 10000:.2f}% R={micro_r / 10000:.2f}%, "
-            f"macro F1={(agg['macro_f1'] or 0) / 10000:.2f}%"
+            f"macro F1={(agg['macro_f1'] or 0) / 10000:.2f}%, "
+            f"CER={cer / 10000:.2f}% WER={wer / 10000:.2f}%"
         )
         return
     if getattr(args, "robots_filter", None):

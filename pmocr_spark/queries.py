@@ -2618,6 +2618,55 @@ def q26_fingerprint(spark, sf_dir):
       FROM (SELECT doc_id, k, CASE WHEN k = 1 THEN row1 ELSE row2 END AS rt
             FROM celltbl, unnest([1, 2]) AS u(k))
       WHERE trim(rt) <> ''
+    ),
+    -- CER/WER (part='cer'): degraded = per 0-based char position i,
+    -- drop when i%7=6 else '#' when i%11=10 (DuckDB lambda index is
+    -- 1-based). CER via DuckDB's INDEPENDENT levenshtein() over the
+    -- full text (printable-ASCII, so DuckDB's byte distance == Spark's
+    -- codepoint distance); WER over the first-40-word prefix via a
+    -- word -> single-ASCII-char recode (union vocab <= 80, every word
+    -- a distinct 1-byte chr(32+rank)) + levenshtein on the recoded
+    -- strings — edit distance is invariant under token relabeling, so
+    -- the recode order is free
+    cerp AS (
+      SELECT doc_id, g, x, gp,
+             array_to_string(list_filter(list_transform(string_split(gp, ''),
+               (ch, i) -> CASE WHEN (i - 1) % 11 = 10 THEN '#' ELSE ch END),
+               (ch, i) -> (i - 1) % 7 != 6), '') AS xp
+      FROM (
+        SELECT doc_id, t AS g,
+               array_to_string(list_filter(list_transform(string_split(t, ''),
+                 (ch, i) -> CASE WHEN (i - 1) % 11 = 10 THEN '#' ELSE ch END),
+                 (ch, i) -> (i - 1) % 7 != 6), '') AS x,
+               array_to_string(list_slice(string_split(t, ' '), 1, 40), ' ') AS gp
+        FROM clean)
+    ),
+    werw AS (
+      SELECT doc_id, side, generate_subscripts(ws, 1) AS p, unnest(ws) AS w
+      FROM (SELECT doc_id, 'g' AS side, string_split(gp, ' ') AS ws
+            FROM cerp WHERE gp <> ''
+            UNION ALL
+            SELECT doc_id, 'x', string_split(xp, ' ')
+            FROM cerp WHERE xp <> '')
+    ),
+    wmap AS (
+      SELECT doc_id, w, dense_rank() OVER (PARTITION BY doc_id ORDER BY w) AS r
+      FROM (SELECT DISTINCT doc_id, w FROM werw)
+    ),
+    wrec AS (
+      SELECT doc_id, side,
+             string_agg(chr(cast(32 + r AS INTEGER)), '' ORDER BY p) AS s
+      FROM werw JOIN wmap USING (doc_id, w)
+      GROUP BY doc_id, side
+    ),
+    wer AS (
+      SELECT c.doc_id,
+             levenshtein(coalesce(gr.s, ''), coalesce(xr.s, '')) AS wdist,
+             CASE WHEN c.gp = '' THEN 0
+                  ELSE len(string_split(c.gp, ' ')) END AS ngw
+      FROM cerp c
+      LEFT JOIN (SELECT doc_id, s FROM wrec WHERE side = 'g') gr USING (doc_id)
+      LEFT JOIN (SELECT doc_id, s FROM wrec WHERE side = 'x') xr USING (doc_id)
     )
     SELECT 'word' AS part, doc_id, cast(line_no AS BIGINT) AS line_no,
            cast(row_number() OVER (PARTITION BY doc_id, line_no ORDER BY i) - 1
@@ -2701,6 +2750,20 @@ def q26_fingerprint(spark, sf_dir):
         GROUP BY doc_id, tok) xc
       ON gc.doc_id = xc.doc_id AND gc.tok = xc.tok
       GROUP BY gc.doc_id) t ON s.doc_id = t.doc_id
+    UNION ALL
+    -- CER/WER (part='cer', round 5 ninth pass): see the cerp/wer CTEs
+    SELECT 'cer', c.doc_id,
+           cast(levenshtein(c.g, c.x) AS BIGINT),
+           cast(w.wdist AS BIGINT),
+           c.x,
+           cast(length(c.g) AS BIGINT),
+           cast(CASE WHEN length(c.g) > 0
+                THEN levenshtein(c.g, c.x) * 1000000 // length(c.g)
+                ELSE 0 END AS BIGINT),
+           cast(w.ngw AS BIGINT),
+           cast(CASE WHEN w.ngw > 0 THEN w.wdist * 1000000 // w.ngw
+                ELSE 0 END AS BIGINT)
+    FROM cerp c JOIN wer w ON c.doc_id = w.doc_id
     """,
 )
 def q27_media_roundtrip(spark, sf_dir):
@@ -2750,7 +2813,19 @@ def q27_media_roundtrip(spark, sf_dir):
     in integer micro-units of a deterministically-degraded extraction
     vs the gold text (the graded form of pmOCR's exact-fixture test
     strategy, run_tests.sh). Columns: line_no=tp, word_no=n_gold,
-    text_out=extracted text, x0=n_ext, y0=prec, x1=rec, y1=f1."""
+    text_out=extracted text, x0=n_ext, y0=prec, x1=rec, y1=f1.
+
+    part='cer' (round 5, ninth pass): CER/WER OCR-accuracy metrics
+    (ISRI OCR-evaluation methodology, Rice et al. UNLV-ISRI) of a
+    character-degraded extraction vs gold. CER = built-in JVM
+    levenshtein over the full text; WER = word-level edit-distance DP
+    (extraction_eval.seq_edit_distance, Arrow-batched, doc-local) over
+    the first-40-word prefix — bounded so the ORACLE can restate word
+    distance through a single-byte-ASCII word recode under DuckDB's
+    byte-based levenshtein(). Two INDEPENDENT edit-distance
+    implementations check each other; nothing is restated. Columns:
+    line_no=char dist, word_no=word dist, text_out=degraded text,
+    x0=n_chars, y0=cer_micro, x1=n_words, y1=wer_micro."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -2953,11 +3028,57 @@ def q27_media_roundtrip(spark, sf_dir):
         rec.alias("x1"),
         f1.alias("y1"),
     )
+    # part='cer' (round 5, ninth pass): CER/WER OCR-accuracy metrics
+    # (the ISRI methodology) — gold degrades CHARACTER-wise (0-based
+    # position i: dropped when i%7==6, '#' when i%11==10), then
+    # CER = F.levenshtein (JVM codegen, no UDF) over the full text and
+    # WER = the word-level edit-distance DP (extraction_eval.edit_eval,
+    # one Arrow stage) over the first-40-word prefix. The prefix bound
+    # exists for the ORACLE: DuckDB's levenshtein is byte-based, so the
+    # WER restatement recodes words to single-byte ASCII codes — union
+    # vocab <= 80 (char edits never add spaces, so degraded word count
+    # <= gold's 40) keeps every code one byte. CER needs no bound: the
+    # cleaned text is printable ASCII, where bytes == codepoints.
+    from .operators.extraction_eval import edit_eval, rate_micro
+
+    @F.pandas_udf("struct<x:string,gp:string,xp:string>")
+    def degrade_cer(text):
+        def deg(t):
+            return "".join(
+                "#" if i % 11 == 10 else c
+                for i, c in enumerate(t)
+                if i % 7 != 6
+            )
+
+        rows = []
+        for t in text:
+            gp = " ".join((t.split(" ") if t else [])[:40])
+            rows.append((deg(t), gp, deg(gp)))
+        return pd.DataFrame(rows, columns=["x", "gp", "xp"])
+
+    cer_src = d.select(
+        "doc_id", clean.alias("g"), degrade_cer(clean).alias("r")
+    ).select(
+        "doc_id", "g", "r.x", edit_eval(F.col("r.gp"), F.col("r.xp")).alias("w")
+    )
+    cdist = F.levenshtein("g", "x")
+    cer_arm = cer_src.select(
+        F.lit("cer").alias("part"),
+        "doc_id",
+        cdist.cast("long").alias("line_no"),
+        F.col("w.wdist").alias("word_no"),
+        F.col("x").alias("text_out"),
+        F.length("g").cast("long").alias("x0"),
+        rate_micro(cdist, F.length("g")).alias("y0"),
+        F.col("w.n_gold_w").alias("x1"),
+        rate_micro(F.col("w.wdist"), F.col("w.n_gold_w")).alias("y1"),
+    )
     return (
         text_arm.unionByName(word_arm)
         .unionByName(cell_arm)
         .unionByName(deskew_arm)
         .unionByName(eval_arm)
+        .unionByName(cer_arm)
     )
 
 

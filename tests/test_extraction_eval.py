@@ -1,12 +1,36 @@
 """Extraction-quality eval (operators/extraction_eval.py): known-value
 P/R/F1, multiset (not set) intersection semantics, empty-side zeros,
-and the map-only plan pin."""
+the map-only plan pin, and the CER/WER edit-distance DP vs a
+pure-python textbook reference."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pmocr_spark.operators.extraction_eval import MICRO, micro_scores, token_eval
+from pmocr_spark.operators.extraction_eval import (
+    MICRO,
+    edit_eval,
+    micro_scores,
+    rate_micro,
+    seq_edit_distance,
+    token_eval,
+)
+
+
+def _ref_edit_distance(a, b):
+    """Textbook O(nm) Wagner-Fischer, pure python, no tricks."""
+    n, m = len(a), len(b)
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[m]
 
 
 def _scores(spark, gold, ext):
@@ -54,6 +78,55 @@ def test_empty_sides(spark):
     assert (row["tp"], row["n_gold"], row["n_ext"]) == (0, 0, 1)
 
 
+def test_seq_edit_distance_known():
+    assert seq_edit_distance(list("kitten"), list("sitting")) == 3
+    assert seq_edit_distance([], []) == 0
+    assert seq_edit_distance(["a", "b"], []) == 2
+    assert seq_edit_distance([], ["x"]) == 1
+    assert seq_edit_distance(["a", "b", "c"], ["a", "b", "c"]) == 0
+    # word-level: one substitution + one deletion
+    assert seq_edit_distance("the cat sat here".split(), "the bat sat".split()) == 2
+
+
+def test_seq_edit_distance_vs_reference():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.sampled_from(["a", "b", "c", "ab", ""])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(tok, max_size=12), st.lists(tok, max_size=12))
+    def check(a, b):
+        assert seq_edit_distance(a, b) == _ref_edit_distance(a, b)
+
+    check()
+
+
+def test_edit_eval_spark(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat here", "the bat sat"),
+            ("a b", ""),
+            ("", "x y z"),
+            (None, "x"),
+            ("a  b", "a b"),  # double space: empty token counts (split(' '))
+        ],
+        "g string, e string",
+    )
+    rows = df.select(edit_eval("g", "e").alias("w")).select("w.*").collect()
+    assert (rows[0]["wdist"], rows[0]["n_gold_w"], rows[0]["n_ext_w"]) == (2, 4, 3)
+    assert (rows[1]["wdist"], rows[1]["n_gold_w"], rows[1]["n_ext_w"]) == (2, 2, 0)
+    assert (rows[2]["wdist"], rows[2]["n_gold_w"]) == (3, 0)
+    assert (rows[3]["wdist"], rows[3]["n_gold_w"]) == (1, 0)  # None == empty
+    assert (rows[4]["wdist"], rows[4]["n_gold_w"]) == (1, 3)  # drop the '' token
+
+
+def test_rate_micro(spark):
+    df = spark.createDataFrame([(3, 4), (0, 0), (5, 2)], "d long, n long")
+    out = df.select(rate_micro(F.col("d"), F.col("n")).alias("r")).collect()
+    assert [r["r"] for r in out] == [750_000, 0, 2_500_000]  # rates uncapped
+
+
 def test_map_only_plan(spark):
     from pmocr_spark.plans import shape
 
@@ -89,8 +162,15 @@ def test_cli_eval_extraction(spark, tmp_path, capsys):
     assert rows[2]["f1_micro"] == 1_000_000
     assert rows[3]["tp"] == 0 and rows[3]["n_ext"] == 0  # never extracted
     assert rows[3]["rec_micro"] == 0 and rows[3]["f1_micro"] == 0
+    # CER/WER: doc 1 drops ' d' -> cdist 2/7 chars, wdist 1/4 words
+    assert rows[1]["cdist"] == 2 and rows[1]["cer_micro"] == 2_000_000 // 7
+    assert rows[1]["wdist"] == 1 and rows[1]["wer_micro"] == 250_000
+    assert rows[2]["cer_micro"] == 0 and rows[2]["wer_micro"] == 0
+    # never-extracted doc scores 100% error both ways
+    assert rows[3]["cer_micro"] == MICRO and rows[3]["wer_micro"] == MICRO
     cap = capsys.readouterr().out
     assert "micro P=" in cap and "macro F1=" in cap
+    assert "CER=" in cap and "WER=" in cap
 
     import pytest as _pytest
 
