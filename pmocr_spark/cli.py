@@ -604,6 +604,18 @@ def build_parser() -> argparse.ArgumentParser:
         "text; use txt for batch-results tables)",
     )
     p.add_argument(
+        "--keywords",
+        metavar="K",
+        type=int,
+        default=None,
+        help="maintenance mode (standalone): per-document tf-idf "
+        "keyword extraction (operators/keywords.py) — the top-K most "
+        "distinctive terms of every --input row's --text-col, scored "
+        "round(1e6*tf*ln(N/df)) (integer micro-units, term-asc "
+        "tie-break), written to --output as "
+        "(doc_id, term, tf, df, score_micro, rank)",
+    )
+    p.add_argument(
         "--spell-fix",
         action="store_true",
         help="maintenance mode (standalone): SymSpell dictionary "
@@ -966,6 +978,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--word-boxes", args.word_boxes),
             ("--fix-text", args.fix_text),
             ("--spell-fix", args.spell_fix),
+            ("--keywords", args.keywords is not None),
             ("--audit-blobs", args.audit_blobs),
             ("--corpus-stats", args.corpus_stats),
             ("--train-quality", args.train_quality),
@@ -1222,6 +1235,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--spell-fix is a standalone maintenance mode")
         if not args.input or not args.output:
             parser.error("--input and --output are required with --spell-fix")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.keywords is not None:
+        if args.batch or args.service:
+            parser.error("--keywords is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --keywords")
+        if args.keywords < 1:
+            parser.error("--keywords K must be >= 1")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -2058,6 +2081,30 @@ def main(argv: list[str] | None = None) -> None:
         print(
             f"pmocr-spark: spell-fixed {tot['n']} rows ({tot['f']} tokens "
             f"corrected, {len(mapping)} dictionary corrections) to {args.output}"
+        )
+        return
+    if getattr(args, "keywords", None) is not None:
+        from .operators.keywords import tfidf_topk
+
+        df = spark.read.parquet(args.input)
+        tc = args.text_col
+        if "doc_id" not in df.columns or tc not in df.columns:
+            raise SystemExit(
+                f"pmocr-spark: --keywords: {args.input} needs (doc_id, {tc}) "
+                f"columns (columns: {df.columns}; --text-col overrides)"
+            )
+        docs = df.withColumnRenamed(tc, "text") if tc != "text" else df
+        tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        out = tfidf_topk(docs, tokens, k=args.keywords)
+        out.write.mode("overwrite").parquet(args.output)
+        got = spark.read.parquet(args.output)
+        agg = got.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("d"),
+        ).collect()[0]
+        print(
+            f"pmocr-spark: extracted top-{args.keywords} keywords for "
+            f"{agg['d']} docs ({agg['n']} rows) to {args.output}"
         )
         return
     if getattr(args, "optimize_layout", None):

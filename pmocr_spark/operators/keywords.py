@@ -1,0 +1,77 @@
+"""Per-document tf-idf keyword extraction — the classic corpus
+-exploration / document-tagging operator (Sparck Jones JDoc'72 idf;
+the tf·idf weighting every retrieval textbook builds on). Given the
+token stream, emit each document's top-k most distinctive terms:
+score = tf · ln(N / df) in integer micro-units (the bm25.py exactness
+convention: round once to BIGINT, rank on the integer so the ordering
+is engine-portable).
+
+Scale shape (the BM25 lessons applied):
+- term frequencies: ONE hash agg on (doc_id, term) with map-side
+  partial aggregation — the only corpus-sized shuffle;
+- document frequencies: an agg over the tf table keyed by TERM — the
+  result is vocabulary-sized (Heaps-law-small), so it BROADCASTS back
+  onto tf (no corpus re-shuffle for the idf join);
+- the corpus doc count rides in as a broadcast 1-row frame (the q24
+  pattern), never a driver-side literal baked before the plan runs;
+- top-k per doc: a row_number window partitioned by doc_id — per-doc
+  term counts are bounded by document length, so no skew cap is
+  needed (contrast per-DOMAIN top-k, q35, where hot keys force the
+  salted two-phase form).
+
+Reference tie: pmOCR has no corpus statistics at all (it converts one
+file at a time, pmocr.sh:2160-2183); keywords are part of the
+"datasheet" layer a 100 TB corpus needs (corpus_stats.py sibling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def doc_term_freqs(docs: DataFrame, tokens) -> DataFrame:
+    """(doc_id, term, tf) from a documents frame and a token-array
+    column expression. Empty tokens dropped (the word_freqs
+    convention)."""
+    return (
+        docs.select("doc_id", F.explode(tokens).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def tfidf_topk(docs: DataFrame, tokens, k: int = 3) -> DataFrame:
+    """Top-k tf-idf keywords per document:
+    (doc_id, term, tf, df, score_micro, rank) with
+    score_micro = round(1e6 · tf · ln(N/df)) as BIGINT. Ubiquitous
+    terms (df == N) score exactly 0 and can still fill a short
+    document's top-k — deterministic, ties broken (score desc, term
+    asc)."""
+    tf = doc_term_freqs(docs, tokens)
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_micro",
+            F.round(
+                F.lit(float(MICRO))
+                * F.col("tf")
+                * F.log(F.col("n_docs") / F.col("df")),
+                0,
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+    )

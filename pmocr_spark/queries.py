@@ -5448,7 +5448,27 @@ def q41_repetition_quality(spark, sf_dir):
       SELECT dst, anchor, cast(count(*) AS BIGINT) AS cnt,
              row_number() OVER (PARTITION BY dst
                                 ORDER BY count(*) DESC, anchor ASC) AS rk
-      FROM anc GROUP BY dst, anchor)
+      FROM anc GROUP BY dst, anchor),
+    -- tf-idf keywords (round 5, ninth pass): top-3 most distinctive
+    -- terms per doc, score = round(1e6 * tf * ln(N/df)) ranked as an
+    -- INTEGER (the bm25 exactness convention) with term-asc tie-break
+    tfq AS (
+      SELECT doc_id, w AS term, cast(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents)
+      WHERE len(w) > 0 GROUP BY doc_id, w),
+    dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+    tsc AS (
+      SELECT doc_id, term,
+             cast(round(1000000.0 * tf * ln(n * 1.0 / df), 0) AS BIGINT) AS s
+      FROM tfq JOIN dfq USING (term),
+           (SELECT count(*) AS n FROM documents)),
+    trk AS (
+      SELECT doc_id, term, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, term ASC) AS rk
+      FROM tsc)
     SELECT * FROM wb UNION ALL SELECT * FROM cb
     UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
     UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
@@ -5464,6 +5484,10 @@ def q41_repetition_quality(spark, sf_dir):
     UNION ALL
     SELECT 'anchor' AS part, dst || '>' || anchor AS bigram, cnt
     FROM anck WHERE rk <= 3
+    UNION ALL
+    SELECT 'tfidf' AS part, cast(doc_id AS VARCHAR) || '>' || term AS bigram,
+           s AS cnt
+    FROM trk WHERE rk <= 3
     """,
 )
 def q44_bigram_lm_topk(spark, sf_dir):
@@ -5491,6 +5515,10 @@ def q44_bigram_lm_topk(spark, sf_dir):
         (operators/linkgraph.anchor_topk) — top-3 anchor strings per
         target host over a deterministic host/word scaffold; the HTML
         extraction side is pinned by tests/test_linkgraph.py.
+      * part='tfidf' (round 5, ninth pass): per-doc tf-idf keyword
+        extraction (operators/keywords.py) — each document's top-3
+        most distinctive terms, round(1e6·tf·ln(N/df)) ranked as an
+        integer with term-asc tie-break.
 
     Scale: word bigrams come from the shuffle-free arrays_zip
     construction (each doc's adjacency lives in its own row — no window
@@ -5622,10 +5650,26 @@ def q44_bigram_lm_topk(spark, sf_dir):
         F.concat_ws(">", "dst", "anchor").alias("bigram"),
         "cnt",
     )
+    # part='tfidf' (round 5, ninth pass): per-doc tf-idf keywords
+    # (operators/keywords.py) — top-3 most distinctive terms, scored
+    # round(1e6 * tf * ln(N/df)) and ranked on the INTEGER score (the
+    # bm25 micro-unit convention, so both engines rank identical
+    # BIGINTs; ln matches because both are double ln on the same
+    # integer ratio — the gate-green bm25 precedent). df broadcasts
+    # back onto tf (vocab is Heaps-law-small); N rides as a broadcast
+    # 1-row frame; per-doc top-k is skew-free (doc length bounds it).
+    from .operators.keywords import tfidf_topk
+
+    tfidf = tfidf_topk(d, _toks_col(), k=3).select(
+        F.lit("tfidf").alias("part"),
+        F.concat_ws(">", F.col("doc_id").cast("string"), "term").alias("bigram"),
+        F.col("score_micro").alias("cnt"),
+    )
     return (
         wb.unionAll(cb).unionAll(mrows).unionAll(useed).unionAll(cms)
         .unionAll(spell)
         .unionAll(anchor)
+        .unionAll(tfidf)
     )
 
 

@@ -1,0 +1,111 @@
+"""tf-idf keyword extraction (operators/keywords.py): hand-computed
+scores, ubiquitous-term zero, tie-break determinism, and the
+broadcast-join plan pin (df and N never re-shuffle the corpus)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pmocr_spark.operators.keywords import MICRO, doc_term_freqs, tfidf_topk
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+            (4, "date common"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _tok():
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def test_doc_term_freqs(spark):
+    tf = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in doc_term_freqs(_docs(spark), _tok()).collect()
+    }
+    assert tf[(1, "apple")] == 2 and tf[(3, "cherry")] == 3
+    assert tf[(1, "common")] == 1 and len(tf) == 10
+
+
+def test_tfidf_known_values(spark):
+    rows = tfidf_topk(_docs(spark), _tok(), k=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2 df=1 -> 2*ln(4), banana tf=1 df=2 -> ln(2),
+    # common df=4 -> 0; ranked by integer micro score then term asc
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert [r["term"] for r in d1] == ["apple", "banana", "common"]
+    assert d1[0]["score_micro"] == round(MICRO * 2 * math.log(4))
+    assert d1[1]["score_micro"] == round(MICRO * math.log(2))
+    assert d1[2]["score_micro"] == 0  # ubiquitous term scores exactly 0
+    # doc 3: cherry tf=3 df=2
+    d3 = sorted(by_doc[3], key=lambda r: r["rank"])
+    assert d3[0]["term"] == "cherry"
+    assert d3[0]["score_micro"] == round(MICRO * 3 * math.log(2))
+    # every doc has <= k rows and ranks are 1..n
+    for doc, rs in by_doc.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_tfidf_tie_break(spark):
+    # two terms with identical (tf, df) tie on score -> term asc decides
+    d = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "filler")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r for r in tfidf_topk(d, _tok(), k=2).collect() if r["doc_id"] == 1),
+        key=lambda r: r["rank"],
+    )
+    assert [r["term"] for r in rows] == ["alpha", "zeta"]
+    assert rows[0]["score_micro"] == rows[1]["score_micro"]
+
+
+def test_cli_keywords(spark, tmp_path, capsys):
+    from pmocr_spark import cli
+
+    src = str(tmp_path / "docs.parquet")
+    _docs(spark).write.parquet(src)
+    out = str(tmp_path / "kw")
+    cli.main([
+        "--keywords", "2", "--input", src, "--output", out,
+        "--master", "local[2]",
+    ])
+    rows = spark.read.parquet(out).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 4 and all(len(v) <= 2 for v in by_doc.values())
+    top1 = {r["doc_id"]: r["term"] for r in rows if r["rank"] == 1}
+    assert top1[1] == "apple" and top1[3] == "cherry" and top1[4] == "date"
+    assert "top-2 keywords for 4 docs" in capsys.readouterr().out
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # standalone-mode guard
+        cli.main(["--keywords", "2", "--batch", "--input", src, "--blobs", "b",
+                  "--output", out, "--lineage", "l", "--master", "local[2]"])
+    with _pytest.raises(SystemExit):  # K >= 1
+        cli.main(["--keywords", "0", "--input", src, "--output", out,
+                  "--master", "local[2]"])
+
+
+def test_tfidf_plan_broadcasts(spark):
+    """The idf join and the N join must be broadcast: the corpus-sized
+    tf table re-shuffles only for the per-doc window."""
+    from pmocr_spark.plans import shape
+
+    out = tfidf_topk(_docs(spark), _tok(), k=3)
+    plan = shape.formatted_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
