@@ -632,8 +632,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--phash-max-hamming",
         type=int,
         default=None,
-        help="--phash-dedup pair threshold (default 3 = the pigeonhole-"
-        "complete regime; looser values are LSH best-effort)",
+        help="--phash-dedup / --afp-dedup pair threshold (default 3 = "
+        "the pigeonhole-complete regime; looser values are LSH "
+        "best-effort)",
+    )
+    p.add_argument(
+        "--afp-dedup",
+        action="store_true",
+        help="maintenance mode (standalone): acoustic-fingerprint audio "
+        "near-dup over the --blobs audio table — 64-bit tone-density "
+        "fingerprint per blob, banded-hamming pair join "
+        "(operators/multimodal.audio_near_dup, same join machinery as "
+        "--phash-dedup) — writing (ref_a, ref_b, hamming) pairs to "
+        "--output; threshold via --phash-max-hamming",
     )
     p.add_argument(
         "--substr-k",
@@ -972,6 +983,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--dedup-substrings", args.dedup_substrings),
             ("--compact-substr-index", args.compact_substr_index),
             ("--phash-dedup", args.phash_dedup),
+            ("--afp-dedup", args.afp_dedup),
             ("--transcribe-audio", args.transcribe_audio),
             ("--transcribe-video", args.transcribe_video),
             ("--extract-markdown", args.extract_markdown),
@@ -1169,6 +1181,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--phash-dedup is a standalone maintenance mode")
         if not args.blobs or not args.output:
             parser.error("--blobs and --output are required with --phash-dedup")
+        if args.phash_max_hamming is not None and not (0 <= args.phash_max_hamming <= 64):
+            parser.error("--phash-max-hamming must be in [0, 64]")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.afp_dedup:
+        if args.batch or args.service:
+            parser.error("--afp-dedup is a standalone maintenance mode")
+        if not args.blobs or not args.output:
+            parser.error("--blobs and --output are required with --afp-dedup")
         if args.phash_max_hamming is not None and not (0 <= args.phash_max_hamming <= 64):
             parser.error("--phash-max-hamming must be in [0, 64]")
         args.target_list = []
@@ -2335,6 +2357,18 @@ def main(argv: list[str] | None = None) -> None:
         pairs.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"pmocr-spark: {n} visual near-dup pairs written to {args.output}")
+        return
+    if getattr(args, "afp_dedup", False):
+        from .operators.multimodal import audio_near_dup
+
+        blobs = spark.read.parquet(args.blobs)
+        pairs = audio_near_dup(
+            blobs,
+            **({} if args.phash_max_hamming is None else {"max_hamming": args.phash_max_hamming}),
+        )
+        pairs.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"pmocr-spark: {n} audio near-dup pairs written to {args.output}")
         return
     if getattr(args, "train_quality", False):
         from .operators import quality_classifier as qc_op

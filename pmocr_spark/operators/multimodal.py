@@ -437,11 +437,22 @@ def phash_near_dup(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     LAION-style visual dedup shape (public): pHash -> band bucket ->
     verify; full recall for hamming < PHASH_BANDS (pigeonhole)."""
-    width = 64 // PHASH_BANDS
-    mask = (1 << width) - 1
     h = blobs.select("media_ref", image_phash("content").alias("ph")).filter(
         F.col("ph").isNotNull()
     )
+    return banded_hamming_pairs(h, max_hamming)
+
+
+def banded_hamming_pairs(
+    hashed: DataFrame, max_hamming: int, bands: int = PHASH_BANDS
+) -> DataFrame:
+    """Near-dup pairs over a (media_ref, ph) 64-bit-hash frame: the
+    banded-hamming equi-join + JVM bit_count verify shared by the
+    visual (phash_near_dup) and acoustic (audio_near_dup) operators.
+    Full recall for hamming < bands (pigeonhole); reduce keys are the
+    band values, never hash x hash."""
+    width = 64 // bands
+    mask = (1 << width) - 1
     bandcol = F.explode(
         F.array(
             *[
@@ -449,11 +460,13 @@ def phash_near_dup(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
                     F.lit(i).alias("band"),
                     F.shiftrightunsigned("ph", i * width).bitwiseAND(F.lit(mask)).alias("key"),
                 )
-                for i in range(PHASH_BANDS)
+                for i in range(bands)
             ]
         )
     ).alias("b")
-    hb = h.select("media_ref", "ph", bandcol).select("media_ref", "ph", "b.band", "b.key")
+    hb = hashed.select("media_ref", "ph", bandcol).select(
+        "media_ref", "ph", "b.band", "b.key"
+    )
     left = hb.select(
         F.col("media_ref").alias("ref_a"), F.col("ph").alias("ph_a"), "band", "key"
     )
@@ -470,3 +483,71 @@ def phash_near_dup(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cand.select("ref_a", "ref_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------
+# Acoustic-fingerprint audio near-dup (the audio twin of pHash)
+# ---------------------------------------------------------------------
+
+
+def afp64(blob: bytes) -> int:
+    """64-bit acoustic fingerprint of a synthetic-audio blob, as a
+    SIGNED 64-bit int. The Chromaprint idea (energy features over time
+    windows -> bit signature) applied to the PMAU container: pool the
+    sample-amplitude envelope onto 64 time buckets; bit = bucket mean
+    |amplitude| above the global mean. Tone frames (|amp| >= 12000)
+    dominate noise (<= 4000), so the signature tracks the tone-density
+    PROFILE of the audio, not its random amplitudes — re-encodes of the
+    same content under a different noise salt land hamming-close, while
+    different content lands ~random-64-bit apart. Raises CodecError on
+    bad magic / truncation (the UDF wrapper maps that to NULL). Header
+    + payload only; never runs the parity decode."""
+    b = bytes(blob)
+    if b[:4] != codecs.AUDIO_MAGIC:
+        raise codecs.CodecError("bad audio magic")
+    if len(b) < 16:
+        raise codecs.CodecError("truncated audio header")
+    _rate, n = struct.unpack("<IQ", b[4:16])
+    payload = b[16:]
+    if len(payload) != 2 * n:
+        raise codecs.CodecError(
+            f"truncated audio payload: {len(payload)} bytes for {n} samples"
+        )
+    if n == 0:
+        return 0
+    amp = np.abs(np.frombuffer(payload, dtype="<i2").astype(np.int64))
+    if amp.size < 64:  # short clip: repeat so every bucket is non-empty
+        amp = np.repeat(amp, -(-64 // amp.size))
+    ys = (np.arange(64) * amp.size) // 64
+    sums = np.add.reduceat(amp, ys)
+    widths = np.diff(np.append(ys, amp.size))
+    bits = (sums / widths) > amp.mean()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+@F.pandas_udf(T.LongType())
+def audio_afp(content: pd.Series) -> pd.Series:
+    """afp64 over a binary column (Arrow-batched); undecodable blobs
+    hash to NULL (poison pills drop out of the join, the image_phash
+    convention)."""
+    out = []
+    for blob in content:
+        try:
+            out.append(afp64(bytes(blob)))
+        except Exception:  # noqa: BLE001
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+def audio_near_dup(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Acoustic near-dup pairs over an audio-blob table: fingerprint +
+    the same banded-hamming join as phash_near_dup. Returns
+    (ref_a, ref_b, hamming), ref_a < ref_b; full recall for
+    hamming < PHASH_BANDS. The content-dedup move for audio corpora:
+    the same recording re-encoded (different noise, same tone profile)
+    pairs up without a sample-level compare."""
+    h = blobs.select("media_ref", audio_afp("content").alias("ph")).filter(
+        F.col("ph").isNotNull()
+    )
+    return banded_hamming_pairs(h, max_hamming)

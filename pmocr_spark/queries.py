@@ -1118,6 +1118,23 @@ def _phash_class_text(k: int) -> str:
     )
 
 
+def _afp_class_text(k: int) -> str:
+    """Deterministic 'acoustic class' text for class k: 64 chars, each
+    dense ('~', 6 tone samples per 8-sample frame) or sparse ('@', 2)
+    per one bit of md5(k). Encoded through the synthetic audio codec
+    the clip is exactly 512 samples — one char frame per fingerprint
+    bucket — so afp64's tone-density signature tracks the bit pattern:
+    distinct classes land far apart (min pairwise hamming over the 50
+    classes test-pinned > 2 * max_hamming) while same-class blobs are
+    byte-identical (hamming 0). The audio twin of _phash_class_text;
+    cross-salt (re-encode) robustness is pinned separately in
+    tests/test_multimodal.py."""
+    import hashlib
+
+    bits = int.from_bytes(hashlib.md5(str(k).encode()).digest()[:8], "big")
+    return "".join("~" if bits >> i & 1 else "@" for i in range(64))
+
+
 @query(
     "q20_embedding_neardup",
     """
@@ -1171,6 +1188,14 @@ def _phash_class_text(k: int) -> str:
     FROM documents a JOIN documents b
       ON a.doc_id % <<VIS_CLASSES>> = b.doc_id % <<VIS_CLASSES>>
      AND 'v:' || cast(a.doc_id AS VARCHAR) < 'v:' || cast(b.doc_id AS VARCHAR)
+    UNION ALL
+    SELECT 'audio' AS part,
+           'a:' || cast(a.doc_id AS VARCHAR) AS ref_a,
+           'a:' || cast(b.doc_id AS VARCHAR) AS ref_b,
+           0.0 AS score
+    FROM documents a JOIN documents b
+      ON a.doc_id % <<VIS_CLASSES>> = b.doc_id % <<VIS_CLASSES>>
+     AND 'a:' || cast(a.doc_id AS VARCHAR) < 'a:' || cast(b.doc_id AS VARCHAR)
     """.replace("<<VIS_CLASSES>>", str(_VIS_CLASSES)),
 )
 def q20_embedding_neardup(spark, sf_dir):
@@ -1198,6 +1223,13 @@ def q20_embedding_neardup(spark, sf_dir):
         corpus; the lift only replaces blob PROVENANCE, the hash +
         banded-join operator under test is the production one).
         score = hamming distance (0.0 for byte-identical classes).
+      * part='audio' (round 5, ninth pass): acoustic-fingerprint audio
+        near-dup (operators/multimodal.audio_near_dup — afp64
+        tone-density envelope signature, the Chromaprint idea applied
+        to the synthetic codec, through the SAME banded-hamming join)
+        under the gate by the identical encode-lift over
+        _afp_class_text classes; re-encode (different-noise-salt)
+        robustness and class separation are test-pinned.
 
       * part='semantic' (round 5): the SemDeDup keep-decision (Abbas et
         al. '23, "SemDeDup: data-efficient learning at web-scale through
@@ -1260,7 +1292,38 @@ def q20_embedding_neardup(spark, sf_dir):
         "ref_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return emb.unionAll(sem).unionAll(vis)
+    # part='audio' (round 5, ninth pass): acoustic-fingerprint near-dup
+    # (operators/multimodal.audio_near_dup — afp64 tone-density
+    # signature + the SAME banded-hamming join) under the gate via the
+    # identical encode-lift: doc_id mod class onto 50 byte-identical
+    # audio blobs (_afp_class_text; class separation and cross-salt
+    # re-encode robustness test-pinned), expected pair set = the
+    # same-class modulus self-join.
+    from .operators.multimodal import audio_near_dup
+
+    acls = spark.createDataFrame(
+        [
+            (k, codecs.encode_audio(_afp_class_text(k), salt="q20a"))
+            for k in range(_VIS_CLASSES)
+        ],
+        "cls long, content binary",
+    )
+    ablobs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("a:"), F.col("doc_id").cast("string")).alias("media_ref"),
+            (F.col("doc_id") % _VIS_CLASSES).cast("long").alias("cls"),
+        )
+        .join(F.broadcast(acls), "cls")
+        .select("media_ref", "content")
+    )
+    aud = audio_near_dup(ablobs).select(
+        F.lit("audio").alias("part"),
+        "ref_a",
+        "ref_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return emb.unionAll(sem).unionAll(vis).unionAll(aud)
 
 
 # =====================================================================

@@ -368,3 +368,109 @@ def test_transcribe_video_cli(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--transcribe-video", "--batch", "--blobs", blobs,
                         "--output", out])
+
+
+def test_afp_near_dup_pairs(spark):
+    """Acoustic near-dup: byte-identical re-reads pair at hamming 0, a
+    different-noise-salt re-encode of the same content pairs within the
+    threshold, unrelated content doesn't pair, poison blobs hash NULL
+    and drop out of the join."""
+    from pmocr_spark.operators.multimodal import audio_afp, audio_near_dup
+
+    # tone-density-contrast content (the regime afp64 is built for:
+    # dense '~' vs sparse '@' frames)
+    t1 = "~~~~@@@@~~@@~~@@" * 4
+    t2 = "@@@@~~~~@@~~@@~~" * 4  # inverted profile: unrelated
+    rows = [
+        ("au:a", codecs.encode_audio(t1, salt="s1")),
+        ("au:b", codecs.encode_audio(t1, salt="s1")),  # byte-identical
+        ("au:c", codecs.encode_audio(t1, salt="s2")),  # re-encode, new noise
+        ("au:d", codecs.encode_audio(t2, salt="s1")),  # unrelated
+        ("au:p", codecs.encode_corrupt("au:p")),       # poison -> NULL hash
+    ]
+    blobs = spark.createDataFrame(rows, "media_ref string, content binary")
+    got = {(r["ref_a"], r["ref_b"]): r["hamming"]
+           for r in audio_near_dup(blobs, max_hamming=3).collect()}
+    assert got[("au:a", "au:b")] == 0
+    assert got[("au:a", "au:c")] <= 3 and got[("au:b", "au:c")] <= 3
+    assert not any("au:d" in k or "au:p" in k for pair in got for k in pair)
+
+    ph = {r["media_ref"]: r["ph"] for r in
+          blobs.select("media_ref", audio_afp("content").alias("ph")).collect()}
+    assert ph["au:p"] is None and ph["au:a"] == ph["au:b"]
+
+    from pmocr_spark.plans import shape
+    p = shape.formatted_plan(audio_near_dup(blobs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_afp_short_and_empty_clips():
+    """afp64 handles clips shorter than 64 samples (bucket upsample)
+    and the empty clip (fingerprint 0); truncation raises loudly."""
+    from pmocr_spark.operators.multimodal import afp64
+
+    short = codecs.encode_audio("abc", salt="s")  # 24 samples
+    assert isinstance(afp64(short), int)
+    assert afp64(codecs.encode_audio("", salt="s")) == 0
+    with pytest.raises(codecs.CodecError):
+        afp64(codecs.encode_audio("hello", salt="s")[:-3])  # truncated
+    with pytest.raises(codecs.CodecError):
+        afp64(b"WRNG" + b"\x00" * 20)  # bad magic
+
+
+def test_q20_audio_classes_separated():
+    """The q20 part='audio' gate lift mirrors the visual one: distinct
+    acoustic classes must never meet the threshold (min pairwise
+    hamming > 2x), same-class blobs are byte-identical, AND — the
+    property the fingerprint exists for — a re-encode under a different
+    noise salt stays within the near-dup threshold."""
+    from pmocr_spark.operators.multimodal import afp64
+    from pmocr_spark.queries import _VIS_CLASSES, _afp_class_text
+
+    hashes = [
+        afp64(codecs.encode_audio(_afp_class_text(k), salt="q20a"))
+        for k in range(_VIS_CLASSES)
+    ]
+    assert len(set(hashes)) == _VIS_CLASSES
+    min_ham = min(
+        bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(hashes)
+        for b in hashes[i + 1 :]
+    )
+    assert min_ham > 6, f"min cross-class hamming {min_ham} too close to threshold 3"
+    assert codecs.encode_audio(_afp_class_text(7), salt="q20a") == \
+        codecs.encode_audio(_afp_class_text(7), salt="q20a")
+    # cross-salt re-encode robustness: every class within the threshold
+    max_resalt = max(
+        bin((h ^ afp64(codecs.encode_audio(_afp_class_text(k), salt="other")))
+            & ((1 << 64) - 1)).count("1")
+        for k, h in enumerate(hashes)
+    )
+    assert max_resalt <= 3, f"re-encode hamming {max_resalt} breaks the threshold"
+
+
+def test_afp_dedup_cli(spark, tmp_path):
+    """--afp-dedup maintenance mode: audio blobs in, near-dup pairs out;
+    threshold knob shared with --phash-max-hamming; mode guards."""
+    from pmocr_spark import cli
+
+    t = "~~~~@@@@" * 8
+    rows = [
+        ("a1", codecs.encode_audio(t, salt="x")),
+        ("a2", codecs.encode_audio(t, salt="y")),   # re-encode near-dup
+        ("a3", codecs.encode_audio("@@@@~~~~" * 8, salt="x")),
+    ]
+    blobs = str(tmp_path / "blobs")
+    spark.createDataFrame(rows, "media_ref string, content binary").write.parquet(blobs)
+    out = str(tmp_path / "pairs")
+    cli.main(["--afp-dedup", "--blobs", blobs, "--output", out,
+              "--master", "local[4]"])
+    pairs = {(r["ref_a"], r["ref_b"]) for r in spark.read.parquet(out).collect()}
+    assert pairs == {("a1", "a2")}
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--afp-dedup", "--blobs", blobs])  # no --output
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--afp-dedup", "--batch", "--blobs", blobs, "--output", out])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--afp-dedup", "--blobs", blobs, "--output", out,
+                        "--phash-max-hamming", "65"])
