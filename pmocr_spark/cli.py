@@ -371,10 +371,22 @@ def build_parser() -> argparse.ArgumentParser:
         "index tokenizer's normalization)",
     )
     p.add_argument(
+        "--search-phrase",
+        default=None,
+        metavar="PHRASES",
+        help="maintenance mode (standalone): exact-phrase retrieval "
+        "(operators/bm25.phrase_search — positional postings, "
+        "consecutive-token adjacency; the decontamination query) of "
+        "comma-separated phrases against the --input documents table; "
+        "writes (query_id, doc_id, n_matches, rk) to --output "
+        "(query_id = phrase position in the list)",
+    )
+    p.add_argument(
         "--search-topk",
         type=int,
         default=None,
-        help="--search-text: results per query (default 5)",
+        help="--search-text / --search-phrase: results per query "
+        "(default 5)",
     )
     p.add_argument(
         "--max-df",
@@ -968,6 +980,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--build-text-index", args.build_text_index),
             ("--append-text-index", args.append_text_index),
             ("--search-text", args.search_text),
+            ("--search-phrase", bool(args.search_phrase)),
         )
         if on
     ]
@@ -1031,10 +1044,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "--bloom-m/--bloom-k/--bloom-key-col only apply to the "
             "--{build,append,probe}-bloom-index maintenance modes"
         )
-    if (
-        args.query or args.search_topk is not None or args.max_df is not None
-    ) and not args.search_text:
-        parser.error("--query/--search-topk/--max-df only apply to --search-text")
+    if args.search_phrase:
+        if args.batch or args.service:
+            parser.error("--search-phrase is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --search-phrase")
+        if args.search_topk is not None and args.search_topk < 1:
+            parser.error("--search-topk must be >= 1")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if (args.query or args.max_df is not None) and not args.search_text:
+        parser.error("--query/--max-df only apply to --search-text")
+    if args.search_topk is not None and not args.search_text:
+        parser.error("--search-topk only applies to --search-text/--search-phrase")
     if args.compact_only:
         if not args.lineage:
             parser.error("--lineage is required with --compact-lineage")
@@ -1885,6 +1908,29 @@ def main(argv: list[str] | None = None) -> None:
         return
     if getattr(args, "text_index_op", None):
         _run_text_index_op(spark, args)
+        return
+    if getattr(args, "search_phrase", None):
+        from .operators import bm25
+
+        docs = spark.read.parquet(args.input)
+        tc = args.text_col
+        if "doc_id" not in docs.columns or tc not in docs.columns:
+            raise SystemExit(
+                f"pmocr-spark: --search-phrase: {args.input} needs "
+                f"(doc_id, {tc}) columns (columns: {docs.columns}; "
+                "--text-col overrides)"
+            )
+        phrases = spark.createDataFrame(
+            [(i, p.strip()) for i, p in enumerate(args.search_phrase.split(","))
+             if p.strip()],
+            "query_id long, phrase string",
+        )
+        hits = bm25.phrase_search(
+            docs, phrases, topk=args.search_topk or 5, text_col=tc
+        )
+        hits.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"pmocr-spark: phrase search wrote {n} hits to {args.output}")
         return
     if getattr(args, "bloom_index_op", None):
         _run_bloom_index_op(spark, args)

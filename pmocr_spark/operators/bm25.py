@@ -142,6 +142,66 @@ def _score_topk(
     )
 
 
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, term): the positional variant of doc_terms —
+    posexplode keeps each token's 0-based position so phrase adjacency
+    is a pure integer relation. Same tokenizer (lower + \\s+ split),
+    so positions are gap-free by construction (the regex collapses
+    whitespace runs; only a fully-empty document yields the one ''
+    token, filtered here)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("pos", "term"),
+    ).filter(F.length("term") > 0)
+
+
+def phrase_search(
+    docs: DataFrame, phrases: DataFrame, topk: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Exact-phrase retrieval: (query_id, doc_id, n_matches, rk) for
+    documents containing each phrase's token sequence CONSECUTIVELY —
+    the positional-index query BM25's bag-of-words scoring cannot
+    express (eval-set decontamination wants exactly this: 'does this
+    benchmark sentence appear verbatim?').
+
+    `phrases` is (query_id, phrase). Shape: phrase terms posexplode to
+    (query_id, i, term) and BROADCAST onto the positional postings; a
+    candidate match start is pos - i, so a full match is a
+    (query, doc, start) group covering all L phrase offsets — one
+    map-side-combinable count-distinct agg, never a string scan or a
+    per-position self-join chain. Reduce keys are (q, doc, start)
+    triples bounded by matched-term occurrences. A stopword phrase term
+    joins its full posting list — production engines intersect
+    rarest-term-first; at that regime pre-filter candidates on the
+    rarest term before this join. Ranking: n_matches desc, doc_id asc,
+    per-query top-k via a partitioned window."""
+    pp = positional_postings(docs, text_col)
+    qt = phrases.select(
+        "query_id",
+        F.posexplode(F.split(F.lower(F.trim("phrase")), r"\s+")).alias("i", "term"),
+    ).filter(F.length("term") > 0)
+    qlen = qt.groupBy("query_id").agg(F.count("*").alias("qlen"))
+    cand = pp.join(F.broadcast(qt), "term").select(
+        "query_id", "doc_id", (F.col("pos") - F.col("i")).alias("start"), "i"
+    )
+    full = (
+        cand.groupBy("query_id", "doc_id", "start")
+        .agg(F.count_distinct("i").alias("nterms"))
+        .join(F.broadcast(qlen), "query_id")
+        .filter(F.col("nterms") == F.col("qlen"))
+    )
+    hits = full.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_matches")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("n_matches").desc(), "doc_id")
+    return (
+        hits.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= topk)
+    )
+
+
 #: params sidecar inside the index dir (checkpoint.write_sidecar
 #: pattern — parameters are part of the artifact's identity)
 _META_NAME = "_TEXT_INDEX_META.json"

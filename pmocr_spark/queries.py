@@ -1665,6 +1665,30 @@ _BM25_ORACLE_CTES = """
                                       ORDER BY score_u DESC, doc_id) AS lrk
             FROM bsc) WHERE lrk <= <<RRFD>>)
         GROUP BY query_id, neighbor_id)) WHERE rk <= 5
+    UNION ALL
+    -- phrase (round 5, ninth pass): exact consecutive-token match,
+    -- occurrences counted at token-level start positions (1-based
+    -- list arithmetic — no string-overlap ambiguity); queries = every
+    -- 100th doc's first three tokens
+    SELECT 'phrase' AS part, query_id, doc_id AS neighbor_id, rk,
+           cast(n_matches AS DOUBLE) AS score FROM (
+      SELECT query_id, doc_id, n_matches,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_matches DESC, doc_id) AS rk
+      FROM (
+        SELECT q.query_id, d.doc_id,
+               len(list_filter(range(1, len(d.t) - 1),
+                   i -> d.t[i] = q.p1 AND d.t[i+1] = q.p2 AND d.t[i+2] = q.p3))
+                 AS n_matches
+        FROM (SELECT doc_id AS query_id, t[1] AS p1, t[2] AS p2, t[3] AS p3
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\\s+') AS t
+                    FROM documents)
+              WHERE doc_id % 100 = 0 AND len(t) >= 3) q,
+             (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents) d)
+      WHERE n_matches > 0) WHERE rk <= 5
     """).replace("<<NPROBE>>", str(_NPROBE))
        .replace("<<RRFK>>", str(_RRF_K))
        .replace("<<RRFD>>", str(_RRF_DEPTH)),
@@ -1708,6 +1732,11 @@ def q21_ann_bruteforce(spark, sf_dir):
         incomparable score scales; the integer micro-unit rank
         contributions make the fused score an exact BIGINT under the
         hash gate. The production RAG-retrieval shape.
+      * part='phrase' (round 5, ninth pass): exact-phrase retrieval
+        over the positional index (operators/bm25.phrase_search,
+        posexplode postings + broadcast phrase terms + one
+        (q, doc, start) count-distinct agg) — verbatim-sequence lookup,
+        the decontamination query; see _phrase_arm.
     The parts share one normalized-embeddings scan; PQ's codebook is
     the first 16 vectors and IVF's centroids the first 8
     (deterministic, q22's fixed-centroid convention). bench.py reports
@@ -1723,6 +1752,41 @@ def q21_ann_bruteforce(spark, sf_dir):
         .unionAll(ivfpq_search(spark, sf_dir))
         .unionAll(_bm25_arm(spark, sf_dir))
         .unionAll(_hybrid_arm(spark, sf_dir))
+        .unionAll(_phrase_arm(spark, sf_dir))
+    )
+
+
+def _phrase_arm(spark, sf_dir):
+    """q21 part='phrase' (round 5, ninth pass): exact-phrase retrieval
+    over the positional index (operators/bm25.phrase_search) — the
+    query BM25's bag-of-words cannot express, and the one eval-set
+    decontamination actually needs ('does this benchmark sentence
+    appear VERBATIM?'). Queries: every 100th doc's first three tokens
+    as the phrase (the hybrid arm's query-set convention); a match is
+    the full consecutive token sequence, counted per occurrence
+    (token-level start positions — no string-overlap ambiguity), and
+    the oracle restates adjacency with 1-based list arithmetic. rk by
+    (n_matches desc, doc_id), top-5. score = n_matches."""
+    from .operators.bm25 import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    phrases = (
+        d.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("phrase"),
+            F.size(toks).alias("_n"),
+        )
+        .filter(F.col("_n") >= 3)
+        .drop("_n")
+    )
+    return phrase_search(d, phrases, topk=5).select(
+        F.lit("phrase").alias("part"),
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        "rk",
+        F.col("n_matches").cast("double").alias("score"),
     )
 
 

@@ -203,3 +203,84 @@ def test_cli_text_index_lifecycle(spark, docs_df, tmp_path):
     with _pytest.raises(SystemExit):
         cli.main(["--batch", "--search-text", idx, "--query", "x",
                   "--output", out, "--master", "local[2]"])
+
+
+def test_phrase_search_exact_adjacency(spark):
+    """Phrase retrieval: consecutive-token matches only, occurrences
+    counted at token-start positions (overlapping repeats each count),
+    bag-of-words co-occurrence does NOT match."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "quick paint brown on a brown quick wall"),  # scrambled: no phrase
+            (2, "so quick brown then quick brown again"),    # two occurrences
+            (3, "a b a b a"),                                 # overlap regime
+            (4, "entirely different words"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(10, "quick brown"), (20, "a b a")], "query_id long, phrase string"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_matches"], r["rk"])
+        for r in bm25.phrase_search(docs, phrases).collect()
+    }
+    assert got[(10, 2)] == (2, 1)   # two hits ranks first
+    assert got[(10, 0)] == (1, 2)
+    assert (10, 1) not in got       # co-occurrence without adjacency
+    # token-level starts: 'a b a b a' contains 'a b a' at 0 AND 2
+    assert got[(20, 3)] == (2, 1)
+    assert all(q != 20 or d == 3 for q, d in got)
+
+
+def test_phrase_search_case_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(0, "Hello   World again"), (1, "")], "doc_id long, text string"
+    )
+    phrases = spark.createDataFrame(
+        [(1, "hello world"), (2, "missing phrase")], "query_id long, phrase string"
+    )
+    got = bm25.phrase_search(docs, phrases).collect()
+    # lowercased + \s+ collapse: 'Hello   World' matches 'hello world'
+    assert [(r["query_id"], r["doc_id"], r["n_matches"]) for r in got] == [(1, 0, 1)]
+
+
+def test_phrase_search_plan(spark):
+    """The phrase-term join must broadcast the query side; no cartesian
+    over the corpus."""
+    from pmocr_spark.plans import shape
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    phrases = spark.createDataFrame([(1, "quick brown")], "query_id long, phrase string")
+    p = shape.formatted_plan(bm25.phrase_search(docs, phrases))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p, p
+    assert "BatchEvalPython" not in p
+
+
+def test_search_phrase_cli(spark, tmp_path):
+    """--search-phrase maintenance mode: comma-separated phrases against
+    a documents table; mode guards."""
+    from pmocr_spark import cli
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "hits")
+    cli.main([
+        "--search-phrase", "quick brown fox, lazy dog",
+        "--input", src, "--output", out, "--master", "local[2]",
+    ])
+    got = {(r["query_id"], r["doc_id"]): r["n_matches"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(0, 0): 1, (1, 0): 1, (1, 3): 1}
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):  # no --output
+        cli.parse_args(["--search-phrase", "x y", "--input", src])
+    with _pytest.raises(SystemExit):  # mode mixing
+        cli.parse_args(["--search-phrase", "x y", "--batch",
+                        "--input", src, "--output", out])
+    with _pytest.raises(SystemExit):  # topk guard
+        cli.parse_args(["--search-phrase", "x y", "--input", src,
+                        "--output", out, "--search-topk", "0"])
