@@ -551,3 +551,71 @@ def audio_near_dup(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.col("ph").isNotNull()
     )
     return banded_hamming_pairs(h, max_hamming)
+
+
+# ---------------------------------------------------------------------
+# Sign-random-projection LSH over embedding vectors (the dense twin)
+# ---------------------------------------------------------------------
+
+
+def srp_signs(dim: int, bits: int = 64):
+    """Rademacher (+-1) hyperplane matrix (bits x dim) for SRP hashing,
+    md5-derived so BOTH engines can restate it exactly: entry (i, j)
+    [bit i in 0..bits-1, dimension j in 1..dim 1-based] is +1 when
+    int(md5(f"{i}|{j}")[:8], 16) is even, else -1 — the q44 Count-Min
+    row-hash convention, byte-identical to DuckDB's
+    ('0x' || substr(md5(i || '|' || j), 1, 8))::BIGINT % 2. Rademacher
+    entries are a valid SRP family (Achlioptas JCSS'03 sparse/signed
+    random projections preserve the Charikar angle-collision bound) and,
+    unlike Gaussian draws, are replayable as integer arithmetic."""
+    import hashlib
+
+    S = np.empty((bits, dim))
+    for i in range(bits):
+        for j in range(1, dim + 1):
+            h = int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:8], 16)
+            S[i, j - 1] = 1.0 if h % 2 == 0 else -1.0
+    return S
+
+
+def srp_hashes(vectors: DataFrame, dim: int) -> DataFrame:
+    """(media_ref, ph) 64-bit SRP signature frame over a
+    (media_ref, e: array<double>) vector table — Charikar's simhash for
+    real vectors (STOC'02): bit i = sign(<v, r_i>) for 64 fixed
+    hyperplanes, so hamming(h(a), h(b)) estimates the ANGLE between a
+    and b (E[hamming] = 64 * theta / pi). Packing matches phash64:
+    bit 0 is the MSB of the signed 64-bit value.
+
+    One Arrow-batched matmul per batch ((B x dim) @ (dim x 64) — numpy
+    BLAS, never per-row Python), a pure map: embeddings hash where they
+    sit, no shuffle until the banded join groups 16-bit band keys."""
+    S = srp_signs(dim)
+
+    @F.pandas_udf(T.LongType())
+    def srp64(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
+        M = np.array([np.asarray(v, dtype=np.float64) for v in e])
+        bits = (M @ S.T) > 0
+        vals = []
+        for row in bits:
+            v = int.from_bytes(np.packbits(row).tobytes(), "big")
+            vals.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(vals, dtype="object")
+
+    return vectors.select("media_ref", srp64("e").alias("ph"))
+
+
+def srp_near_dup(
+    vectors: DataFrame, dim: int, max_hamming: int = 3
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH: hash (pure map) + the SAME
+    banded-hamming join phash_near_dup (images) and audio_near_dup
+    (audio) run — one candidate machinery across all dense modalities.
+    Returns (ref_a, ref_b, hamming), ref_a < ref_b; full recall for
+    hamming < PHASH_BANDS (pigeonhole). hamming <= 3 of 64 keeps pairs
+    within ~8.4 degrees — the SemDeDup-tight regime — without ever
+    touching the float vectors after the hash: at 10^12 embeddings the
+    candidate join moves 8-byte signatures, not 256-byte vectors (the
+    PQ insight applied to pair-finding)."""
+    return banded_hamming_pairs(srp_hashes(vectors, dim), max_hamming)

@@ -1170,7 +1170,42 @@ def _afp_class_text(k: int) -> str:
       UNION
       SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
     ),
-    comp AS (SELECT a AS vec_id, min(b) AS cmp FROM r GROUP BY a)
+    comp AS (SELECT a AS vec_id, min(b) AS cmp FROM r GROUP BY a),
+    -- SRP-LSH (part='srp', round 5 tenth pass): FULL independent
+    -- restatement of the sign-random-projection hash — Rademacher
+    -- hyperplane entry (i,j) from md5 parity (the Count-Min row-hash
+    -- convention), bit i = sign(<v, r_i>), packed into two 32-bit
+    -- halves so hamming = bit_count(xor(hi)) + bit_count(xor(lo)),
+    -- then ALL pairs at hamming <= 3 (the Spark side's banded join is
+    -- pigeonhole-complete there, so banding is an execution detail the
+    -- oracle need not restate). Corpus = every embedding plus its
+    -- one-coordinate-zeroed twin (coordinate vec_id mod dim) — the
+    -- deterministic near-dup the raw table lacks (max corpus cosine
+    -- 0.51 ~ hamming 16+).
+    srpv AS (
+      SELECT 'e:' || cast(vec_id AS VARCHAR) AS ref,
+             list_transform(embedding, x -> cast(x AS double)) AS e
+      FROM embeddings
+      UNION ALL
+      SELECT 't:' || cast(vec_id AS VARCHAR),
+             list_transform(range(1, len(embedding) + 1),
+                 i -> CASE WHEN i - 1 = vec_id % len(embedding)
+                           THEN 0.0 ELSE cast(embedding[i] AS double) END)
+      FROM embeddings),
+    srpsgn AS (
+      SELECT i, j,
+             CASE WHEN ('0x' || substr(md5(cast(i AS varchar) || '|' ||
+                        cast(j AS varchar)), 1, 8))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range(0, 64) t(i), range(1, <<EMB_DIM>> + 1) u(j)),
+    srpbit AS (
+      SELECT ref, i, CASE WHEN sum(e[j] * s) > 0 THEN 1 ELSE 0 END AS bit
+      FROM srpv, srpsgn GROUP BY ref, i),
+    srph AS (
+      SELECT ref,
+             sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << (31 - i)) ELSE 0 END) AS hi,
+             sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (63 - i)) ELSE 0 END) AS lo
+      FROM srpbit GROUP BY ref)
     SELECT 'embedding' AS part,
            cast(x AS VARCHAR) AS ref_a, cast(y AS VARCHAR) AS ref_b, score
     FROM ee
@@ -1196,7 +1231,15 @@ def _afp_class_text(k: int) -> str:
     FROM documents a JOIN documents b
       ON a.doc_id % <<VIS_CLASSES>> = b.doc_id % <<VIS_CLASSES>>
      AND 'a:' || cast(a.doc_id AS VARCHAR) < 'a:' || cast(b.doc_id AS VARCHAR)
-    """.replace("<<VIS_CLASSES>>", str(_VIS_CLASSES)),
+    UNION ALL
+    SELECT 'srp' AS part, a.ref AS ref_a, b.ref AS ref_b,
+           cast(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS double)
+             AS score
+    FROM srph a JOIN srph b ON a.ref < b.ref
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """.replace("<<VIS_CLASSES>>", str(_VIS_CLASSES)).replace(
+        "<<EMB_DIM>>", "64"
+    ),
 )
 def q20_embedding_neardup(spark, sf_dir):
     """Near-duplicate PAIR detection family in ONE gate slot,
@@ -1231,6 +1274,17 @@ def q20_embedding_neardup(spark, sf_dir):
         _afp_class_text classes; re-encode (different-noise-salt)
         robustness and class separation are test-pinned.
 
+      * part='srp' (round 5, tenth pass): SRP-LSH embedding near-dup
+        (operators/multimodal.srp_near_dup — Charikar STOC'02 sign
+        random projections, md5-parity Rademacher hyperplanes) through
+        the SAME banded-hamming join as the visual/audio arms: one
+        candidate machinery across all dense modalities, moving 8-byte
+        signatures instead of 256-byte vectors. The oracle restates the
+        ENTIRE hash + all-pairs hamming <= 3 (complete because the
+        banded join is pigeonhole-complete there); the corpus is every
+        embedding plus its one-coordinate-zeroed twin, so near-miss
+        bits — not just equality — are under the driver hash.
+        score = hamming distance.
       * part='semantic' (round 5): the SemDeDup keep-decision (Abbas et
         al. '23, "SemDeDup: data-efficient learning at web-scale through
         semantic deduplication") — cluster embeddings, find in-cluster
@@ -1323,7 +1377,44 @@ def q20_embedding_neardup(spark, sf_dir):
         "ref_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return emb.unionAll(sem).unionAll(vis).unionAll(aud)
+    # part='srp' (round 5, tenth pass): SRP-LSH embedding near-dup
+    # (operators/multimodal.srp_near_dup — Charikar STOC'02 sign-random-
+    # projection + the SAME banded-hamming join as the visual/audio
+    # arms, unifying the candidate machinery across all dense
+    # modalities). Unlike the encode-lift arms, the ORACLE restates the
+    # full hash (md5-parity Rademacher hyperplanes, two 32-bit halves,
+    # all-pairs hamming <= 3 — complete because the banded join is
+    # pigeonhole-complete at 3 < PHASH_BANDS), so hyperplane
+    # derivation, sign arithmetic, bit packing AND the join semantics
+    # are all under the driver hash. Corpus = every embedding plus its
+    # one-coordinate-zeroed twin (coordinate vec_id mod dim): mean twin
+    # hamming 2.45, 74% of twins within the threshold — non-vacuous
+    # near misses the raw table lacks (max corpus cosine 0.51).
+    from .operators.multimodal import srp_near_dup
+
+    et = _t(spark, sf_dir, "embeddings")
+    ecast = F.transform("embedding", lambda x: x.cast("double"))
+    srp_in = et.select(
+        F.concat(F.lit("e:"), F.col("vec_id").cast("string")).alias("media_ref"),
+        ecast.alias("e"),
+    ).unionAll(
+        et.select(
+            F.concat(F.lit("t:"), F.col("vec_id").cast("string")).alias("media_ref"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    i == F.col("vec_id") % F.size("embedding"), F.lit(0.0)
+                ).otherwise(x.cast("double")),
+            ).alias("e"),
+        )
+    )
+    srp = srp_near_dup(srp_in, dim=_EMB_DIM).select(
+        F.lit("srp").alias("part"),
+        "ref_a",
+        "ref_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return emb.unionAll(sem).unionAll(vis).unionAll(aud).unionAll(srp)
 
 
 # =====================================================================

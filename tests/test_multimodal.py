@@ -474,3 +474,87 @@ def test_afp_dedup_cli(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--afp-dedup", "--blobs", blobs, "--output", out,
                         "--phash-max-hamming", "65"])
+
+
+def test_srp_near_dup_pairs(spark):
+    """SRP-LSH over embedding vectors: identical vectors hash hamming 0
+    (and positive scalings too — SRP is scale-invariant), a
+    one-coordinate-zeroed twin lands within a loose threshold, an
+    orthogonal-ish unrelated vector doesn't pair, and the hash matches
+    a driver-side numpy restatement bit-for-bit. Plan: no cartesian /
+    nested-loop join (the banded equi-join), hash is a pure map."""
+    import hashlib
+
+    import numpy as np
+
+    from pmocr_spark.operators.multimodal import (
+        srp_hashes,
+        srp_near_dup,
+        srp_signs,
+    )
+
+    dim = 16
+    rng = [
+        (int(hashlib.md5(f"v{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(dim * 2)
+    ]
+    a = rng[:dim]
+    b = list(a)
+    b[3] = 0.0  # zeroed-coordinate twin
+    c = [2.5 * x for x in a]  # positive scaling: identical signs
+    d = rng[dim:]  # unrelated
+    rows = [("e:a", a), ("e:b", b), ("e:c", c), ("e:d", d)]
+    vecs = spark.createDataFrame(rows, "media_ref string, e array<double>")
+
+    got = {
+        (r["ref_a"], r["ref_b"]): r["hamming"]
+        for r in srp_near_dup(vecs, dim=dim, max_hamming=16).collect()
+    }
+    assert got[("e:a", "e:c")] == 0
+    assert got[("e:a", "e:b")] <= 16
+    # unrelated random directions in 16-d: expect near 32 of 64 bits
+    assert all(got[k] > 16 for k in got if "e:d" in k) or not any(
+        "e:d" in k for k in got
+    )
+
+    # hash parity vs the numpy restatement (packing + sign conventions)
+    S = srp_signs(dim)
+    ph = {
+        r["media_ref"]: r["ph"]
+        for r in srp_hashes(vecs, dim=dim).collect()
+    }
+    for ref, v in rows:
+        bits = (np.asarray(v) @ S.T) > 0
+        val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        want = val - (1 << 64) if val >= (1 << 63) else val
+        assert ph[ref] == want, ref
+
+    from pmocr_spark.plans import shape
+
+    p = shape.formatted_plan(srp_near_dup(vecs, dim=dim))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # the hash itself is a pure map: no Exchange before the band explode
+    hp = shape.formatted_plan(srp_hashes(vecs, dim=dim))
+    assert "Exchange" not in hp, hp
+
+
+def test_srp_signs_md5_parity_with_duckdb():
+    """The Rademacher hyperplane matrix matches DuckDB's md5-parity
+    restatement entry-for-entry (the q20 part='srp' oracle contract)."""
+    import duckdb
+
+    from pmocr_spark.operators.multimodal import srp_signs
+
+    S = srp_signs(8, bits=8)
+    rows = duckdb.sql(
+        """
+        SELECT i, j,
+               CASE WHEN ('0x' || substr(md5(cast(i AS varchar) || '|' ||
+                          cast(j AS varchar)), 1, 8))::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM range(0, 8) t(i), range(1, 9) u(j)
+        """
+    ).fetchall()
+    for i, j, s in rows:
+        assert S[i, j - 1] == s, (i, j)

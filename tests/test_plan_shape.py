@@ -254,11 +254,21 @@ def test_q44_topk_no_global_sort(spark):
     # materialization state shifts the exact count by 1) + the
     # eighth-pass anchor arm's 2 keyed shuffles (map-side-combined
     # (dst, anchor) count agg + the per-host top-k window over the
-    # already-aggregated table)
-    assert shape.count_exchanges(df) <= 10, plan
-    # the SymSpell candidate join must never be a nested loop
+    # already-aggregated table) + the ninth-pass tfidf arm's 4 (the
+    # ONE corpus-sized (doc_id, term) tf agg; the vocab-sized df agg
+    # whose result BROADCASTS back — pinned below; the 1-row n_docs
+    # agg; the per-doc top-k window, skew-free because doc length
+    # bounds the partition)
+    assert shape.count_exchanges(df) <= 14, plan
+    # the tfidf idf join must broadcast the vocabulary side, never
+    # shuffle the corpus-sized tf table on term
+    assert "BroadcastHashJoin" in plan, plan
+    # the SymSpell candidate join must never be a nested loop; the only
+    # nested-loop allowed is the tfidf arm's 1-row broadcast n_docs
+    # crossJoin (the q24 1-row-total pattern, line-80 precedent)
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin Inner" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1, plan
 
 
 def test_q45_contamination_broadcasts_benchmark(spark):
