@@ -256,3 +256,74 @@ def cms_query(counters: DataFrame, probes: DataFrame, key_col: str) -> DataFrame
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+def pmi_topk(
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    k: int = 20,
+    min_count: int = 10,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks, CL 1990 — the association statistic that finds "strong tea"
+    vs "powerful tea"): for a bigram (a, b),
+
+        pmi = ln( P(a,b) / (P(a) P(b)) )
+            = ln( (c_ab * N_w * N_w) / (N_bg * c_a * c_b) )
+
+    with c_ab from `bigrams` (bigram: "a b", cnt), c_a/c_b from
+    `unigrams` (word, freq), N_w = total tokens, N_bg = total bigrams.
+    Emitted as pmi_micro = round(1e6 * ln(...)) BIGINT (the tfidf/bm25
+    exactness convention: the ln argument is one ratio of exact
+    integer-derived doubles, multiplied in a FIXED order, so both
+    engines compute the identical double and round to the identical
+    integer). min_count floors c_ab — PMI is notoriously noisy on rare
+    pairs (the standard mitigation).
+
+    Scale: both inputs are already-aggregated, Heaps-law-small tables
+    (the corpus was tokenized upstream, once). The two unigram joins
+    BROADCAST (vocabulary-sized); the 1-row totals ride as broadcast
+    frames; top-k is TakeOrderedAndProject. Nothing corpus-sized moves.
+    """
+    uni = unigrams.select("word", F.col("freq").cast("double").alias("c"))
+    n_w = unigrams.agg(F.sum("freq").cast("double").alias("n_w"))
+    n_bg = bigrams.agg(F.sum("cnt").cast("double").alias("n_bg"))
+    parts = F.split("bigram", " ")
+    scored = (
+        bigrams.filter(F.col("cnt") >= min_count)
+        .select(
+            "bigram",
+            "cnt",
+            F.get(parts, 0).alias("wa"),
+            F.get(parts, 1).alias("wb"),
+        )
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("wa"), F.col("c").alias("ca"))),
+            "wa",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("wb"), F.col("c").alias("cb"))),
+            "wb",
+        )
+        .crossJoin(F.broadcast(n_w))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            "bigram",
+            "cnt",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    F.col("cnt")
+                    * F.col("n_w")
+                    * F.col("n_w")
+                    / (F.col("n_bg") * F.col("ca") * F.col("cb"))
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("bigram").asc()
+    ).limit(k)

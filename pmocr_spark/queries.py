@@ -2328,7 +2328,10 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
              len(string_split_regex(trim(text), '\\s+'))            AS n_tokens,
              len(regexp_extract_all(text, '[.,;:!?]'))              AS n_punct,
              cast(floor((length(lower(text)) - length(replace(lower(text), ' the ', '')))
-                  / 5) AS BIGINT)                                   AS n_stop
+                  / 5) AS BIGINT)                                   AS n_stop,
+             cast(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT)                                        AS n_syll,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))   AS n_sent
       FROM documents),
     t AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
@@ -2342,7 +2345,7 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
     pd AS (SELECT doc_id, count(*) AS n_bg FROM g GROUP BY doc_id),
     hit AS (SELECT doc_id, count(*) AS n_hit FROM g JOIN topv USING (bg) GROUP BY doc_id),
     cov AS (
-      SELECT f.doc_id, n_chars, n_tokens, n_punct, n_stop,
+      SELECT f.doc_id, n_chars, n_tokens, n_punct, n_stop, n_syll, n_sent,
              round(coalesce(n_hit, 0) * 1.0 / n_bg, 4)              AS common_bigram_frac
       FROM f LEFT JOIN pd ON f.doc_id = pd.doc_id
              LEFT JOIN hit ON f.doc_id = hit.doc_id),
@@ -2409,6 +2412,9 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
            round(n_chars * 1.0 / n_tokens, 4)                       AS avg_tok_len,
            round(1.0 / (1.0 + exp(-(0.002 * n_chars + 2.0 * (n_stop * 1.0 / n_tokens)
                  - 1.5 * (n_punct * 1.0 / n_tokens) - 0.5))), 4)    AS quality,
+           n_syll                                                   AS n_syllables,
+           round(0.39 * n_tokens / n_sent + 11.8 * n_syll / n_tokens
+                 - 15.59, 4)                                        AS fk_grade,
            c.common_bigram_frac,
            CASE WHEN r.rnk IS NULL THEN NULL
                 WHEN r.rnk * 3 <= r.n THEN 'head'
@@ -2476,7 +2482,15 @@ def q24_quality_score(spark, sf_dir):
     absolute discount 0.75, continuation probabilities from bigram
     TYPE counts. Same integer micro-unit parity discipline; the
     type-count tables derive from the already-aggregated bigram model
-    (no extra corpus scan)."""
+    (no extra corpus scan).
+
+    Round 5 (tenth pass) adds `n_syllables` / `fk_grade` — Flesch-
+    Kincaid grade level (Kincaid et al. 1975), the classic readability
+    filter signal: syllables by the vowel-group heuristic (one codegen
+    regexp count), sentences by terminal-punctuation runs floored at 1
+    (the synthetic corpus is unpunctuated — one sentence per doc,
+    degenerate but correct; real text exercises the full formula).
+    Pure map-side expressions, zero additional shuffles."""
     d = _t(spark, sf_dir, "documents")
     lt = F.lower(F.col("text"))
     f = d.select(
@@ -2487,6 +2501,16 @@ def q24_quality_score(spark, sf_dir):
         F.floor((F.length(lt) - F.length(F.replace(lt, F.lit(" the ")))) / 5)
         .cast("long")
         .alias("n_stop"),
+        # round 5 (tenth pass): readability inputs — syllables by the
+        # standard vowel-group heuristic (one codegen regexp count),
+        # sentences by terminal-punctuation runs with a floor of 1 (the
+        # whole doc is one sentence when unpunctuated, as the synthetic
+        # corpus is — degenerate but correct; real text exercises it)
+        F.regexp_count(lt, F.lit("[aeiouy]+")).cast("long").alias("n_syll"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count("text", F.lit("[.!?]+")).cast("long"),
+        ).alias("n_sent"),
     )
     # five consumers now share the exploded bigram frame (coverage's
     # topv/per_doc/hits + stupid-backoff's train counts/transitions):
@@ -2703,6 +2727,17 @@ def q24_quality_score(spark, sf_dir):
             F.round(stop_ratio, 4).alias("stop_ratio"),
             F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias("avg_tok_len"),
             F.round(quality, 4).alias("quality"),
+            # Flesch-Kincaid grade (Kincaid et al. 1975, the Navy
+            # readability report): 0.39·(W/S) + 11.8·(syll/W) − 15.59,
+            # identical fixed-order double expression in the oracle so
+            # the round(…, 4) hash-matches
+            F.col("n_syll").alias("n_syllables"),
+            F.round(
+                F.lit(0.39) * F.col("n_tokens") / F.col("n_sent")
+                + F.lit(11.8) * F.col("n_syll") / F.col("n_tokens")
+                - F.lit(15.59),
+                4,
+            ).alias("fk_grade"),
             "common_bigram_frac",
             "lm_bucket",
         )
@@ -2969,6 +3004,59 @@ def q26_fingerprint(spark, sf_dir):
       ON gc.doc_id = xc.doc_id AND gc.tok = xc.tok
       GROUP BY gc.doc_id) t ON s.doc_id = t.doc_id
     UNION ALL
+    -- ROUGE-2 (part='rouge', round 5 tenth pass): clipped
+    -- bigram-overlap P/R/F1 of the SAME degraded extraction vs gold
+    -- (Lin ACL'04); bigram token = w_i || chr(1) || w_{i+1}, overlap
+    -- restated via an independent bigram unnest + least() join
+    SELECT 'rouge', s.doc_id,
+           cast(coalesce(t.tp, 0) AS BIGINT),
+           cast(len(s.gb) AS BIGINT),
+           array_to_string(s.x, ' '),
+           cast(len(s.xb) AS BIGINT),
+           cast(CASE WHEN len(s.xb) > 0
+                THEN (coalesce(t.tp, 0) * 1000000) // len(s.xb) ELSE 0 END AS BIGINT),
+           cast(CASE WHEN len(s.gb) > 0
+                THEN (coalesce(t.tp, 0) * 1000000) // len(s.gb) ELSE 0 END AS BIGINT),
+           cast(CASE WHEN len(s.gb) + len(s.xb) > 0
+                THEN (2 * coalesce(t.tp, 0) * 1000000) // (len(s.gb) + len(s.xb))
+                ELSE 0 END AS BIGINT)
+    FROM (
+      SELECT doc_id, x,
+             list_transform(range(1, len(g)), i -> g[i] || chr(1) || g[i+1]) AS gb,
+             list_transform(range(1, len(x)), i -> x[i] || chr(1) || x[i+1]) AS xb
+      FROM (
+        SELECT doc_id, g,
+               list_concat(list_filter(g, (tok, i) -> i % 5 != 0),
+                           CASE WHEN doc_id % 9 = 0 THEN ['ZZNOISE9']
+                                ELSE []::VARCHAR[] END) AS x
+        FROM (SELECT doc_id, string_split(t, ' ') AS g FROM clean))) s
+    LEFT JOIN (
+      SELECT gc.doc_id, sum(least(gc.c, xc.c)) AS tp
+      FROM (
+        SELECT doc_id, bg, count(*) AS c
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(g)),
+                        i -> g[i] || chr(1) || g[i+1])) AS bg
+          FROM (SELECT doc_id, string_split(t, ' ') AS g FROM clean))
+        GROUP BY doc_id, bg) gc
+      JOIN (
+        SELECT doc_id, bg, count(*) AS c
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(x)),
+                        i -> x[i] || chr(1) || x[i+1])) AS bg
+          FROM (
+            SELECT doc_id,
+                   list_concat(
+                     list_filter(string_split(t, ' '), (tok, i) -> i % 5 != 0),
+                     CASE WHEN doc_id % 9 = 0 THEN ['ZZNOISE9']
+                          ELSE []::VARCHAR[] END) AS x
+            FROM clean))
+        GROUP BY doc_id, bg) xc
+      ON gc.doc_id = xc.doc_id AND gc.bg = xc.bg
+      GROUP BY gc.doc_id) t ON s.doc_id = t.doc_id
+    UNION ALL
     -- CER/WER (part='cer', round 5 ninth pass): see the cerp/wer CTEs
     SELECT 'cer', c.doc_id,
            cast(levenshtein(c.g, c.x) AS BIGINT),
@@ -3032,6 +3120,14 @@ def q27_media_roundtrip(spark, sf_dir):
     vs the gold text (the graded form of pmOCR's exact-fixture test
     strategy, run_tests.sh). Columns: line_no=tp, word_no=n_gold,
     text_out=extracted text, x0=n_ext, y0=prec, x1=rec, y1=f1.
+
+    part='rouge' (round 5, tenth pass): ROUGE-2 (Lin, ACL'04) of the
+    same degraded extraction vs gold — clipped bigram-overlap P/R/F1.
+    ROUGE-N is token_eval over the n-gram alphabet, so the real
+    operator runs unchanged on chr(1)-joined bigram tokens formed
+    JVM-side. Columns: line_no=bigram tp, word_no=n_gold_bigrams,
+    text_out=extracted text, x0=n_ext_bigrams, y0=prec, x1=rec (the
+    ROUGE-2 headline), y1=f1.
 
     part='cer' (round 5, ninth pass): CER/WER OCR-accuracy metrics
     (ISRI OCR-evaluation methodology, Rice et al. UNLV-ISRI) of a
@@ -3246,6 +3342,50 @@ def q27_media_roundtrip(spark, sf_dir):
         rec.alias("x1"),
         f1.alias("y1"),
     )
+    # part='rouge' (round 5, tenth pass): ROUGE-2 (Lin, ACL'04 "ROUGE:
+    # a package for automatic evaluation of summaries") of the SAME
+    # degraded extraction vs gold — clipped bigram-overlap P/R/F1.
+    # ROUGE-N IS token_eval over the n-gram alphabet, so the REAL
+    # operator runs unchanged: bigram tokens are formed JVM-side
+    # (zip_with over two slices, chr(1) joiner — not Python-whitespace,
+    # unsplittable by token_eval, and never inside a bigram since gold
+    # text is printable ASCII) and flow through the same Counter
+    # intersection + micro_scores. Map-only like eval; the oracle
+    # restates the overlap via an independent bigram unnest + least()
+    # join. Columns: line_no=bigram tp, word_no=n_gold_bigrams,
+    # text_out=extracted text, x0=n_ext_bigrams, y0=prec, x1=rec
+    # (the ROUGE-2 headline number), y1=f1.
+    def _bg_arr(arr):
+        n = F.size(arr)
+        return F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(arr, 1, n - 1),
+                F.slice(arr, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit("\x01"), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    rg = d.select(
+        "doc_id",
+        ext_txt.alias("ext_t"),
+        token_eval(
+            F.array_join(_bg_arr(ws_ev), " "),
+            F.array_join(_bg_arr(ext_arr), " "),
+        ).alias("s"),
+    ).select("doc_id", "ext_t", "s.tp", "s.n_gold", "s.n_ext")
+    rprec, rrec, rf1 = micro_scores(F.col("tp"), F.col("n_gold"), F.col("n_ext"))
+    rouge_arm = rg.select(
+        F.lit("rouge").alias("part"),
+        "doc_id",
+        F.col("tp").alias("line_no"),
+        F.col("n_gold").alias("word_no"),
+        F.col("ext_t").alias("text_out"),
+        F.col("n_ext").alias("x0"),
+        rprec.alias("y0"),
+        rrec.alias("x1"),
+        rf1.alias("y1"),
+    )
     # part='cer' (round 5, ninth pass): CER/WER OCR-accuracy metrics
     # (the ISRI methodology) — gold degrades CHARACTER-wise (0-based
     # position i: dropped when i%7==6, '#' when i%11==10), then
@@ -3296,6 +3436,7 @@ def q27_media_roundtrip(spark, sf_dir):
         .unionByName(cell_arm)
         .unionByName(deskew_arm)
         .unionByName(eval_arm)
+        .unionByName(rouge_arm)
         .unionByName(cer_arm)
     )
 
@@ -5686,7 +5827,28 @@ def q41_repetition_quality(spark, sf_dir):
       SELECT doc_id, term, s,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY s DESC, term ASC) AS rk
-      FROM tsc)
+      FROM tsc),
+    -- PMI collocations (round 5, tenth pass): pmi_micro =
+    -- round(1e6 * ln((c_ab * N_w * N_w) / (N_bg * c_a * c_b))) as
+    -- BIGINT — one fixed-order double ratio of exact integer counts
+    -- (the tfidf exactness convention), c_ab >= 10, top-20 by
+    -- (pmi desc, bigram asc)
+    bgcq AS (SELECT bg AS bigram, cast(count(*) AS BIGINT) AS cnt
+             FROM g GROUP BY bg),
+    wfu AS (SELECT word, cast(freq AS double) AS c FROM wf),
+    nwt AS (SELECT cast(sum(freq) AS double) AS n_w FROM wf),
+    nbt AS (SELECT cast(sum(cnt) AS double) AS n_bg FROM bgcq),
+    pmit AS (
+      SELECT bigram,
+             cast(round(1000000.0 * ln(cnt * n_w * n_w /
+                  (n_bg * a.c * b.c)), 0) AS BIGINT) AS pmi
+      FROM bgcq
+      CROSS JOIN nwt CROSS JOIN nbt
+      JOIN wfu a ON a.word = string_split(bigram, ' ')[1]
+      JOIN wfu b ON b.word = string_split(bigram, ' ')[2]
+      WHERE cnt >= 10),
+    pmik AS (SELECT 'pmi' AS part, bigram, pmi AS cnt FROM pmit
+             ORDER BY pmi DESC, bigram ASC LIMIT 20)
     SELECT * FROM wb UNION ALL SELECT * FROM cb
     UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
     UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
@@ -5706,6 +5868,8 @@ def q41_repetition_quality(spark, sf_dir):
     SELECT 'tfidf' AS part, cast(doc_id AS VARCHAR) || '>' || term AS bigram,
            s AS cnt
     FROM trk WHERE rk <= 3
+    UNION ALL
+    SELECT * FROM pmik
     """,
 )
 def q44_bigram_lm_topk(spark, sf_dir):
@@ -5737,6 +5901,11 @@ def q44_bigram_lm_topk(spark, sf_dir):
         extraction (operators/keywords.py) — each document's top-3
         most distinctive terms, round(1e6·tf·ln(N/df)) ranked as an
         integer with term-asc tie-break.
+      * part='pmi' (round 5, tenth pass): top-20 collocations by
+        pointwise mutual information (Church & Hanks CL'90,
+        operators/corpus_stats.pmi_topk) over the same cached bigram +
+        word-frequency tables; pmi_micro = round(1e6·ln((c_ab·N_w·N_w)
+        / (N_bg·c_a·c_b))) as BIGINT, c_ab >= 10.
 
     Scale: word bigrams come from the shuffle-free arrays_zip
     construction (each doc's adjacency lives in its own row — no window
@@ -5749,12 +5918,18 @@ def q44_bigram_lm_topk(spark, sf_dir):
     from .operators.bpe import initial_symbols, pair_counts, word_freqs
 
     d = _t(spark, sf_dir, "documents")
-    wb = (
-        _ngram_rows(d, 2, "bigram")
+    # the full bigram-count table now feeds TWO arms (word top-20 and
+    # the tenth-pass PMI collocations) — cache it so the corpus
+    # bigram-izes once; it is Heaps-law-small after the agg
+    bgc = _cached_df(
+        spark, sf_dir, "documents.parquet", "q44_bigram_counts",
+        lambda: _ngram_rows(d, 2, "bigram")
         .select("bigram")  # doc_id pruned out of the scan by Catalyst
         .groupBy("bigram")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .agg(F.count("*").cast("long").alias("cnt")),
+    )
+    wb = (
+        bgc.orderBy(F.col("cnt").desc(), F.col("bigram").asc())
         .limit(20)
         .select(F.lit("word").alias("part"), "bigram", "cnt")
     )
@@ -5883,11 +6058,24 @@ def q44_bigram_lm_topk(spark, sf_dir):
         F.concat_ws(">", F.col("doc_id").cast("string"), "term").alias("bigram"),
         F.col("score_micro").alias("cnt"),
     )
+    # part='pmi' (round 5, tenth pass): top-20 collocations by
+    # pointwise mutual information (Church & Hanks CL'90,
+    # operators/corpus_stats.pmi_topk) over the SAME cached bigram and
+    # word-frequency tables — still one corpus tokenization for the
+    # whole family. pmi_micro = round(1e6·ln((c_ab·N_w·N_w)/(N_bg·c_a·
+    # c_b))) as BIGINT (one fixed-order double ratio, the tfidf
+    # exactness convention); c_ab >= 10 floors rare-pair noise.
+    from .operators.corpus_stats import pmi_topk
+
+    pmi = pmi_topk(bgc, wfd, k=20, min_count=10).select(
+        F.lit("pmi").alias("part"), "bigram", F.col("pmi_micro").alias("cnt")
+    )
     return (
         wb.unionAll(cb).unionAll(mrows).unionAll(useed).unionAll(cms)
         .unionAll(spell)
         .unionAll(anchor)
         .unionAll(tfidf)
+        .unionAll(pmi)
     )
 
 

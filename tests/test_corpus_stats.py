@@ -168,3 +168,37 @@ def test_cms_weighted_equals_stream_and_merge_adds(spark):
         .collect()
     }
     assert merged == per_occ
+
+
+def test_pmi_topk_hand_computed(spark):
+    """PMI on a 3-word corpus where one bigram is a perfect
+    collocation: pmi matches the hand formula, the min_count floor
+    drops rare pairs, ties break bigram-asc, and the unigram joins
+    broadcast (no corpus-sized shuffle on the vocab key)."""
+    import math
+
+    from pmocr_spark.operators.corpus_stats import pmi_topk
+
+    # bigram stream: "a b" x12, "b c" x12, "c a" x6 -> unigrams from
+    # the same stream's word incidence
+    bigrams = spark.createDataFrame(
+        [("a b", 12), ("b c", 12), ("c a", 6), ("a a", 1)],
+        "bigram string, cnt long",
+    )
+    unigrams = spark.createDataFrame(
+        [("a", 19), ("b", 24), ("c", 18)], "word string, freq long"
+    )
+    got = {r["bigram"]: r["pmi_micro"] for r in pmi_topk(bigrams, unigrams, min_count=5).collect()}
+    assert "a a" not in got  # min_count floor
+    n_w, n_bg = 61.0, 31.0
+    for bg, cab, ca, cb in [("a b", 12, 19, 24), ("b c", 12, 24, 18), ("c a", 6, 18, 19)]:
+        want = round(1e6 * math.log(cab * n_w * n_w / (n_bg * ca * cb)))
+        assert got[bg] == want, bg
+
+    from pmocr_spark.plans import shape
+
+    p = shape.formatted_plan(pmi_topk(bigrams, unigrams, min_count=5))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+    # top-k compiles to per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in p, p

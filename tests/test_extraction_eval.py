@@ -181,3 +181,36 @@ def test_cli_eval_extraction(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):  # missing text col
         cli.main(["--eval-extraction", gold_src, "--input", ext_src,
                   "--output", out, "--text-col", "nope", "--master", "local[2]"])
+
+
+def test_rouge2_bigram_overlap_semantics(spark):
+    """ROUGE-2 as token_eval over chr(1)-joined bigram tokens: the
+    clipped bigram overlap matches a hand Counter computation,
+    including the repeated-bigram clipping case, and chr(1) survives
+    token_eval's whitespace split (chr(31) would not — it is Python
+    whitespace)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.operators.extraction_eval import token_eval
+
+    gold = "a b a b a"          # bigrams: ab ba ab ba (ab x2, ba x2)
+    ext = "a b a c a b"         # bigrams: ab ba ac ca ab (ab x2, ba x1)
+    def bigrams(t):
+        w = t.split(" ")
+        return [w[i] + "\x01" + w[i + 1] for i in range(len(w) - 1)]
+
+    gb, xb = bigrams(gold), bigrams(ext)
+    gc, xc = Counter(gb), Counter(xb)
+    want_tp = sum(min(c, xc[k]) for k, c in gc.items())
+    assert want_tp == 3  # ab clipped at 2, ba clipped at 1
+
+    df = spark.createDataFrame([(" ".join(gb), " ".join(xb))], "g string, x string")
+    row = df.select(token_eval("g", "x").alias("s")).select("s.*").collect()[0]
+    assert (row["tp"], row["n_gold"], row["n_ext"]) == (3, len(gb), len(xb))
+
+    # the joiner matters: chr(31) IS Python whitespace, so it would
+    # split bigrams back into unigrams inside token_eval
+    assert "a\x1fb".split() == ["a", "b"]
+    assert "a\x01b".split() == ["a\x01b"]

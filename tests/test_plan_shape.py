@@ -258,17 +258,21 @@ def test_q44_topk_no_global_sort(spark):
     # ONE corpus-sized (doc_id, term) tf agg; the vocab-sized df agg
     # whose result BROADCASTS back — pinned below; the 1-row n_docs
     # agg; the per-doc top-k window, skew-free because doc length
-    # bounds the partition)
-    assert shape.count_exchanges(df) <= 14, plan
+    # bounds the partition) + the tenth-pass pmi arm's 2 ONE-ROW total
+    # aggs (N_w over the cached word table, N_bg over the cached bigram
+    # table — both broadcast back; the two unigram joins BROADCAST, so
+    # nothing corpus-sized shuffles for PMI)
+    assert shape.count_exchanges(df) <= 16, plan
     # the tfidf idf join must broadcast the vocabulary side, never
     # shuffle the corpus-sized tf table on term
     assert "BroadcastHashJoin" in plan, plan
     # the SymSpell candidate join must never be a nested loop; the only
-    # nested-loop allowed is the tfidf arm's 1-row broadcast n_docs
-    # crossJoin (the q24 1-row-total pattern, line-80 precedent)
+    # nested-loops allowed are 1-row broadcast totals (the q24
+    # 1-row-total pattern, line-80 precedent): tfidf's n_docs and
+    # pmi's N_w / N_bg crossJoins
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin Inner" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1, plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 3, plan
 
 
 def test_q45_contamination_broadcasts_benchmark(spark):
@@ -484,8 +488,14 @@ def test_q27_media_family_map_only(spark):
     assert shape.count_exchanges(df) == 0, plan
     assert "BatchEvalPython" not in plan, plan
     # per-arm Arrow detail headers: text = encode + fused decode,
-    # word = encode + wordbox, cell = encode + detect and deskew =
-    # encode + decode-with-drift (each pair fuses into one stage when
-    # Spark chains them), plus the eighth-pass eval arm's Counter
-    # intersection — 7 distinct stages total
-    assert len(set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))) == 7, plan
+    # word = encode + wordbox, cell = encode + detect, deskew =
+    # encode + decode-with-drift, the eval arm's Counter intersection,
+    # the tenth-pass rouge arm's bigram Counter intersection (same
+    # token_eval operator, bigram alphabet) and cer's degrade +
+    # edit_eval. Whether a UDF-feeds-UDF pair collapses into ONE
+    # ArrowEvalPython node varies with session state (projection
+    # collapse is sensitive to expression reuse), so pin the range:
+    # 7 arms fully fused .. 10 fully split — the scale property is the
+    # 0-exchange + no-BatchEvalPython pins above, not the fusion count
+    n_arrow = len(set(re.findall(r"\((\d+)\) ArrowEvalPython", plan)))
+    assert 7 <= n_arrow <= 10, plan
