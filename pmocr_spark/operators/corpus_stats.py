@@ -327,3 +327,68 @@ def pmi_topk(
     return scored.orderBy(
         F.col("pmi_micro").desc(), F.col("bigram").asc()
     ).limit(k)
+
+
+def llr_topk(bigrams: DataFrame, k: int = 20, min_count: int = 10) -> DataFrame:
+    """Top-k collocations by Dunning's log-likelihood ratio (Dunning,
+    CL 1993 "Accurate methods for the statistics of surprise and
+    coincidence" — the collocation test that, unlike PMI, does not
+    over-reward rare pairs). For bigram (a, b) the 2x2 contingency over
+    the bigram stream is
+
+        k11 = c_ab            k12 = C_b - c_ab
+        k21 = R_a - c_ab      k22 = N - R_a - C_b + c_ab
+
+    with R_a = bigrams starting with a, C_b = bigrams ending with b,
+    N = total bigrams — all derived from the SAME bigram-count table,
+    so the statistic is self-consistent (unigram totals would miscount
+    document-edge tokens). llr = 2 * sum k_ij * ln(k_ij * N / (R_i *
+    C_j)) over non-empty cells, emitted as llr_micro =
+    round(1e6 * llr) BIGINT: the expression tree is written in ONE
+    fixed order (left-associative four-term sum) so both engines
+    produce the identical double (the pmi/tfidf exactness discipline).
+
+    Scale: `bigrams` is already-aggregated and Heaps-law-small; the
+    row-margin / column-margin tables are vocabulary-sized and
+    BROADCAST back; N rides as a broadcast 1-row frame; top-k is
+    TakeOrderedAndProject. Nothing corpus-sized moves."""
+    parts = F.split("bigram", " ")
+    bg = bigrams.select(
+        "bigram",
+        "cnt",
+        F.get(parts, 0).alias("wa"),
+        F.get(parts, 1).alias("wb"),
+    )
+    ra = bg.groupBy("wa").agg(F.sum("cnt").cast("double").alias("ra"))
+    cb = bg.groupBy("wb").agg(F.sum("cnt").cast("double").alias("cb"))
+    n = bigrams.agg(F.sum("cnt").cast("double").alias("n"))
+
+    def _term(kk, row, col):
+        return F.when(
+            kk > 0, kk * F.log(kk * F.col("n") / (row * col))
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("cnt").cast("double")
+    k12 = F.col("cb") - k11
+    k21 = F.col("ra") - k11
+    k22 = F.col("n") - F.col("ra") - F.col("cb") + k11
+    llr = F.lit(2.0) * (
+        _term(k11, F.col("ra"), F.col("cb"))
+        + _term(k12, F.col("n") - F.col("ra"), F.col("cb"))
+        + _term(k21, F.col("ra"), F.col("n") - F.col("cb"))
+        + _term(k22, F.col("n") - F.col("ra"), F.col("n") - F.col("cb"))
+    )
+    scored = (
+        bg.filter(F.col("cnt") >= min_count)
+        .join(F.broadcast(ra), "wa")
+        .join(F.broadcast(cb), "wb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bigram",
+            "cnt",
+            F.round(F.lit(1000000.0) * llr, 0).cast("long").alias("llr_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("llr_micro").desc(), F.col("bigram").asc()
+    ).limit(k)

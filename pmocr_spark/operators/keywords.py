@@ -75,3 +75,43 @@ def tfidf_topk(docs: DataFrame, tokens, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score_micro", "rank")
     )
+
+
+def kwic(docs: DataFrame, tokens, term: str, window: int = 2) -> DataFrame:
+    """KeyWord-In-Context concordance (the corpus-linguistics staple
+    every concordancer since the 1959 KWIC index implements): every
+    occurrence of `term` with `window` tokens of left/right context.
+    Returns (doc_id, pos, left_ctx, term, right_ctx), pos 1-based.
+
+    Scale shape: ONE map-only pass — match positions come from a
+    transform+filter over the token array (no posexplode of every
+    token: the explode fan-out is |occurrences|, not |tokens|), and
+    both contexts are array slices of the same in-row array. Zero
+    shuffles at any corpus size; with a positional index (bm25.py) the
+    scan side can be pre-filtered to posting docs, but the context
+    fetch is this same slice either way."""
+    hits = docs.select(
+        "doc_id",
+        tokens.alias("_ws"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    tokens,
+                    lambda x, i: F.when(x == F.lit(term), i + F.lit(1)),
+                ),
+                lambda v: v.isNotNull(),
+            )
+        ).alias("pos"),
+    )
+    start = F.greatest(F.lit(1), F.col("pos") - F.lit(window))
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(F.slice("_ws", start, F.col("pos") - start), " ").alias(
+            "left_ctx"
+        ),
+        F.lit(term).alias("term"),
+        F.array_join(
+            F.slice("_ws", F.col("pos") + 1, window), " "
+        ).alias("right_ctx"),
+    )

@@ -5650,6 +5650,11 @@ def q41_repetition_quality(spark, sf_dir):
     )
 
 
+#: q44 part='kwic' probe term — mid-frequency vocab word, single
+#: source of truth for the Spark arm and the oracle below
+_KWIC_TERM = "customer"
+
+
 @query(
     "q44_bigram_lm_topk",
     """
@@ -5848,7 +5853,61 @@ def q41_repetition_quality(spark, sf_dir):
       JOIN wfu b ON b.word = string_split(bigram, ' ')[2]
       WHERE cnt >= 10),
     pmik AS (SELECT 'pmi' AS part, bigram, pmi AS cnt FROM pmit
-             ORDER BY pmi DESC, bigram ASC LIMIT 20)
+             ORDER BY pmi DESC, bigram ASC LIMIT 20),
+    -- Dunning LLR collocations (round 5, tenth pass): 2x2 contingency
+    -- over the bigram stream with margins from the SAME bigram table
+    -- (R_a = bigrams starting with a, C_b = ending with b, N = total);
+    -- llr_micro = round(1e6 * 2 * sum k_ij ln(k_ij N / (R_i C_j))) in
+    -- ONE fixed-order expression (left-assoc four-term sum) so both
+    -- engines produce the identical double
+    llra AS (SELECT string_split(bigram, ' ')[1] AS wa,
+                    cast(sum(cnt) AS double) AS ra FROM bgcq GROUP BY 1),
+    llrb AS (SELECT string_split(bigram, ' ')[2] AS wb,
+                    cast(sum(cnt) AS double) AS cb FROM bgcq GROUP BY 1),
+    llrn AS (SELECT cast(sum(cnt) AS double) AS n FROM bgcq),
+    llrc AS (
+      SELECT bigram, cast(cnt AS double) AS k11,
+             cb - cast(cnt AS double) AS k12,
+             ra - cast(cnt AS double) AS k21,
+             n - ra - cb + cast(cnt AS double) AS k22,
+             ra, cb, n
+      FROM bgcq
+      JOIN llra ON llra.wa = string_split(bigram, ' ')[1]
+      JOIN llrb ON llrb.wb = string_split(bigram, ' ')[2]
+      CROSS JOIN llrn
+      WHERE cnt >= 10),
+    llrt AS (
+      SELECT bigram,
+             cast(round(1000000.0 * (2.0 * (
+               CASE WHEN k11 > 0 THEN k11 * ln(k11 * n / (ra * cb))
+                    ELSE 0.0 END
+               + CASE WHEN k12 > 0 THEN k12 * ln(k12 * n / ((n - ra) * cb))
+                      ELSE 0.0 END
+               + CASE WHEN k21 > 0 THEN k21 * ln(k21 * n / (ra * (n - cb)))
+                      ELSE 0.0 END
+               + CASE WHEN k22 > 0 THEN k22 * ln(k22 * n / ((n - ra) * (n - cb)))
+                      ELSE 0.0 END)), 0) AS BIGINT) AS llr
+      FROM llrc),
+    llrk AS (SELECT 'llr' AS part, bigram, llr AS cnt FROM llrt
+             ORDER BY llr DESC, bigram ASC LIMIT 20),
+    -- KWIC concordance (round 5, tenth pass): every occurrence of the
+    -- probe term with +-2 tokens of context, restated with 1-based
+    -- list slices (w[a:b] inclusive; empty when b < a — and
+    -- array_to_string of an empty list is NULL, hence the coalesce)
+    kwt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents),
+    kwh AS (SELECT doc_id, w, i AS pos
+            FROM kwt, unnest(range(1, len(w) + 1)) AS u(i)
+            WHERE w[i] = '<<KWIC_TERM>>'),
+    kwik AS (
+      SELECT 'kwic' AS part,
+             cast(doc_id AS VARCHAR) || '>' ||
+             coalesce(array_to_string(w[greatest(1, pos - 2):pos - 1], ' '), '') ||
+             '[<<KWIC_TERM>>]' ||
+             coalesce(array_to_string(w[pos + 1:least(len(w), pos + 2)], ' '), '')
+               AS bigram,
+             cast(pos AS BIGINT) AS cnt
+      FROM kwh)
     SELECT * FROM wb UNION ALL SELECT * FROM cb
     UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
     UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
@@ -5870,7 +5929,11 @@ def q41_repetition_quality(spark, sf_dir):
     FROM trk WHERE rk <= 3
     UNION ALL
     SELECT * FROM pmik
-    """,
+    UNION ALL
+    SELECT * FROM llrk
+    UNION ALL
+    SELECT * FROM kwik
+    """.replace("<<KWIC_TERM>>", _KWIC_TERM),
 )
 def q44_bigram_lm_topk(spark, sf_dir):
     """n-gram LM statistics family in ONE gate slot, `part`-discriminated:
@@ -5906,6 +5969,17 @@ def q44_bigram_lm_topk(spark, sf_dir):
         operators/corpus_stats.pmi_topk) over the same cached bigram +
         word-frequency tables; pmi_micro = round(1e6·ln((c_ab·N_w·N_w)
         / (N_bg·c_a·c_b))) as BIGINT, c_ab >= 10.
+      * part='llr' (round 5, tenth pass): the same collocations
+        re-ranked by Dunning's log-likelihood ratio (CL'93,
+        operators/corpus_stats.llr_topk) — 2x2 contingency with
+        margins from the same cached bigram table, llr_micro in one
+        fixed-order four-term expression; the PMI-vs-LLR A/B real
+        collocation pipelines run.
+      * part='kwic' (round 5, tenth pass): keyword-in-context
+        concordance (operators/keywords.kwic) — every occurrence of
+        the probe term with ±2 tokens of context, map-only (explode
+        fan-out = |occurrences|); bigram = doc>left[term]right,
+        cnt = 1-based position.
 
     Scale: word bigrams come from the shuffle-free arrays_zip
     construction (each doc's adjacency lives in its own row — no window
@@ -6070,12 +6144,45 @@ def q44_bigram_lm_topk(spark, sf_dir):
     pmi = pmi_topk(bgc, wfd, k=20, min_count=10).select(
         F.lit("pmi").alias("part"), "bigram", F.col("pmi_micro").alias("cnt")
     )
+    # part='llr' (round 5, tenth pass): the same top-20 collocations
+    # re-ranked by Dunning's log-likelihood ratio (CL'93,
+    # operators/corpus_stats.llr_topk) — the A/B next to PMI that real
+    # collocation pipelines run (LLR does not over-reward rare pairs).
+    # Margins and N derive from the SAME cached bigram table; the two
+    # margin joins broadcast.
+    from .operators.corpus_stats import llr_topk
+
+    llr = llr_topk(bgc, k=20, min_count=10).select(
+        F.lit("llr").alias("part"), "bigram", F.col("llr_micro").alias("cnt")
+    )
+    # part='kwic' (round 5, tenth pass): keyword-in-context concordance
+    # (operators/keywords.kwic) for the fixed probe term — every
+    # occurrence with ±2 tokens of context, map-only (match positions
+    # via transform+filter over the in-row token array, contexts via
+    # slices of the same array; explode fan-out = |occurrences|). The
+    # oracle restates positions and slices with 1-based list
+    # arithmetic. bigram = doc>left[term]right, cnt = 1-based pos.
+    from .operators.keywords import kwic
+
+    kw = kwic(d, _toks_col(), _KWIC_TERM, window=2).select(
+        F.lit("kwic").alias("part"),
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(">"),
+            "left_ctx",
+            F.lit("[" + _KWIC_TERM + "]"),
+            "right_ctx",
+        ).alias("bigram"),
+        F.col("pos").alias("cnt"),
+    )
     return (
         wb.unionAll(cb).unionAll(mrows).unionAll(useed).unionAll(cms)
         .unionAll(spell)
         .unionAll(anchor)
         .unionAll(tfidf)
         .unionAll(pmi)
+        .unionAll(llr)
+        .unionAll(kw)
     )
 
 

@@ -202,3 +202,46 @@ def test_pmi_topk_hand_computed(spark):
     assert "SortMergeJoin" not in p, p
     # top-k compiles to per-partition heaps, not a global sort
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_llr_topk_hand_computed(spark):
+    """Dunning LLR on a small bigram table: matches the textbook 2x2
+    contingency formula by hand (including the zero-cell guard via the
+    fully-exclusive pair, whose k12/k21 vanish), drops sub-min_count
+    pairs, and the margin joins broadcast."""
+    import math
+
+    from pmocr_spark.operators.corpus_stats import llr_topk
+
+    # "x y" exclusive but rare; "a b" frequent but a,b also occur apart
+    bigrams = spark.createDataFrame(
+        [("a b", 40), ("a c", 20), ("c b", 20), ("x y", 6), ("c c", 14), ("y x", 1)],
+        "bigram string, cnt long",
+    )
+    got = {r["bigram"]: r["llr_micro"] for r in llr_topk(bigrams, min_count=5).collect()}
+    assert "y x" not in got  # min_count floor
+
+    def llr_hand(k11, ra, cb, n):
+        k12, k21, k22 = cb - k11, ra - k11, n - ra - cb + k11
+        t = 0.0
+        for k, r, c in [
+            (k11, ra, cb), (k12, n - ra, cb),
+            (k21, ra, n - cb), (k22, n - ra, n - cb),
+        ]:
+            if k > 0:
+                t += k * math.log(k * n / (r * c))
+        return round(1e6 * 2.0 * t)
+
+    n = 101.0
+    # margins from the bigram table itself: ra('a')=60, cb('b')=60 ...
+    assert got["a b"] == llr_hand(40.0, 60.0, 60.0, n)
+    # fully exclusive pair: x only precedes y, y only follows x, so
+    # k12 = k21 = 0 and only the k11/k22 terms contribute
+    assert got["x y"] == llr_hand(6.0, 6.0, 6.0, n)
+    assert got["a c"] == llr_hand(20.0, 60.0, 34.0, n)  # cb('c') = 20 + 14
+
+    from pmocr_spark.plans import shape
+
+    p = shape.formatted_plan(llr_topk(bigrams, min_count=5))
+    assert p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p

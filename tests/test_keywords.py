@@ -109,3 +109,44 @@ def test_tfidf_plan_broadcasts(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kwic_contexts_and_edges(spark):
+    """KWIC: every occurrence reported at its 1-based position with
+    window-bounded contexts; document-edge occurrences get truncated
+    (possibly empty) contexts; repeated terms fan out one row per
+    occurrence; absent terms yield zero rows. Plan: map-only."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.operators.keywords import kwic
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat sat on the mat"),
+            (2, "cat cat dog"),
+            (3, "no match here"),
+            (4, "cat"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    got = {
+        (r["doc_id"], r["pos"]): (r["left_ctx"], r["right_ctx"])
+        for r in kwic(docs, toks, "cat", window=2).collect()
+    }
+    assert got[(1, 1)] == ("", "sat on")
+    assert got[(2, 1)] == ("", "cat dog")
+    assert got[(2, 2)] == ("cat", "dog")
+    assert got[(4, 1)] == ("", "")  # single-token doc: both empty
+    assert not any(d == 3 for d, _ in got)
+    # middle occurrence: full two-sided window
+    got2 = {
+        (r["doc_id"], r["pos"]): (r["left_ctx"], r["right_ctx"])
+        for r in kwic(docs, toks, "on", window=2).collect()
+    }
+    assert got2[(1, 3)] == ("cat sat", "the mat")
+
+    from pmocr_spark.plans import shape
+
+    plan = shape.formatted_plan(kwic(docs, toks, "cat"))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan, plan

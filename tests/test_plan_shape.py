@@ -261,18 +261,22 @@ def test_q44_topk_no_global_sort(spark):
     # bounds the partition) + the tenth-pass pmi arm's 2 ONE-ROW total
     # aggs (N_w over the cached word table, N_bg over the cached bigram
     # table — both broadcast back; the two unigram joins BROADCAST, so
-    # nothing corpus-sized shuffles for PMI)
-    assert shape.count_exchanges(df) <= 16, plan
+    # nothing corpus-sized shuffles for PMI) + the llr arm's 3 (two
+    # vocab-sized margin aggs + the 1-row N agg over the SAME cached
+    # bigram table; margin joins broadcast)
+    assert shape.count_exchanges(df) <= 19, plan
     # the tfidf idf join must broadcast the vocabulary side, never
     # shuffle the corpus-sized tf table on term
     assert "BroadcastHashJoin" in plan, plan
     # the SymSpell candidate join must never be a nested loop; the only
     # nested-loops allowed are 1-row broadcast totals (the q24
-    # 1-row-total pattern, line-80 precedent): tfidf's n_docs and
-    # pmi's N_w / N_bg crossJoins
+    # 1-row-total pattern, line-80 precedent): tfidf's n_docs, pmi's
+    # N_w / N_bg and llr's N crossJoins
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin Inner" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin Cross") <= 3, plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 4, plan
+    # collocation margin joins must never sort-merge the vocab tables
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_q45_contamination_broadcasts_benchmark(spark):
