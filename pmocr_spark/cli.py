@@ -628,6 +628,53 @@ def build_parser() -> argparse.ArgumentParser:
         "(doc_id, term, tf, df, score_micro, rank)",
     )
     p.add_argument(
+        "--collocations",
+        metavar="K",
+        type=int,
+        default=None,
+        help="maintenance mode (standalone): top-K collocations of the "
+        "--input table's --text-col by BOTH association statistics — "
+        "PMI (Church & Hanks CL'90) and Dunning's log-likelihood ratio "
+        "(CL'93), operators/corpus_stats.pmi_topk/llr_topk — written "
+        "to --output as (method, bigram, cnt, score_micro)",
+    )
+    p.add_argument(
+        "--colloc-min-count",
+        metavar="N",
+        type=int,
+        default=None,
+        help="minimum bigram count for --collocations (default 10; "
+        "PMI is noisy on rare pairs)",
+    )
+    p.add_argument(
+        "--kwic",
+        metavar="TERM",
+        default=None,
+        help="maintenance mode (standalone): keyword-in-context "
+        "concordance (operators/keywords.kwic) — every occurrence of "
+        "TERM in the --input table's --text-col with --kwic-window "
+        "tokens of context, written to --output as "
+        "(doc_id, pos, left_ctx, term, right_ctx)",
+    )
+    p.add_argument(
+        "--kwic-window",
+        metavar="N",
+        type=int,
+        default=None,
+        help="context window in tokens for --kwic (default 2)",
+    )
+    p.add_argument(
+        "--srp-dedup",
+        action="store_true",
+        help="maintenance mode (standalone): SRP-LSH embedding near-dup "
+        "(operators/multimodal.srp_near_dup — Charikar sign random "
+        "projections + the banded-hamming join) over the --input "
+        "table's (vec_id, embedding) columns; pairs written to "
+        "--output as (ref_a, ref_b, hamming); --phash-max-hamming "
+        "overrides the threshold (default 3, the pigeonhole-complete "
+        "regime)",
+    )
+    p.add_argument(
         "--spell-fix",
         action="store_true",
         help="maintenance mode (standalone): SymSpell dictionary "
@@ -1004,6 +1051,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--fix-text", args.fix_text),
             ("--spell-fix", args.spell_fix),
             ("--keywords", args.keywords is not None),
+            ("--collocations", args.collocations is not None),
+            ("--kwic", args.kwic is not None),
+            ("--srp-dedup", args.srp_dedup),
             ("--audit-blobs", args.audit_blobs),
             ("--corpus-stats", args.corpus_stats),
             ("--train-quality", args.train_quality),
@@ -1029,6 +1079,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     # --compact-lineage etc. must not silently swallow a train-bpe knob
     if args.bpe_min_count is not None and args.train_bpe is None:
         parser.error("--bpe-min-count only applies to --train-bpe")
+    if args.colloc_min_count is not None and args.collocations is None:
+        parser.error("--colloc-min-count only applies to --collocations")
+    if args.kwic_window is not None and args.kwic is None:
+        parser.error("--kwic-window only applies to --kwic")
     if getattr(args, "hocr", False) and not args.word_boxes:
         parser.error("--hocr requires --word-boxes")
     if getattr(args, "tables", False) and not args.word_boxes:
@@ -1290,6 +1344,42 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--input and --output are required with --keywords")
         if args.keywords < 1:
             parser.error("--keywords K must be >= 1")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.collocations is not None:
+        if args.batch or args.service:
+            parser.error("--collocations is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --collocations")
+        if args.collocations < 1:
+            parser.error("--collocations K must be >= 1")
+        if args.colloc_min_count is not None and args.colloc_min_count < 1:
+            parser.error("--colloc-min-count must be >= 1")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.kwic is not None:
+        if args.batch or args.service:
+            parser.error("--kwic is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --kwic")
+        if not args.kwic.strip():
+            parser.error("--kwic TERM must be non-empty")
+        if args.kwic_window is not None and args.kwic_window < 0:
+            parser.error("--kwic-window must be >= 0")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.srp_dedup:
+        if args.batch or args.service:
+            parser.error("--srp-dedup is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --srp-dedup")
+        if args.phash_max_hamming is not None and not (
+            0 <= args.phash_max_hamming <= 64
+        ):
+            parser.error("--phash-max-hamming must be in 0..64")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -2174,6 +2264,114 @@ def main(argv: list[str] | None = None) -> None:
             f"pmocr-spark: extracted top-{args.keywords} keywords for "
             f"{agg['d']} docs ({agg['n']} rows) to {args.output}"
         )
+        return
+    if getattr(args, "collocations", None) is not None:
+        from .operators.corpus_stats import llr_topk, pmi_topk
+
+        df = spark.read.parquet(args.input)
+        tc = args.text_col
+        if tc not in df.columns:
+            raise SystemExit(
+                f"pmocr-spark: --collocations: {args.input} needs a {tc} "
+                f"column (columns: {df.columns}; --text-col overrides)"
+            )
+        docs = df.withColumnRenamed(tc, "text") if tc != "text" else df
+        toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        n = F.size(toks)
+        bg_arr = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        bgc = (
+            docs.select(F.explode(bg_arr).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        wf = (
+            docs.select(F.explode(toks).alias("word"))
+            .filter(F.length("word") > 0)
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("freq"))
+        )
+        mc = 10 if args.colloc_min_count is None else args.colloc_min_count
+        pmi = pmi_topk(bgc, wf, k=args.collocations, min_count=mc).select(
+            F.lit("pmi").alias("method"),
+            "bigram",
+            "cnt",
+            F.col("pmi_micro").alias("score_micro"),
+        )
+        llr = llr_topk(bgc, k=args.collocations, min_count=mc).select(
+            F.lit("llr").alias("method"),
+            "bigram",
+            "cnt",
+            F.col("llr_micro").alias("score_micro"),
+        )
+        pmi.unionAll(llr).write.mode("overwrite").parquet(args.output)
+        got = spark.read.parquet(args.output)
+        agg = got.agg(
+            F.count("*").alias("n"), F.countDistinct("bigram").alias("b")
+        ).collect()[0]
+        print(
+            f"pmocr-spark: top-{args.collocations} collocations by pmi+llr "
+            f"({agg['n']} rows, {agg['b']} distinct bigrams, min_count {mc}) "
+            f"to {args.output}"
+        )
+        return
+    if getattr(args, "kwic", None) is not None:
+        from .operators.keywords import kwic as kwic_op
+
+        df = spark.read.parquet(args.input)
+        tc = args.text_col
+        if "doc_id" not in df.columns or tc not in df.columns:
+            raise SystemExit(
+                f"pmocr-spark: --kwic: {args.input} needs (doc_id, {tc}) "
+                f"columns (columns: {df.columns}; --text-col overrides)"
+            )
+        docs = df.withColumnRenamed(tc, "text") if tc != "text" else df
+        toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        win = 2 if args.kwic_window is None else args.kwic_window
+        out = kwic_op(docs, toks, args.kwic.strip().lower(), window=win)
+        out.write.mode("overwrite").parquet(args.output)
+        got = spark.read.parquet(args.output)
+        agg = got.agg(
+            F.count("*").alias("n"), F.countDistinct("doc_id").alias("d")
+        ).collect()[0]
+        print(
+            f"pmocr-spark: {agg['n']} occurrences of '{args.kwic.strip().lower()}' "
+            f"in {agg['d']} docs (window {win}) to {args.output}"
+        )
+        return
+    if getattr(args, "srp_dedup", False):
+        from .operators.multimodal import srp_near_dup
+
+        emb = spark.read.parquet(args.input)
+        if "vec_id" not in emb.columns or "embedding" not in emb.columns:
+            raise SystemExit(
+                f"pmocr-spark: --srp-dedup: {args.input} needs "
+                f"(vec_id, embedding) columns (columns: {emb.columns})"
+            )
+        first = emb.select(F.size("embedding").alias("d")).first()
+        if first is None:
+            raise SystemExit(
+                f"pmocr-spark: --srp-dedup: {args.input} is empty"
+            )
+        vec = emb.select(
+            F.col("vec_id").cast("string").alias("media_ref"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        pairs = srp_near_dup(
+            vec,
+            dim=int(first["d"]),
+            **(
+                {}
+                if args.phash_max_hamming is None
+                else {"max_hamming": args.phash_max_hamming}
+            ),
+        )
+        pairs.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"pmocr-spark: {n} SRP embedding near-dup pairs written to {args.output}")
         return
     if getattr(args, "optimize_layout", None):
         from .operators.zorder import optimize_layout

@@ -245,3 +245,37 @@ def test_llr_topk_hand_computed(spark):
     p = shape.formatted_plan(llr_topk(bigrams, min_count=5))
     assert p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_cli_collocations(spark, tmp_path, capsys):
+    """--collocations e2e: both methods present, scores match the
+    operators run directly on the same tables; standalone-mode and
+    knob guards."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pmocr_spark import cli
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "strong tea " * 6 + "powerful computer " * 6) for i in range(8)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "colloc")
+    cli.main(["--collocations", "5", "--input", src, "--output", out,
+              "--colloc-min-count", "5", "--master", "local[2]"])
+    rows = spark.read.parquet(out).collect()
+    methods = {r["method"] for r in rows}
+    assert methods == {"pmi", "llr"}
+    pmi_best = max((r for r in rows if r["method"] == "pmi"),
+                   key=lambda r: r["score_micro"])
+    assert pmi_best["bigram"] in {"strong tea", "powerful computer"}
+    assert "collocations by pmi+llr" in capsys.readouterr().out
+
+    with _pytest.raises(SystemExit):  # standalone guard
+        cli.main(["--collocations", "5", "--batch", "--input", src,
+                  "--blobs", "b", "--output", out, "--lineage", "l",
+                  "--master", "local[2]"])
+    with _pytest.raises(SystemExit):  # knob guard
+        cli.main(["--colloc-min-count", "5", "--input", src, "--output",
+                  out, "--master", "local[2]"])

@@ -150,3 +150,28 @@ def test_kwic_contexts_and_edges(spark):
 
     plan = shape.formatted_plan(kwic(docs, toks, "cat"))
     assert "Exchange" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_cli_kwic(spark, tmp_path, capsys):
+    """--kwic e2e: occurrences with contexts land in --output; window
+    knob honored; guards fire."""
+    import pytest as _pytest
+
+    from pmocr_spark import cli
+
+    src = str(tmp_path / "docs.parquet")
+    _docs(spark).write.parquet(src)
+    out = str(tmp_path / "kwic")
+    cli.main(["--kwic", "apple", "--input", src, "--output", out,
+              "--kwic-window", "1", "--master", "local[2]"])
+    rows = spark.read.parquet(out).collect()
+    assert rows and all(r["term"] == "apple" for r in rows)
+    assert all(len(r["left_ctx"].split()) <= 1 for r in rows)
+    assert "occurrences of 'apple'" in capsys.readouterr().out
+
+    with _pytest.raises(SystemExit):  # empty term
+        cli.main(["--kwic", "  ", "--input", src, "--output", out,
+                  "--master", "local[2]"])
+    with _pytest.raises(SystemExit):  # knob guard
+        cli.main(["--kwic-window", "1", "--input", src, "--output", out,
+                  "--master", "local[2]"])

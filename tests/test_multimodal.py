@@ -558,3 +558,32 @@ def test_srp_signs_md5_parity_with_duckdb():
     ).fetchall()
     for i, j, s in rows:
         assert S[i, j - 1] == s, (i, j)
+
+
+def test_cli_srp_dedup(spark, tmp_path, capsys):
+    """--srp-dedup e2e over a (vec_id, embedding) table: identical
+    vectors pair at hamming 0, pairs land in --output, threshold knob
+    validated."""
+    import pytest as _pytest
+
+    from pmocr_spark import cli
+
+    src = str(tmp_path / "emb.parquet")
+    base = [0.3, -0.2, 0.9, -0.5, 0.1, 0.7, -0.4, 0.2]
+    other = [-0.6, 0.8, -0.1, 0.4, -0.9, 0.2, 0.5, -0.3]
+    spark.createDataFrame(
+        [(0, base), (1, base), (2, other)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(src)
+    out = str(tmp_path / "srp")
+    cli.main(["--srp-dedup", "--input", src, "--output", out,
+              "--master", "local[2]"])
+    got = {(r["ref_a"], r["ref_b"]): r["hamming"]
+           for r in spark.read.parquet(out).collect()}
+    assert got[("0", "1")] == 0
+    assert not any("2" in k for pair in got for k in pair)
+    assert "SRP embedding near-dup pairs" in capsys.readouterr().out
+
+    with _pytest.raises(SystemExit):  # threshold range guard
+        cli.main(["--srp-dedup", "--input", src, "--output", out,
+                  "--phash-max-hamming", "65", "--master", "local[2]"])
