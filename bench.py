@@ -554,6 +554,43 @@ def _bench_phash(spark, corpus_dir: str) -> dict:
     }
 
 
+def _bench_srp(spark, sf_dir: str) -> dict:
+    """SRP-LSH embedding near-dup at SF: hash every embedding plus its
+    one-coordinate-zeroed twin (the q20 part='srp' corpus — twins give
+    the hash near-misses the raw table lacks) and run the shared
+    banded-hamming pair join. Reports vector throughput and the pair
+    count."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.operators.multimodal import srp_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        F.concat(F.lit("e:"), F.col("vec_id").cast("string")).alias("media_ref"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    twin = emb.select(
+        F.concat(F.lit("t:"), F.col("vec_id").cast("string")).alias("media_ref"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == F.col("vec_id") % F.size("embedding"), F.lit(0.0)
+            ).otherwise(x.cast("double")),
+        ).alias("e"),
+    )
+    vecs = base.unionAll(twin)
+    n = vecs.count()
+    t0 = time.time()
+    pairs = srp_near_dup(vecs, dim=64).count()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "vecs": n,
+        "vecs_per_sec": round(n / dt, 2),
+        "pairs": pairs,
+    }
+
+
 def _max_task_input_mb(spark, before: dict, after: dict) -> float:
     """Largest single-task input read (MB) over the stages completed
     between the two snapshots — the 'does any one task hold too much'
@@ -1456,6 +1493,11 @@ def main() -> None:
             f"phash near-dup {phash['sec']}s ({phash['blobs_per_sec']} blobs/s, "
             f"{phash['pairs']} pairs)"
         )
+        srp = _bench_srp(spark, sf_dir)
+        _log(
+            f"srp near-dup {srp['sec']}s ({srp['vecs_per_sec']} vecs/s, "
+            f"{srp['pairs']} pairs)"
+        )
         bpe = _bench_bpe(spark, sf_dir)
         _log(f"bpe learn {bpe['sec']}s ({bpe['merges']} merges, {bpe['merges_per_sec']}/s)")
         video = _bench_video(spark, sf_dir)
@@ -1493,6 +1535,7 @@ def main() -> None:
             "ocr_pipeline": ocr["sec"],
             "html_extract": html["sec"],
             "phash_near_dup": phash["sec"],
+            "srp_near_dup": srp["sec"],
             "bpe_learn": bpe["sec"],
             "video_transcribe": video["sec"],
             "word_boxes": wordbox["sec"],
@@ -1507,6 +1550,7 @@ def main() -> None:
         result["ocr_docs_per_sec"] = ocr["docs_per_sec"]
         result["html_docs_per_sec"] = html["docs_per_sec"]
         result["phash_blobs_per_sec"] = phash["blobs_per_sec"]
+        result["srp_vecs_per_sec"] = srp["vecs_per_sec"]
         result["bpe_merges_per_sec"] = bpe["merges_per_sec"]
         result["video_blobs_per_sec"] = video["blobs_per_sec"]
         result["wordbox_blobs_per_sec"] = wordbox["blobs_per_sec"]
