@@ -675,6 +675,25 @@ def build_parser() -> argparse.ArgumentParser:
         "regime)",
     )
     p.add_argument(
+        "--winnow-dedup",
+        action="store_true",
+        help="maintenance mode (standalone): winnowing fingerprint "
+        "match candidates (operators/winnow — Schleimer SIGMOD'03 MOSS "
+        "scheme: min-hash-per-window k-gram selection, then an fp "
+        "equi-join) over the --input table's (doc_id, text) columns; "
+        "pairs written to --output as (doc_a, doc_b, n_shared), "
+        "fingerprints to --output.fps; --winnow-min-shared sets the "
+        "pair floor (default 2)",
+    )
+    p.add_argument(
+        "--winnow-min-shared",
+        metavar="N",
+        type=int,
+        default=None,
+        help="minimum shared distinct fingerprints for a --winnow-dedup "
+        "pair (default 2)",
+    )
+    p.add_argument(
         "--spell-fix",
         action="store_true",
         help="maintenance mode (standalone): SymSpell dictionary "
@@ -1054,6 +1073,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--collocations", args.collocations is not None),
             ("--kwic", args.kwic is not None),
             ("--srp-dedup", args.srp_dedup),
+            ("--winnow-dedup", args.winnow_dedup),
             ("--audit-blobs", args.audit_blobs),
             ("--corpus-stats", args.corpus_stats),
             ("--train-quality", args.train_quality),
@@ -1081,6 +1101,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         parser.error("--bpe-min-count only applies to --train-bpe")
     if args.colloc_min_count is not None and args.collocations is None:
         parser.error("--colloc-min-count only applies to --collocations")
+    if args.winnow_min_shared is not None and not args.winnow_dedup:
+        parser.error("--winnow-min-shared only applies to --winnow-dedup")
     if args.kwic_window is not None and args.kwic is None:
         parser.error("--kwic-window only applies to --kwic")
     if getattr(args, "hocr", False) and not args.word_boxes:
@@ -1380,6 +1402,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             0 <= args.phash_max_hamming <= 64
         ):
             parser.error("--phash-max-hamming must be in 0..64")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.winnow_dedup:
+        if args.batch or args.service:
+            parser.error("--winnow-dedup is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --winnow-dedup")
+        if args.winnow_min_shared is not None and args.winnow_min_shared < 1:
+            parser.error("--winnow-min-shared must be >= 1")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -2372,6 +2404,34 @@ def main(argv: list[str] | None = None) -> None:
         pairs.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"pmocr-spark: {n} SRP embedding near-dup pairs written to {args.output}")
+        return
+    if getattr(args, "winnow_dedup", False):
+        from .operators.winnow import shared_fingerprint_pairs, winnow_fingerprints
+
+        docs = spark.read.parquet(args.input)
+        for c in ("doc_id", "text"):
+            if c not in docs.columns:
+                raise SystemExit(
+                    f"pmocr-spark: --winnow-dedup: {args.input} needs "
+                    f"(doc_id, text) columns (columns: {docs.columns})"
+                )
+        fps = winnow_fingerprints(docs)
+        # the fingerprint table IS the reusable artifact (the MOSS
+        # index); persist it next to the pairs so later probes skip
+        # re-winnowing the corpus
+        fps.write.mode("overwrite").parquet(f"{args.output}.fps")
+        fps = spark.read.parquet(f"{args.output}.fps")
+        min_shared = args.winnow_min_shared if args.winnow_min_shared is not None else 2
+        shared_fingerprint_pairs(fps, min_shared=min_shared).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        nf = fps.count()
+        print(
+            f"pmocr-spark: {nf} winnow fingerprints ({args.output}.fps); "
+            f"{n} match-candidate pairs (>= {min_shared} shared) written to "
+            f"{args.output}"
+        )
         return
     if getattr(args, "optimize_layout", None):
         from .operators.zorder import optimize_layout

@@ -2768,30 +2768,90 @@ def q25_token_count(spark, sf_dir):
     )
 
 
+from pmocr_spark.operators.winnow import DEFAULT_K as _WIN_K
+from pmocr_spark.operators.winnow import DEFAULT_W as _WIN_W
+
+# q26's winnow arm restates the operator's (k, w) defaults in SQL; the
+# f-string below derives every constant from the module so the two
+# can't drift (the _SUBSTR_K convention).
+
+
 @query(
     "q26_fingerprint",
-    """
+    f"""
     WITH tok AS (
-      SELECT doc_id,
-             unnest(string_split_regex(lower(trim(text)), '\\s+'))       AS t,
-             generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS i
-      FROM documents)
-    SELECT doc_id,
-           cast(sum(i * (('0x' || substr(md5(t), 1, 7))::BIGINT)) % 2147483647 AS BIGINT)
-             AS fingerprint
-    FROM tok GROUP BY doc_id
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents),
+    flat AS (
+      SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) AS i
+      FROM tok),
+    rolling AS (
+      SELECT 'rolling' AS part, doc_id, cast(0 AS BIGINT) AS pos,
+             cast(sum(i * (('0x' || substr(md5(t), 1, 7))::BIGINT))
+                  % 2147483647 AS BIGINT) AS fp
+      FROM flat GROUP BY doc_id),
+    -- winnowing (Schleimer SIGMOD'03), k={_WIN_K} w={_WIN_W}: k-gram
+    -- hashes with 0-based positions, then per complete window of
+    -- {_WIN_W} grams keep the min-hash gram (rightmost on ties),
+    -- deduped. Same 7-hex-digit md5 -> BIGINT hash as the Spark side.
+    kg AS (
+      SELECT doc_id, cast(i - 1 AS BIGINT) AS pos,
+             ('0x' || substr(md5(array_to_string(
+                 list_slice(ws, i, i + {_WIN_K - 1}), ' ')), 1, 7))::BIGINT AS fp
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - {_WIN_K - 1})) AS i
+            FROM tok)),
+    nk AS (SELECT doc_id, max(pos) AS mp FROM kg GROUP BY doc_id),
+    win AS (
+      SELECT doc_id, unnest(generate_series(0, mp - {_WIN_W - 1})) AS i
+      FROM nk WHERE mp >= {_WIN_W - 1}),
+    cand AS (
+      SELECT w.doc_id, k.pos, k.fp,
+             row_number() OVER (PARTITION BY w.doc_id, w.i
+                                ORDER BY k.fp ASC, k.pos DESC) AS rn
+      FROM win w JOIN kg k
+        ON k.doc_id = w.doc_id AND k.pos BETWEEN w.i AND w.i + {_WIN_W - 1}),
+    winnow AS (
+      SELECT DISTINCT 'winnow' AS part, doc_id, pos, fp FROM cand WHERE rn = 1)
+    SELECT * FROM rolling UNION ALL SELECT * FROM winnow
     """,
 )
 def q26_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprint: position-weighted token hashes
-    mod a prime — order-sensitive (catches shuffled-content dups that
-    bag-of-words hashing misses)."""
+    """Document-fingerprint family in ONE gate slot, `part`-discriminated:
+      * part='rolling': whole-document rolling hash — position-weighted
+        token hashes mod a prime, order-sensitive (catches
+        shuffled-content dups that bag-of-words hashing misses). One
+        hash agg; pos pinned 0.
+      * part='winnow' (round 5): winnowing local fingerprints
+        (Schleimer, Wilkerson & Aiken SIGMOD'03 — the MOSS scheme,
+        operators/winnow.py): min-hash-per-window k-gram selection
+        with the rightmost tie-break, deduped per doc. The driver
+        verifies the SELECTED positions and hashes themselves — window
+        minima, tie direction, completeness boundary — not a lifted
+        equality class. Any >= k+w-1 = 8-word shared run between two
+        docs is guaranteed a shared fingerprint (the partial-overlap
+        detection exact substring dedup pays full gram storage for).
+
+    Scale: rolling is one map-side-combined agg. Winnowing is one
+    Window(doc_id) sorted scan (min(struct(fp, -pos)) over a ROWS
+    [0, w-1] frame — no w-times fan-out join) plus a distinct whose
+    map-side partial agg absorbs each winner's per-window repeats;
+    cross-doc matching is then an fp equi-join (winnow.
+    shared_fingerprint_pairs), never doc x doc."""
+    from .operators.winnow import winnow_fingerprints
+
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.posexplode(_toks_col()).alias("pos", "t"))
     tokval = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 7), 16, 10).cast("long")
-    return tok.groupBy("doc_id").agg(
-        (F.sum((F.col("pos") + 1) * tokval) % 2147483647).cast("long").alias("fingerprint")
+    rolling = tok.groupBy("doc_id").agg(
+        (F.sum((F.col("pos") + 1) * tokval) % 2147483647).cast("long").alias("fp")
+    ).select(
+        F.lit("rolling").alias("part"), "doc_id", F.lit(0).cast("long").alias("pos"), "fp"
     )
+    wn = winnow_fingerprints(d).select(
+        F.lit("winnow").alias("part"), "doc_id", "pos", "fp"
+    )
+    return rolling.unionByName(wn)
 
 
 # =====================================================================

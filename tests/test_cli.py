@@ -980,3 +980,43 @@ def test_word_boxes_tables_mode(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--extract-markdown", "--blobs", "b", "--output", "o",
                         "--tables"])
+
+
+def test_winnow_dedup_cli(spark, tmp_path):
+    """--winnow-dedup maintenance mode: writes the MOSS fingerprint
+    index next to the candidate pairs; the overlap pair (a >= k+w-1-word
+    shared run) is found, the disjoint doc is clean, and knob/exclusivity
+    validation rejects bad invocations."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog while the quick "
+            "brown fox naps under a warm autumn sun near the river bank"),
+        (2, "totally different content about query planning and shuffle "
+            "exchanges inside the spark catalyst optimizer pipeline"),
+        (3, "prefix words first and then jumps over the lazy dog while the "
+            "quick brown fox naps under a warm autumn sun appears again"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "docs")
+    )
+    out = str(tmp_path / "pairs")
+    cli.main(["--winnow-dedup", "--input", str(tmp_path / "docs"),
+              "--output", out, "--winnow-min-shared", "1",
+              "--master", "local[4]"])
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in spark.read.parquet(out).collect()}
+    assert (1, 3) in pairs and all(2 not in p for p in pairs)
+    fps = spark.read.parquet(out + ".fps")
+    assert set(fps.columns) == {"doc_id", "pos", "fp"}
+    assert fps.filter(F.col("doc_id") == 2).count() > 0  # indexed, just clean
+
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--winnow-dedup", "--input", "x"])  # no --output
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--winnow-dedup", "--batch", "--input", "x",
+                        "--output", "o"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--winnow-min-shared", "2", "--input", "x",
+                        "--output", "o"])  # knob without its mode
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--winnow-dedup", "--srp-dedup", "--input", "x",
+                        "--output", "o"])

@@ -503,3 +503,19 @@ def test_q27_media_family_map_only(spark):
     # 0-exchange + no-BatchEvalPython pins above, not the fusion count
     n_arrow = len(set(re.findall(r"\((\d+)\) ArrowEvalPython", plan)))
     assert 7 <= n_arrow <= 10, plan
+
+
+def test_q26_winnow_single_exchange_no_python(spark):
+    """Winnowing (q26 part='winnow') is ONE Exchange end-to-end: the
+    Window(doc_id) sort provides the only shuffle, and the trailing
+    distinct reuses that partitioning (its keys contain doc_id), so
+    selection + dedupe ride one sorted scan. No fan-out join per
+    window, no Python anywhere — at 10^12 docs the operator costs one
+    corpus shuffle, full stop."""
+    from pmocr_spark.operators.winnow import winnow_fingerprints
+
+    df = winnow_fingerprints(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = shape.formatted_plan(df)
+    assert shape.count_exchanges(df) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert not shape.has_cartesian(df)
