@@ -694,6 +694,24 @@ def build_parser() -> argparse.ArgumentParser:
         "pair (default 2)",
     )
     p.add_argument(
+        "--summarize",
+        action="store_true",
+        help="maintenance mode (standalone): TextRank extractive "
+        "summarization (operators/textrank — Mihalcea EMNLP'04: "
+        "per-doc sentence-similarity graph + damped power iterations) "
+        "over the --input table's (doc_id, text) columns; top "
+        "sentences written to --output as (doc_id, rank, sidx, "
+        "sentence, score_u); --summary-k sets the summary size "
+        "(default 2)",
+    )
+    p.add_argument(
+        "--summary-k",
+        metavar="K",
+        type=int,
+        default=None,
+        help="sentences per document for --summarize (default 2)",
+    )
+    p.add_argument(
         "--spell-fix",
         action="store_true",
         help="maintenance mode (standalone): SymSpell dictionary "
@@ -1074,6 +1092,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--kwic", args.kwic is not None),
             ("--srp-dedup", args.srp_dedup),
             ("--winnow-dedup", args.winnow_dedup),
+            ("--summarize", args.summarize),
             ("--audit-blobs", args.audit_blobs),
             ("--corpus-stats", args.corpus_stats),
             ("--train-quality", args.train_quality),
@@ -1103,6 +1122,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         parser.error("--colloc-min-count only applies to --collocations")
     if args.winnow_min_shared is not None and not args.winnow_dedup:
         parser.error("--winnow-min-shared only applies to --winnow-dedup")
+    if args.summary_k is not None and not args.summarize:
+        parser.error("--summary-k only applies to --summarize")
     if args.kwic_window is not None and args.kwic is None:
         parser.error("--kwic-window only applies to --kwic")
     if getattr(args, "hocr", False) and not args.word_boxes:
@@ -1412,6 +1433,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--input and --output are required with --winnow-dedup")
         if args.winnow_min_shared is not None and args.winnow_min_shared < 1:
             parser.error("--winnow-min-shared must be >= 1")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.summarize:
+        if args.batch or args.service:
+            parser.error("--summarize is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --summarize")
+        if args.summary_k is not None and args.summary_k < 1:
+            parser.error("--summary-k must be >= 1")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -2431,6 +2462,25 @@ def main(argv: list[str] | None = None) -> None:
             f"pmocr-spark: {nf} winnow fingerprints ({args.output}.fps); "
             f"{n} match-candidate pairs (>= {min_shared} shared) written to "
             f"{args.output}"
+        )
+        return
+    if getattr(args, "summarize", False):
+        from .operators.textrank import top_sentences
+
+        docs = spark.read.parquet(args.input)
+        for c in ("doc_id", "text"):
+            if c not in docs.columns:
+                raise SystemExit(
+                    f"pmocr-spark: --summarize: {args.input} needs "
+                    f"(doc_id, text) columns (columns: {docs.columns})"
+                )
+        k = args.summary_k if args.summary_k is not None else 2
+        top_sentences(docs, k=k).write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        n, nd = out.count(), out.select("doc_id").distinct().count()
+        print(
+            f"pmocr-spark: {n} summary sentences (top-{k}) over {nd} docs "
+            f"written to {args.output}"
         )
         return
     if getattr(args, "optimize_layout", None):

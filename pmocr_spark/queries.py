@@ -5967,7 +5967,62 @@ _KWIC_TERM = "customer"
              coalesce(array_to_string(w[pos + 1:least(len(w), pos + 2)], ' '), '')
                AS bigram,
              cast(pos AS BIGINT) AS cnt
-      FROM kwh)
+      FROM kwh),
+    -- TextRank extractive summarization (round 5): sentences stated
+    -- INDEPENDENTLY by construction (the q46 'sentence' scaffold — one
+    -- sentence per L = 5 + doc_id%4 words); edge weight = |distinct
+    -- shared tokens|; two damped power iterations with scores carried
+    -- as EXACT INTEGERS in micro-units (sums exact and
+    -- order-independent; the edge division and the 0.85 multiply each
+    -- round to integer immediately, and a true-value half is exactly
+    -- representable so round-half-away agrees across engines); top-2
+    -- per doc ranked on the INTEGER score, sidx-asc ties
+    txw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+    txs AS (
+      SELECT doc_id, cast(i AS BIGINT) AS sidx,
+             list_slice(ws, i * L + 1, (i + 1) * L) AS swc
+      FROM (SELECT doc_id, ws, 5 + doc_id % 4 AS L FROM txw),
+           unnest(range(0, cast(ceil(len(ws) / L) AS BIGINT))) AS u(i)),
+    txt AS (
+      SELECT DISTINCT doc_id, sidx, lower(tok) AS tok
+      FROM (SELECT doc_id, sidx, unnest(swc) AS tok FROM txs)
+      WHERE len(tok) > 0),
+    txe AS (
+      SELECT a.doc_id AS doc_id, a.sidx AS sa, b.sidx AS sb,
+             cast(count(*) AS DOUBLE) AS w
+      FROM txt a JOIN txt b
+        ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.sidx < b.sidx
+      GROUP BY 1, 2, 3),
+    txm AS (SELECT doc_id, sa AS dst, sb AS src, w FROM txe
+            UNION ALL SELECT doc_id, sb AS dst, sa AS src, w FROM txe),
+    txwj AS (SELECT doc_id, src, sum(w) AS wj FROM txm GROUP BY 1, 2),
+    txn AS (SELECT doc_id, sidx FROM txs),
+    tx1 AS (
+      SELECT n.doc_id, n.sidx,
+             round(150000.0 + 0.85 * coalesce(c.s, 0), 0) AS s
+      FROM txn n LEFT JOIN (
+        SELECT m.doc_id, m.dst AS sidx,
+               sum(round(m.w * 1000000.0 / j.wj, 0)) AS s
+        FROM txm m JOIN txwj j ON m.doc_id = j.doc_id AND m.src = j.src
+        GROUP BY 1, 2) c
+      ON n.doc_id = c.doc_id AND n.sidx = c.sidx),
+    tx2 AS (
+      SELECT n.doc_id, n.sidx,
+             round(150000.0 + 0.85 * coalesce(c.s, 0), 0) AS s
+      FROM txn n LEFT JOIN (
+        SELECT m.doc_id, m.dst AS sidx, sum(round(m.w * t.s / j.wj, 0)) AS s
+        FROM txm m
+        JOIN txwj j ON m.doc_id = j.doc_id AND m.src = j.src
+        JOIN tx1 t ON m.doc_id = t.doc_id AND m.src = t.sidx
+        GROUP BY 1, 2) c
+      ON n.doc_id = c.doc_id AND n.sidx = c.sidx),
+    txr AS (
+      SELECT doc_id, sidx, cast(s AS BIGINT) AS su,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY cast(s AS BIGINT) DESC, sidx ASC) AS rk
+      FROM tx2)
     SELECT * FROM wb UNION ALL SELECT * FROM cb
     UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
     UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
@@ -5993,6 +6048,11 @@ _KWIC_TERM = "customer"
     SELECT * FROM llrk
     UNION ALL
     SELECT * FROM kwik
+    UNION ALL
+    SELECT 'textrank' AS part,
+           cast(doc_id AS VARCHAR) || '>' || cast(sidx AS VARCHAR) AS bigram,
+           su AS cnt
+    FROM txr WHERE rk <= 2
     """.replace("<<KWIC_TERM>>", _KWIC_TERM),
 )
 def q44_bigram_lm_topk(spark, sf_dir):
@@ -6040,6 +6100,19 @@ def q44_bigram_lm_topk(spark, sf_dir):
         the probe term with ±2 tokens of context, map-only (explode
         fan-out = |occurrences|); bigram = doc>left[term]right,
         cnt = 1-based position.
+      * part='textrank' (round 5, twelfth pass): TextRank extractive
+        summarization (Mihalcea & Tarau EMNLP'04,
+        operators/textrank.py) — per-doc sentence-similarity graph
+        (edge = |distinct shared tokens|), two damped PageRank power
+        iterations in the DSIR 6dp/micro-unit float discipline, top-2
+        sentences per doc ranked on the INTEGER score with sidx-asc
+        ties. The flat corpus carries no punctuation, so the q46
+        'sentence' scaffold re-punctuates deterministically and the
+        REAL operator runs end-to-end (regex sentence split -> graph
+        -> iterations -> rank); the oracle restates sentences by
+        construction and inlines both iterations as CTEs, so the
+        driver verifies the power-iteration arithmetic itself.
+        bigram = doc>sidx, cnt = score in micro-units.
 
     Scale: word bigrams come from the shuffle-free arrays_zip
     construction (each doc's adjacency lives in its own row — no window
@@ -6235,6 +6308,40 @@ def q44_bigram_lm_topk(spark, sf_dir):
         ).alias("bigram"),
         F.col("pos").alias("cnt"),
     )
+    # part='textrank' (round 5, twelfth pass): extractive summarization
+    # through the REAL operator end-to-end. The scaffold re-punctuates
+    # the flat corpus exactly as q46's sentence arm (one sentence per
+    # L = 5 + doc_id%4 words, [.!?] cycling on (doc_id + i) % 3), then
+    # top_sentences regex-splits it back, builds the similarity graph
+    # and runs both power iterations — so the driver hash covers the
+    # splitter, the edge weights, the damping arithmetic AND the rank.
+    from .operators.textrank import top_sentences
+
+    _sL = (F.lit(5) + F.col("doc_id") % 4).cast("int")
+    _tr_ws = F.split(F.trim(F.col("text")), r"\s+")
+    _n_sent = F.ceil(F.size("ws") / _sL.cast("double")).cast("int")
+    _punct_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), _n_sent - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice("ws", i * _sL + 1, _sL), " "),
+                F.when((F.col("doc_id") + i) % 3 == 0, F.lit("."))
+                .when((F.col("doc_id") + i) % 3 == 1, F.lit("!"))
+                .otherwise(F.lit("?")),
+            ),
+        ),
+        " ",
+    )
+    _tr_docs = d.select("doc_id", _tr_ws.alias("ws")).select(
+        "doc_id", _punct_text.alias("text")
+    )
+    trank = top_sentences(_tr_docs, k=2).select(
+        F.lit("textrank").alias("part"),
+        F.concat_ws(
+            ">", F.col("doc_id").cast("string"), F.col("sidx").cast("string")
+        ).alias("bigram"),
+        F.col("score_u").alias("cnt"),
+    )
     return (
         wb.unionAll(cb).unionAll(mrows).unionAll(useed).unionAll(cms)
         .unionAll(spell)
@@ -6243,6 +6350,7 @@ def q44_bigram_lm_topk(spark, sf_dir):
         .unionAll(pmi)
         .unionAll(llr)
         .unionAll(kw)
+        .unionAll(trank)
     )
 
 

@@ -1020,3 +1020,36 @@ def test_winnow_dedup_cli(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--winnow-dedup", "--srp-dedup", "--input", "x",
                         "--output", "o"])
+
+
+def test_summarize_cli(spark, tmp_path):
+    """--summarize maintenance mode: TextRank top-k sentences per doc
+    with the expected schema and per-doc counts; knob/exclusivity
+    validation rejects bad invocations."""
+    rows = [
+        (1, "the cat sat on the mat. the dog sat on the mat! "
+            "quantum flux capacitors hum."),
+        (2, "alpha beta gamma."),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "docs")
+    )
+    out = str(tmp_path / "summaries")
+    cli.main(["--summarize", "--input", str(tmp_path / "docs"),
+              "--output", out, "--summary-k", "1", "--master", "local[4]"])
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2}
+    assert set(got[1].asDict()) == {"doc_id", "rank", "sidx", "sentence", "score_u"}
+    assert got[1]["rank"] == 1 and got[1]["sidx"] in (0, 1)  # the linked pair
+    assert got[2]["sentence"] == "alpha beta gamma." and got[2]["score_u"] == 150000
+
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--summarize", "--input", "x"])  # no --output
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--summarize", "--service", "--input", "x",
+                        "--output", "o"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--summary-k", "2", "--input", "x", "--output", "o"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--summarize", "--summary-k", "0", "--input", "x",
+                        "--output", "o"])
