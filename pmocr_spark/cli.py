@@ -625,7 +625,16 @@ def build_parser() -> argparse.ArgumentParser:
         "distinctive terms of every --input row's --text-col, scored "
         "round(1e6*tf*ln(N/df)) (integer micro-units, term-asc "
         "tie-break), written to --output as "
-        "(doc_id, term, tf, df, score_micro, rank)",
+        "(doc_id, term, tf, df, score_micro, rank); with "
+        "--keyword-method rake, top-K RAKE keyword PHRASES instead "
+        "(Rose et al. 2010, operators/keywords.rake_topk) as "
+        "(doc_id, phrase, score_u, rank)",
+    )
+    p.add_argument(
+        "--keyword-method",
+        choices=("tfidf", "rake"),
+        default=None,
+        help="scoring method for --keywords (default tfidf)",
     )
     p.add_argument(
         "--collocations",
@@ -1390,6 +1399,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
+    if args.keyword_method is not None:
+        parser.error("--keyword-method only applies to --keywords")
     if args.collocations is not None:
         if args.batch or args.service:
             parser.error("--collocations is a standalone maintenance mode")
@@ -2316,7 +2327,13 @@ def main(argv: list[str] | None = None) -> None:
             )
         docs = df.withColumnRenamed(tc, "text") if tc != "text" else df
         tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-        out = tfidf_topk(docs, tokens, k=args.keywords)
+        method = args.keyword_method or "tfidf"
+        if method == "rake":
+            from .operators.keywords import rake_topk
+
+            out = rake_topk(docs, tokens, k=args.keywords)
+        else:
+            out = tfidf_topk(docs, tokens, k=args.keywords)
         out.write.mode("overwrite").parquet(args.output)
         got = spark.read.parquet(args.output)
         agg = got.agg(
@@ -2324,8 +2341,8 @@ def main(argv: list[str] | None = None) -> None:
             F.countDistinct("doc_id").alias("d"),
         ).collect()[0]
         print(
-            f"pmocr-spark: extracted top-{args.keywords} keywords for "
-            f"{agg['d']} docs ({agg['n']} rows) to {args.output}"
+            f"pmocr-spark: extracted top-{args.keywords} {method} keywords "
+            f"for {agg['d']} docs ({agg['n']} rows) to {args.output}"
         )
         return
     if getattr(args, "collocations", None) is not None:

@@ -115,3 +115,82 @@ def kwic(docs: DataFrame, tokens, term: str, window: int = 2) -> DataFrame:
             F.slice("_ws", F.col("pos") + 1, window), " "
         ).alias("right_ctx"),
     )
+
+
+#: RAKE's stopword list — the phrase-boundary delimiters. A fixed,
+#: tiny function-word set (real deployments plug in a full list; the
+#: algorithm only requires that boundaries are content-free).
+RAKE_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def rake_phrases(docs: DataFrame, tokens, stopwords=RAKE_STOPWORDS) -> DataFrame:
+    """RAKE candidate phrases (Rose et al. 2010, 'Automatic Keyword
+    Extraction from Individual Documents'): maximal token runs between
+    stopword boundaries. Returns one row per phrase MEMBER occurrence,
+    (doc_id, pid, pos, tok, plen) — the working table both the word
+    statistics and the phrase assembly derive from.
+
+    Scale shape: ONE Window(doc_id) sorted scan assigns phrase ids
+    (running stopword count), and the phrase-length window reuses that
+    partitioning — a single corpus shuffle keyed by doc_id, after
+    which every downstream agg/join in rake_topk keys on doc_id-
+    prefixed columns and reuses the same partitioning exchange-free."""
+    tok = (
+        docs.select("doc_id", F.posexplode(tokens).alias("pos", "tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("is_stop", F.col("tok").isin(*stopwords))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    rows = (
+        tok.withColumn(
+            "pid", F.sum(F.col("is_stop").cast("long")).over(win)
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "pid", F.col("pos").cast("long").alias("pos"), "tok")
+    )
+    plen = F.count("*").over(Window.partitionBy("doc_id", "pid"))
+    return rows.withColumn("plen", plen.cast("long"))
+
+
+def rake_topk(
+    docs: DataFrame, tokens, k: int = 3, stopwords=RAKE_STOPWORDS
+) -> DataFrame:
+    """Top-k RAKE keyword phrases per document:
+    (doc_id, phrase, score_u, rank). Word score = deg(w)/freq(w) in
+    integer micro-units — deg(w) = sum of the lengths of the phrases
+    each occurrence of w sits in (co-occurrence degree, favoring words
+    that live in long phrases), freq(w) = occurrence count — and a
+    phrase scores the sum of its member-occurrence word scores. Both
+    statistics are per-document (RAKE is a single-document method: no
+    corpus-global state, so the operator scales embarrassingly).
+
+    Determinism: deg and freq are exact integers; the single division
+    rounds to integer micro-units immediately (true-value halves are
+    representable, so round-half-away agrees across engines — the
+    textrank discipline); phrase scores are then exact integer sums,
+    ranked (score desc, phrase asc)."""
+    rows = rake_phrases(docs, tokens, stopwords=stopwords)
+    wstat = rows.groupBy("doc_id", "tok").agg(
+        F.sum("plen").cast("long").alias("deg"),
+        F.count("*").cast("long").alias("freq"),
+    )
+    ws_u = F.round(F.lit(float(MICRO)) * F.col("deg") / F.col("freq"), 0).cast("long")
+    scored = rows.join(wstat.withColumn("ws_u", ws_u), ["doc_id", "tok"])
+    phr = scored.groupBy("doc_id", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.sum("ws_u").cast("long").alias("score_u"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_u").desc(), F.col("phrase").asc()
+    )
+    return (
+        phr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "phrase", "score_u", F.col("rank").cast("long").alias("rank"))
+    )

@@ -6022,7 +6022,47 @@ _KWIC_TERM = "customer"
              row_number() OVER (
                PARTITION BY doc_id
                ORDER BY cast(s AS BIGINT) DESC, sidx ASC) AS rk
-      FROM tx2)
+      FROM tx2),
+    -- RAKE keyword phrases (Rose et al. 2010): candidate phrases are
+    -- maximal token runs between stopword boundaries; word score =
+    -- deg/freq in integer micro-units (deg = sum of host-phrase
+    -- lengths over the word's occurrences, freq = occurrence count,
+    -- both PER DOCUMENT); phrase score = sum of member-occurrence
+    -- word scores (exact integer sum); top-1 per doc, phrase-asc ties
+    rk0 AS (
+      SELECT doc_id, i AS pos, w[i] AS tok
+      FROM kwt, unnest(range(1, len(w) + 1)) AS u(i)
+      WHERE len(w[i]) > 0),
+    rk1 AS (
+      SELECT doc_id, pos, tok,
+             tok IN ('the', 'a', 'and', 'of', 'to', 'in') AS is_stop,
+             sum(CASE WHEN tok IN ('the', 'a', 'and', 'of', 'to', 'in')
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM rk0),
+    rk2 AS (SELECT doc_id, pid, pos, tok FROM rk1 WHERE NOT is_stop),
+    rkp AS (SELECT doc_id, pid, cast(count(*) AS BIGINT) AS plen
+            FROM rk2 GROUP BY 1, 2),
+    rkw AS (
+      SELECT r.doc_id, r.tok, cast(sum(p.plen) AS BIGINT) AS deg,
+             cast(count(*) AS BIGINT) AS freq
+      FROM rk2 r JOIN rkp p ON r.doc_id = p.doc_id AND r.pid = p.pid
+      GROUP BY 1, 2),
+    rkws AS (
+      SELECT doc_id, tok,
+             cast(round(1000000.0 * deg / freq, 0) AS BIGINT) AS ws_u
+      FROM rkw),
+    rkph AS (
+      SELECT r.doc_id, r.pid,
+             string_agg(r.tok, ' ' ORDER BY r.pos) AS phrase,
+             cast(sum(s.ws_u) AS BIGINT) AS score
+      FROM rk2 r JOIN rkws s ON r.doc_id = s.doc_id AND r.tok = s.tok
+      GROUP BY 1, 2),
+    rkr AS (
+      SELECT doc_id, phrase, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, phrase ASC) AS rk
+      FROM rkph)
     SELECT * FROM wb UNION ALL SELECT * FROM cb
     UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
     UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
@@ -6053,6 +6093,11 @@ _KWIC_TERM = "customer"
            cast(doc_id AS VARCHAR) || '>' || cast(sidx AS VARCHAR) AS bigram,
            su AS cnt
     FROM txr WHERE rk <= 2
+    UNION ALL
+    SELECT 'rake' AS part,
+           cast(doc_id AS VARCHAR) || '>' || phrase AS bigram,
+           score AS cnt
+    FROM rkr WHERE rk <= 1
     """.replace("<<KWIC_TERM>>", _KWIC_TERM),
 )
 def q44_bigram_lm_topk(spark, sf_dir):
@@ -6113,6 +6158,15 @@ def q44_bigram_lm_topk(spark, sf_dir):
         construction and inlines both iterations as CTEs, so the
         driver verifies the power-iteration arithmetic itself.
         bigram = doc>sidx, cnt = score in micro-units.
+      * part='rake' (round 5, twelfth pass): RAKE keyword-phrase
+        extraction (Rose et al. 2010, operators/keywords.rake_topk) —
+        candidate phrases = maximal token runs between stopword
+        boundaries, word score = deg/freq in integer micro-units,
+        phrase score = exact integer sum of member scores; top-1 per
+        doc, phrase-asc ties. The degree/frequency statistics are
+        per-document (RAKE is a single-document method), so the
+        operator's only corpus shuffle is the phrase-id Window(doc_id)
+        scan every later agg/join reuses.
 
     Scale: word bigrams come from the shuffle-free arrays_zip
     construction (each doc's adjacency lives in its own row — no window
@@ -6342,6 +6396,18 @@ def q44_bigram_lm_topk(spark, sf_dir):
         ).alias("bigram"),
         F.col("score_u").alias("cnt"),
     )
+    # part='rake' (round 5, twelfth pass): RAKE keyword phrases through
+    # the REAL operator — stopword-bounded phrase runs, per-doc
+    # deg/freq word scores in micro-units, integer phrase sums, top-1
+    # per doc. The corpus's function words ('the', 'a') are natural
+    # boundaries, so no scaffold is needed.
+    from .operators.keywords import rake_topk
+
+    rake = rake_topk(d, _toks_col(), k=1).select(
+        F.lit("rake").alias("part"),
+        F.concat_ws(">", F.col("doc_id").cast("string"), "phrase").alias("bigram"),
+        F.col("score_u").alias("cnt"),
+    )
     return (
         wb.unionAll(cb).unionAll(mrows).unionAll(useed).unionAll(cms)
         .unionAll(spell)
@@ -6351,6 +6417,7 @@ def q44_bigram_lm_topk(spark, sf_dir):
         .unionAll(llr)
         .unionAll(kw)
         .unionAll(trank)
+        .unionAll(rake)
     )
 
 

@@ -87,7 +87,7 @@ def test_cli_keywords(spark, tmp_path, capsys):
     assert len(by_doc) == 4 and all(len(v) <= 2 for v in by_doc.values())
     top1 = {r["doc_id"]: r["term"] for r in rows if r["rank"] == 1}
     assert top1[1] == "apple" and top1[3] == "cherry" and top1[4] == "date"
-    assert "top-2 keywords for 4 docs" in capsys.readouterr().out
+    assert "top-2 tfidf keywords for 4 docs" in capsys.readouterr().out
 
     import pytest as _pytest
 
@@ -175,3 +175,125 @@ def test_cli_kwic(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):  # knob guard
         cli.main(["--kwic-window", "1", "--input", src, "--output", out,
                   "--master", "local[2]"])
+
+
+# ---------------------------------------------------------------- RAKE
+
+
+def _ref_rake(text: str, stopwords=("the", "a", "and", "of", "to", "in")):
+    """Independent pure-python RAKE (Rose et al. 2010) with the
+    operator's integer micro-unit word scores. Returns
+    {phrase: score_u} over per-occurrence member sums."""
+    import math
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+    phrases, cur = [], []
+    for t in toks:
+        if t in stopwords:
+            if cur:
+                phrases.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        phrases.append(cur)
+    deg, freq = {}, {}
+    for p in phrases:
+        for t in p:
+            deg[t] = deg.get(t, 0) + len(p)
+            freq[t] = freq.get(t, 0) + 1
+    ws = {t: math.floor(1000000.0 * deg[t] / freq[t] + 0.5) for t in deg}
+    out = {}
+    for p in phrases:
+        key = " ".join(p)
+        out[key] = sum(ws[t] for t in p)
+    return out
+
+
+def test_rake_matches_reference(spark):
+    from pmocr_spark.operators.keywords import rake_topk
+
+    texts = [
+        (1, "deep learning of neural networks and the gradient descent "
+            "of deep networks"),
+        (2, "minimal keyword extraction of a short text and the keyword "
+            "extraction again"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["phrase"]): r["score_u"]
+        for r in rake_topk(df, F.split(F.lower(F.trim("text")), r"\s+"), k=100).collect()
+    }
+    for doc_id, text in texts:
+        ref = _ref_rake(text)
+        mine = {p: s for (d, p), s in got.items() if d == doc_id}
+        assert mine == ref, (doc_id, mine, ref)
+
+
+def test_rake_all_stopword_doc_is_empty(spark):
+    from pmocr_spark.operators.keywords import rake_topk
+
+    df = spark.createDataFrame(
+        [(1, "the a and of to in"), (2, "real content here")],
+        "doc_id long, text string",
+    )
+    rows = rake_topk(df, F.split(F.lower(F.trim("text")), r"\s+"), k=5).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    assert rows[0]["phrase"] == "real content here"
+    # single phrase of length 3: every member scores deg/freq = 3/1
+    assert rows[0]["score_u"] == 3 * 3000000
+
+
+def test_rake_tie_breaks_on_phrase_asc(spark):
+    from pmocr_spark.operators.keywords import rake_topk
+
+    # two structurally identical length-2 phrases with disjoint words:
+    # equal scores, so the lexically smaller phrase must rank first
+    df = spark.createDataFrame(
+        [(1, "zeta omega and beta gamma")], "doc_id long, text string"
+    )
+    rows = rake_topk(df, F.split(F.lower(F.trim("text")), r"\s+"), k=2).collect()
+    got = [(r["rank"], r["phrase"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == [(1, "beta gamma"), (2, "zeta omega")]
+
+
+def test_rake_plan_single_corpus_shuffle(spark):
+    """The phrase-id window is the ONLY corpus-keyed exchange; every
+    later agg/join reuses its doc_id partitioning (plus the bounded
+    rank window) — no cartesian, no Python."""
+    from pmocr_spark.operators.keywords import rake_topk
+    from pmocr_spark.plans import shape
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = rake_topk(df, F.split(F.lower(F.trim("text")), r"\s+"), k=1)
+    plan = shape.formatted_plan(r)
+    assert shape.count_exchanges(r) <= 2, plan
+    assert not shape.has_cartesian(r), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_cli_keywords_rake(spark, tmp_path, capsys):
+    """--keywords K --keyword-method rake e2e: phrase rows land in
+    --output; knob guard fires without its mode."""
+    import pytest as _pytest
+
+    from pmocr_spark import cli
+
+    src = str(tmp_path / "rdocs.parquet")
+    spark.createDataFrame(
+        [(1, "deep learning of neural networks and the gradient descent")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "rake")
+    cli.main(["--keywords", "2", "--keyword-method", "rake",
+              "--input", src, "--output", out, "--master", "local[2]"])
+    rows = spark.read.parquet(out).collect()
+    assert {r["phrase"] for r in rows} <= {"deep learning", "neural networks",
+                                           "gradient descent"}
+    assert len(rows) == 2 and all(r["score_u"] > 0 for r in rows)
+    assert "rake keywords" in capsys.readouterr().out
+
+    with _pytest.raises(SystemExit):  # knob without its mode
+        cli.main(["--keyword-method", "rake", "--input", src,
+                  "--output", out, "--master", "local[2]"])
