@@ -5589,7 +5589,8 @@ def q40_pii_redact(spark, sf_dir):
     s AS (SELECT doc_id,
                  cast(sum(cnt) AS BIGINT)  n_tokens,
                  cast(count(*) AS BIGINT)  n_distinct,
-                 cast(max(cnt) AS BIGINT)  top_cnt
+                 cast(max(cnt) AS BIGINT)  top_cnt,
+                 cast(sum(cnt * cnt) AS BIGINT) s2
           FROM g GROUP BY doc_id),
     bg AS (SELECT doc_id,
                   unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) bgr
@@ -5611,6 +5612,11 @@ def q40_pii_redact(spark, sf_dir):
            round(coalesce(top_bg_cnt, 0) * 2 / cast(n_tokens AS DOUBLE), 6)
                                                                            AS top_bigram_frac,
            round(coalesce(cov_words, 0) / cast(n_tokens AS DOUBLE), 6)     AS dup_trigram_frac,
+           -- Yule's K lexical diversity (Yule 1944): 1e4*(S2-N)/N^2 in
+           -- micro-units — S2 and N are exact integers, so the single
+           -- division is the only float op (engine-portable)
+           cast(round(10000000000.0 * (s2 - n_tokens)
+                / (n_tokens * n_tokens), 0) AS BIGINT)                     AS yule_k_micro,
            CASE WHEN top_cnt / cast(n_tokens AS DOUBLE) <= 0.125
                  AND coalesce(top_bg_cnt, 0) * 2 / cast(n_tokens AS DOUBLE) <= 0.20
                  AND coalesce(cov_words, 0) / cast(n_tokens AS DOUBLE) <= 0.18
@@ -5624,7 +5630,10 @@ def q41_repetition_quality(spark, sf_dir):
     (word slots in occurrences of the most frequent 2-gram) and
     duplicate-trigram fraction (word positions covered by any 3-gram
     occurring more than once — exact coverage, no double counting, the
-    q16-substring position-marking trick), plus the combined keep
+    q16-substring position-marking trick), plus Yule's K lexical
+    diversity (Yule 1944: 1e4·(S2−N)/N² with S2 = Σ per-word count²,
+    in micro-units — round 5, thirteenth pass; repetition's classic
+    complement, integer-exact up to one division) and the combined keep
     decision at the 12.5% / 20% / 18% thresholds (the paper's top-2-gram
     and dup-3-gram limits). (The published rules are char fractions over
     lines/paragraphs; the synthetic corpus has no line structure, so the
@@ -5647,6 +5656,7 @@ def q41_repetition_quality(spark, sf_dir):
         F.sum("cnt").alias("n_tokens"),
         F.count("*").alias("n_distinct"),
         F.max("cnt").alias("top_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
     )
     bg = (
         base.select(
@@ -5703,6 +5713,16 @@ def q41_repetition_quality(spark, sf_dir):
             F.round(r_top, 6).alias("top_word_frac"),
             F.round(r_bg, 6).alias("top_bigram_frac"),
             F.round(r_tg, 6).alias("dup_trigram_frac"),
+            # Yule's K (Yule 1944) in micro-units: S2 and N are exact
+            # integers, the single division is the only float op
+            F.round(
+                F.lit(10000000000.0)
+                * (F.col("s2") - F.col("n_tokens"))
+                / (F.col("n_tokens") * F.col("n_tokens")),
+                0,
+            )
+            .cast("long")
+            .alias("yule_k_micro"),
             F.when((r_top <= 0.125) & (r_bg <= 0.20) & (r_tg <= 0.18), 1)
             .otherwise(0)
             .alias("keep"),
@@ -6463,6 +6483,13 @@ _PACK_BUDGET = 512
 #: chunk width for q46's part='chunk' arm — sized so the synthetic
 #: corpus's ~54-word documents split into 2 chunks (non-vacuous)
 _CHUNK_TOKENS = 32
+#: q46 part='cdc' (content-defined chunking): trailing-gram width in
+#: tokens and the boundary modulus — a boundary falls AFTER token i
+#: when hash(tokens[i-K+1..i]) % MOD == 0, so expected chunk length is
+#: ~MOD tokens and boundaries survive insertions/deletions elsewhere
+#: in the document (the shift-resistance fixed-width chunking lacks)
+_CDC_K = 3
+_CDC_MOD = 8
 
 
 @query(
@@ -6482,7 +6509,30 @@ _CHUNK_TOKENS = 32
     ch AS (
       SELECT doc_id, i,
              list_slice(ws, i * {_CHUNK_TOKENS} + 1, (i + 1) * {_CHUNK_TOKENS}) AS wsc
-      FROM w, unnest(range(0, cast(ceil(len(ws) / {_CHUNK_TOKENS}.0) AS BIGINT))) AS u(i))
+      FROM w, unnest(range(0, cast(ceil(len(ws) / {_CHUNK_TOKENS}.0) AS BIGINT))) AS u(i)),
+    -- content-defined chunking (round 5): boundary AFTER token i when
+    -- the trailing {_CDC_K}-gram's hash % {_CDC_MOD} == 0 (range() is
+    -- empty when len(ws) < {_CDC_K}, so short docs are one chunk); the
+    -- only empty chunk possible is a trailing one (strictly increasing
+    -- boundary list), filtered identically on both engines
+    cdcb AS (
+      SELECT doc_id, ws,
+             list_filter(range({_CDC_K}, len(ws) + 1), i ->
+               ('0x' || substr(md5(array_to_string(
+                   ws[i - {_CDC_K - 1}:i], ' ')), 1, 8))::BIGINT
+                 % {_CDC_MOD} = 0) AS bpos
+      FROM w),
+    cdcs AS (
+      SELECT doc_id, ws,
+             list_prepend(0, bpos) AS starts,
+             list_append(bpos, len(ws)) AS ends
+      FROM cdcb),
+    cdc AS (
+      SELECT doc_id, cast(j - 1 AS BIGINT) AS bin,
+             cast(starts[j] AS BIGINT) AS off,
+             ws[starts[j] + 1:ends[j]] AS wsc
+      FROM cdcs, unnest(generate_series(1, len(starts))) AS u(j)
+      WHERE ends[j] > starts[j])
     SELECT 'pack' AS part, doc_id, n_tokens, cum_before,
            cast(floor(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
            cast(NULL AS varchar) AS key
@@ -6493,6 +6543,11 @@ _CHUNK_TOKENS = 32
            cast(i AS BIGINT) AS bin,
            md5(array_to_string(wsc, ' ')) AS key
     FROM ch
+    UNION ALL
+    SELECT 'cdc' AS part, doc_id, cast(len(wsc) AS BIGINT) AS n_tokens,
+           off AS cum_before, bin,
+           md5(array_to_string(wsc, ' ')) AS key
+    FROM cdc
     UNION ALL
     -- sentence: expected sentences stated INDEPENDENTLY by
     -- construction; the Spark side recovers them from the punctuated
@@ -6522,6 +6577,12 @@ def q46_pack_sequences(spark, sf_dir):
         the context window). One row per chunk: bin = chunk index,
         cum_before = starting token offset, key = md5 of the chunk
         text (pinning the split byte-for-byte).
+      * part='cdc' (round 5, thirteenth pass): content-defined
+        chunking (Muthitacharoen et al. SOSP'01, LBFS) — boundaries
+        where the trailing _CDC_K-gram's hash % _CDC_MOD == 0, so
+        chunk frames depend only on local content and re-synchronize
+        after edits (dedup-stable chunk keys, unlike fixed-width
+        'chunk'). Same row shape; entirely in-row, zero exchanges.
 
     The pack oracle states a single global window; the Spark plan must
     NOT (that window would pull 10^12 rows through one partition).
@@ -6590,6 +6651,68 @@ def q46_pack_sequences(spark, sf_dir):
             F.md5(F.concat_ws(" ", "c.wsc").cast("binary")).alias("key"),
         )
     )
+    # part='cdc' (round 5, thirteenth pass): content-defined chunking
+    # (Muthitacharoen et al. SOSP'01, the LBFS scheme storage dedup
+    # systems standardized): a boundary falls AFTER token i when the
+    # trailing _CDC_K-gram's hash % _CDC_MOD == 0, so chunk boundaries
+    # depend only on LOCAL content — an insertion early in a document
+    # shifts fixed-width chunk frames (part='chunk') but re-synchronizes
+    # CDC at the next boundary, which is what makes CDC chunk keys
+    # dedup-stable across document revisions. Entirely IN-ROW (token
+    # array -> boundary positions -> start/end zips -> slices): pure
+    # map, ZERO exchanges, zero Python, at any corpus size. The
+    # sequence() guard mirrors the oracle's empty range() for docs
+    # shorter than the gram.
+    _cdc_grams = F.when(
+        F.size("ws") >= _CDC_K,
+        F.filter(
+            F.sequence(F.lit(_CDC_K), F.size("ws")),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.array_join(
+                            F.slice("ws", i - F.lit(_CDC_K - 1), F.lit(_CDC_K)), " "
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CDC_MOD
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    _cdc_chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("starts") - 1),
+            lambda j: F.struct(
+                j.cast("long").alias("bin"),
+                F.element_at("starts", j + 1).cast("long").alias("off"),
+                F.slice(
+                    "ws",
+                    F.element_at("starts", j + 1) + 1,
+                    F.element_at("ends", j + 1) - F.element_at("starts", j + 1),
+                ).alias("wsc"),
+            ),
+        ),
+        lambda c: F.size(c["wsc"]) > 0,
+    )
+    cdc = (
+        w.withColumn("bpos", _cdc_grams)
+        .withColumn("starts", F.concat(F.array(F.lit(0)), F.col("bpos")))
+        .withColumn("ends", F.concat(F.col("bpos"), F.array(F.size("ws"))))
+        .select("doc_id", "ws", F.explode(_cdc_chunks).alias("c"))
+        .select(
+            F.lit("cdc").alias("part"),
+            "doc_id",
+            F.size("c.wsc").cast("long").alias("n_tokens"),
+            F.col("c.off").alias("cum_before"),
+            F.col("c.bin").alias("bin"),
+            F.md5(F.concat_ws(" ", "c.wsc").cast("binary")).alias("key"),
+        )
+    )
     # part='sentence' (round 5, fifth pass): sentence segmentation
     # (functions.split_sentences) — the boundary-aware pre-chunking
     # step. The flat word corpus carries no punctuation, so the q40
@@ -6633,7 +6756,7 @@ def q46_pack_sequences(spark, sf_dir):
             F.md5(F.col("s").cast("binary")).alias("key"),
         )
     )
-    return pack.unionAll(chunk).unionAll(sent)
+    return pack.unionAll(chunk).unionAll(cdc).unionAll(sent)
 
 
 def _q47_minhash_arm(spark, sf_dir):
