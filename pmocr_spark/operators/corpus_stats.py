@@ -392,3 +392,38 @@ def llr_topk(bigrams: DataFrame, k: int = 20, min_count: int = 10) -> DataFrame:
     return scored.orderBy(
         F.col("llr_micro").desc(), F.col("bigram").asc()
     ).limit(k)
+
+
+def burstiness_topk(tf: DataFrame, k: int = 20, min_cf: int = 10) -> DataFrame:
+    """Top-k bursty terms (Church & Gale 1995, "Poisson mixtures"; Katz
+    1996): burstiness = cf/df — collection frequency over document
+    frequency, the mean within-document repetition of a term. Content
+    words repeat inside the documents that mention them (cf/df >> 1);
+    function words spread evenly (cf/df ~ corpus mean). The classic
+    corpus-datasheet complement to raw frequency, and the signal
+    templated boilerplate shows up in (a template phrase has high df
+    AND high cf/df).
+
+    Input is the (doc_id, term, tf) table (keywords.doc_term_freqs),
+    so cf = sum(tf) and df = count(*) come from ONE vocabulary-keyed
+    agg with map-side partials — the corpus is not re-scanned. Score in
+    integer micro-units: cf and df are exact integers, the single
+    division is the only float op (engine-portable); min_cf floors
+    rare-term noise; top-k compiles to TakeOrderedAndProject."""
+    stats = tf.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cf"),
+        F.count("*").cast("long").alias("df"),
+    )
+    return (
+        stats.filter(F.col("cf") >= min_cf)
+        .select(
+            "term",
+            "cf",
+            "df",
+            F.round(F.lit(1000000.0) * F.col("cf") / F.col("df"), 0)
+            .cast("long")
+            .alias("burst_micro"),
+        )
+        .orderBy(F.col("burst_micro").desc(), F.col("term").asc())
+        .limit(k)
+    )

@@ -6082,7 +6082,18 @@ _KWIC_TERM = "customer"
       SELECT doc_id, phrase, score,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY score DESC, phrase ASC) AS rk
-      FROM rkph)
+      FROM rkph),
+    -- burstiness (Church & Gale 1995 Poisson mixtures): cf/df in
+    -- integer micro-units over the SAME per-(doc, term) tf table —
+    -- cf and df are exact integers, one division total
+    burstk AS (
+      SELECT 'burst' AS part, term AS bigram,
+             cast(round(1000000.0 * cf / df, 0) AS BIGINT) AS cnt
+      FROM (SELECT term, cast(sum(tf) AS BIGINT) AS cf,
+                   cast(count(*) AS BIGINT) AS df
+            FROM tfq GROUP BY term)
+      WHERE cf >= 10
+      ORDER BY cnt DESC, bigram ASC LIMIT 20)
     SELECT * FROM wb UNION ALL SELECT * FROM cb
     UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
     UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
@@ -6118,6 +6129,8 @@ _KWIC_TERM = "customer"
            cast(doc_id AS VARCHAR) || '>' || phrase AS bigram,
            score AS cnt
     FROM rkr WHERE rk <= 1
+    UNION ALL
+    SELECT * FROM burstk
     """.replace("<<KWIC_TERM>>", _KWIC_TERM),
 )
 def q44_bigram_lm_topk(spark, sf_dir):
@@ -6187,6 +6200,14 @@ def q44_bigram_lm_topk(spark, sf_dir):
         per-document (RAKE is a single-document method), so the
         operator's only corpus shuffle is the phrase-id Window(doc_id)
         scan every later agg/join reuses.
+      * part='burst' (round 5, thirteenth pass): term burstiness
+        (Church & Gale 1995 Poisson mixtures; Katz 1996) — cf/df in
+        integer micro-units, the mean within-document repetition that
+        separates content words (bursty) from function words (even):
+        top-20 by (burst desc, term asc), cf >= 10. One vocabulary-
+        keyed agg over the per-(doc, term) tf table
+        (operators/corpus_stats.burstiness_topk), map-side partials,
+        TakeOrderedAndProject top-k.
 
     Scale: word bigrams come from the shuffle-free arrays_zip
     construction (each doc's adjacency lives in its own row — no window
@@ -6428,6 +6449,18 @@ def q44_bigram_lm_topk(spark, sf_dir):
         F.concat_ws(">", F.col("doc_id").cast("string"), "phrase").alias("bigram"),
         F.col("score_u").alias("cnt"),
     )
+    # part='burst' (round 5, thirteenth pass): Church & Gale burstiness
+    # — cf/df per term in micro-units from ONE vocabulary-keyed agg
+    # over the per-(doc, term) tf table (operators/corpus_stats.
+    # burstiness_topk); the datasheet complement to raw frequency.
+    from .operators.corpus_stats import burstiness_topk
+    from .operators.keywords import doc_term_freqs
+
+    burst = burstiness_topk(doc_term_freqs(d, _toks_col()), k=20, min_cf=10).select(
+        F.lit("burst").alias("part"),
+        F.col("term").alias("bigram"),
+        F.col("burst_micro").alias("cnt"),
+    )
     return (
         wb.unionAll(cb).unionAll(mrows).unionAll(useed).unionAll(cms)
         .unionAll(spell)
@@ -6438,6 +6471,7 @@ def q44_bigram_lm_topk(spark, sf_dir):
         .unionAll(kw)
         .unionAll(trank)
         .unionAll(rake)
+        .unionAll(burst)
     )
 
 

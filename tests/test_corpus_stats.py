@@ -279,3 +279,45 @@ def test_cli_collocations(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):  # knob guard
         cli.main(["--colloc-min-count", "5", "--input", src, "--output",
                   out, "--master", "local[2]"])
+
+
+def test_burstiness_hand_counts(spark):
+    """burstiness_topk: cf/df micro score from hand-checkable counts;
+    min_cf floor and (burst desc, term asc) ranking."""
+    from pmocr_spark.operators.corpus_stats import burstiness_topk
+    from pmocr_spark.operators.keywords import doc_term_freqs
+
+    rows = [
+        # 'echo' bursts: 6 occurrences packed into 2 docs -> cf/df = 3
+        (1, "echo echo echo filler one two"),
+        (2, "echo echo echo filler three four"),
+        # 'filler' is even: 1 per doc across 3 docs -> cf/df = 1
+        (3, "filler five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = doc_term_freqs(df, F.split(F.lower(F.trim("text")), r"\s+"))
+    got = {
+        r["term"]: (r["cf"], r["df"], r["burst_micro"])
+        for r in burstiness_topk(tf, k=10, min_cf=3).collect()
+    }
+    assert got["echo"] == (6, 2, 3_000_000)
+    assert got["filler"] == (3, 3, 1_000_000)
+    assert all(cf >= 3 for cf, _, _ in got.values())  # floor applied
+    ranked = [r["term"] for r in burstiness_topk(tf, k=10, min_cf=3).collect()]
+    assert ranked[0] == "echo"
+
+
+def test_burstiness_plan_single_agg(spark):
+    """One vocabulary-keyed agg + TakeOrderedAndProject — no sort of
+    the full stats table, no Python."""
+    from pmocr_spark.operators.corpus_stats import burstiness_topk
+    from pmocr_spark.operators.keywords import doc_term_freqs
+    from pmocr_spark.plans import shape
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tf = doc_term_freqs(docs, F.split(F.lower(F.trim("text")), r"\s+"))
+    b = burstiness_topk(tf, k=20)
+    plan = shape.formatted_plan(b)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert shape.count_exchanges(b) <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
