@@ -506,6 +506,14 @@ def build_parser() -> argparse.ArgumentParser:
         "cell, x0, y0, x1, y1, error)",
     )
     p.add_argument(
+        "--layout",
+        action="store_true",
+        help="with --word-boxes: recursive XY-cut layout analysis "
+        "(codecs.xy_cut — Nagy/Seth top-down page segmentation, "
+        "tesseract --psm 1/3 analog): one row per reading-order block "
+        "(media_ref, block_no, n_lines, text, error)",
+    )
+    p.add_argument(
         "--lsh-plan",
         metavar="N_HASHES,THRESHOLD[,FP_W[,FN_W]]",
         help="maintenance mode (standalone, no Spark session): print "
@@ -1139,8 +1147,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         parser.error("--hocr requires --word-boxes")
     if getattr(args, "tables", False) and not args.word_boxes:
         parser.error("--tables requires --word-boxes")
-    if getattr(args, "tables", False) and getattr(args, "hocr", False):
-        parser.error("--tables and --hocr are mutually exclusive outputs")
+    if getattr(args, "layout", False) and not args.word_boxes:
+        parser.error("--layout requires --word-boxes")
+    if (
+        sum(bool(getattr(args, f, False)) for f in ("tables", "hocr", "layout"))
+        > 1
+    ):
+        parser.error("--tables, --hocr and --layout are mutually exclusive outputs")
     if args.pr_iters is not None and not args.pagerank:
         parser.error("--pr-iters only applies to --pagerank")
     if (
@@ -2624,8 +2637,14 @@ def main(argv: list[str] | None = None) -> None:
         blobs = spark.read.parquet(args.blobs)
         as_hocr = bool(getattr(args, "hocr", False))
         as_tables = bool(getattr(args, "tables", False))
+        as_layout = bool(getattr(args, "layout", False))
 
-        if as_hocr:
+        if as_layout:
+            schema = (
+                "media_ref string, block_no long, n_lines long, "
+                "text string, error string"
+            )
+        elif as_hocr:
             schema = "media_ref string, hocr string, n_words long, error string"
         elif as_tables:
             schema = (
@@ -2653,7 +2672,12 @@ def main(argv: list[str] | None = None) -> None:
                     if b[:6] not in (codecs.IMG_MAGIC, codecs.PDF_MAGIC):
                         continue
                     try:
-                        if as_tables:
+                        if as_layout:
+                            for bno, btxt in enumerate(codecs.recognize_regions(b)):
+                                rows.append(
+                                    (ref, bno, btxt.count("\n") + 1, btxt, None)
+                                )
+                        elif as_tables:
                             # per COLUMN BLOCK: detect_table's whitespace
                             # channels are only meaningful inside one
                             # block's coordinate frame — a two-column
@@ -2680,7 +2704,9 @@ def main(argv: list[str] | None = None) -> None:
                     # struct.error from rasterize, and error-as-data
                     # means NO exception may kill the task
                     except Exception as e:  # noqa: BLE001
-                        if as_hocr:
+                        if as_layout:
+                            rows.append((ref, -1, -1, None, str(e)))
+                        elif as_hocr:
                             rows.append((ref, None, -1, str(e)))
                         elif as_tables:
                             rows.append(
@@ -2688,7 +2714,9 @@ def main(argv: list[str] | None = None) -> None:
                             )
                         else:
                             rows.append((ref, -1, -1, None, -1, -1, -1, -1, str(e)))
-                if as_hocr:
+                if as_layout:
+                    cols = ["media_ref", "block_no", "n_lines", "text", "error"]
+                elif as_hocr:
                     cols = ["media_ref", "hocr", "n_words", "error"]
                 elif as_tables:
                     cols = [
@@ -2708,7 +2736,9 @@ def main(argv: list[str] | None = None) -> None:
         n_ok = got.filter(F.col("error").isNull()).count()
         n_err = got.filter(F.col("error").isNotNull()).count()
         what = (
-            "hOCR documents"
+            "layout blocks"
+            if as_layout
+            else "hOCR documents"
             if as_hocr
             else ("table cells" if as_tables else "word boxes")
         )

@@ -203,6 +203,46 @@ def encode_image_columns(col_texts: list[str], kind: str = "tiff", salt: str = "
     return _pack_image(render_columns(col_texts, salt), kind)
 
 
+def render_regions(rows: list[list[str]], salt: str = "") -> np.ndarray:
+    """Render a Manhattan-layout page: each entry of `rows` is one
+    full-width horizontal band — a single text block, or several
+    column blocks (via render_columns) — bands right-padded with paper
+    to the page width and separated by GUTTER_W all-paper rows (plus
+    each band's own noise border, so the effective blank band is
+    wider). Reading order is top-to-bottom, then left-to-right inside
+    a band: exactly what xy_cut recovers."""
+    imgs = [
+        render_page(cols[0], f"{salt}#r{i}")
+        if len(cols) == 1
+        else render_columns(cols, f"{salt}#r{i}")
+        for i, cols in enumerate(rows)
+    ]
+    wmax = max(im.shape[1] for im in imgs)
+    rng = _rng_for("\x02".join("\x01".join(c) for c in rows), "regions" + salt)
+    parts = []
+    for i, im in enumerate(imgs):
+        if im.shape[1] < wmax:
+            pad = rng.integers(
+                0, PAPER_MAX + 1, size=(im.shape[0], wmax - im.shape[1]), dtype=np.uint8
+            )
+            im = np.hstack([im, pad])
+        parts.append(im)
+        if i < len(imgs) - 1:
+            parts.append(
+                rng.integers(0, PAPER_MAX + 1, size=(GUTTER_W, wmax), dtype=np.uint8)
+            )
+    return np.vstack(parts)
+
+
+def encode_image_regions(
+    rows: list[list[str]], kind: str = "tiff", salt: str = ""
+) -> bytes:
+    """Encode a Manhattan-layout band/column structure as one page."""
+    if kind not in IMAGE_KINDS:
+        raise ValueError(f"not an image kind: {kind}")
+    return _pack_image(render_regions(rows, salt), kind)
+
+
 def encode_pdf(page_texts: list[str | list[str]], salt: str = "") -> bytes:
     """Encode a multi-page image-only PDF blob (one image per page).
 
@@ -611,6 +651,53 @@ def segment_columns(binary: np.ndarray) -> list[np.ndarray]:
     return blocks
 
 
+def xy_cut(binary: np.ndarray, axis: int = 0) -> list[np.ndarray]:
+    """M2c — recursive XY-cut page segmentation (Nagy, Seth &
+    Viswanathan, the classic top-down layout-analysis algorithm):
+    alternately split the ink bounding box at all-paper bands of
+    >= GUTTER_MIN rows (Y) or columns (X), recursing into each piece
+    with the other axis preferred, until no cut fires; leaves come
+    back ink-trimmed, in reading order (top-to-bottom, then
+    left-to-right). Y takes priority at every level — the Manhattan-
+    layout disambiguation: a full-width title above two columns must
+    split title-first, even though the inter-column gutter also spans
+    the full page height through the title band's right padding.
+
+    Generalizes segment_columns (a pure multi-column page yields the
+    identical blocks); a two-level layout (title band + column pair)
+    yields [title, left column, right column]. Single text blocks are
+    provably stable: the inter-line separator is 1 all-paper row
+    (< GUTTER_MIN) and the anchor column inks every band, so neither
+    axis can cut inside a block.
+
+    pmOCR analog: tesseract --psm 1/3 automatic page segmentation;
+    pmOCR passes pages whole (pmocr.sh:1923-1963) and inherits the
+    engine's reading order."""
+    if binary.size == 0:
+        return []
+    rows = np.flatnonzero(binary.any(axis=1))
+    cols = np.flatnonzero(binary.any(axis=0))
+    if rows.size == 0:
+        return []
+    blk = binary[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1]
+    for ax in (axis, 1 - axis):
+        ink_idx = np.flatnonzero(blk.any(axis=1 - ax))
+        cuts = np.flatnonzero(np.diff(ink_idx) > GUTTER_MIN)
+        if cuts.size:
+            starts = np.concatenate([[0], cuts + 1])
+            ends = np.concatenate([cuts, [ink_idx.size - 1]])
+            out: list[np.ndarray] = []
+            for s0, e0 in zip(starts, ends):
+                sub = (
+                    blk[ink_idx[s0] : ink_idx[e0] + 1, :]
+                    if ax == 0
+                    else blk[:, ink_idx[s0] : ink_idx[e0] + 1]
+                )
+                out.extend(xy_cut(sub, axis=1 - ax))
+            return out
+    return [blk]
+
+
 def segment_lines(binary: np.ndarray) -> list[np.ndarray]:
     """M3a — split a trimmed binary page into GLYPH_H-row line bands."""
     if binary.size == 0:
@@ -910,6 +997,20 @@ def decode_blob(blob: bytes) -> str:
 
 
 # ---------------------------------------------------------------- text ops
+
+
+def recognize_regions(blob: bytes) -> list[str]:
+    """Layout-analysis decode: rasterize -> binarize_trim -> recursive
+    xy_cut -> per-leaf line segmentation + recognition. Returns the
+    leaf-block texts (lines joined by newline) in reading order, pages
+    concatenated — the structured form of decode_blob for documents
+    whose layout matters (title bands, multi-column articles)."""
+    out: list[str] = []
+    for img in rasterize(bytes(blob)):
+        binary = binarize_trim(img)
+        for block in xy_cut(binary):
+            out.append("\n".join(recognize_block(segment_lines(block))))
+    return out
 
 
 def normalize_text(text: str) -> str:

@@ -3130,6 +3130,19 @@ def q26_fingerprint(spark, sf_dir):
            cast(CASE WHEN w.ngw > 0 THEN w.wdist * 1000000 // w.ngw
                 ELSE 0 END AS BIGINT)
     FROM cerp c JOIN wer w ON c.doc_id = w.doc_id
+    UNION ALL
+    -- XY-cut layout analysis (part='xy'): the Manhattan page is built
+    -- from the rpad-52 text (title 12 chars; two 2x10-char columns),
+    -- so the three reading-order blocks are pure substring arithmetic
+    SELECT 'xy', doc_id, cast(b.i AS BIGINT), cast(3 AS BIGINT),
+           CASE b.i
+             WHEN 0 THEN substr(p, 1, 12)
+             WHEN 1 THEN substr(p, 13, 10) || chr(10) || substr(p, 23, 10)
+             ELSE substr(p, 33, 10) || chr(10) || substr(p, 43, 10)
+           END,
+           -1, -1, -1, -1
+    FROM (SELECT doc_id, rpad(t, 52, '.') AS p FROM clean),
+         unnest([0, 1, 2]) AS b(i)
     """,
 )
 def q27_media_roundtrip(spark, sf_dir):
@@ -3491,6 +3504,58 @@ def q27_media_roundtrip(spark, sf_dir):
         F.col("w.n_gold_w").alias("x1"),
         rate_micro(F.col("w.wdist"), F.col("w.n_gold_w")).alias("y1"),
     )
+    # part='xy' (round 5, thirteenth pass): recursive XY-cut layout
+    # analysis (codecs.xy_cut — Nagy/Seth's classic top-down page
+    # segmentation, the general form of segment_columns). Each doc's
+    # cleaned text is rpad-truncated to 52 chars (fixed geometry, the
+    # cell-arm trick) and rendered as a MANHATTAN layout: a full-width
+    # 12-char title band above a two-column pair of 2x10-char blocks
+    # (codecs.render_regions). The real decode chain (rasterize ->
+    # binarize_trim -> xy_cut -> per-leaf recognize) must recover the
+    # THREE blocks in reading order byte-for-byte — Y-cut priority
+    # included, since the inter-column gutter also spans the title
+    # band's right padding and an X-first cut would split the title.
+    # The oracle restates the three block texts by substring
+    # arithmetic. line_no = block index, word_no = block count.
+    @F.pandas_udf(T.BinaryType())
+    def encode_regions(p):
+        return pd.Series(
+            [
+                codecs.encode_image_regions(
+                    [
+                        [t[0:12]],
+                        [t[12:22] + "\n" + t[22:32], t[32:42] + "\n" + t[42:52]],
+                    ],
+                    "tif",
+                    salt="xy",
+                )
+                for t in p
+            ],
+            dtype=object,
+        )
+
+    @F.pandas_udf("array<string>")
+    def region_texts(blobs):
+        return pd.Series(
+            [codecs.recognize_regions(b) for b in blobs], dtype=object
+        )
+
+    xy_arm = (
+        d.select("doc_id", F.rpad(clean, 52, ".").alias("p"))
+        .select("doc_id", encode_regions("p").alias("content"))
+        .select("doc_id", F.posexplode(region_texts("content")).alias("bidx", "btxt"))
+        .select(
+            F.lit("xy").alias("part"),
+            "doc_id",
+            F.col("bidx").cast("long").alias("line_no"),
+            F.lit(3).cast("long").alias("word_no"),
+            F.col("btxt").alias("text_out"),
+            neg1.alias("x0"),
+            neg1.alias("y0"),
+            neg1.alias("x1"),
+            neg1.alias("y1"),
+        )
+    )
     return (
         text_arm.unionByName(word_arm)
         .unionByName(cell_arm)
@@ -3498,6 +3563,7 @@ def q27_media_roundtrip(spark, sf_dir):
         .unionByName(eval_arm)
         .unionByName(rouge_arm)
         .unionByName(cer_arm)
+        .unionByName(xy_arm)
     )
 
 

@@ -1053,3 +1053,41 @@ def test_summarize_cli(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.parse_args(["--summarize", "--summary-k", "0", "--input", "x",
                         "--output", "o"])
+
+
+def test_word_boxes_layout_mode(spark, tmp_path, capsys):
+    """--word-boxes --layout: XY-cut reading-order blocks per blob; a
+    torn blob lands as an error row; exclusivity guards fire."""
+    from pmocr_spark import codecs
+
+    rows = [
+        ("m1", codecs.encode_image_regions(
+            [["title here"], ["col a one\ncol a two", "col b one"]],
+            "tif", salt="L")),
+        ("m2", codecs.encode_image("single block", "tif", salt="L2")),
+        ("m3", codecs.IMG_MAGIC + b"torn"),
+    ]
+    spark.createDataFrame(rows, "media_ref string, content binary").write.parquet(
+        str(tmp_path / "blobs")
+    )
+    out = str(tmp_path / "layout")
+    cli.main(["--word-boxes", "--layout", "--blobs", str(tmp_path / "blobs"),
+              "--output", out, "--master", "local[2]"])
+    got = {(r["media_ref"], r["block_no"]): r
+           for r in spark.read.parquet(out).collect()}
+    assert got[("m1", 0)]["text"] == "title here"
+    assert got[("m1", 1)]["text"] == "col a one\ncol a two"
+    assert got[("m1", 1)]["n_lines"] == 2
+    assert got[("m1", 2)]["text"] == "col b one"
+    assert got[("m2", 0)]["text"] == "single block"
+    assert got[("m3", -1)]["error"] is not None
+    assert "layout blocks" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--layout", "--blobs", "b", "--output", "o"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--word-boxes", "--layout", "--hocr",
+                        "--blobs", "b", "--output", "o"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--word-boxes", "--layout", "--tables",
+                        "--blobs", "b", "--output", "o"])

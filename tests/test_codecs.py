@@ -486,3 +486,43 @@ def test_deskew_in_multipage_pdf_path():
     for payload in (p0, p1):
         blob += struct.pack("<I", len(payload)) + payload
     assert codecs.decode_blob(blob) == "first page text\nsecond page here"
+
+
+# ------------------------------------------------------------- XY-cut
+
+
+def test_xy_cut_manhattan_reading_order():
+    """Title band above a two-column pair: xy_cut must Y-cut first
+    (an X-first cut would split the title with the left column) and
+    return [title, left, right] byte-for-byte."""
+    rows = [["title band xy"], ["left col l1\nleft col l2", "right r1\nright r2"]]
+    blob = codecs.encode_image_regions(rows, "tif", salt="t1")
+    assert codecs.recognize_regions(blob) == [
+        "title band xy", "left col l1\nleft col l2", "right r1\nright r2",
+    ]
+
+
+def test_xy_cut_three_band_nested():
+    """Three bands, middle one three-column: depth-first reading order."""
+    rows = [["header"], ["aa a", "bb b", "cc c"], ["footer line"]]
+    blob = codecs.encode_image_regions(rows, "tif", salt="t2")
+    assert codecs.recognize_regions(blob) == [
+        "header", "aa a", "bb b", "cc c", "footer line",
+    ]
+
+
+def test_xy_cut_degenerates_to_whole_page_and_columns():
+    """A single text block is provably uncut (1-row line separators,
+    anchor-inked bands); a pure multi-column page yields exactly the
+    segment_columns blocks — xy_cut generalizes both."""
+    b1 = codecs.encode_image("plain one\nplain two", "tif", salt="p")
+    assert codecs.recognize_regions(b1) == [codecs.decode_blob(b1)]
+    b2 = codecs.encode_image_columns(["a b c", "d e f"], "tif", salt="c")
+    assert codecs.recognize_regions(b2) == ["a b c", "d e f"]
+
+
+def test_xy_cut_empty_and_blank():
+    import numpy as np
+
+    assert codecs.xy_cut(np.zeros((0, 0), dtype=bool)) == []
+    assert codecs.xy_cut(np.zeros((5, 5), dtype=bool)) == []
