@@ -855,6 +855,13 @@ def q17_ngram_jaccard(spark, sf_dir):
         shingles with document frequency > _STOP_SHINGLE_DF from the
         similarity definition (both intersection and union), so no join
         key fans out more than cap² pairs.
+      * part='snm' (round 5): sorted-neighborhood blocking (Hernández &
+        Stolfo SIGMOD'95) — ONE corpus sort on a first-3-token blocking
+        key (q37 two-pass rank, no global sort), in-window pairs via an
+        explode + rnk equi-join (O(n·(w-1)), w=_SNM_W), then the SAME
+        exact-Jaccard verify as the LSH arm over the shared pipeline.
+        The zero-signature candidate generator for sort-clustered
+        near-dups.
       * part='lsh_verified': the production MinHash shape — exact
         Jaccard computed ONLY on q18's LSH candidate pairs, over the
         FULL corpus. LSH bounds WHICH pairs are scored (|candidates|,
@@ -897,14 +904,38 @@ def q17_ngram_jaccard(spark, sf_dir):
     )
     # ---- part='lsh_verified'
     cand = QUERY_FNS["q18_minhash_lsh"](spark, sf_dir)
+    # ---- part='snm' candidates: sorted-neighborhood blocking
+    # (Hernández & Stolfo, "The Merge/Purge Problem for Large
+    # Databases", SIGMOD'95). Sort the corpus ONCE on a cheap blocking
+    # key (first-3-token prefix), slide a fixed window of _SNM_W over
+    # the sorted order, score only in-window pairs. The rank comes from
+    # the q37 two-pass pattern (range partition -> local row_number ->
+    # broadcast offsets — no global single-partition sort), and the
+    # window pairing is an EXPLODE of _SNM_W-1 target ranks + one
+    # equi-join on rnk: O(n·(w-1)) candidate rows, never a range join,
+    # never doc×doc. This is the candidate generator that beats LSH
+    # when near-dups share a sort prefix (crawl snapshots, versioned
+    # pages) because it costs one sort and zero signature passes.
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks_col()
+    keyed = d.filter(F.size(toks) >= 3).select(
+        "doc_id", F.concat_ws(" ", F.slice(toks, 1, 3)).alias("k")
+    )
+    cand_snm = _snm_candidates(keyed)
+    # Both candidate generators feed ONE shared verify pipeline, tagged
+    # by part: the shingle scan, the size agg and the intersection
+    # joins are paid once for the union of pair sets.
+    cand_all = cand.select(
+        F.lit("lsh_verified").alias("part"), "doc_a", "doc_b"
+    ).unionAll(cand_snm.select(F.lit("snm").alias("part"), "doc_a", "doc_b"))
     # restrict the shingle table to candidate-pair docs BEFORE the
     # distinct shuffle and the size agg: only candidate docs are ever
     # consumed, and at 10^12 docs the full-corpus distinct exchange
     # would dominate the whole arm. Semi-join (AQE broadcasts the
     # candidate id set when it is small — the normal case).
     cdocs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        cand_all.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand_all.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     shv = (
@@ -914,9 +945,9 @@ def q17_ngram_jaccard(spark, sf_dir):
     )
     sizesv = shv.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
-        cand.join(shv.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        cand_all.join(shv.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(shv.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("part", "doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     va = sizesv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
@@ -926,13 +957,43 @@ def q17_ngram_jaccard(spark, sf_dir):
         .join(vb, "doc_b")
         .filter(jac >= 0.05)
         .select(
-            F.lit("lsh_verified").alias("part"),
+            "part",
             "doc_a",
             "doc_b",
             F.round(jac, 4).alias("jaccard"),
         )
     )
     return sub.unionAll(ver)
+
+
+#: sorted-neighborhood window size (pairs per row = _SNM_W - 1)
+_SNM_W = 4
+
+
+def _snm_candidates(keyed: DataFrame, w: int = None) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo
+    SIGMOD'95) over a (doc_id, k) frame: global rank on (k, doc_id) via
+    the q37 two-pass pattern, then each row pairs with the next w-1
+    ranks through an explode + equi-join on rnk. Output
+    (doc_a, doc_b) with doc_a < doc_b; each unordered pair appears at
+    most once because ranks are unique. Partitioning-invariant: the
+    two-pass rank is an exact global row_number regardless of input
+    layout (pinned by tests/test_snm.py)."""
+    if w is None:
+        w = _SNM_W
+    ranked = _two_pass_rank(keyed, ["k", "doc_id"], "doc_id")
+    offs = ranked.select(
+        F.col("doc_id").alias("_ida"),
+        F.explode(
+            F.array(*[(F.col("rnk") + j).cast("long") for j in range(1, w)])
+        ).alias("rnk"),
+    )
+    return offs.join(
+        ranked.select(F.col("doc_id").alias("_idb"), "rnk"), "rnk"
+    ).select(
+        F.least("_ida", "_idb").alias("doc_a"),
+        F.greatest("_ida", "_idb").alias("doc_b"),
+    )
 
 
 _N_MINHASH = 12
@@ -4953,17 +5014,38 @@ _Q17_ORACLE = f"""
     cand AS (
       {{q18}}
     ),
+    -- snm: sorted-neighborhood candidates — row_number over the
+    -- first-3-token blocking key (Spark side: two-pass rank, exact
+    -- same total order), pairs within a window of {_SNM_W}
+    keyed AS (
+      SELECT doc_id, array_to_string(({_TOKS_SQL})[1:3], ' ') AS k
+      FROM documents WHERE len({_TOKS_SQL}) >= 3
+    ),
+    rankedsnm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rnk FROM keyed
+    ),
+    candsnm AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM rankedsnm a JOIN rankedsnm b
+        ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_W - 1}
+    ),
+    candall AS (
+      SELECT 'lsh_verified' AS part, doc_a, doc_b FROM cand
+      UNION ALL
+      SELECT 'snm' AS part, doc_a, doc_b FROM candsnm
+    ),
     shv AS (
       SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
       FROM documents WHERE len({_TOKS_SQL}) >= 3
     ),
     sizesv AS (SELECT doc_id, count(*) AS sz FROM shv GROUP BY doc_id),
     interv AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS inter
-      FROM cand c
+      SELECT c.part, c.doc_a, c.doc_b, count(*) AS inter
+      FROM candall c
       JOIN shv a ON a.doc_id = c.doc_a
       JOIN shv b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      GROUP BY c.doc_a, c.doc_b
+      GROUP BY c.part, c.doc_a, c.doc_b
     )
     SELECT 'subset' AS part, doc_a, doc_b,
            round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
@@ -4971,7 +5053,7 @@ _Q17_ORACLE = f"""
                 JOIN sizess sb ON sb.doc_id = doc_b
     WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.05
     UNION ALL
-    SELECT 'lsh_verified' AS part, doc_a, doc_b,
+    SELECT part, doc_a, doc_b,
            round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
     FROM interv JOIN sizesv sa ON sa.doc_id = doc_a
                 JOIN sizesv sb ON sb.doc_id = doc_b
