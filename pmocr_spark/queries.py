@@ -862,6 +862,14 @@ def q17_ngram_jaccard(spark, sf_dir):
         exact-Jaccard verify as the LSH arm over the shared pipeline.
         The zero-signature candidate generator for sort-clustered
         near-dups.
+      * part='fs' (round 5): Fellegi-Sunter record linkage (JASA 1969)
+        — blocked candidate equi-join on (nation, name-prefix) over a
+        deterministic dirty replica of `customer`, per-field agreement
+        scored with fixed (m, u) log-odds weights in integer micro-nats
+        (_FS_W); score > 0 pairs survive (the FS lower threshold). The
+        entity-resolution complement to the text arms: candidates are
+        block-bounded, the score is a pure map expression. The score
+        rides the jaccard column as an exact integer-valued double.
       * part='lsh_verified': the production MinHash shape — exact
         Jaccard computed ONLY on q18's LSH candidate pairs, over the
         FULL corpus. LSH bounds WHICH pairs are scored (|candidates|,
@@ -963,11 +971,102 @@ def q17_ngram_jaccard(spark, sf_dir):
             F.round(jac, 4).alias("jaccard"),
         )
     )
-    return sub.unionAll(ver)
+    # ---- part='fs': Fellegi-Sunter record linkage (JASA 1969) over a
+    # deterministic dirty replica of `customer` (the lift pattern:
+    # name/segment/balance corruptions keyed off custkey mods, built
+    # identically in both engines). The operator under test is the
+    # blocked scoring join (_fs_score_pairs); the score rides the
+    # family's jaccard column as exact integer micro-nats.
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    ck = F.col("c_custkey")
+    dirty = cust.select(
+        ck.alias("d_key"),
+        F.when(
+            ck % 3 == 0,
+            F.concat(
+                F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.col("c_nationkey").alias("d_nat"),
+        F.when(ck % 7 == 0, F.col("c_acctbal") + 1500)
+        .otherwise(F.col("c_acctbal"))
+        .alias("d_bal"),
+        F.when(ck % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_seg"),
+    )
+    fs = _fs_score_pairs(cust, dirty).select(
+        F.lit("fs").alias("part"),
+        "doc_a",
+        "doc_b",
+        F.col("score").cast("double").alias("jaccard"),
+    )
+    return sub.unionAll(ver).unionAll(fs)
 
 
 #: sorted-neighborhood window size (pairs per row = _SNM_W - 1)
 _SNM_W = 4
+
+#: Fellegi-Sunter (JASA 1969) per-field log-odds weights in integer
+#: micro-nats: agree weight = round(1e6·ln(m/u)), disagree =
+#: round(1e6·ln((1-m)/(1-u))) for fixed published-style (m, u) model
+#: parameters — name is the high-m/low-u identifying field, segment and
+#: balance-bucket the supporting fields. Model CONSTANTS (not
+#: data-derived), inlined identically into the Spark arm and the SQL
+#: oracle, so the score is an exact integer sum in both engines.
+_FS_MU = {"name": (0.9, 0.001), "seg": (0.95, 0.2), "bal": (0.9, 0.1)}
+
+
+def _fs_w() -> dict:
+    import math
+
+    return {
+        f"{k}_{tag}": round(1e6 * math.log(num / den))
+        for k, (m, u) in _FS_MU.items()
+        for tag, num, den in (("a", m, u), ("d", 1 - m, 1 - u))
+    }
+
+
+_FS_W = _fs_w()
+
+
+def _fs_score_pairs(clean: DataFrame, dirty: DataFrame) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring: blocked candidate join +
+    integer log-odds agreement sum. `clean` carries (c_custkey, c_name,
+    c_nationkey, c_acctbal, c_mktsegment); `dirty` the same under
+    d_-prefixed names. Blocking = (nation, 16-char name prefix) — an
+    EQUI-join, so candidates are bounded by block sizes, never n²; the
+    agreement vector and the score are pure map expressions over the
+    joined rows. Returns (doc_a, doc_b, score) for score > 0 (the
+    positive-evidence / FS lower-threshold cut)."""
+    score = (
+        F.when(F.col("c_name") == F.col("d_name"), F.lit(_FS_W["name_a"]))
+        .otherwise(F.lit(_FS_W["name_d"]))
+        + F.when(F.col("c_mktsegment") == F.col("d_seg"), F.lit(_FS_W["seg_a"]))
+        .otherwise(F.lit(_FS_W["seg_d"]))
+        + F.when(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+            == F.floor(F.col("d_bal") / 1000).cast("long"),
+            F.lit(_FS_W["bal_a"]),
+        ).otherwise(F.lit(_FS_W["bal_d"]))
+    )
+    return (
+        clean.join(
+            dirty,
+            (F.col("c_nationkey") == F.col("d_nat"))
+            & (F.substring("c_name", 1, 16) == F.substring("d_name", 1, 16)),
+        )
+        .select(
+            F.col("c_custkey").alias("doc_a"),
+            F.col("d_key").alias("doc_b"),
+            score.cast("long").alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
 
 
 def _snm_candidates(keyed: DataFrame, w: int = None) -> DataFrame:
@@ -5058,6 +5157,39 @@ _Q17_ORACLE = f"""
     FROM interv JOIN sizesv sa ON sa.doc_id = doc_a
                 JOIN sizesv sb ON sb.doc_id = doc_b
     WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.05
+    UNION ALL
+    -- fs: Fellegi-Sunter scoring over the deterministic dirty replica
+    -- (same corruption rules and integer micro-nat weights as the
+    -- Spark arm; score > 0 = the lower-threshold cut)
+    SELECT 'fs' AS part, c.c_custkey AS doc_a, d.d_key AS doc_b,
+           (CASE WHEN c.c_name = d.d_name
+                 THEN {_FS_W["name_a"]} ELSE {_FS_W["name_d"]} END
+            + CASE WHEN c.c_mktsegment = d.d_seg
+                   THEN {_FS_W["seg_a"]} ELSE {_FS_W["seg_d"]} END
+            + CASE WHEN cast(floor(c.c_acctbal / 1000) AS BIGINT)
+                        = cast(floor(d.d_bal / 1000) AS BIGINT)
+                   THEN {_FS_W["bal_a"]} ELSE {_FS_W["bal_d"]} END) * 1.0
+           AS jaccard
+    FROM customer c
+    JOIN (SELECT c_custkey AS d_key,
+                 CASE WHEN c_custkey % 3 = 0
+                      THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+                      ELSE c_name END AS d_name,
+                 c_nationkey AS d_nat,
+                 CASE WHEN c_custkey % 7 = 0
+                      THEN c_acctbal + 1500 ELSE c_acctbal END AS d_bal,
+                 CASE WHEN c_custkey % 5 = 0
+                      THEN 'UNKNOWN' ELSE c_mktsegment END AS d_seg
+          FROM customer) d
+      ON c.c_nationkey = d.d_nat
+     AND substr(c.c_name, 1, 16) = substr(d.d_name, 1, 16)
+    WHERE (CASE WHEN c.c_name = d.d_name
+                THEN {_FS_W["name_a"]} ELSE {_FS_W["name_d"]} END
+           + CASE WHEN c.c_mktsegment = d.d_seg
+                  THEN {_FS_W["seg_a"]} ELSE {_FS_W["seg_d"]} END
+           + CASE WHEN cast(floor(c.c_acctbal / 1000) AS BIGINT)
+                       = cast(floor(d.d_bal / 1000) AS BIGINT)
+                  THEN {_FS_W["bal_a"]} ELSE {_FS_W["bal_d"]} END) > 0
 """
 ORACLES["q17_ngram_jaccard"] = _Q17_ORACLE.format(q18=ORACLES["q18_minhash_lsh"])
 ORACLES["q33_ann_ivf_kmeans"] = _q33_oracle()
