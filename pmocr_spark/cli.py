@@ -711,6 +711,16 @@ def build_parser() -> argparse.ArgumentParser:
         "pair (default 2)",
     )
     p.add_argument(
+        "--compress-postings",
+        action="store_true",
+        help="maintenance mode (standalone): write the --input table's "
+        "(doc_id, text) inverted index as block-partitioned delta-gap + "
+        "LEB128 varint payloads (operators/postings — the Lucene-family "
+        "compressed posting layout): (term, block, n_postings, payload) "
+        "rows to --output, with a decode round-trip count check and the "
+        "compressed-vs-raw byte ratio printed",
+    )
+    p.add_argument(
         "--summarize",
         action="store_true",
         help="maintenance mode (standalone): TextRank extractive "
@@ -1109,6 +1119,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--kwic", args.kwic is not None),
             ("--srp-dedup", args.srp_dedup),
             ("--winnow-dedup", args.winnow_dedup),
+            ("--compress-postings", args.compress_postings),
             ("--summarize", args.summarize),
             ("--audit-blobs", args.audit_blobs),
             ("--corpus-stats", args.corpus_stats),
@@ -1457,6 +1468,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             parser.error("--input and --output are required with --winnow-dedup")
         if args.winnow_min_shared is not None and args.winnow_min_shared < 1:
             parser.error("--winnow-min-shared must be >= 1")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if args.compress_postings:
+        if args.batch or args.service:
+            parser.error("--compress-postings is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --compress-postings")
         args.target_list = []
         args.monitor_list = []
         return args
@@ -2492,6 +2511,38 @@ def main(argv: list[str] | None = None) -> None:
             f"pmocr-spark: {nf} winnow fingerprints ({args.output}.fps); "
             f"{n} match-candidate pairs (>= {min_shared} shared) written to "
             f"{args.output}"
+        )
+        return
+    if getattr(args, "compress_postings", False):
+        from pyspark.sql import functions as F
+
+        from .operators.postings import decode_postings, encode_postings
+
+        docs = spark.read.parquet(args.input)
+        for c in ("doc_id", "text"):
+            if c not in docs.columns:
+                raise SystemExit(
+                    f"pmocr-spark: --compress-postings: {args.input} needs "
+                    f"(doc_id, text) columns (columns: {docs.columns})"
+                )
+        encode_postings(docs).write.mode("overwrite").parquet(args.output)
+        index = spark.read.parquet(args.output)
+        agg = index.agg(
+            F.coalesce(F.sum("n_postings"), F.lit(0)).alias("np"),
+            F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("nb"),
+        ).collect()[0]
+        decoded = decode_postings(index).count()
+        if decoded != agg.np:
+            raise SystemExit(
+                f"pmocr-spark: --compress-postings round-trip mismatch: "
+                f"{agg.np} postings encoded, {decoded} decoded"
+            )
+        raw = agg.np * 8
+        ratio = (agg.nb / raw) if raw else 0.0
+        print(
+            f"pmocr-spark: {agg.np} postings -> {agg.nb} payload bytes "
+            f"({ratio:.3f}x of raw 8-byte ids; decode round-trip ok) "
+            f"written to {args.output}"
         )
         return
     if getattr(args, "summarize", False):

@@ -7266,6 +7266,15 @@ def _bloom_oracle_select() -> str:
 """
 
 
+def _varint_len_sql(col: str) -> str:
+    """DuckDB restatement of operators/postings.varint_len: descending
+    CASE ladder over the 7-bit group thresholds."""
+    clauses = " ".join(
+        f"WHEN {col} >= {1 << (7 * k)} THEN {k + 1}" for k in range(8, 0, -1)
+    )
+    return f"CASE {clauses} ELSE 1 END"
+
+
 @query(
     "q47_dedup_index_probe",
     _ANN_ORACLE_COMMON
@@ -7299,18 +7308,63 @@ def _bloom_oracle_select() -> str:
              row_number() OVER (PARTITION BY ss.query_id
                                 ORDER BY ss.sim DESC, ss.neighbor_id) AS rk
       FROM sims ss JOIN pqshort USING (query_id, neighbor_id)) WHERE rk <= 5
+    UNION ALL
+    -- postings: block-partitioned delta-gap + LEB128 size arithmetic
+    -- (operators/postings.py) — gap relative to the previous posting
+    -- inside the same (term, 2^16-wide doc-id block), block base - 1
+    -- for each block's first posting; byte length = one per started
+    -- 7-bit group
+    SELECT 'postings' AS part,
+           ('0x' || substr(md5(term), 1, 15))::BIGINT AS id_a,
+           cast(sum({_varint_len_sql('gap')}) AS BIGINT) AS id_b,
+           count(*) AS n
+    FROM (
+      SELECT term,
+             doc_id - coalesce(
+               lag(doc_id) OVER (PARTITION BY term, doc_id // 65536
+                                 ORDER BY doc_id),
+               (doc_id // 65536) * 65536 - 1) AS gap
+      FROM (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents) WHERE len(term) > 0)
+    GROUP BY term
     """
     + _bloom_oracle_select(),
 )
 def q47_dedup_index_probe(spark, sf_dir):
     """Persisted-INDEX probe family in ONE gate slot,
-    `part`-discriminated: the three index artifacts this engine persists
-    (the banded-MinHash dedup index, the PQ ANN index, and the Bloom
-    membership pre-filter), each built fresh, round-tripped through
-    storage where applicable, and probed — see _q47_minhash_arm /
-    _q47_pq_arm / _q47_bloom_arm for each arm's contract."""
+    `part`-discriminated: the index artifacts this engine persists
+    (the banded-MinHash dedup index, the PQ ANN index, the Bloom
+    membership pre-filter, and the compressed posting layout), each
+    built fresh, round-tripped through storage where applicable, and
+    probed — see _q47_minhash_arm / _q47_pq_arm / _q47_bloom_arm /
+    _q47_postings_arm for each arm's contract."""
     return (
         _q47_minhash_arm(spark, sf_dir)
         .unionAll(_q47_pq_arm(spark, sf_dir))
         .unionAll(_q47_bloom_arm(spark, sf_dir))
+        .unionAll(_q47_postings_arm(spark, sf_dir))
+    )
+
+
+def _q47_postings_arm(spark, sf_dir):
+    """part='postings' (round 5): the compressed posting-list LAYOUT
+    under the gate (operators/postings.py) — block-partitioned delta
+    gaps + LEB128 varint sizes, the byte layout the persisted text
+    index (operators/bm25.write_text_index) stores postings in at
+    scale. The gate verifies the SIZE ARITHMETIC end-to-end (gap
+    derivation including block bases, the varint ladder, the per-term
+    reduction); the physical encode∘decode = identity is pytest-pinned
+    (tests/test_postings.py), so together they pin layout and bytes.
+    id_a = term hash (the established md5-prefix bigint lift), id_b =
+    exact compressed payload bytes, n = postings count."""
+    from .operators.postings import compressed_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return compressed_stats(d).select(
+        F.lit("postings").alias("part"),
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long").alias("id_a"),
+        F.col("n_bytes").alias("id_b"),
+        F.col("n_postings").alias("n"),
     )
