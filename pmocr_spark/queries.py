@@ -3792,6 +3792,18 @@ def q29_hourly_rollup(spark, sf_dir):
                    ('0x' || substr(md5(cast(user_id AS varchar)), 1, 8))::BIGINT AS h
             FROM events))
     GROUP BY event_type, b
+    UNION ALL
+    -- eqdepth: 8-bucket equi-depth histogram of n_chars; bucket =
+    -- ceil(rank*8/N) in pure integer arithmetic, boundary = bucket max
+    SELECT 'eqdepth', cast(bucket AS VARCHAR), cast(max(n_chars) AS VARCHAR),
+           count(*)
+    FROM (
+      SELECT n_chars, (rnk * 8 + nt - 1) // nt AS bucket
+      FROM (SELECT n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+            FROM documents),
+           (SELECT count(*) AS nt FROM documents))
+    GROUP BY bucket
     """,
 )
 def q30_distinct_sources(spark, sf_dir):
@@ -3808,11 +3820,38 @@ def q30_distinct_sources(spark, sf_dir):
     sketch state (k1 = event_type, k2 = bucket, n = max rank). The
     float estimator (hll_estimate, with linear-counting correction)
     stays out of the gate by design and is accuracy-pinned against the
-    exact 'nusers' counts in tests/test_corpus_stats."""
+    exact 'nusers' counts in tests/test_corpus_stats.
+
+    part='eqdepth' (round 5): the 8-bucket EQUI-DEPTH histogram of
+    document lengths — the datasheet/optimizer statistic whose naive
+    form (global ORDER BY + ntile) is a single-partition sort. Here:
+    the q37 two-pass rank (range partition -> local row_number ->
+    broadcast offsets), bucket = ceil(rank·8/N) in PURE INTEGER
+    arithmetic (`div`, so no float rounding can move a boundary row
+    between engines; N rides as a broadcast 1-row frame), then ONE
+    map-side-combinable agg for (upper boundary, count) per bucket.
+    Exact at any corpus size with no global sort — counts differ by at
+    most 1 across buckets by construction. k1 = bucket, k2 = upper
+    boundary, n = bucket count."""
     from .operators.corpus_stats import hll_sketch
 
     d = _t(spark, sf_dir, "documents")
     ev = _t(spark, sf_dir, "events")
+    nt = d.agg(F.count("*").alias("nt"))
+    eqd = (
+        _two_pass_rank(d.select("doc_id", "n_chars"), ["n_chars", "doc_id"],
+                       "doc_id", extra_cols=["n_chars"])
+        .join(F.broadcast(nt))
+        .withColumn("bucket", F.expr("(rnk * 8 + nt - 1) div nt"))
+        .groupBy("bucket")
+        .agg(F.max("n_chars").alias("hi"), F.count("*").alias("n"))
+        .select(
+            F.lit("eqdepth").alias("part"),
+            F.col("bucket").cast("string").alias("k1"),
+            F.col("hi").cast("string").alias("k2"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
     hll = hll_sketch(ev, F.col("user_id"), ["event_type"]).select(
         F.lit("hll").alias("part"),
         F.col("event_type").alias("k1"),
@@ -3835,7 +3874,7 @@ def q30_distinct_sources(spark, sf_dir):
         F.lit("").alias("k2"),
         F.col("n").cast("long").alias("n"),
     )
-    return pairs.unionAll(nusers).unionAll(hll)
+    return pairs.unionAll(nusers).unionAll(hll).unionAll(eqd)
 
 
 # =====================================================================

@@ -321,3 +321,29 @@ def test_burstiness_plan_single_agg(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert shape.count_exchanges(b) <= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_q30_eqdepth_bucket_properties(spark):
+    """Equi-depth histogram arm: 8 buckets, counts differ by <= 1,
+    boundaries non-decreasing, counts sum to the corpus size."""
+    from pmocr_spark.queries import QUERY_FNS
+
+    rows = [
+        r
+        for r in QUERY_FNS["q30_distinct_sources"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        if r.part == "eqdepth"
+    ]
+    assert len(rows) == 8
+    by_bucket = sorted(rows, key=lambda r: int(r.k1))
+    counts = [r.n for r in by_bucket]
+    assert max(counts) - min(counts) <= 1
+    bounds = [int(r.k2) for r in by_bucket]
+    assert bounds == sorted(bounds)
+    import duckdb
+
+    n = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(counts) == n
