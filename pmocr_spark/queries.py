@@ -5248,6 +5248,16 @@ _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 #: domain (blocks all subdomains), middle suffix, plain apex host.
 _Q40_BLOCKLIST = ["ads.src0.com", "src1.net", "tracker.src2.org", "src3.com"]
 
+#: q40 part='badwords' lexicon (LDNOOBW-style term blocklist, C4 §2.2's
+#: page-drop rule): two corpus-vocabulary words so both hit and miss
+#: classes appear in the gate window, one absent word so a spurious
+#: match would flip rows.
+_Q40_BADWORDS = ["slow", "merge", "leak"]
+
+
+def _q40_badwords_sql() -> str:
+    return "[" + ", ".join(f"'{wd}'" for wd in _Q40_BADWORDS) + "]"
+
 #: q40 part='robots' literal rule set (RFC 9309 prefix rules): exercises
 #: plain deny, longer-allow-overrides-deny, sibling-prefix deny with a
 #: carve-out, and a deep deny that only fires on the /deep suffix docs.
@@ -5494,6 +5504,20 @@ def _q40_robots_sql_lit() -> str:
              replace(replace(replace(text, 'a', 'a' || chr(768)),
                      'e', 'e' || chr(769)), 'o', 'o' || chr(771)) AS dtxt
       FROM documents)
+    UNION ALL
+    -- badwords: LDNOOBW/C4-style lexicon page drop; matched set +
+    -- occurrence count in-row, keep = no occurrence
+    SELECT 'badwords' AS part, doc_id,
+           coalesce(array_to_string(
+             list_sort(list_distinct(list_intersect(bwt, {_q40_badwords_sql()}))),
+             ','), '')                          AS out_text,
+           cast(len(list_filter(bwt,
+             t -> list_contains({_q40_badwords_sql()}, t))) AS BIGINT) AS n_a,
+           cast(len(bwt) AS BIGINT)             AS n_b,
+           cast(CASE WHEN len(list_filter(bwt,
+             t -> list_contains({_q40_badwords_sql()}, t))) = 0
+                THEN 1 ELSE 0 END AS BIGINT)    AS keep
+    FROM (SELECT doc_id, {_TOKS_SQL} AS bwt FROM documents)
     """,
 )
 def q40_pii_redact(spark, sf_dir):
@@ -5885,6 +5909,28 @@ def q40_pii_redact(spark, sf_dir):
         F.length("comp").cast("long").alias("n_b"),
         (F.length("dec") > F.length("comp")).cast("long").alias("keep"),
     )
+    # part='badwords' (round 5): lexicon term filter — the
+    # LDNOOBW-style bad-word page drop C4 applies before every other
+    # rule (Raffel et al. JMLR 2020 §2.2: "any word on the blocklist").
+    # The SCALABLE shape for a ~2k-word lexicon is a literal array in
+    # the plan (broadcast-by-construction) probed with in-row array
+    # ops — array_intersect for the matched set, a filter lambda for
+    # occurrence counts — never a regex alternation scan and never a
+    # join: the arm stays inside whole-stage codegen and the family's
+    # 0-exchange pin.
+    toks40 = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    lex = F.array(*[F.lit(wd) for wd in _Q40_BADWORDS])
+    n_occ = F.size(F.filter(toks40, lambda t: t.isin(*_Q40_BADWORDS)))
+    badwords = d.select(
+        F.lit("badwords").alias("part"),
+        "doc_id",
+        F.concat_ws(",", F.array_sort(F.array_intersect(toks40, lex))).alias(
+            "out_text"
+        ),
+        n_occ.cast("long").alias("n_a"),
+        F.size(toks40).cast("long").alias("n_b"),
+        (n_occ == 0).cast("long").alias("keep"),
+    )
     return (
         pii.unionAll(c4)
         .unionAll(linededup)
@@ -5895,6 +5941,7 @@ def q40_pii_redact(spark, sf_dir):
         .unionAll(moji)
         .unionAll(robots)
         .unionAll(nfc)
+        .unionAll(badwords)
     )
 
 

@@ -77,3 +77,26 @@ def test_join_regime_plan(spark):
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 1, plan
     assert not shape.has_cartesian(out), plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q40_badwords_classes(spark):
+    """Lexicon page-drop arm: keep==1 rows are match-free, matched sets
+    never contain the absent lexicon word, occurrence count >= distinct
+    matched count."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import QUERY_FNS
+
+    rows = (
+        QUERY_FNS["q40_pii_redact"](spark, "/root/testdata/sf0.001")
+        .filter(F.col("part") == "badwords")
+        .collect()
+    )
+    assert rows and any(r.keep == 1 for r in rows) and any(r.keep == 0 for r in rows)
+    for r in rows:
+        matched = [w for w in r.out_text.split(",") if w]
+        if r.keep == 1:
+            assert r.n_a == 0 and matched == []
+        else:
+            assert r.n_a >= len(matched) >= 1
+        assert "leak" not in matched
