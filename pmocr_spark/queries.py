@@ -6891,6 +6891,11 @@ _CHUNK_TOKENS = 32
 _CDC_K = 3
 _CDC_MOD = 8
 
+#: TextTiling block width (tokens per side of each gap) and the minimum
+#: local-minimum depth (integer cohesion units) for a topic boundary
+_TILE_W = 8
+_TILE_MIN_DEPTH = 2
+
 
 @query(
     "q46_pack_sequences",
@@ -6964,6 +6969,45 @@ _CDC_MOD = 8
       SELECT doc_id, i, L, list_slice(ws, i * L + 1, (i + 1) * L) AS swc
       FROM (SELECT doc_id, ws, 5 + doc_id % 4 AS L FROM w),
            unnest(range(0, cast(ceil(len(ws) / L) AS BIGINT))) AS u(i))
+    UNION ALL
+    -- tile: TextTiling (Hearst CL'97) — gap cohesion every {_TILE_W}
+    -- tokens as the INTEGER term-overlap product of the two adjacent
+    -- {_TILE_W}-token blocks; boundaries at interior local minima with
+    -- depth >= {_TILE_MIN_DEPTH}. range() bounds make short docs
+    -- (K < 3 gaps) empty without a typed CASE.
+    SELECT 'tile' AS part, doc_id,
+           cast(r.depth AS BIGINT) AS n_tokens,
+           cast(r.pos AS BIGINT)   AS cum_before,
+           cast(r.j - 1 AS BIGINT) AS bin,
+           md5(array_to_string(tk[r.pos + 1 : r.pos + {_TILE_W}], ' ')) AS key
+    FROM (
+      SELECT doc_id, tk,
+             unnest(list_transform(range(1, len(bnds) + 1),
+               j -> {{'j': j, 'pos': bnds[j].pos, 'depth': bnds[j].depth}})) AS r
+      FROM (
+        SELECT doc_id, tk,
+               list_filter(list_transform(range(2, greatest(K, 2)),
+                 i -> {{'pos': i * {_TILE_W},
+                        'depth': sims[i-1] + sims[i+1] - 2 * sims[i],
+                        'ok': sims[i] < sims[i-1] AND sims[i] <= sims[i+1]}}),
+                 s -> s.ok AND s.depth >= {_TILE_MIN_DEPTH}) AS bnds
+        FROM (
+          SELECT doc_id, tk, K,
+                 list_transform(range(1, CASE WHEN K >= 3 THEN K + 1 ELSE 1 END),
+                   i -> cast(list_sum(list_transform(
+                          list_distinct(tk[i*{_TILE_W} - {_TILE_W - 1} : i*{_TILE_W}]),
+                          t -> len(list_filter(
+                                 tk[i*{_TILE_W} - {_TILE_W - 1} : i*{_TILE_W}],
+                                 x -> x = t))
+                             * len(list_filter(
+                                 tk[i*{_TILE_W} + 1 : i*{_TILE_W} + {_TILE_W}],
+                                 x -> x = t)))) AS BIGINT))
+                 AS sims
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS tk,
+                       len(string_split_regex(trim(text), '\\s+'))
+                         // {_TILE_W} - 1 AS K
+                FROM documents))))
     """,
 )
 def q46_pack_sequences(spark, sf_dir):
@@ -6983,6 +7027,11 @@ def q46_pack_sequences(spark, sf_dir):
         chunk frames depend only on local content and re-synchronize
         after edits (dedup-stable chunk keys, unlike fixed-width
         'chunk'). Same row shape; entirely in-row, zero exchanges.
+      * part='tile' (round 5, fourteenth pass): TextTiling topic
+        segmentation (Hearst CL'97) — integer gap-cohesion scores
+        every _TILE_W tokens, boundaries at interior local minima with
+        depth >= _TILE_MIN_DEPTH; the chunking rule that cuts at TOPIC
+        SHIFTS. In-row like cdc; n_tokens carries the depth score.
 
     The pack oracle states a single global window; the Spark plan must
     NOT (that window would pull 10^12 rows through one partition).
@@ -7156,7 +7205,81 @@ def q46_pack_sequences(spark, sf_dir):
             F.md5(F.col("s").cast("binary")).alias("key"),
         )
     )
-    return pack.unionAll(chunk).unionAll(cdc).unionAll(sent)
+    # part='tile' (round 5): TextTiling topic segmentation (Hearst,
+    # CL 1997) — the chunking rule that cuts at TOPIC SHIFTS instead of
+    # fixed widths or hash boundaries. Gap cohesion every _TILE_W
+    # tokens = the term-overlap PRODUCT of the two adjacent _TILE_W
+    # blocks (Σ_t c_L(t)·c_R(t) — the cosine numerator; blocks are
+    # fixed-width so the norm is near-constant and the score stays an
+    # EXACT INTEGER, the engine-portability discipline), boundaries at
+    # interior local minima (strict left / non-strict right tie rule)
+    # with depth = s_{i-1} + s_{i+1} - 2·s_i >= _TILE_MIN_DEPTH.
+    # ENTIRELY IN-ROW (token array -> sims array -> boundary structs ->
+    # posexplode bounded by boundary count): pure map, ZERO exchanges,
+    # zero Python at any corpus size. n_tokens = depth, cum_before =
+    # boundary token position, key = md5 of the _TILE_W tokens after
+    # the cut (pins the slice arithmetic).
+    _tw = _TILE_W
+    Kc = (F.floor(F.size("ws") / _tw) - 1).cast("int")
+
+    def _tile_sim(i):
+        p = i * _tw
+        left = F.slice("ws", p - _tw + 1, _tw)
+        right = F.slice("ws", p + 1, _tw)
+        return F.aggregate(
+            F.transform(
+                F.array_distinct(left),
+                lambda t: (
+                    F.size(F.filter(left, lambda x: x == t))
+                    * F.size(F.filter(right, lambda y: y == t))
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def _s_at(i):
+        return F.get("sims", i - 1)  # 1-based gap -> 0-based index
+
+    sims_col = F.when(
+        Kc >= 3, F.transform(F.sequence(F.lit(1), Kc), _tile_sim)
+    ).otherwise(F.array().cast("array<long>"))
+    bnds_col = F.when(
+        Kc >= 3,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(2), Kc - 1),
+                lambda i: F.struct(
+                    (i * _tw).cast("long").alias("pos"),
+                    (_s_at(i - 1) + _s_at(i + 1) - 2 * _s_at(i)).alias("depth"),
+                    ((_s_at(i) < _s_at(i - 1)) & (_s_at(i) <= _s_at(i + 1))).alias(
+                        "ok"
+                    ),
+                ),
+            ),
+            lambda s: s["ok"] & (s["depth"] >= _TILE_MIN_DEPTH),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<pos:bigint,depth:bigint,ok:boolean>>")
+    )
+    tile = (
+        w.withColumn("sims", sims_col)
+        .withColumn("bnds", bnds_col)
+        .select("doc_id", "ws", F.posexplode("bnds").alias("j", "b"))
+        .select(
+            F.lit("tile").alias("part"),
+            "doc_id",
+            F.col("b.depth").cast("long").alias("n_tokens"),
+            F.col("b.pos").alias("cum_before"),
+            F.col("j").cast("long").alias("bin"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("ws", F.col("b.pos") + 1, _tw)
+                ).cast("binary")
+            ).alias("key"),
+        )
+    )
+    return pack.unionAll(chunk).unionAll(cdc).unionAll(sent).unionAll(tile)
 
 
 def _q47_minhash_arm(spark, sf_dir):
