@@ -2491,7 +2491,18 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
                   / 5) AS BIGINT)                                   AS n_stop,
              cast(len(regexp_extract_all(lower(text), '[aeiouy]+'))
                   AS BIGINT)                                        AS n_syll,
-             greatest(1, len(regexp_extract_all(text, '[.!?]+')))   AS n_sent
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))   AS n_sent,
+             -- Shannon char entropy in integer micro-nats: per-char
+             -- terms round BEFORE the (order-free integer) sum; the
+             -- final division is integer // (mirrors Spark `div`)
+             cast(round(1000000.0 * ln(length(text))) AS BIGINT)
+             - cast(list_sum(list_transform(
+                 list_sort(list_distinct(string_split(text, ''))),
+                 c -> cast(round(1000000.0
+                       * len(list_filter(string_split(text, ''), x -> x = c))
+                       * ln(len(list_filter(string_split(text, ''), x -> x = c))))
+                      AS BIGINT))) AS BIGINT)
+               // length(text)                                      AS char_entropy_micro
       FROM documents),
     t AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') w FROM documents),
@@ -2506,6 +2517,7 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
     hit AS (SELECT doc_id, count(*) AS n_hit FROM g JOIN topv USING (bg) GROUP BY doc_id),
     cov AS (
       SELECT f.doc_id, n_chars, n_tokens, n_punct, n_stop, n_syll, n_sent,
+             char_entropy_micro,
              round(coalesce(n_hit, 0) * 1.0 / n_bg, 4)              AS common_bigram_frac
       FROM f LEFT JOIN pd ON f.doc_id = pd.doc_id
              LEFT JOIN hit ON f.doc_id = hit.doc_id),
@@ -2580,6 +2592,7 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
                 WHEN r.rnk * 3 <= r.n THEN 'head'
                 WHEN r.rnk * 3 <= 2 * r.n THEN 'middle'
                 ELSE 'tail' END                                     AS lm_bucket,
+           c.char_entropy_micro,
            lrsc.lr_quality,
            sbd.sb_lp_micro,
            knd.kn_lp_micro
@@ -2671,6 +2684,25 @@ def q24_quality_score(spark, sf_dir):
             F.lit(1).cast("long"),
             F.regexp_count("text", F.lit("[.!?]+")).cast("long"),
         ).alias("n_sent"),
+        # round 5 (fourteenth pass): Shannon character entropy (the
+        # CCNet-family gibberish/binary-noise signal — natural text
+        # sits ~2.5-4.5 nats, base64 blobs and key-mash noise higher,
+        # aaaa-runs lower). H = ln(n) - (Σ_c cnt·ln(cnt))/n; each
+        # term rounds to INTEGER micro-nats before the sum (order-free
+        # integer addition — the sb_lp_micro discipline) and the final
+        # division is integer `div`, so parity is exact by
+        # construction. In-row over the char array: pure map.
+        F.expr(
+            "cast(round(1000000.0 * ln(length(text))) as bigint)"
+            " - aggregate("
+            "     transform(array_sort(array_distinct(split(text, ''))),"
+            "       c -> cast(round(1000000.0"
+            "                 * size(filter(split(text, ''), x -> x = c))"
+            "                 * ln(size(filter(split(text, ''), x -> x = c))))"
+            "            as bigint)),"
+            "     0L, (a, x) -> a + x)"
+            "   div length(text)"
+        ).alias("char_entropy_micro"),
     )
     # five consumers now share the exploded bigram frame (coverage's
     # topv/per_doc/hits + stupid-backoff's train counts/transitions):
@@ -2900,6 +2932,7 @@ def q24_quality_score(spark, sf_dir):
             ).alias("fk_grade"),
             "common_bigram_frac",
             "lm_bucket",
+            "char_entropy_micro",
         )
         .join(lr, "doc_id", "left")
         .join(sbd, "doc_id", "left")

@@ -86,3 +86,34 @@ def test_yule_k_hand_formula(spark, tmp_path):
         for r in QUERY_FNS["q41_repetition_quality"](spark, sf).collect()
     }
     assert got == {1: 3_750_000_000, 2: 0}
+
+
+def test_char_entropy_known_values(spark, tmp_path):
+    """q24 char_entropy_micro: hand-computable distributions — a
+    uniform 2-symbol text gives ln(2) micro-nats (minus div-floor), a
+    1-symbol run gives 0, and natural text lands in the 2.5-4.5 nat
+    band."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import QUERY_FNS
+
+    rows = [
+        (1, "ababababababab"),  # p(a)=p(b)=0.5 -> H = ln 2
+        (2, "aaaaaaaaaaaaaa"),  # H = 0
+        (3, "the quick brown fox jumps over the lazy dog"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("src0")
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.char_entropy_micro
+        for r in QUERY_FNS["q24_quality_score"](spark, str(tmp_path)).collect()
+    }
+    # n=14, Σ cnt·ln(cnt) term-rounds then //14: within 2 micro of ln 2
+    assert abs(got[1] - round(1e6 * math.log(2))) <= 2
+    assert got[2] == 0
+    assert 2_500_000 < got[3] < 4_500_000
