@@ -1828,7 +1828,40 @@ _BM25_ORACLE_CTES = """
       JOIN btf f USING (term)
       JOIN bdf USING (term)
       JOIN bdl ON f.doc_id = bdl.doc_id, bst
-      GROUP BY q.query_id, f.doc_id)
+      GROUP BY q.query_id, f.doc_id),
+    -- mrr: known-item search eval — 16-token queries (the longer
+    -- query regime where self-retrieval is meaningful) over the SAME
+    -- corpus statistics (btf/bdf/bdl/bst reused); gold reciprocal
+    -- rank of the self target in the top-5, integer micro-units
+    -- (1000000 // rank, 0 on a miss)
+    bq16 AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(w[1:16]) AS term
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents WHERE doc_id % 100 = 0)),
+    bsc16 AS (
+      SELECT q.query_id, f.doc_id,
+             cast(sum(cast(round(1000000.0
+                  * ln(1 + (n_docs - dfr + 0.5) / (dfr + 0.5))
+                  * (f.tf * 2.2)
+                  / (f.tf + 1.2 * (0.25 + 0.75 * (dl * n_docs) / sum_dl)), 0)
+                  AS BIGINT)) AS BIGINT) AS score_u
+      FROM bq16 q
+      JOIN btf f USING (term)
+      JOIN bdf USING (term)
+      JOIN bdl ON f.doc_id = bdl.doc_id, bst
+      GROUP BY q.query_id, f.doc_id),
+    mrrg AS (
+      SELECT q.query_id, coalesce(t.rk, 0) AS grk,
+             CASE WHEN coalesce(t.rk, 0) > 0
+                  THEN 1000000 // t.rk ELSE 0 END AS rr_u
+      FROM (SELECT DISTINCT query_id FROM bq16) q
+      LEFT JOIN (
+        SELECT query_id, doc_id, rk FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_u DESC, doc_id) AS rk
+          FROM bsc16) WHERE rk <= 5) t
+        ON t.query_id = q.query_id AND t.doc_id = q.query_id)
 """
 
 
@@ -1890,6 +1923,14 @@ _BM25_ORACLE_CTES = """
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score_u DESC, doc_id) AS rk
       FROM bsc) WHERE rk <= 5
+    UNION ALL
+    SELECT 'mrr' AS part, query_id, query_id AS neighbor_id,
+           grk AS rk, cast(rr_u AS DOUBLE) AS score
+    FROM mrrg
+    UNION ALL
+    SELECT 'mrr' AS part, -1 AS query_id, -1 AS neighbor_id,
+           count(*) AS rk, cast(sum(rr_u) // count(*) AS DOUBLE) AS score
+    FROM mrrg
     UNION ALL
     -- hybrid: RRF fusion (Cormack SIGIR'09, k=60) of the dense cosine
     -- and BM25 top-50 rank lists; integer micro-unit contributions
@@ -2004,7 +2045,81 @@ def q21_ann_bruteforce(spark, sf_dir):
         .unionAll(_bm25_arm(spark, sf_dir))
         .unionAll(_hybrid_arm(spark, sf_dir))
         .unionAll(_phrase_arm(spark, sf_dir))
+        .unionAll(_mrr_arm(spark, sf_dir))
     )
+
+
+#: mrr-arm query width: 16 tokens — the known-item regime (a 3-token
+#: query over a small-vocab corpus carries no identifying idf mass, so
+#: self-retrieval MRR would be degenerate zero)
+_MRR_QTOKENS = 16
+
+
+def _mrr_arm(spark, sf_dir):
+    """q21 part='mrr' (round 5): retrieval-quality EVALUATION under the
+    gate — MRR@5 (the TREC mean-reciprocal-rank metric, Voorhees
+    TREC-8) of BM25 known-item search against the self-retrieval gold:
+    the query IS doc q's _MRR_QTOKENS-token prefix, so q is its own
+    relevant document. Per query: the gold's reciprocal rank in
+    integer micro-units (1000000 div rank; 0 on a top-5 miss — misses
+    COUNT, the usual MRR@k cut); one summary row (ids = -1) carries
+    n_queries and the integer-mean micro-MRR, so the corpus metric
+    itself sits under the driver hash. Both hit ranks and misses
+    appear in the gate window (pinned by tests). Integer arithmetic
+    end-to-end: no float-sum ordering anywhere. Scale: one extra
+    bm25_search over the query-sized side (queries broadcast onto the
+    postings); the gold probe is one equi-join; the summary a 2-number
+    agg."""
+    from pmocr_spark.operators.bm25 import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    qset = d.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id")
+    )
+    q = (
+        d.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, _MRR_QTOKENS)
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    res = bm25_search(d, q, topk=5)
+    gold = res.filter(F.col("query_id") == F.col("doc_id")).select(
+        "query_id", "rk"
+    )
+    rr = (
+        qset.join(gold, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("rk"), F.lit(0)).cast("int").alias("grk"),
+        )
+        .withColumn(
+            "rr_u",
+            F.expr("case when grk > 0 then 1000000 div grk else 0 end").cast(
+                "long"
+            ),
+        )
+    )
+    per_q = rr.select(
+        F.lit("mrr").alias("part"),
+        "query_id",
+        F.col("query_id").alias("neighbor_id"),
+        F.col("grk").alias("rk"),
+        F.col("rr_u").cast("double").alias("score"),
+    )
+    summ = rr.agg(
+        F.count("*").alias("nq"), F.sum("rr_u").alias("s")
+    ).select(
+        F.lit("mrr").alias("part"),
+        F.lit(-1).cast("long").alias("query_id"),
+        F.lit(-1).cast("long").alias("neighbor_id"),
+        F.col("nq").cast("int").alias("rk"),
+        F.expr("cast(s div nq as double)").alias("score"),
+    )
+    return per_q.unionAll(summ)
 
 
 def _phrase_arm(spark, sf_dir):

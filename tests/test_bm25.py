@@ -284,3 +284,26 @@ def test_search_phrase_cli(spark, tmp_path):
     with _pytest.raises(SystemExit):  # topk guard
         cli.parse_args(["--search-phrase", "x y", "--input", src,
                         "--output", out, "--search-topk", "0"])
+
+
+def test_q21_mrr_arm_classes_and_summary(spark):
+    """MRR arm: per-query rows cover hits AND misses on the gate
+    corpus; the summary row equals the integer mean of the per-query
+    micro reciprocal ranks; score is always 1000000 div rk for hits."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import QUERY_FNS
+
+    rows = (
+        QUERY_FNS["q21_ann_bruteforce"](spark, "/root/testdata/sf0.001")
+        .filter(F.col("part") == "mrr")
+        .collect()
+    )
+    per_q = [r for r in rows if r.query_id >= 0]
+    summ = [r for r in rows if r.query_id == -1]
+    assert len(summ) == 1 and summ[0].rk == len(per_q)
+    assert any(r.rk > 0 for r in per_q) and any(r.rk == 0 for r in per_q)
+    for r in per_q:
+        assert r.neighbor_id == r.query_id
+        assert r.score == (1000000 // r.rk if r.rk else 0)
+    assert summ[0].score == sum(int(r.score) for r in per_q) // len(per_q)
