@@ -3924,7 +3924,7 @@ def q29_hourly_rollup(spark, sf_dir):
 
 @query(
     "q30_distinct_sources",
-    """
+    f"""
     SELECT 'pairs' AS part, source AS k1, lang AS k2, cast(1 AS BIGINT) AS n
     FROM (SELECT DISTINCT source, lang FROM documents)
     UNION ALL
@@ -3952,6 +3952,19 @@ def q29_hourly_rollup(spark, sf_dir):
             FROM documents),
            (SELECT count(*) AS nt FROM documents))
     GROUP BY bucket
+    UNION ALL
+    -- heaps: vocabulary growth by corpus decile — new terms = terms
+    -- whose FIRST occurrence (min doc_id) falls in the decile,
+    -- cumulative = the Heaps-law V(n) curve
+    SELECT 'heaps', cast(dc AS VARCHAR),
+           cast(sum(nv) OVER (ORDER BY dc) AS VARCHAR), nv
+    FROM (
+      SELECT (fo * 10) // nd AS dc, count(*) AS nv
+      FROM (SELECT term, min(doc_id) AS fo
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+            WHERE term <> '' GROUP BY term),
+           (SELECT max(doc_id) + 1 AS nd FROM documents)
+      GROUP BY dc)
     """,
 )
 def q30_distinct_sources(spark, sf_dir):
@@ -4022,7 +4035,34 @@ def q30_distinct_sources(spark, sf_dir):
         F.lit("").alias("k2"),
         F.col("n").cast("long").alias("n"),
     )
-    return pairs.unionAll(nusers).unionAll(hll).unionAll(eqd)
+    # part='heaps' (round 5): vocabulary growth by corpus decile — the
+    # Heaps-law V(n) curve (Heaps 1978), the datasheet statistic that
+    # predicts index/vocab sizing at the next scale-up. A term's decile
+    # = where its FIRST occurrence falls in doc order: one
+    # vocabulary-keyed min agg (map-side combined) over the exploded
+    # terms, decile in pure integer `div` arithmetic against a
+    # broadcast 1-row max, one 10-row count agg, and the cumulative sum
+    # is a window over those 10 rows (bounded by the decile count BY
+    # CONSTRUCTION — never corpus-sized).
+    terms30 = d.select(
+        "doc_id", F.explode(_toks_col()).alias("term")
+    ).filter(F.length("term") > 0)
+    nd = d.agg((F.max("doc_id") + 1).alias("nd"))
+    heaps = (
+        terms30.groupBy("term")
+        .agg(F.min("doc_id").alias("fo"))
+        .crossJoin(F.broadcast(nd))
+        .select(F.expr("(fo * 10) div nd").alias("dc"))
+        .groupBy("dc")
+        .agg(F.count("*").alias("nv"))
+        .select(
+            F.lit("heaps").alias("part"),
+            F.col("dc").cast("string").alias("k1"),
+            F.sum("nv").over(W.orderBy("dc")).cast("string").alias("k2"),
+            F.col("nv").cast("long").alias("n"),
+        )
+    )
+    return pairs.unionAll(nusers).unionAll(hll).unionAll(eqd).unionAll(heaps)
 
 
 # =====================================================================

@@ -347,3 +347,34 @@ def test_q30_eqdepth_bucket_properties(spark):
         "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
     ).fetchone()[0]
     assert sum(counts) == n
+
+
+def test_q30_heaps_curve_properties(spark):
+    """Heaps arm: deciles cover the corpus, cumulative curve is
+    monotone and concave-ish (early deciles introduce most new terms on
+    a Heaps-law corpus), final cumulative == total distinct vocab."""
+    import duckdb
+
+    from pmocr_spark.queries import QUERY_FNS
+
+    rows = sorted(
+        (
+            (int(r.k1), int(r.k2), r.n)
+            for r in QUERY_FNS["q30_distinct_sources"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+            if r.part == "heaps"
+        )
+    )
+    assert [d for d, _, _ in rows] == sorted({d for d, _, _ in rows})
+    cums = [c for _, c, _ in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(n for _, _, n in rows)
+    vocab = duckdb.sql(
+        "SELECT count(DISTINCT t) FROM (SELECT unnest(string_split_regex("
+        "lower(trim(text)), '\\s+')) AS t FROM "
+        "'/root/testdata/sf0.001/documents.parquet') WHERE t <> ''"
+    ).fetchone()[0]
+    assert cums[-1] == vocab
+    # first decile dominates growth on a closed-vocabulary corpus
+    assert rows[0][2] == max(n for _, _, n in rows)
