@@ -6647,7 +6647,25 @@ _KWIC_TERM = "customer"
                    cast(count(*) AS BIGINT) AS df
             FROM tfq GROUP BY term)
       WHERE cf >= 10
-      ORDER BY cnt DESC, bigram ASC LIMIT 20)
+      ORDER BY cnt DESC, bigram ASC LIMIT 20),
+    -- zipf (round 5): rank-frequency slope over the top-100 terms —
+    -- x/y in integer micro-log units, least-squares sums as exact
+    -- BIGINTs, ONE double division at the end
+    zipfr AS (
+      SELECT word, rnk,
+             cast(round(1000000.0 * ln(rnk)) AS BIGINT)  AS zx,
+             cast(round(1000000.0 * ln(freq)) AS BIGINT) AS zy
+      FROM (SELECT word, freq,
+                   row_number() OVER (ORDER BY freq DESC, word ASC) AS rnk
+            FROM wf)
+      WHERE rnk <= 100),
+    zipfs AS (
+      SELECT count(*) AS zn,
+             cast(sum(zx) AS BIGINT)      AS sx,
+             cast(sum(zy) AS BIGINT)      AS sy,
+             cast(sum(zx * zy) AS BIGINT) AS sxy,
+             cast(sum(zx * zx) AS BIGINT) AS sxx
+      FROM zipfr)
     SELECT * FROM wb UNION ALL SELECT * FROM cb
     UNION ALL SELECT 'merge1' AS part, ml || ' ' || mr AS bigram, cnt FROM b1
     UNION ALL SELECT 'merge2' AS part, ml || ' ' || mr AS bigram, cnt FROM b2
@@ -6685,6 +6703,13 @@ _KWIC_TERM = "customer"
     FROM rkr WHERE rk <= 1
     UNION ALL
     SELECT * FROM burstk
+    UNION ALL
+    SELECT 'zipf' AS part, word AS bigram, cast(rnk AS BIGINT) AS cnt FROM zipfr
+    UNION ALL
+    SELECT 'zipf' AS part, '__slope__' AS bigram,
+           cast(round(1000000.0 * (zn * sxy - sx * sy)
+                      / (zn * sxx - sx * sx)) AS BIGINT) AS cnt
+    FROM zipfs
     """.replace("<<KWIC_TERM>>", _KWIC_TERM),
 )
 def q44_bigram_lm_topk(spark, sf_dir):
@@ -7015,6 +7040,59 @@ def q44_bigram_lm_topk(spark, sf_dir):
         F.col("term").alias("bigram"),
         F.col("burst_micro").alias("cnt"),
     )
+    # part='zipf' (round 5, fourteenth pass): Zipf rank-frequency slope
+    # (Zipf 1949) over the top-100 terms of the SAME cached word table
+    # — the one-number corpus-health statistic (natural language ≈ −1;
+    # boilerplate floods flatten it, key-mash noise steepens it).
+    # Least-squares over (ln rank, ln freq) in integer micro-log units:
+    # x/y round to BIGINT per term, the five regression sums are EXACT
+    # integer aggs (order-free), and the slope is ONE double division
+    # of identical integer operands — the FS/entropy parity discipline.
+    # Top-100 = TakeOrderedAndProject; the rank window runs on the
+    # 100-row limited frame (bounded by construction). Per-term rows
+    # pin the ranking; the '__slope__' row pins the regression.
+    w_z = W.orderBy(F.col("freq").desc(), F.col("word").asc())
+    ztop = (
+        wfd.orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(100)
+        .withColumn("rnk", F.row_number().over(w_z))
+        .select(
+            "word",
+            "rnk",
+            F.round(F.lit(1000000.0) * F.log(F.col("rnk").cast("double")), 0)
+            .cast("long")
+            .alias("zx"),
+            F.round(F.lit(1000000.0) * F.log(F.col("freq").cast("double")), 0)
+            .cast("long")
+            .alias("zy"),
+        )
+    )
+    zrows = ztop.select(
+        F.lit("zipf").alias("part"),
+        F.col("word").alias("bigram"),
+        F.col("rnk").cast("long").alias("cnt"),
+    )
+    zslope = (
+        ztop.agg(
+            F.count("*").alias("zn"),
+            F.sum("zx").alias("sx"),
+            F.sum("zy").alias("sy"),
+            F.sum(F.col("zx") * F.col("zy")).alias("sxy"),
+            F.sum(F.col("zx") * F.col("zx")).alias("sxx"),
+        )
+        .select(
+            F.lit("zipf").alias("part"),
+            F.lit("__slope__").alias("bigram"),
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("zn") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("zn") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                0,
+            )
+            .cast("long")
+            .alias("cnt"),
+        )
+    )
     return (
         wb.unionAll(cb).unionAll(mrows).unionAll(useed).unionAll(cms)
         .unionAll(spell)
@@ -7026,6 +7104,8 @@ def q44_bigram_lm_topk(spark, sf_dir):
         .unionAll(trank)
         .unionAll(rake)
         .unionAll(burst)
+        .unionAll(zrows)
+        .unionAll(zslope)
     )
 
 

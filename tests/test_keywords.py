@@ -297,3 +297,48 @@ def test_cli_keywords_rake(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):  # knob without its mode
         cli.main(["--keyword-method", "rake", "--input", src,
                   "--output", out, "--master", "local[2]"])
+
+
+def test_q44_zipf_slope_on_zipfian_corpus(spark, tmp_path):
+    """Zipf arm: on a constructed corpus with freq(r) = 256//r the
+    slope row equals the pure-python micro-unit least squares exactly
+    and sits near -1e6 (the Zipf law); per-term rows pin the ranking."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import QUERY_FNS
+
+    words = []
+    freqs = {}
+    for r in range(1, 21):
+        wd = f"w{r:02d}"
+        freqs[wd] = 256 // r
+        words += [wd] * freqs[wd]
+    rows = [(1, " ".join(words))]
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("src0")
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.bigram: r.cnt
+        for r in QUERY_FNS["q44_bigram_lm_topk"](spark, str(tmp_path))
+        .filter(F.col("part") == "zipf")
+        .collect()
+    }
+    # ranking pinned: w01 rank 1, w02 rank 2, ...
+    assert got["w01"] == 1 and got["w02"] == 2 and got["w20"] == 20
+    # exact replication of the integer-micro least squares
+    pts = [
+        (round(1e6 * math.log(r)), round(1e6 * math.log(freqs[f"w{r:02d}"])))
+        for r in range(1, 21)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    want = round(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    assert got["__slope__"] == want
+    assert -1_200_000 < want < -800_000
