@@ -3922,6 +3922,11 @@ def q29_hourly_rollup(spark, sf_dir):
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
 
 
+#: k-anonymity threshold (q30 part='kanon'): minimum group size a
+#: published quasi-identifier row may isolate
+_KANON_K = 5
+
+
 @query(
     "q30_distinct_sources",
     f"""
@@ -3952,6 +3957,22 @@ def q29_hourly_rollup(spark, sf_dir):
             FROM documents),
            (SELECT count(*) AS nt FROM documents))
     GROUP BY bucket
+    UNION ALL
+    -- kanon: k-anonymity release — quasi-identifier groups with
+    -- count >= 5 are released, the rest suppressed into one tally row
+    SELECT 'kanon', lang || '|' || source, cast(n_chars // 100 AS VARCHAR),
+           count(*)
+    FROM documents
+    GROUP BY lang, source, n_chars // 100
+    HAVING count(*) >= 5
+    UNION ALL
+    SELECT 'kanon', '__suppressed__', cast(count(*) AS VARCHAR),
+           cast(coalesce(sum(c), 0) AS BIGINT)
+    FROM (
+      SELECT count(*) AS c
+      FROM documents
+      GROUP BY lang, source, n_chars // 100
+      HAVING count(*) < 5)
     UNION ALL
     -- heaps: vocabulary growth by corpus decile — new terms = terms
     -- whose FIRST occurrence (min doc_id) falls in the decile,
@@ -4062,7 +4083,46 @@ def q30_distinct_sources(spark, sf_dir):
             F.col("nv").cast("long").alias("n"),
         )
     )
-    return pairs.unionAll(nusers).unionAll(hll).unionAll(eqd).unionAll(heaps)
+    # part='kanon' (round 5): k-anonymity release (Sweeney, IJUFKS
+    # 2002 — the privacy gate a corpus datasheet publishes group
+    # statistics through): quasi-identifier = (lang, source,
+    # n_chars-century bucket); groups of >= _KANON_K records release
+    # their exact counts, smaller groups collapse into ONE suppressed
+    # tally (group + record counts), so no published row isolates
+    # fewer than k individuals. One keyed agg (map-side combined) +
+    # a filter and a 2-number agg over the suppressed remainder —
+    # scan-bound at any corpus size.
+    kg = d.groupBy(
+        F.concat_ws("|", "lang", "source").alias("qi"),
+        F.expr("n_chars div 100").alias("bkt"),
+    ).agg(F.count("*").alias("c"))
+    krel = kg.filter(F.col("c") >= _KANON_K).select(
+        F.lit("kanon").alias("part"),
+        F.col("qi").alias("k1"),
+        F.col("bkt").cast("string").alias("k2"),
+        F.col("c").cast("long").alias("n"),
+    )
+    ksup = (
+        kg.filter(F.col("c") < _KANON_K)
+        .agg(
+            F.count("*").alias("g"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("s"),
+        )
+        .select(
+            F.lit("kanon").alias("part"),
+            F.lit("__suppressed__").alias("k1"),
+            F.col("g").cast("string").alias("k2"),
+            F.col("s").cast("long").alias("n"),
+        )
+    )
+    return (
+        pairs.unionAll(nusers)
+        .unionAll(hll)
+        .unionAll(eqd)
+        .unionAll(heaps)
+        .unionAll(krel)
+        .unionAll(ksup)
+    )
 
 
 # =====================================================================

@@ -378,3 +378,29 @@ def test_q30_heaps_curve_properties(spark):
     assert cums[-1] == vocab
     # first decile dominates growth on a closed-vocabulary corpus
     assert rows[0][2] == max(n for _, _, n in rows)
+
+
+def test_q30_kanon_release_properties(spark):
+    """k-anonymity arm: every released group has >= k records, the
+    suppressed tally accounts for exactly the remaining records, and
+    both classes are present on the gate corpus."""
+    import duckdb
+
+    from pmocr_spark.queries import QUERY_FNS
+
+    rows = [
+        r
+        for r in QUERY_FNS["q30_distinct_sources"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        if r.part == "kanon"
+    ]
+    rel = [r for r in rows if r.k1 != "__suppressed__"]
+    sup = [r for r in rows if r.k1 == "__suppressed__"]
+    assert rel and len(sup) == 1
+    assert all(r.n >= 5 for r in rel)
+    total = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n for r in rel) + sup[0].n == total
+    assert sup[0].n > 0  # suppression actually exercised
