@@ -4446,6 +4446,17 @@ FROM r GROUP BY a
 UNION ALL
 SELECT 'pagerank', v.node, v.r, coalesce(o.od, 0)
 FROM pgr2 v LEFT JOIN pgod o ON o.s = v.node
+UNION ALL
+-- split: leakage-free train/val/test assignment — the bucket hangs
+-- off the duplicate-cluster ROOT (doc_id itself for singletons), so
+-- near-dup copies can never straddle a split boundary
+SELECT 'split', d.doc_id,
+       coalesce(c.root, d.doc_id),
+       ('0x' || substr(md5(cast(coalesce(c.root, d.doc_id) AS VARCHAR)),
+                       1, 8))::BIGINT % 10
+FROM documents d
+LEFT JOIN (SELECT a AS doc_id, min(b) AS root FROM r GROUP BY a) c
+  ON c.doc_id = d.doc_id
 """
 
 
@@ -4500,7 +4511,42 @@ def q50_dup_components(spark, sf_dir):
         F.col("rank_u").alias("value_a"),
         F.col("out_degree").alias("value_b"),
     )
-    return comp.unionAll(pr)
+    # part='split' (round 5, fourteenth pass): LEAKAGE-FREE
+    # train/val/test assignment — the operation every eval-honest
+    # pipeline needs and naive hash-splits get wrong: a near-dup pair
+    # straddling train/test leaks the test set into training. The
+    # split bucket hangs off the duplicate-cluster ROOT (the CC label;
+    # doc_id itself for singletons), so every member of a cluster
+    # lands in the same split BY CONSTRUCTION. Buckets via the
+    # established md5-prefix integer lift, % 10 (8/1/1 convention:
+    # <8 train, 8 val, 9 test — policy, stated here, not enforced).
+    # Scale: CC is bounded by candidate pairs; the root attach is one
+    # equi-join; the bucket a pure map.
+    roots = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("root"))
+    split = (
+        d.select("doc_id")
+        .join(roots, "doc_id", "left")
+        .select(
+            F.lit("split").alias("part"),
+            F.col("doc_id").alias("node"),
+            F.coalesce("root", F.col("doc_id")).alias("value_a"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.coalesce("root", F.col("doc_id")).cast("string")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 10
+            ).alias("value_b"),
+        )
+    )
+    return comp.unionAll(pr).unionAll(split)
 
 
 #: q33 kmeans-IVF parameters: embeddings are 64-d at every SF; centroids

@@ -99,3 +99,35 @@ def test_iter_checkpoint_env_knob(spark, tmp_path, monkeypatch):
     got = iter_checkpoint(df)
     assert got.count() == 5
     assert any((tmp_path / "ck2").rglob("*"))
+
+
+def test_q50_split_is_leakage_free(spark):
+    """Split arm: every doc gets a bucket in 0..9, all members of a dup
+    cluster share one bucket (no train/test straddle), and singletons
+    bucket off their own id."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import QUERY_FNS
+
+    rows = (
+        QUERY_FNS["q50_dup_components"](spark, "/root/testdata/sf0.001")
+        .filter(F.col("part").isin("split", "component"))
+        .collect()
+    )
+    split = {r.node: (r.value_a, r.value_b) for r in rows if r.part == "split"}
+    comp = {r.node: r.value_a for r in rows if r.part == "component"}
+    assert split and all(0 <= b <= 9 for _, b in split.values())
+    # clustered docs: root == CC label, bucket constant per cluster
+    by_root = {}
+    for node, label in comp.items():
+        assert split[node][0] == label
+        by_root.setdefault(label, set()).add(split[node][1])
+    assert by_root and all(len(b) == 1 for b in by_root.values())
+    assert any(len({n for n, c in comp.items() if c == root}) > 1
+               for root in by_root)
+    # singleton docs root off themselves
+    singles = [n for n in split if n not in comp]
+    assert singles and all(split[n][0] == n for n in singles)
+    # the 8/1/1 convention yields all three splits on the gate corpus
+    buckets = {b for _, b in split.values()}
+    assert buckets & set(range(8)) and 8 in buckets and 9 in buckets
