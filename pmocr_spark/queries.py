@@ -7879,7 +7879,28 @@ def _varint_len_sql(col: str) -> str:
       SELECT * FROM bands0 b0 WHERE NOT EXISTS (
         SELECT 1 FROM bands0 g WHERE g.band = b0.band AND g.key = b0.key
         GROUP BY g.band, g.key HAVING count(*) > {_MAX_BAND_BUCKET})
-    )
+    ),
+    wtok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents),
+    wkg AS (
+      SELECT doc_id, cast(i - 1 AS BIGINT) AS pos,
+             ('0x' || substr(md5(array_to_string(
+                 list_slice(ws, i, i + {_WIN_K - 1}), ' ')), 1, 7))::BIGINT AS fp
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - {_WIN_K - 1})) AS i
+            FROM wtok)),
+    wnk AS (SELECT doc_id, max(pos) AS mp FROM wkg GROUP BY doc_id),
+    wwin AS (
+      SELECT doc_id, unnest(generate_series(0, mp - {_WIN_W - 1})) AS i
+      FROM wnk WHERE mp >= {_WIN_W - 1}),
+    wcand AS (
+      SELECT w.doc_id, k.pos, k.fp,
+             row_number() OVER (PARTITION BY w.doc_id, w.i
+                                ORDER BY k.fp ASC, k.pos DESC) AS rn
+      FROM wwin w JOIN wkg k
+        ON k.doc_id = w.doc_id AND k.pos BETWEEN w.i AND w.i + {_WIN_W - 1}),
+    wsel AS (SELECT DISTINCT doc_id, fp FROM wcand WHERE rn = 1)
     SELECT 'minhash' AS part, a.doc_id AS id_a, b.doc_id AS id_b,
            cast(count(*) AS BIGINT)    AS n
     FROM bands a JOIN bands b
@@ -7891,6 +7912,17 @@ def _varint_len_sql(col: str) -> str:
              row_number() OVER (PARTITION BY ss.query_id
                                 ORDER BY ss.sim DESC, ss.neighbor_id) AS rk
       FROM sims ss JOIN pqshort USING (query_id, neighbor_id)) WHERE rk <= 5
+    UNION ALL
+    -- winnow: persisted MOSS-index self-probe — the q26 selection
+    -- restated (same k/w, 7-hex md5 hash, rightmost ties), pairs =
+    -- distinct-fp equi-join with the >= 2 floor
+    SELECT 'winnow' AS part, a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(count(*) AS BIGINT) AS n
+    FROM (SELECT DISTINCT doc_id, fp FROM wsel) a
+    JOIN (SELECT DISTINCT doc_id, fp FROM wsel) b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
     UNION ALL
     -- postings: block-partitioned delta-gap + LEB128 size arithmetic
     -- (operators/postings.py) — gap relative to the previous posting
@@ -7928,6 +7960,38 @@ def q47_dedup_index_probe(spark, sf_dir):
         .unionAll(_q47_pq_arm(spark, sf_dir))
         .unionAll(_q47_bloom_arm(spark, sf_dir))
         .unionAll(_q47_postings_arm(spark, sf_dir))
+        .unionAll(_q47_winnow_arm(spark, sf_dir))
+    )
+
+
+def _q47_winnow_arm(spark, sf_dir):
+    """part='winnow' (round 5): the persisted MOSS fingerprint index
+    lifecycle under the gate — the artifact `--winnow-dedup` writes
+    (.fps parquet). Build winnow_fingerprints fresh, write to a
+    scratch dir, READ BACK, and self-probe via
+    shared_fingerprint_pairs: a lossy write, schema drift, or a broken
+    read path all surface as a gate hash mismatch (the
+    bloom/pq-arm discipline). id_a/id_b = pair, n = distinct shared
+    fingerprints (>= 2, the CLI default floor)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.winnow import shared_fingerprint_pairs, winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    skey = hashlib.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}|winnow".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"pmocr_q47_winnow_{skey}")
+    _q47_scratch_register(path)
+    winnow_fingerprints(d).write.mode("overwrite").parquet(path)
+    fps = spark.read.parquet(path)
+    return shared_fingerprint_pairs(fps, min_shared=2).select(
+        F.lit("winnow").alias("part"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("n_shared").alias("n"),
     )
 
 

@@ -137,3 +137,29 @@ def test_density_roughly_two_over_w_plus_one(spark):
     d = n_sel / n_grams
     lo, hi = 0.5 * 2 / (DEFAULT_W + 1), 1.8 * 2 / (DEFAULT_W + 1)
     assert lo < d < hi, d
+
+
+def test_q47_winnow_arm_matches_direct_pairs(spark):
+    """Persisted-index arm: the round-tripped .fps self-probe equals
+    shared_fingerprint_pairs run directly on the in-memory frame (a
+    lossy write/read would diverge)."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import QUERY_FNS, _t
+
+    got = {
+        (r.id_a, r.id_b): r.n
+        for r in QUERY_FNS["q47_dedup_index_probe"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .filter(F.col("part") == "winnow")
+        .collect()
+    }
+    d = _t(spark, "/root/testdata/sf0.001", "documents")
+    direct = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in shared_fingerprint_pairs(
+            winnow_fingerprints(d), min_shared=2
+        ).collect()
+    }
+    assert got == direct and got
