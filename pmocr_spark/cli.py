@@ -711,6 +711,31 @@ def build_parser() -> argparse.ArgumentParser:
         "pair (default 2)",
     )
     p.add_argument(
+        "--snm-dedup",
+        action="store_true",
+        help="maintenance mode (standalone): sorted-neighborhood dedup "
+        "(Hernández-Stolfo SIGMOD'95 merge/purge: ONE corpus sort on a "
+        "first-3-token blocking key, in-window candidate pairs, exact "
+        "shingle-Jaccard verify on candidates only) over the --input "
+        "table's (doc_id, text); pairs to --output as (doc_a, doc_b, "
+        "jaccard); --snm-window sets the window (default 4), "
+        "--snm-min-jaccard the verify floor (default 0.05)",
+    )
+    p.add_argument(
+        "--snm-window",
+        metavar="W",
+        type=int,
+        default=None,
+        help="sorted-neighborhood window size for --snm-dedup (default 4)",
+    )
+    p.add_argument(
+        "--snm-min-jaccard",
+        metavar="J",
+        type=float,
+        default=None,
+        help="verified-Jaccard floor for --snm-dedup pairs (default 0.05)",
+    )
+    p.add_argument(
         "--compress-postings",
         action="store_true",
         help="maintenance mode (standalone): write the --input table's "
@@ -1119,6 +1144,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             ("--kwic", args.kwic is not None),
             ("--srp-dedup", args.srp_dedup),
             ("--winnow-dedup", args.winnow_dedup),
+            ("--snm-dedup", args.snm_dedup),
             ("--compress-postings", args.compress_postings),
             ("--summarize", args.summarize),
             ("--audit-blobs", args.audit_blobs),
@@ -1471,6 +1497,22 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
+    if args.snm_dedup:
+        if args.batch or args.service:
+            parser.error("--snm-dedup is a standalone maintenance mode")
+        if not args.input or not args.output:
+            parser.error("--input and --output are required with --snm-dedup")
+        if args.snm_window is not None and args.snm_window < 2:
+            parser.error("--snm-window must be >= 2")
+        if args.snm_min_jaccard is not None and not (
+            0.0 <= args.snm_min_jaccard <= 1.0
+        ):
+            parser.error("--snm-min-jaccard must be in [0, 1]")
+        args.target_list = []
+        args.monitor_list = []
+        return args
+    if (args.snm_window is not None or args.snm_min_jaccard is not None) and not args.snm_dedup:
+        parser.error("--snm-window/--snm-min-jaccard only apply to --snm-dedup")
     if args.compress_postings:
         if args.batch or args.service:
             parser.error("--compress-postings is a standalone maintenance mode")
@@ -2511,6 +2553,65 @@ def main(argv: list[str] | None = None) -> None:
             f"pmocr-spark: {nf} winnow fingerprints ({args.output}.fps); "
             f"{n} match-candidate pairs (>= {min_shared} shared) written to "
             f"{args.output}"
+        )
+        return
+    if getattr(args, "snm_dedup", False):
+        from pyspark.sql import functions as F
+
+        from .operators.dedup_index import ngram_rows
+        from .queries import _snm_candidates
+
+        docs = spark.read.parquet(args.input)
+        for c in ("doc_id", "text"):
+            if c not in docs.columns:
+                raise SystemExit(
+                    f"pmocr-spark: --snm-dedup: {args.input} needs "
+                    f"(doc_id, text) columns (columns: {docs.columns})"
+                )
+        w = args.snm_window if args.snm_window is not None else 4
+        floor = (
+            args.snm_min_jaccard if args.snm_min_jaccard is not None else 0.05
+        )
+        toks = F.split(F.lower(F.trim("text")), r"\s+")
+        keyed = docs.filter(F.size(toks) >= 3).select(
+            "doc_id", F.concat_ws(" ", F.slice(toks, 1, 3)).alias("k")
+        )
+        cand = _snm_candidates(keyed, w=w)
+        # exact shingle-Jaccard verify on candidates only (the q17
+        # lsh_verified shape: candidate-doc semi-join BEFORE the
+        # distinct shuffle)
+        cdocs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = (
+            ngram_rows(docs.filter(F.size(toks) >= 3), 3, "shingle")
+            .join(cdocs, "doc_id", "left_semi")
+            .distinct()
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        inter = (
+            cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+            .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                  ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+        pairs = (
+            inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                    F.col("sz").alias("sza")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("sz").alias("szb")), "doc_b")
+            .filter(jac >= floor)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        )
+        pairs.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(
+            f"pmocr-spark: {n} sorted-neighborhood dedup pairs "
+            f"(window {w}, jaccard >= {floor}) written to {args.output}"
         )
         return
     if getattr(args, "compress_postings", False):

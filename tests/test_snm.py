@@ -67,3 +67,40 @@ def test_snm_pair_count_is_linear_in_window(spark):
         expect = (w - 1) * n - w * (w - 1) // 2
         assert len(pairs) == expect
         assert len({(p.doc_a, p.doc_b) for p in pairs}) == expect
+
+
+def test_snm_dedup_cli(spark, tmp_path, capsys):
+    """--snm-dedup maintenance mode: exact dup scores 1.0, prefix
+    near-dups verified, unrelated docs excluded; knob validation."""
+    import pytest
+
+    from pmocr_spark import cli
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon eta"),
+        (2, "totally different words here now folks"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "docs")
+    )
+    out = str(tmp_path / "pairs")
+    cli.main(["--snm-dedup", "--input", str(tmp_path / "docs"),
+              "--output", out, "--master", "local[4]"])
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in spark.read.parquet(out).collect()}
+    assert got[(0, 3)] == 1.0
+    assert 0 < got[(0, 1)] < 1.0
+    assert all(2 not in p for p in got)
+
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--snm-dedup", "--input", "x"])  # no output
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--snm-dedup", "--batch", "--input", "x",
+                        "--output", "o"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--snm-dedup", "--input", "x", "--output", "o",
+                        "--snm-window", "1"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--snm-window", "3", "--input", "x", "--output", "o"])
