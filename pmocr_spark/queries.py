@@ -1069,7 +1069,7 @@ def _fs_score_pairs(clean: DataFrame, dirty: DataFrame) -> DataFrame:
     )
 
 
-def _snm_candidates(keyed: DataFrame, w: int = None) -> DataFrame:
+def _snm_candidates(keyed: DataFrame, w: int | None = None) -> DataFrame:
     """Sorted-neighborhood candidate pairs (Hernández & Stolfo
     SIGMOD'95) over a (doc_id, k) frame: global rank on (k, doc_id) via
     the q37 two-pass pattern, then each row pairs with the next w-1
