@@ -7367,15 +7367,14 @@ _TILE_MIN_DEPTH = 2
                  s -> s.ok AND s.depth >= {_TILE_MIN_DEPTH}) AS bnds
         FROM (
           SELECT doc_id, tk, K,
+                 -- sum over x in L of |y in R : y = x| == sum_t
+                 -- c_L(t)*c_R(t), the same exact-integer overlap
                  list_transform(range(1, CASE WHEN K >= 3 THEN K + 1 ELSE 1 END),
                    i -> cast(list_sum(list_transform(
-                          list_distinct(tk[i*{_TILE_W} - {_TILE_W - 1} : i*{_TILE_W}]),
-                          t -> len(list_filter(
-                                 tk[i*{_TILE_W} - {_TILE_W - 1} : i*{_TILE_W}],
-                                 x -> x = t))
-                             * len(list_filter(
+                          tk[i*{_TILE_W} - {_TILE_W - 1} : i*{_TILE_W}],
+                          x -> len(list_filter(
                                  tk[i*{_TILE_W} + 1 : i*{_TILE_W} + {_TILE_W}],
-                                 x -> x = t)))) AS BIGINT))
+                                 y -> y = x)))) AS BIGINT))
                  AS sims
           FROM (SELECT doc_id,
                        string_split_regex(trim(text), '\\s+') AS tk,
@@ -7597,48 +7596,51 @@ def q46_pack_sequences(spark, sf_dir):
     Kc = (F.floor(F.size("ws") / _tw) - 1).cast("int")
 
     def _tile_sim(i):
+        # Σ_{x∈L} |{y∈R : y=x}| == Σ_t c_L(t)·c_R(t): the same overlap
+        # product, one w×w comparison pass (no distinct/double-filter)
         p = i * _tw
         left = F.slice("ws", p - _tw + 1, _tw)
         right = F.slice("ws", p + 1, _tw)
         return F.aggregate(
             F.transform(
-                F.array_distinct(left),
-                lambda t: (
-                    F.size(F.filter(left, lambda x: x == t))
-                    * F.size(F.filter(right, lambda y: y == t))
-                ).cast("long"),
+                left, lambda x: F.size(F.filter(right, lambda y: y == x)).cast("long")
             ),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
 
-    def _s_at(i):
-        return F.get("sims", i - 1)  # 1-based gap -> 0-based index
-
     sims_col = F.when(
         Kc >= 3, F.transform(F.sequence(F.lit(1), Kc), _tile_sim)
     ).otherwise(F.array().cast("array<long>"))
-    bnds_col = F.when(
-        Kc >= 3,
-        F.filter(
+
+    def _bnds_of(s):
+        # s is the LAMBDA-BOUND sims array: higher-order lambda args
+        # evaluate once, so the six score references below cannot
+        # re-inline the (expensive) sims expression — without this
+        # let-binding, projection collapse duplicated sims per
+        # reference and the arm ran ~30x slower at sf0.1
+        def at(i):
+            return F.get(s, i - 1)  # 1-based gap -> 0-based index
+
+        return F.filter(
             F.transform(
                 F.sequence(F.lit(2), Kc - 1),
                 lambda i: F.struct(
                     (i * _tw).cast("long").alias("pos"),
-                    (_s_at(i - 1) + _s_at(i + 1) - 2 * _s_at(i)).alias("depth"),
-                    ((_s_at(i) < _s_at(i - 1)) & (_s_at(i) <= _s_at(i + 1))).alias(
-                        "ok"
-                    ),
+                    (at(i - 1) + at(i + 1) - 2 * at(i)).alias("depth"),
+                    ((at(i) < at(i - 1)) & (at(i) <= at(i + 1))).alias("ok"),
                 ),
             ),
-            lambda s: s["ok"] & (s["depth"] >= _TILE_MIN_DEPTH),
-        ),
+            lambda st: st["ok"] & (st["depth"] >= _TILE_MIN_DEPTH),
+        )
+
+    bnds_col = F.when(
+        Kc >= 3, F.get(F.transform(F.array(sims_col), _bnds_of), 0)
     ).otherwise(
         F.array().cast("array<struct<pos:bigint,depth:bigint,ok:boolean>>")
     )
     tile = (
-        w.withColumn("sims", sims_col)
-        .withColumn("bnds", bnds_col)
+        w.withColumn("bnds", bnds_col)
         .select("doc_id", "ws", F.posexplode("bnds").alias("j", "b"))
         .select(
             F.lit("tile").alias("part"),
