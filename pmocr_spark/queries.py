@@ -2799,25 +2799,45 @@ def q24_quality_score(spark, sf_dir):
             F.lit(1).cast("long"),
             F.regexp_count("text", F.lit("[.!?]+")).cast("long"),
         ).alias("n_sent"),
-        # round 5 (fourteenth pass): Shannon character entropy (the
-        # CCNet-family gibberish/binary-noise signal — natural text
-        # sits ~2.5-4.5 nats, base64 blobs and key-mash noise higher,
-        # aaaa-runs lower). H = ln(n) - (Σ_c cnt·ln(cnt))/n; each
-        # term rounds to INTEGER micro-nats before the sum (order-free
-        # integer addition — the sb_lp_micro discipline) and the final
-        # division is integer `div`, so parity is exact by
-        # construction. In-row over the char array: pure map.
-        F.expr(
-            "cast(round(1000000.0 * ln(length(text))) as bigint)"
-            " - aggregate("
-            "     transform(array_sort(array_distinct(split(text, ''))),"
-            "       c -> cast(round(1000000.0"
-            "                 * size(filter(split(text, ''), x -> x = c))"
-            "                 * ln(size(filter(split(text, ''), x -> x = c))))"
-            "            as bigint)),"
-            "     0L, (a, x) -> a + x)"
-            "   div length(text)"
-        ).alias("char_entropy_micro"),
+    )
+    # round 5 (fourteenth pass): Shannon character entropy (the
+    # CCNet-family gibberish/binary-noise signal — natural text sits
+    # ~2.5-4.5 nats, base64 blobs and key-mash noise higher, aaaa-runs
+    # lower). H = ln(n) - (Σ_c cnt·ln(cnt))/n; each term rounds to
+    # INTEGER micro-nats before the sum and the final division is
+    # integer `div`, so parity is exact by construction AND
+    # order-free — which is what makes the fast plan legal: a
+    # codegen'd explode -> (doc, char) hash agg -> per-doc integer
+    # sum, instead of per-row nested higher-order lambdas (those run
+    # INTERPRETED — the first cut cost ~4x the whole q24 family at
+    # sf0.1). Shuffle key (doc_id, char) is near-unique: no skew.
+    ent_cnt = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    ent = (
+        ent_cnt.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1000000.0)
+                    * F.col("c")
+                    * F.log(F.col("c").cast("double")),
+                    0,
+                ).cast("long")
+            ).alias("smic"),
+            F.sum("c").alias("nch"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.round(
+                    F.lit(1000000.0) * F.log(F.col("nch").cast("double")), 0
+                ).cast("long")
+                - F.expr("smic div nch")
+            ).alias("char_entropy_micro"),
+        )
     )
     # five consumers now share the exploded bigram frame (coverage's
     # topv/per_doc/hits + stupid-backoff's train counts/transitions):
@@ -3047,8 +3067,8 @@ def q24_quality_score(spark, sf_dir):
             ).alias("fk_grade"),
             "common_bigram_frac",
             "lm_bucket",
-            "char_entropy_micro",
         )
+        .join(ent, "doc_id", "left")
         .join(lr, "doc_id", "left")
         .join(sbd, "doc_id", "left")
         .join(knd, "doc_id", "left")
