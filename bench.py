@@ -975,9 +975,63 @@ def _run_scale10x(tmp: str, cpus: int) -> dict:
         blobs.unpersist()
         return {"blobs": n, "cells": n_cells}
 
+    def run_snm():
+        # round-5 fourteenth-pass operator: sorted-neighborhood
+        # candidates at 10x — the checkpoint claims are (a) the
+        # two-pass rank stays partition-local (every Window spec is
+        # _pid-scoped, no global single-partition sort) and (b) the
+        # window pairing is a pure equi-join producing exactly
+        # O(n·(w-1)) candidate rows
+        from pmocr_spark.queries import _SNM_W, _snm_candidates
+
+        toks = F.split(F.lower(F.trim("text")), r"\s+")
+        keyed = docs.filter(F.size(toks) >= 3).select(
+            "doc_id", F.concat_ws(" ", F.slice(toks, 1, 3)).alias("k")
+        )
+        cand = _snm_candidates(keyed)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        n_pairs = cand.count()
+        import re as _re
+
+        win_specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        return {
+            "pairs": n_pairs,
+            "linear_pair_bound_holds": n_pairs <= (_SNM_W - 1) * n_docs,
+            "pid_scoped_windows_hold": all("_pid" in w for w in win_specs),
+            "no_cartesian_holds": "CartesianProduct" not in plan,
+        }
+
+    def run_postings():
+        # round-5 fourteenth-pass operator: block-partitioned postings
+        # compression at 10x — the checkpoint claims are (a) the size
+        # arithmetic runs with ZERO Python (pure JVM ladder) and
+        # (b) every gap window is (term, block)-partitioned, so the
+        # hottest term's largest partition stays <= 2^BLOCK_BITS rows
+        from pmocr_spark.operators.postings import compressed_stats
+
+        st = compressed_stats(docs)
+        plan = st._jdf.queryExecution().executedPlan().toString()
+        agg = st.agg(
+            F.count("*").alias("terms"),
+            F.sum("n_postings").alias("np"),
+            F.sum("n_bytes").alias("nb"),
+        ).collect()[0]
+        return {
+            "terms": agg.terms,
+            "postings": agg.np,
+            "payload_bytes": agg.nb,
+            "bytes_per_posting": round(agg.nb / agg.np, 3) if agg.np else None,
+            "no_python_holds": "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            "block_partitioned_window_holds": "block" in plan
+            and "windowspecdefinition" in plan,
+        }
+
     measured("word_boxes", run_wordbox)
     measured("spell_corrections", run_spell)
     measured("table_detect", run_tables)
+    measured("snm_candidates", run_snm)
+    measured("postings_compress", run_postings)
     spark.stop()
     return out
 

@@ -5568,6 +5568,13 @@ _Q40_BLOCKLIST = ["ads.src0.com", "src1.net", "tracker.src2.org", "src3.com"]
 #: match would flip rows.
 _Q40_BADWORDS = ["slow", "merge", "leak"]
 
+#: q40 part='homoglyph' confusable map (UTS #39 security mechanism,
+#: the spam/dedup-evasion fold): Cyrillic lookalikes -> Latin. Kept as
+#: two parallel strings because the fold is ONE translate() call in
+#: both engines.
+_Q40_CONFUSABLES = "аеорсхіѕј"
+_Q40_CONF_LATIN = "aeopcxisj"
+
 
 def _q40_badwords_sql() -> str:
     return "[" + ", ".join(f"'{wd}'" for wd in _Q40_BADWORDS) + "]"
@@ -5832,6 +5839,26 @@ def _q40_robots_sql_lit() -> str:
              t -> list_contains({_q40_badwords_sql()}, t))) = 0
                 THEN 1 ELSE 0 END AS BIGINT)    AS keep
     FROM (SELECT doc_id, {_TOKS_SQL} AS bwt FROM documents)
+    UNION ALL
+    -- homoglyph: UTS #39 confusable folding — DuckDB's translate() is
+    -- the independent implementation of the same fold
+    SELECT 'homoglyph' AS part, doc_id,
+           translate(hgt, '{_Q40_CONFUSABLES}', '{_Q40_CONF_LATIN}') AS out_text,
+           cast(length(hgt)
+                - length(translate(hgt, '{_Q40_CONFUSABLES}', '')) AS BIGINT)
+                                                 AS n_a,
+           cast(length(hgt) AS BIGINT)           AS n_b,
+           cast(CASE WHEN length(hgt)
+                     = length(translate(hgt, '{_Q40_CONFUSABLES}', ''))
+                THEN 1 ELSE 0 END AS BIGINT)     AS keep
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN replace(t1, 'e', 'е') ELSE t1 END AS hgt
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN replace(text, 'a', 'а') ELSE text END AS t1
+            FROM documents))
     """,
 )
 def q40_pii_redact(spark, sf_dir):
@@ -6245,6 +6272,37 @@ def q40_pii_redact(spark, sf_dir):
         F.size(toks40).cast("long").alias("n_b"),
         (n_occ == 0).cast("long").alias("keep"),
     )
+    # part='homoglyph' (round 5): Unicode confusable folding (UTS #39
+    # — the spam/dedup-evasion hygiene step: Cyrillic а/е/о/... visually
+    # impersonating Latin split exact-dedup clusters and dodge term
+    # blocklists). Scaffold injects confusables keyed off doc_id mods;
+    # the fold is ONE translate() (codegen, identical Postgres-style
+    # semantics in both engines — DuckDB's translate is the INDEPENDENT
+    # check) and must restore the original text byte-for-byte. n_a =
+    # confusable chars present (translate-delete length trick), keep =
+    # already-clean. Map-only; the family's 0-exchange pin unchanged.
+    hg = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.replace(F.col("text"), F.lit("a"), F.lit("а")),
+    ).otherwise(F.col("text"))
+    hg = F.when(
+        F.col("doc_id") % 5 == 0, F.replace(hg, F.lit("e"), F.lit("е"))
+    ).otherwise(hg)
+    homoglyph = d.select("doc_id", "text", hg.alias("hgt")).select(
+        F.lit("homoglyph").alias("part"),
+        "doc_id",
+        F.translate("hgt", _Q40_CONFUSABLES, _Q40_CONF_LATIN).alias("out_text"),
+        (F.length("hgt") - F.length(F.translate("hgt", _Q40_CONFUSABLES, "")))
+        .cast("long")
+        .alias("n_a"),
+        F.length("hgt").cast("long").alias("n_b"),
+        (
+            F.length("hgt")
+            == F.length(F.translate("hgt", _Q40_CONFUSABLES, ""))
+        )
+        .cast("long")
+        .alias("keep"),
+    )
     return (
         pii.unionAll(c4)
         .unionAll(linededup)
@@ -6256,6 +6314,7 @@ def q40_pii_redact(spark, sf_dir):
         .unionAll(robots)
         .unionAll(nfc)
         .unionAll(badwords)
+        .unionAll(homoglyph)
     )
 
 

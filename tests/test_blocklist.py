@@ -100,3 +100,29 @@ def test_q40_badwords_classes(spark):
         else:
             assert r.n_a >= len(matched) >= 1
         assert "leak" not in matched
+
+
+def test_q40_homoglyph_fold_restores_original(spark):
+    """Homoglyph arm: scaffolded confusables are detected (n_a > 0) and
+    the fold restores the ORIGINAL ascii text byte-for-byte; clean docs
+    pass through keep=1 with n_a == 0."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import QUERY_FNS, _t
+
+    sf = "/root/testdata/sf0.001"
+    orig = {
+        r.doc_id: r.text for r in _t(spark, sf, "documents").collect()
+    }
+    rows = (
+        QUERY_FNS["q40_pii_redact"](spark, sf)
+        .filter(F.col("part") == "homoglyph")
+        .collect()
+    )
+    assert rows and any(r.keep == 0 for r in rows) and any(r.keep == 1 for r in rows)
+    for r in rows:
+        assert r.out_text == orig[r.doc_id]  # fold == original, always
+        if r.doc_id % 3 == 0 and "a" in orig[r.doc_id]:
+            assert r.keep == 0 and r.n_a > 0
+        if r.keep == 1:
+            assert r.n_a == 0
