@@ -866,7 +866,11 @@ def q17_ngram_jaccard(spark, sf_dir):
         — blocked candidate equi-join on (nation, name-prefix) over a
         deterministic dirty replica of `customer`, per-field agreement
         scored with fixed (m, u) log-odds weights in integer micro-nats
-        (_FS_W); score > 0 pairs survive (the FS lower threshold). The
+        (_FS_W); the name field uses the Winkler (1990) string-
+        comparator refinement: a THREE-level exact/near(levenshtein<=2)
+        /other ladder, so typo'd true pairs keep most of their match
+        evidence instead of flipping to full disagreement; score > 0
+        pairs survive (the FS lower threshold). The
         entity-resolution complement to the text arms: candidates are
         block-bounded, the score is a pure map expression. The score
         rides the jaccard column as an exact integer-valued double.
@@ -1020,15 +1024,27 @@ _SNM_W = 4
 #: oracle, so the score is an exact integer sum in both engines.
 _FS_MU = {"name": (0.9, 0.001), "seg": (0.95, 0.2), "bal": (0.9, 0.1)}
 
+#: Winkler string-comparator refinement (Winkler 1990): the name field
+#: gets THREE agreement levels — exact, near (levenshtein <= 2: typos
+#: and truncations keep most of their match evidence), other — with
+#: (m, u) mass split P(exact|M)=0.9, P(near|M)=0.08, P(other|M)=0.02 /
+#: P(exact|U)=0.001, P(near|U)=0.005, P(other|U)=0.994. levenshtein is
+#: a built-in in BOTH engines, so the ladder stays codegen + oracle-
+#: restatable.
+_FS_NAME_MU3 = {"e": (0.9, 0.001), "n": (0.08, 0.005), "d": (0.02, 0.994)}
+
 
 def _fs_w() -> dict:
     import math
 
-    return {
+    w = {
         f"{k}_{tag}": round(1e6 * math.log(num / den))
         for k, (m, u) in _FS_MU.items()
         for tag, num, den in (("a", m, u), ("d", 1 - m, 1 - u))
     }
+    for tag, (m, u) in _FS_NAME_MU3.items():
+        w[f"name3_{tag}"] = round(1e6 * math.log(m / u))
+    return w
 
 
 _FS_W = _fs_w()
@@ -1044,8 +1060,11 @@ def _fs_score_pairs(clean: DataFrame, dirty: DataFrame) -> DataFrame:
     joined rows. Returns (doc_a, doc_b, score) for score > 0 (the
     positive-evidence / FS lower-threshold cut)."""
     score = (
-        F.when(F.col("c_name") == F.col("d_name"), F.lit(_FS_W["name_a"]))
-        .otherwise(F.lit(_FS_W["name_d"]))
+        F.when(F.col("c_name") == F.col("d_name"), F.lit(_FS_W["name3_e"]))
+        .when(
+            F.levenshtein("c_name", "d_name") <= 2, F.lit(_FS_W["name3_n"])
+        )
+        .otherwise(F.lit(_FS_W["name3_d"]))
         + F.when(F.col("c_mktsegment") == F.col("d_seg"), F.lit(_FS_W["seg_a"]))
         .otherwise(F.lit(_FS_W["seg_d"]))
         + F.when(
@@ -5515,8 +5534,9 @@ _Q17_ORACLE = f"""
     -- (same corruption rules and integer micro-nat weights as the
     -- Spark arm; score > 0 = the lower-threshold cut)
     SELECT 'fs' AS part, c.c_custkey AS doc_a, d.d_key AS doc_b,
-           (CASE WHEN c.c_name = d.d_name
-                 THEN {_FS_W["name_a"]} ELSE {_FS_W["name_d"]} END
+           (CASE WHEN c.c_name = d.d_name THEN {_FS_W["name3_e"]}
+                 WHEN levenshtein(c.c_name, d.d_name) <= 2
+                 THEN {_FS_W["name3_n"]} ELSE {_FS_W["name3_d"]} END
             + CASE WHEN c.c_mktsegment = d.d_seg
                    THEN {_FS_W["seg_a"]} ELSE {_FS_W["seg_d"]} END
             + CASE WHEN cast(floor(c.c_acctbal / 1000) AS BIGINT)
@@ -5536,8 +5556,9 @@ _Q17_ORACLE = f"""
           FROM customer) d
       ON c.c_nationkey = d.d_nat
      AND substr(c.c_name, 1, 16) = substr(d.d_name, 1, 16)
-    WHERE (CASE WHEN c.c_name = d.d_name
-                THEN {_FS_W["name_a"]} ELSE {_FS_W["name_d"]} END
+    WHERE (CASE WHEN c.c_name = d.d_name THEN {_FS_W["name3_e"]}
+                WHEN levenshtein(c.c_name, d.d_name) <= 2
+                THEN {_FS_W["name3_n"]} ELSE {_FS_W["name3_d"]} END
            + CASE WHEN c.c_mktsegment = d.d_seg
                   THEN {_FS_W["seg_a"]} ELSE {_FS_W["seg_d"]} END
            + CASE WHEN cast(floor(c.c_acctbal / 1000) AS BIGINT)

@@ -10,11 +10,20 @@ from pmocr_spark.queries import _FS_MU, _FS_W, _fs_score_pairs
 
 
 def test_weights_match_textbook_definition():
+    from pmocr_spark.queries import _FS_NAME_MU3
+
     for field, (m, u) in _FS_MU.items():
         assert _FS_W[f"{field}_a"] == round(1e6 * math.log(m / u))
         assert _FS_W[f"{field}_d"] == round(1e6 * math.log((1 - m) / (1 - u)))
         # agreement on any field is positive evidence, disagreement negative
         assert _FS_W[f"{field}_a"] > 0 > _FS_W[f"{field}_d"]
+    # Winkler three-level name ladder: exact > near > 0 > other, and
+    # the (m, u) masses are proper distributions
+    for tag, (m, u) in _FS_NAME_MU3.items():
+        assert _FS_W[f"name3_{tag}"] == round(1e6 * math.log(m / u))
+    assert _FS_W["name3_e"] > _FS_W["name3_n"] > 0 > _FS_W["name3_d"]
+    assert abs(sum(m for m, _ in _FS_NAME_MU3.values()) - 1.0) < 1e-9
+    assert abs(sum(u for _, u in _FS_NAME_MU3.values()) - 1.0) < 1e-9
 
 
 def _frames(spark):
@@ -45,10 +54,12 @@ def _frames(spark):
 def test_scores_hand_computed(spark):
     clean, dirty = _frames(spark)
     got = {(r.doc_a, r.doc_b): r.score for r in _fs_score_pairs(clean, dirty).collect()}
-    full = _FS_W["name_a"] + _FS_W["seg_a"] + _FS_W["bal_a"]
-    name_off = _FS_W["name_d"] + _FS_W["seg_a"] + _FS_W["bal_a"]
+    full = _FS_W["name3_e"] + _FS_W["seg_a"] + _FS_W["bal_a"]
+    # (2, 12): name corrupted at edit distance 1 -> the Winkler NEAR
+    # level keeps most of its evidence
+    name_near = _FS_W["name3_n"] + _FS_W["seg_a"] + _FS_W["bal_a"]
     assert got[(1, 11)] == full
-    assert got[(2, 12)] == name_off > 0
+    assert got[(2, 12)] == name_near > 0
     # (3, 13): name/seg/bal all disagree -> score < 0 -> cut
     assert (3, 13) not in got
     # (1, 14): cross-nation blocked out despite identical name
@@ -63,4 +74,4 @@ def test_balance_bucket_agreement_is_floor_banded(spark):
     clean, dirty = _frames(spark)
     got = {(r.doc_a, r.doc_b): r.score for r in _fs_score_pairs(clean, dirty).collect()}
     # 1200 and 1300 share floor(bal/1000) = 1 -> bal agrees for (1, 11)
-    assert got[(1, 11)] - _FS_W["name_a"] - _FS_W["seg_a"] == _FS_W["bal_a"]
+    assert got[(1, 11)] - _FS_W["name3_e"] - _FS_W["seg_a"] == _FS_W["bal_a"]
