@@ -736,6 +736,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="verified-Jaccard floor for --snm-dedup pairs (default 0.05)",
     )
     p.add_argument(
+        "--snm-passes",
+        metavar="N",
+        type=int,
+        choices=(1, 2),
+        default=None,
+        help="multi-pass sorted-neighborhood (Hernández-Stolfo's "
+        "refinement): 1 = first-3-token blocking key only (default); "
+        "2 = union candidates from an independent LAST-3-token pass, "
+        "catching pairs whose corrupted prefix defeats the first sort",
+    )
+    p.add_argument(
         "--compress-postings",
         action="store_true",
         help="maintenance mode (standalone): write the --input table's "
@@ -1511,8 +1522,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
-    if (args.snm_window is not None or args.snm_min_jaccard is not None) and not args.snm_dedup:
-        parser.error("--snm-window/--snm-min-jaccard only apply to --snm-dedup")
+    if (
+        args.snm_window is not None
+        or args.snm_min_jaccard is not None
+        or args.snm_passes is not None
+    ) and not args.snm_dedup:
+        parser.error(
+            "--snm-window/--snm-min-jaccard/--snm-passes only apply to --snm-dedup"
+        )
     if args.compress_postings:
         if args.batch or args.service:
             parser.error("--compress-postings is a standalone maintenance mode")
@@ -2573,10 +2590,20 @@ def main(argv: list[str] | None = None) -> None:
             args.snm_min_jaccard if args.snm_min_jaccard is not None else 0.05
         )
         toks = F.split(F.lower(F.trim("text")), r"\s+")
-        keyed = docs.filter(F.size(toks) >= 3).select(
+        eligible = docs.filter(F.size(toks) >= 3)
+        keyed = eligible.select(
             "doc_id", F.concat_ws(" ", F.slice(toks, 1, 3)).alias("k")
         )
         cand = _snm_candidates(keyed, w=w)
+        if (args.snm_passes or 1) == 2:
+            # multi-pass merge/purge: an INDEPENDENT sort on the
+            # last-3-token key catches pairs whose corrupted prefix
+            # defeated the first pass; candidate sets union, the
+            # verify below runs once over the union
+            keyed2 = eligible.select(
+                "doc_id", F.concat_ws(" ", F.slice(toks, -3, 3)).alias("k")
+            )
+            cand = cand.unionAll(_snm_candidates(keyed2, w=w)).distinct()
         # exact shingle-Jaccard verify on candidates only (the q17
         # lsh_verified shape: candidate-doc semi-join BEFORE the
         # distinct shuffle)

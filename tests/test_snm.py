@@ -104,3 +104,42 @@ def test_snm_dedup_cli(spark, tmp_path, capsys):
                         "--snm-window", "1"])
     with pytest.raises(SystemExit):
         cli.parse_args(["--snm-window", "3", "--input", "x", "--output", "o"])
+
+
+def test_snm_dedup_cli_multipass(spark, tmp_path):
+    """--snm-passes 2: the suffix-key pass finds a near-dup pair whose
+    corrupted FIRST token defeats the prefix sort (the Hernández-Stolfo
+    multi-pass motivation); single-pass misses it."""
+    import pytest
+
+    from pmocr_spark import cli
+
+    # docs 10/11 share everything except the first token -> prefix keys
+    # diverge ('zz...' vs 'alpha...') but suffix keys agree; filler docs
+    # separate them in the prefix sort order
+    rows = [
+        (10, "zzcorrupt beta gamma delta epsilon zeta eta common tail words"),
+        (11, "alpha beta gamma delta epsilon zeta eta common tail words"),
+        (12, "baker charlie dog easy fox george how item jig king"),
+        (13, "other prefix entirely different middle and ending one"),
+        (14, "more filler so the prefix sort separates ten from eleven"),
+        (15, "yet another filler document with its own distinct words"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "docs")
+    )
+    out1 = str(tmp_path / "p1")
+    cli.main(["--snm-dedup", "--input", str(tmp_path / "docs"),
+              "--output", out1, "--snm-window", "2", "--master", "local[4]"])
+    got1 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(out1).collect()}
+    out2 = str(tmp_path / "p2")
+    cli.main(["--snm-dedup", "--input", str(tmp_path / "docs"),
+              "--output", out2, "--snm-window", "2", "--snm-passes", "2",
+              "--master", "local[4]"])
+    got2 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(out2).collect()}
+    assert (10, 11) not in got1
+    assert (10, 11) in got2
+    assert got1 <= got2  # union semantics
+
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--snm-passes", "2", "--input", "x", "--output", "o"])
