@@ -4013,6 +4013,37 @@ _KANON_K = 5
       GROUP BY lang, source, n_chars // 100
       HAVING count(*) < 5)
     UNION ALL
+    -- corr: Pearson r between doc length in chars and in tokens —
+    -- integer least-squares sums, ONE fixed-order float expression
+    SELECT 'corr', 'n_chars~n_tokens',
+           cast(cast(round(1000000.0 * (cn * sxy - sx * sy)
+                / (sqrt(cn * sxx - sx * sx) * sqrt(cn * syy - sy * sy)))
+                AS BIGINT) AS VARCHAR),
+           cn
+    FROM (
+      SELECT count(*) AS cn,
+             cast(sum(x) AS BIGINT) AS sx, cast(sum(y) AS BIGINT) AS sy,
+             cast(sum(x * y) AS BIGINT) AS sxy,
+             cast(sum(x * x) AS BIGINT) AS sxx,
+             cast(sum(y * y) AS BIGINT) AS syy
+      FROM (SELECT n_chars AS x,
+                   cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS y
+            FROM documents))
+    UNION ALL
+    -- gini: concentration of the per-source doc distribution (0 =
+    -- perfectly balanced corpus mix) — integer rank-weighted sums
+    SELECT 'gini', 'source',
+           cast(cast(round(1000000.0 * ((2.0 * s1) / (k * s)
+                                        - (k + 1.0) / k)) AS BIGINT)
+                AS VARCHAR),
+           k
+    FROM (
+      SELECT cast(sum(rn * c) AS BIGINT) AS s1,
+             cast(sum(c) AS BIGINT) AS s, count(*) AS k
+      FROM (SELECT c, row_number() OVER (ORDER BY c, source) AS rn
+            FROM (SELECT source, cast(count(*) AS BIGINT) AS c
+                  FROM documents GROUP BY source)))
+    UNION ALL
     -- heaps: vocabulary growth by corpus decile — new terms = terms
     -- whose FIRST occurrence (min doc_id) falls in the decile,
     -- cumulative = the Heaps-law V(n) curve
@@ -4154,6 +4185,70 @@ def q30_distinct_sources(spark, sf_dir):
             F.col("s").cast("long").alias("n"),
         )
     )
+    # part='corr' / part='gini' (round 5): two one-row corpus-balance
+    # datasheet statistics. Pearson r between char- and token-length
+    # (the sanity probe that catches a broken tokenizer or binary
+    # contamination at a glance): five EXACT integer sums from one
+    # map-side-combined agg, then ONE fixed-order float expression —
+    # the zipf discipline. Gini concentration of the per-source doc
+    # distribution (0 = perfectly balanced mix — the signal per-domain
+    # caps and temperature mixing exist to improve): rank-weighted
+    # integer sums over the source-count table (window bounded by
+    # SOURCE CARDINALITY, never corpus-sized).
+    cfr = d.select(
+        F.col("n_chars").alias("x"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("y"),
+    ).agg(
+        F.count("*").alias("cn"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    corr = cfr.select(
+        F.lit("corr").alias("part"),
+        F.lit("n_chars~n_tokens").alias("k1"),
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("cn") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("cn") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("cn") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            0,
+        )
+        .cast("long")
+        .cast("string")
+        .alias("k2"),
+        F.col("cn").cast("long").alias("n"),
+    )
+    scounts = d.groupBy("source").agg(F.count("*").alias("c"))
+    w_g = W.orderBy("c", "source")
+    gini = (
+        scounts.withColumn("rn", F.row_number().over(w_g))
+        .agg(
+            F.sum(F.col("rn") * F.col("c")).alias("s1"),
+            F.sum("c").alias("s"),
+            F.count("*").alias("k"),
+        )
+        .select(
+            F.lit("gini").alias("part"),
+            F.lit("source").alias("k1"),
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    (F.lit(2.0) * F.col("s1")) / (F.col("k") * F.col("s"))
+                    - (F.col("k") + F.lit(1.0)) / F.col("k")
+                ),
+                0,
+            )
+            .cast("long")
+            .cast("string")
+            .alias("k2"),
+            F.col("k").cast("long").alias("n"),
+        )
+    )
     return (
         pairs.unionAll(nusers)
         .unionAll(hll)
@@ -4161,6 +4256,8 @@ def q30_distinct_sources(spark, sf_dir):
         .unionAll(heaps)
         .unionAll(krel)
         .unionAll(ksup)
+        .unionAll(corr)
+        .unionAll(gini)
     )
 
 

@@ -404,3 +404,48 @@ def test_q30_kanon_release_properties(spark):
     ).fetchone()[0]
     assert sum(r.n for r in rel) + sup[0].n == total
     assert sup[0].n > 0  # suppression actually exercised
+
+
+def test_q30_corr_and_gini(spark, tmp_path):
+    """corr/gini arms: hand-checkable distributions — perfectly
+    length-proportional docs give r = 1e6; a maximally skewed source
+    mix gives the closed-form Gini; the balanced gate corpus gives 0."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import QUERY_FNS
+
+    rows = [
+        # y = x/10 exactly -> r = 1.0; sources: 8 docs on srcA, 2 on srcB
+        (i, " ".join(["w"] * (10 * (i + 1))), "srcA" if i < 8 else "srcB")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df = df.withColumn("n_chars", F.length("text")).withColumn("lang", F.lit("en"))
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    # q30's nusers/hll arms read events too — a one-row stand-in
+    spark.range(1).select(
+        F.col("id").alias("event_id"),
+        F.current_timestamp().alias("ts"),
+        F.lit(7).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.part: (int(r.k2), r.n)
+        for r in QUERY_FNS["q30_distinct_sources"](spark, str(tmp_path)).collect()
+        if r.part in ("corr", "gini")
+    }
+    # chars = 2*tokens - 1 exactly (spaces) -> perfect linearity
+    assert got["corr"] == (1000000, 10)
+    # counts sorted [2, 8]: G = (2*(1*2+2*8))/(2*10) - 3/2 = 0.3
+    assert got["gini"] == (300000, 2)
+    # balanced gate corpus: 20 sources x 25 docs -> exactly 0
+    gate = {
+        r.part: int(r.k2)
+        for r in QUERY_FNS["q30_distinct_sources"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        if r.part in ("corr", "gini")
+    }
+    assert gate["gini"] == 0 and gate["corr"] > 990000
