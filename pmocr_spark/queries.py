@@ -2711,6 +2711,17 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
       LEFT JOIN kn2 n2 ON n2.w2 = string_split(s.bg, ' ')[2], sbs, knb),
     knd AS (SELECT doc_id, cast(sum(k * lp_u) AS BIGINT) AS kn_lp_micro
             FROM knj GROUP BY doc_id),
+    -- trigram novelty: fraction of a doc's distinct 3-gram shingles
+    -- with corpus df = 1 (the memorization-risk/boilerplate dial)
+    nvg AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS sg
+      FROM documents WHERE len({_TOKS_SQL}) >= 3),
+    nvdf AS (SELECT sg, count(*) AS dfc FROM nvg GROUP BY sg),
+    nvd AS (
+      SELECT doc_id,
+             round(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 4) AS novel_trigram_frac
+      FROM nvg JOIN nvdf USING (sg) GROUP BY doc_id),
     {_LR_SQL}
     SELECT c.doc_id, n_tokens,
            round(n_punct * 1.0 / n_tokens, 4)                       AS punct_ratio,
@@ -2727,10 +2738,12 @@ _LR_SQL = _lr_ctes(_LR_ITERS, _LR_ETA)
                 WHEN r.rnk * 3 <= 2 * r.n THEN 'middle'
                 ELSE 'tail' END                                     AS lm_bucket,
            c.char_entropy_micro,
+           nvd.novel_trigram_frac,
            lrsc.lr_quality,
            sbd.sb_lp_micro,
            knd.kn_lp_micro
     FROM cov c LEFT JOIN r ON c.doc_id = r.doc_id
+               LEFT JOIN nvd ON c.doc_id = nvd.doc_id
                LEFT JOIN lrsc ON c.doc_id = lrsc.doc_id
                LEFT JOIN sbd ON c.doc_id = sbd.doc_id
                LEFT JOIN knd ON c.doc_id = knd.doc_id
@@ -2834,6 +2847,29 @@ def q24_quality_score(spark, sf_dir):
         d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
         .groupBy("doc_id", "ch")
         .agg(F.count("*").alias("c"))
+    )
+    # round 5 (fourteenth pass): trigram novelty — the fraction of a
+    # doc's DISTINCT 3-gram shingles that appear in NO other document
+    # (df == 1). The memorization-risk/boilerplate dial: near-0 means
+    # the doc is assembled from corpus-common phrasing (template
+    # floods score 0 outright), near-1 means genuinely novel text.
+    # Set semantics via the same _shingles_df every dedup arm uses;
+    # one shingle-keyed df agg + one join back + one doc agg — the
+    # inverted-index shape, map-side combined, no skew beyond the df
+    # table's natural Heaps bound. Docs under 3 tokens -> NULL.
+    sh3 = _shingles_df(spark, sf_dir)
+    nvdf = sh3.groupBy("shingle").agg(F.count("*").alias("dfc"))
+    nvd = (
+        sh3.join(nvdf, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("dfc") == 1).cast("long")).alias("u"),
+            F.count("*").alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("u") / F.col("t"), 4).alias("novel_trigram_frac"),
+        )
     )
     ent = (
         ent_cnt.groupBy("doc_id")
@@ -3088,6 +3124,7 @@ def q24_quality_score(spark, sf_dir):
             "lm_bucket",
         )
         .join(ent, "doc_id", "left")
+        .join(nvd, "doc_id", "left")
         .join(lr, "doc_id", "left")
         .join(sbd, "doc_id", "left")
         .join(knd, "doc_id", "left")

@@ -117,3 +117,30 @@ def test_char_entropy_known_values(spark, tmp_path):
     assert abs(got[1] - round(1e6 * math.log(2))) <= 2
     assert got[2] == 0
     assert 2_500_000 < got[3] < 4_500_000
+
+
+def test_novel_trigram_frac_known_values(spark, tmp_path):
+    """q24 novel_trigram_frac: an exact-duplicate pair scores 0 (every
+    shingle shared), a unique doc scores 1, a short doc is NULL."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import QUERY_FNS
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "completely novel words appearing nowhere else at all"),
+        (4, "too short"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("src0")
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.novel_trigram_frac
+        for r in QUERY_FNS["q24_quality_score"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == 0.0 and got[2] == 0.0
+    assert got[3] == 1.0
+    assert got[4] is None
