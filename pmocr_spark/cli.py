@@ -1189,6 +1189,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         parser.error("--winnow-min-shared only applies to --winnow-dedup")
     if args.summary_k is not None and not args.summarize:
         parser.error("--summary-k only applies to --summarize")
+    # round-6 ADVICE fix: these two misuse checks previously sat BELOW
+    # earlier maintenance-mode branches that `return args`, so e.g.
+    # `--spell-fix --keyword-method rake` silently ignored the stray
+    # flag; eager like the winnow/summary checks above.
+    if args.keyword_method is not None and args.keywords is None:
+        parser.error("--keyword-method only applies to --keywords")
+    if (
+        args.snm_window is not None
+        or args.snm_min_jaccard is not None
+        or args.snm_passes is not None
+    ) and not args.snm_dedup:
+        parser.error(
+            "--snm-window/--snm-min-jaccard/--snm-passes only apply to --snm-dedup"
+        )
     if args.kwic_window is not None and args.kwic is None:
         parser.error("--kwic-window only applies to --kwic")
     if getattr(args, "hocr", False) and not args.word_boxes:
@@ -1460,8 +1474,6 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
-    if args.keyword_method is not None:
-        parser.error("--keyword-method only applies to --keywords")
     if args.collocations is not None:
         if args.batch or args.service:
             parser.error("--collocations is a standalone maintenance mode")
@@ -1522,14 +1534,6 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         args.target_list = []
         args.monitor_list = []
         return args
-    if (
-        args.snm_window is not None
-        or args.snm_min_jaccard is not None
-        or args.snm_passes is not None
-    ) and not args.snm_dedup:
-        parser.error(
-            "--snm-window/--snm-min-jaccard/--snm-passes only apply to --snm-dedup"
-        )
     if args.compress_postings:
         if args.batch or args.service:
             parser.error("--compress-postings is a standalone maintenance mode")

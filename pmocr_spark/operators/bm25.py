@@ -45,27 +45,40 @@ def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """(doc_id, term): whitespace tokens, lowercased — the engine's
     standard tokenization (q24/q25/q45 use the same split, so BM25 df
     statistics are consistent with every other corpus statistic)."""
-    return docs.select(
+    from ..partitioning import spread
+
+    return spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("term"),
     ).filter(F.length("term") > 0)  # empty docs must not skew dl/df/avgdl
 
 
 def build_index(docs: DataFrame, text_col: str = "text") -> dict[str, DataFrame]:
-    """Inverted index: postings(term, doc_id, tf) + dl(doc_id, dl) +
-    df(term, df) + stats(n_docs, sum_dl). One corpus pass; dl and df
-    are derived aggs over the (already reduced) postings frame."""
+    """Inverted index: postings(term, doc_id, tf, dl) + dl(doc_id, dl) +
+    df(term, df) + stats(n_docs, sum_dl). One corpus pass; df and stats
+    are derived aggs over the (already reduced) postings frame.
+
+    Round 6 (guide §3.3): `dl` is DENORMALIZED into the postings rows —
+    one doc-keyed window at build time (amortized over every search)
+    replaces a corpus-sized dl equi-join inside every scoring call.
+    Before this, each search shuffled the full (query × matched-doc)
+    scored intermediate through a doc_id sort-merge join whenever the
+    planner could not prove dl broadcastable (measured at sf0.1: the
+    q21 family's shuffle doubled to 112 MB when the postings cache
+    made dl a separate materialized frame). The per-posting dl costs 8
+    bytes against a saved shuffle of the whole matched set."""
     tf = (
         doc_terms(docs, text_col)
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
+    postings = tf.withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    return {"postings": tf, "dl": dl, "df": df, "stats": stats}
+    return {"postings": postings, "dl": dl, "df": df, "stats": stats}
 
 
 def score_u_col():
@@ -106,12 +119,16 @@ def bm25_search(
     return _score_topk(build_index(docs, text_col), queries, topk, max_df_frac)
 
 
-def _score_topk(
+def score_pairs(
     ix: dict[str, DataFrame],
     queries: DataFrame,
-    topk: int,
-    max_df_frac: float | None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
+    """(query_id, doc_id, score_u): the exact-integer BM25 totals for
+    every (query, matched doc) pair — the pre-top-k stage of
+    _score_topk, exposed so callers that rank the SAME query set at
+    different depths (q21's bm25 top-5 and hybrid top-50 arms) can
+    share one scoring pass instead of re-running the postings join."""
     qt = queries
     if max_df_frac is not None:
         cap = ix["stats"].select(
@@ -123,16 +140,23 @@ def _score_topk(
             .filter(F.col("df") <= F.col("df_cap"))
             .select("query_id", "term")
         )
-    scored = (
-        ix["postings"]
+    post = ix["postings"]
+    if "dl" not in post.columns:  # pre-round-6 persisted index: join dl back
+        post = post.join(ix["dl"], "doc_id")
+    return (
+        post
         .join(F.broadcast(qt), "term")
         .join(ix["df"], "term")
-        .join(ix["dl"], "doc_id")
         .crossJoin(F.broadcast(ix["stats"]))
         .select("query_id", "doc_id", score_u_col())
         .groupBy("query_id", "doc_id")
         .agg(F.sum("score_u").alias("score_u"))
     )
+
+
+def topk_of_scored(scored: DataFrame, topk: int) -> DataFrame:
+    """Per-query top-k of a (query_id, doc_id, score_u) frame on
+    (score_u desc, doc_id) — WindowGroupLimit pushdown, no global sort."""
     w = W.partitionBy("query_id").orderBy(F.col("score_u").desc(), "doc_id")
     return (
         scored.select(
@@ -140,6 +164,15 @@ def _score_topk(
         )
         .filter(F.col("rk") <= topk)
     )
+
+
+def _score_topk(
+    ix: dict[str, DataFrame],
+    queries: DataFrame,
+    topk: int,
+    max_df_frac: float | None,
+) -> DataFrame:
+    return topk_of_scored(score_pairs(ix, queries, max_df_frac), topk)
 
 
 def positional_postings(
@@ -151,7 +184,9 @@ def positional_postings(
     so positions are gap-free by construction (the regex collapses
     whitespace runs; only a fully-empty document yields the one ''
     token, filtered here)."""
-    return docs.select(
+    from ..partitioning import spread
+
+    return spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("pos", "term"),
     ).filter(F.length("term") > 0)

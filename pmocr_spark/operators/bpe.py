@@ -76,7 +76,9 @@ def word_freqs(
     production tokenizer trainers cap token length for the same reason.
     None (default) keeps every word — the oracle-parity configuration.
     """
-    wf = docs.select(
+    from ..partitioning import spread
+
+    wf = spread(docs).select(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
     ).filter(F.length("word") > 0)
     if max_word_chars is not None:

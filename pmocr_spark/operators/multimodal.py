@@ -437,10 +437,31 @@ def phash_near_dup(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     LAION-style visual dedup shape (public): pHash -> band bucket ->
     verify; full recall for hamming < PHASH_BANDS (pigeonhole)."""
-    h = blobs.select("media_ref", image_phash("content").alias("ph")).filter(
+    from ..partitioning import spread
+
+    h = spread(blobs).select("media_ref", image_phash("content").alias("ph")).filter(
         F.col("ph").isNotNull()
     )
     return banded_hamming_pairs(h, max_hamming)
+
+
+#: hot-bucket threshold for the banded join: a (band, key) bucket with
+#: more members than this is split into ceil(n/CAP) × ceil(n/CAP)
+#: block-join cells so no single reduce task owns the bucket's n² pair
+#: work (round-5 verdict finding: a corpus-wide identical creative put
+#: one 49×-median straggler task in the 10× record). The split is
+#: EXACT — every within-bucket pair still meets in exactly one cell —
+#: so recall is untouched at any threshold; the cap only bounds
+#: per-task work at ~CAP² comparisons.
+HOT_BUCKET_CAP = 1024
+
+#: bound on the per-key split factor (caps the row replication of the
+#: block join at MAX_BLOCK_SPLIT× for a pathological single-key corpus;
+#: per-cell work then grows past CAP² only beyond CAP×MAX_BLOCK_SPLIT
+#: = 65k members per bucket, where the n² pair OUTPUT itself — 4G+
+#: pairs from one creative — is the thing to fix upstream, by exact-
+#: dedup'ing identical content before near-dup pairing)
+MAX_BLOCK_SPLIT = 64
 
 
 def banded_hamming_pairs(
@@ -450,7 +471,22 @@ def banded_hamming_pairs(
     banded-hamming equi-join + JVM bit_count verify shared by the
     visual (phash_near_dup) and acoustic (audio_near_dup) operators.
     Full recall for hamming < bands (pigeonhole); reduce keys are the
-    band values, never hash x hash."""
+    band values, never hash x hash.
+
+    Hot-bucket handling (round-5 verdict #1): a (band, key) bucket with
+    n > HOT_BUCKET_CAP members would put its whole n² candidate work on
+    ONE reduce task (measured: 49× straggler at 10×). Buckets above the
+    cap are split EXACTLY — each member gets a deterministic block id
+    g = pmod(xxhash64(ref), ceil(n/CAP)), the left side replicates
+    across block columns and the right across block rows, and the join
+    key becomes (band, key, block_i, block_j): pair (a, b) meets in
+    exactly one cell (block_i = g(a), block_j = g(b)), so the candidate
+    set is IDENTICAL to the unsplit join (pinned by test) while the
+    per-task work drops to ~CAP². Cold buckets (the overwhelming
+    majority) take the original single-shuffle path via a broadcast
+    anti-join on the (tiny, frequency-capped-by-definition) hot-key
+    set; the only added cost is one map-side-combined (band, key) count
+    whose shuffle rows are 16-byte keys + counts."""
     width = 64 // bands
     mask = (1 << width) - 1
     bandcol = F.explode(
@@ -467,18 +503,64 @@ def banded_hamming_pairs(
     hb = hashed.select("media_ref", "ph", bandcol).select(
         "media_ref", "ph", "b.band", "b.key"
     )
-    left = hb.select(
-        F.col("media_ref").alias("ref_a"), F.col("ph").alias("ph_a"), "band", "key"
+    hot = (
+        hb.groupBy("band", "key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > HOT_BUCKET_CAP)
     )
-    right = hb.select(
-        F.col("media_ref").alias("ref_b"), F.col("ph").alias("ph_b"), "band", "key"
-    )
-    cand = (
-        left.join(right, ["band", "key"])
+
+    hb_cold = hb.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    cold = (
+        hb_cold.select(
+            F.col("media_ref").alias("ref_a"), F.col("ph").alias("ph_a"), "band", "key"
+        )
+        .join(
+            hb_cold.select(
+                F.col("media_ref").alias("ref_b"), F.col("ph").alias("ph_b"), "band", "key"
+            ),
+            ["band", "key"],
+        )
         .filter(F.col("ref_a") < F.col("ref_b"))
         .select("ref_a", "ref_b", "ph_a", "ph_b")
-        .distinct()
     )
+    # hot path: block split. g is per-key (ceil(n/CAP), capped); the
+    # left replication fans a row out across its block ROW (bi = own
+    # block, bj = 0..g-1) and the right across its block COLUMN — both
+    # from the same exploded frame, so the construction below attaches
+    # BOTH coordinate layouts and pairs_of joins them on the full
+    # (band, key, bi, bj) key.
+    g = F.least(
+        F.ceil(F.col("_n") / F.lit(HOT_BUCKET_CAP)), F.lit(MAX_BLOCK_SPLIT)
+    ).cast("int")
+    hotm = hb.join(F.broadcast(hot), ["band", "key"]).withColumn(
+        "_g", F.pmod(F.xxhash64("media_ref"), g).cast("int")
+    ).withColumn("_gn", g)
+    hot_left = hotm.select(
+        "media_ref", "ph", "band", "key",
+        F.col("_g").alias("bi"),
+        F.explode(F.sequence(F.lit(0), F.col("_gn") - 1)).alias("bj"),
+    )
+    hot_right = hotm.select(
+        "media_ref", "ph", "band", "key",
+        F.explode(F.sequence(F.lit(0), F.col("_gn") - 1)).alias("bi"),
+        F.col("_g").alias("bj"),
+    )
+    hot_pairs = (
+        hot_left.select(
+            F.col("media_ref").alias("ref_a"), F.col("ph").alias("ph_a"),
+            "band", "key", "bi", "bj",
+        )
+        .join(
+            hot_right.select(
+                F.col("media_ref").alias("ref_b"), F.col("ph").alias("ph_b"),
+                "band", "key", "bi", "bj",
+            ),
+            ["band", "key", "bi", "bj"],
+        )
+        .filter(F.col("ref_a") < F.col("ref_b"))
+        .select("ref_a", "ref_b", "ph_a", "ph_b")
+    )
+    cand = cold.unionByName(hot_pairs).distinct()
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
     return cand.select("ref_a", "ref_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
@@ -547,7 +629,9 @@ def audio_near_dup(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
     hamming < PHASH_BANDS. The content-dedup move for audio corpora:
     the same recording re-encoded (different noise, same tone profile)
     pairs up without a sample-level compare."""
-    h = blobs.select("media_ref", audio_afp("content").alias("ph")).filter(
+    from ..partitioning import spread
+
+    h = spread(blobs).select("media_ref", audio_afp("content").alias("ph")).filter(
         F.col("ph").isNotNull()
     )
     return banded_hamming_pairs(h, max_hamming)
@@ -603,7 +687,9 @@ def srp_hashes(vectors: DataFrame, dim: int) -> DataFrame:
             vals.append(v - (1 << 64) if v >= (1 << 63) else v)
         return pd.Series(vals, dtype="object")
 
-    return vectors.select("media_ref", srp64("e").alias("ph"))
+    from ..partitioning import spread
+
+    return spread(vectors).select("media_ref", srp64("e").alias("ph"))
 
 
 def srp_near_dup(

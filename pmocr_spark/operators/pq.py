@@ -129,8 +129,22 @@ def pq_encode(
 
     cols = ["vec_id", F.array(*[_code_expr(m) for m in range(N_SUB)]).alias("codes")]
     if ivf_n_cent is not None:
-        cols.append(_ivf_best(F.slice(F.col("cs"), 1, ivf_n_cent))["cid"].alias("cluster_id"))
+        cols.append(_ivf_best(ivf_n_cent)["cid"].alias("cluster_id"))
     return v.crossJoin(F.broadcast(codebook)).select(*cols)
+
+
+def _d_int_sql(m: int, vec: str = "en", cvec: str = "c.ce") -> str:
+    """SQL text of _d_int(_sub(vec, m), _sub(cvec, m)) — one F.expr
+    parse instead of ~30 py4j lambda round trips per subspace (round 6:
+    q21's pq-code construction alone was ~3 s of driver chatter);
+    resolves to the identical expression tree, so codes/distances are
+    bit-for-bit unchanged."""
+    a = m * D_SUB + 1
+    return (
+        f"cast(round(aggregate(zip_with(slice({vec}, {a}, {D_SUB}), "
+        f"slice({cvec}, {a}, {D_SUB}), (x, y) -> (x - y) * (x - y)), 0D, "
+        f"(acc, x) -> acc + x) * {_MICRO}, 0) as bigint)"
+    )
 
 
 def _code_expr(m: int):
@@ -138,27 +152,26 @@ def _code_expr(m: int):
     rounded micro-unit distances via the collision-free key
     d_int*100 + cent_id (shared by pq_encode and train_codebook so
     training's assignment step IS the production encoder)."""
-    keys = F.transform(
-        F.col("cs"),
-        lambda c: _d_int(_sub(F.col("en"), m), _sub(c["ce"], m)) * 100 + c["cent_id"],
+    return F.expr(
+        f"cast(array_min(transform(cs, c -> {_d_int_sql(m)} * 100 + c.cent_id))"
+        f" % 100 as int)"
     )
-    return (F.array_min(keys) % 100).cast("int")
 
 
-def _ivf_score(c):
-    """Scored struct for one packed codebook entry vs the row's `en`:
-    (dot, -cent_id, cent_id) — array_max / array_sort over these structs
-    reproduce the argmax tie-break (highest dot, then smallest id)."""
-    dot = F.aggregate(
-        F.zip_with(F.col("en"), c["ce"], lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+_IVF_SCORE_SQL = (
+    "c -> named_struct("
+    "'dot', aggregate(zip_with(en, c.ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x), "
+    "'ncid', -c.cent_id, 'cid', c.cent_id)"
+)
+
+
+def _ivf_best(n_cent: int):
+    """array_max of (dot, -cent_id, cent_id) structs over the first
+    n_cent packed codebook entries — the argmax tie-break (highest dot,
+    then smallest id) as ONE parsed expression."""
+    return F.expr(
+        f"array_max(transform(slice(cs, 1, {n_cent}), {_IVF_SCORE_SQL}))"
     )
-    return F.struct(dot.alias("dot"), (-c["cent_id"]).alias("ncid"), c["cent_id"].alias("cid"))
-
-
-def _ivf_best(cent_slice):
-    return F.array_max(F.transform(cent_slice, _ivf_score))
 
 
 def ivf_probe_topn(
@@ -169,7 +182,7 @@ def ivf_probe_topn(
     lever for the persisted-index path. Map-side over the broadcast
     codebook; only the tiny query side fans out × n_probe. `q` must
     have (query_id, en)."""
-    scored = F.transform(F.slice(F.col("cs"), 1, n_cent), _ivf_score)
+    scored = F.expr(f"transform(slice(cs, 1, {n_cent}), {_IVF_SCORE_SQL})")
     top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
     return (
         q.crossJoin(F.broadcast(codebook))
@@ -260,7 +273,7 @@ def pq_query_tables(q: DataFrame, codebook: DataFrame) -> DataFrame:
         # NB: the lambda must take exactly ONE parameter — a second
         # parameter (even a default like m=m) flips PySpark's transform
         # into its (element, index) form and silently rebinds it.
-        return F.transform(F.col("cs"), lambda c: _d_int(_sub(F.col("en"), m), _sub(c["ce"], m)))
+        return F.expr(f"transform(cs, c -> {_d_int_sql(m)})")
 
     tables = F.array(*[tbl(m) for m in range(N_SUB)])
     return q.crossJoin(F.broadcast(codebook)).select("query_id", tables.alias("dts"))
@@ -285,10 +298,8 @@ def pq_adc_topk(
     pair count drops from |queries| x |corpus| to |queries| x
     |cluster|. At 10^12 vectors this is the difference between an
     exhaustive compressed scan and an actual index probe."""
-    dist = F.aggregate(
-        F.zip_with("codes", "dts", lambda cd, tb: F.get(tb, cd)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    dist = F.expr(
+        "aggregate(zip_with(codes, dts, (cd, tb) -> get(tb, cd)), 0L, (acc, x) -> acc + x)"
     )
     paired = (
         codes.crossJoin(F.broadcast(tables))

@@ -148,12 +148,23 @@ def sentence_rank(
                 ).alias("s"),
             )
         )
-    return nodes.select(id_col, "sidx", "sentence").join(s, [id_col, "sidx"]).select(
+    out = nodes.select(id_col, "sidx", "sentence").join(s, [id_col, "sidx"]).select(
         id_col,
         "sidx",
         "sentence",
         F.col("s").cast("long").alias("score_u"),
     )
+    # round-6 ADVICE fix: nodes/edges were cached but never unpersisted,
+    # so a long-lived session (CLI --service, the 50-query gate run)
+    # accumulated cached partitions per invocation. Materialize the
+    # (per-doc-sized) result once, then release both scoped caches —
+    # the iter_checkpoint discipline every other iterative operator uses.
+    from .graph import iter_checkpoint
+
+    out = iter_checkpoint(out)
+    nodes.unpersist()
+    edges.unpersist()
+    return out
 
 
 def top_sentences(

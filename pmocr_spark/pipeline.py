@@ -222,6 +222,17 @@ def extract_spans(
     blob_cols = media_blobs.select("media_ref", "content")
     if broadcast_spans:
         matched = blob_cols.join(F.broadcast(media_spans), "media_ref", "inner")
+        # guide §2.5 input-skew repair: a single-row-group blob file
+        # scans as ONE task and the fused decode UDF (which inherits the
+        # scan partitioning through the broadcast join) then runs on one
+        # core. spread() repartitions ONLY when the frame is narrower
+        # than the core count — at real scale (many row groups) it is a
+        # no-op, so "blob bytes never shuffle" still holds exactly where
+        # it matters; on a narrow input moving the (small) blob set once
+        # buys the whole cluster for the decode stage.
+        from .partitioning import spread
+
+        matched = spread(matched)
         # anti-join against the PRUNED ref column (scan never reads
         # content here); no broadcast hint — AQE picks broadcast while
         # the ref set fits, shuffle of just the refs when it doesn't

@@ -122,7 +122,18 @@ def unpartitioned_window_args(df: DataFrame) -> list[str]:
             arg = lines[j].strip()
             if arg.startswith("Arguments:"):
                 groups = _bracket_groups(arg)
-                if len(groups) == 2 or (
+                # 2 groups is ambiguous: `[exprs], [order]` (global,
+                # ordered — the unscalable shape) vs `[exprs],
+                # [partition]` (partitioned, UNordered — e.g. a plain
+                # sum() over partitionBy, round-6 bm25 dl window).
+                # Order groups always print sort direction markers;
+                # partition groups never do.
+                two_global = len(groups) == 2 and (
+                    groups[-1].strip() == ""
+                    or " ASC" in groups[-1]
+                    or " DESC" in groups[-1]
+                )
+                if two_global or (
                     len(groups) >= 3 and groups[-2].strip() == ""
                 ):
                     out.append(arg)

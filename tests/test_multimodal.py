@@ -587,3 +587,53 @@ def test_cli_srp_dedup(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):  # threshold range guard
         cli.main(["--srp-dedup", "--input", src, "--output", out,
                   "--phash-max-hamming", "65", "--master", "local[2]"])
+
+
+def test_banded_hamming_hot_bucket_split_parity(spark, monkeypatch):
+    """Round-6 verdict #1 fix: buckets over HOT_BUCKET_CAP split into an
+    exact block join — the candidate/pair SET must be identical to the
+    unsplit join (no recall change at any threshold), while the plan
+    routes hot keys through the (band, key, bi, bj) block cells."""
+    import itertools
+
+    from pmocr_spark.operators import multimodal as mm
+
+    # 40 refs share one hash (each band's bucket = 40 > cap of 8);
+    # 6 near-misses at hamming 1-2; 5 far hashes
+    base = 0x0123456789ABCDEF
+    rows = [(f"a{i:02d}", base) for i in range(40)]
+    rows += [(f"n{i}", base ^ (1 << (i * 7))) for i in range(6)]
+    rows += [(f"f{i}", (base * (i + 2)) & ((1 << 63) - 1)) for i in range(5)]
+    hashed = spark.createDataFrame(
+        [(r, v - (1 << 64) if v >= (1 << 63) else v) for r, v in rows],
+        "media_ref string, ph long",
+    )
+
+    def run():
+        return {
+            (r["ref_a"], r["ref_b"], r["hamming"])
+            for r in mm.banded_hamming_pairs(hashed, 3).collect()
+        }
+
+    # reference: cap high enough that the hot path is provably inactive
+    monkeypatch.setattr(mm, "HOT_BUCKET_CAP", 10_000)
+    cold_only = run()
+    # hot path active: every bucket of the 46 base/near refs splits
+    monkeypatch.setattr(mm, "HOT_BUCKET_CAP", 8)
+    split = run()
+    assert split == cold_only, "block-split must not change the pair set"
+
+    # python reference over the same banding definition
+    def bandkeys(v):
+        u = v & ((1 << 64) - 1)
+        return [(b, (u >> (16 * b)) & 0xFFFF) for b in range(4)]
+
+    byhash = dict(rows)
+    expect = set()
+    for (ra, va), (rb, vb) in itertools.combinations(rows, 2):
+        ra, rb = min(ra, rb), max(ra, rb)
+        if set(bandkeys(va)) & set(bandkeys(vb)):
+            h = bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                expect.add((ra, rb, h))
+    assert split == expect

@@ -508,7 +508,14 @@ def test_q27_media_family_map_only(spark):
 
     df = QUERY_FNS["q27_media_roundtrip"](spark, SF)
     plan = shape.formatted_plan(df)
-    assert shape.count_exchanges(df) == 0, plan
+    # round 6: the narrow-scan spread (_ts, guide §2.5) adds ROUND-ROBIN
+    # exchanges at fixture scale (single-row-group input; a no-op on
+    # wide inputs). The scale property is that nothing is KEYED: no
+    # hash/range exchange may appear — the family still costs scans +
+    # per-core codec work at 10^12 docs, with zero keyed movement.
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert shape.count_exchanges(df) <= 8, plan  # <= one spread per arm
     assert "BatchEvalPython" not in plan, plan
     # per-arm Arrow detail headers: text = encode + fused decode,
     # word = encode + wordbox, cell = encode + detect, deskew =
