@@ -89,22 +89,32 @@ def render_page(text: str, salt: str = "") -> np.ndarray:
     rng = _rng_for(text, "page" + salt)
     # paper noise everywhere
     img = rng.integers(0, PAPER_MAX + 1, size=(h + 2 * BORDER, width + 2 * BORDER), dtype=np.uint8)
+    ink_span = 256 - INK_MIN
+    bits = np.arange(7, dtype=np.int64)
     for li, line in enumerate(lines):
         top = BORDER + li * (GLYPH_H + 1)
         # anchor column: all-ink (code 0x7F) so trim always lands exactly on
         # the glyph-area bounding box regardless of glyph bit patterns
-        img[top : top + GLYPH_H, BORDER] = INK_MIN + (li * 29) % (256 - INK_MIN)
-        for ci, ch in enumerate(line):
-            code = ord(ch) & 0x7F
-            if code == 0 or code == ANCHOR_CODE:
-                continue
-            col = BORDER + 1 + ci
-            for bit in range(7):
-                if code >> bit & 1:
-                    img[top + bit, col] = INK_MIN + ((code * 37 + bit * 11 + ci) % (256 - INK_MIN))
-            # parity bit row (even parity over the 7 code bits)
-            if bin(code).count("1") % 2 == 1:
-                img[top + 7, col] = INK_MIN + ((code * 53 + ci) % (256 - INK_MIN))
+        img[top : top + GLYPH_H, BORDER] = INK_MIN + (li * 29) % ink_span
+        if not line:
+            continue
+        # vectorized glyph render (round 6, guide §4.2) — byte-identical
+        # to the per-char/per-bit loop it replaces: same ink-value
+        # arithmetic, same skip rules, evaluated per (bit, char) grid
+        codes = np.frombuffer(line.encode("latin-1", "replace"), dtype=np.uint8).astype(np.int64) & 0x7F
+        # non-latin-1 chars became ord('?'); recompute those exactly
+        if not line.isascii():
+            codes = np.array([ord(c) & 0x7F for c in line], dtype=np.int64)
+        ci = np.arange(len(line), dtype=np.int64)
+        real = (codes != 0) & (codes != ANCHOR_CODE)
+        on = ((codes[None, :] >> bits[:, None]) & 1).astype(bool) & real[None, :]  # (7, W)
+        vals = (INK_MIN + (codes[None, :] * 37 + bits[:, None] * 11 + ci[None, :]) % ink_span).astype(np.uint8)
+        block = img[top : top + 7, BORDER + 1 : BORDER + 1 + len(line)]
+        block[on] = vals[on]
+        parity = (on.sum(axis=0) % 2 == 1) & real
+        pvals = (INK_MIN + (codes * 53 + ci) % ink_span).astype(np.uint8)
+        prow = img[top + 7, BORDER + 1 : BORDER + 1 + len(line)]
+        prow[parity] = pvals[parity]
     return img
 
 

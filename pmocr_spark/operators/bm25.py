@@ -45,9 +45,7 @@ def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """(doc_id, term): whitespace tokens, lowercased — the engine's
     standard tokenization (q24/q25/q45 use the same split, so BM25 df
     statistics are consistent with every other corpus statistic)."""
-    from ..partitioning import spread
-
-    return spread(docs).select(
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("term"),
     ).filter(F.length("term") > 0)  # empty docs must not skew dl/df/avgdl
@@ -184,9 +182,7 @@ def positional_postings(
     so positions are gap-free by construction (the regex collapses
     whitespace runs; only a fully-empty document yields the one ''
     token, filtered here)."""
-    from ..partitioning import spread
-
-    return spread(docs).select(
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("pos", "term"),
     ).filter(F.length("term") > 0)

@@ -76,9 +76,7 @@ def word_freqs(
     production tokenizer trainers cap token length for the same reason.
     None (default) keeps every word — the oracle-parity configuration.
     """
-    from ..partitioning import spread
-
-    wf = spread(docs).select(
+    wf = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
     ).filter(F.length("word") > 0)
     if max_word_chars is not None:
@@ -187,23 +185,43 @@ def learn_bpe(
         sy = sy.coalesce(vocab_partitions)
     sy = iter_checkpoint(sy, reliable)
     merges: list[tuple[str, str, int]] = []
+    # round 6: persist-chain the per-merge rewrites and localCheckpoint
+    # only every _CKPT_EVERY iterations. iter_checkpoint's EAGER
+    # materialization job per merge was pure scheduling overhead (the
+    # argmax collect of the next iteration materializes the persisted
+    # frame anyway); periodic checkpoints still bound plan depth, so a
+    # 200-merge CLI training run cannot grow an O(n)-nested fold plan.
+    _CKPT_EVERY = 4
+    pending: list[DataFrame] = []
     try:
-        for _ in range(n_merges):
+        for i in range(n_merges):
             top = (
                 pair_counts(sy)
                 .orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
                 .limit(1)
                 .collect()
             )
+            # sy is materialized now: frames persisted in earlier rounds
+            # are safe to release
+            for p in pending:
+                p.unpersist()
+            pending.clear()
             if not top or top[0]["cnt"] < min_count:
                 break
             left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
             merges.append((left, right, cnt))
-            nxt = iter_checkpoint(apply_merge(sy, left, right), reliable)
-            sy.unpersist()
+            nxt = apply_merge(sy, left, right)
+            if (i + 1) % _CKPT_EVERY == 0:
+                nxt = iter_checkpoint(nxt, reliable)
+                sy.unpersist()
+            else:
+                nxt = nxt.persist()
+                pending.append(sy)
             sy = nxt
     finally:
         sy.unpersist()
+        for p in pending:
+            p.unpersist()
     return merges
 
 

@@ -117,25 +117,45 @@ def connected_components(
     PMOCR_RELIABLE_CHECKPOINT=1), which a real cluster run should set
     together with sparkContext.setCheckpointDir.
     """
-    e = iter_checkpoint(
+    if reliable is None:
+        reliable = os.environ.get("PMOCR_RELIABLE_CHECKPOINT", "").lower() in (
+            "1", "true", "yes",
+        )
+    base = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct(),
-        reliable,
+        .distinct()
     )
+    # round 6: persist-chain the rounds instead of an EAGER
+    # localCheckpoint per round — the convergence agg below materializes
+    # each round's cache anyway, so the eager pass was one
+    # pure-scheduling job per round (2 jobs/round -> 1). A real
+    # checkpoint still lands every _CC_CKPT rounds to bound plan depth;
+    # the reliable (cluster) path keeps its checkpoint-per-round
+    # fault-tolerance contract unchanged.
+    _CC_CKPT = 3
+    e = iter_checkpoint(base, True) if reliable else base.persist()
     prev_sig: tuple | None = None
     converged = False
-    for _ in range(max_rounds):
-        e = iter_checkpoint(_small_star(_large_star(e)), reliable)
+    for i in range(max_rounds):
+        ne = _small_star(_large_star(e))
+        if reliable:
+            ne = iter_checkpoint(ne, True)
+        elif (i + 1) % _CC_CKPT == 0:
+            ne = iter_checkpoint(ne, False)
+        else:
+            ne = ne.persist()
         # pmod keeps each term < 2^31 so the sum can't overflow a long
         # under ANSI mode before ~2^32 edges (and the count would differ
         # long before a modular-sum collision mattered)
-        row = e.agg(
+        row = ne.agg(
             F.count("*").alias("n"),
             F.coalesce(
                 F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(2**31))), F.lit(0)
             ).alias("sig"),
         ).collect()[0]
+        e.unpersist()  # ne is materialized; the parent cache is done
+        e = ne
         sig = (row["n"], row["sig"])
         if sig == prev_sig:
             converged = True

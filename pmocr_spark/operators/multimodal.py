@@ -439,7 +439,7 @@ def phash_near_dup(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
     verify; full recall for hamming < PHASH_BANDS (pigeonhole)."""
     from ..partitioning import spread
 
-    h = spread(blobs).select("media_ref", image_phash("content").alias("ph")).filter(
+    h = spread(blobs, heavy=True).select("media_ref", image_phash("content").alias("ph")).filter(
         F.col("ph").isNotNull()
     )
     return banded_hamming_pairs(h, max_hamming)
@@ -631,7 +631,7 @@ def audio_near_dup(blobs: DataFrame, max_hamming: int = 3) -> DataFrame:
     pairs up without a sample-level compare."""
     from ..partitioning import spread
 
-    h = spread(blobs).select("media_ref", audio_afp("content").alias("ph")).filter(
+    h = spread(blobs, heavy=True).select("media_ref", audio_afp("content").alias("ph")).filter(
         F.col("ph").isNotNull()
     )
     return banded_hamming_pairs(h, max_hamming)
@@ -687,9 +687,7 @@ def srp_hashes(vectors: DataFrame, dim: int) -> DataFrame:
             vals.append(v - (1 << 64) if v >= (1 << 63) else v)
         return pd.Series(vals, dtype="object")
 
-    from ..partitioning import spread
-
-    return spread(vectors).select("media_ref", srp64("e").alias("ph"))
+    return vectors.select("media_ref", srp64("e").alias("ph"))
 
 
 def srp_near_dup(

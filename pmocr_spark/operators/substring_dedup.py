@@ -97,9 +97,6 @@ def substring_dedup(
     span deleted (possibly '' if the whole document was duplicated
     elsewhere's canonical copy).
     """
-    from ..partitioning import spread
-
-    docs = spread(docs)  # §2.5: narrow scans serialize the gram explode
     occ = gram_occurrences(docs, k, id_col, text_col)
     rem = _within_batch_removals(occ, id_col)
     return _reassemble(docs, rem, k, id_col, text_col)

@@ -17,7 +17,9 @@ Spark-first shape (same contract as BPE):
     driver footprint class as BPE's merge list and sentencepiece's own
     ≤256k-entry vocabs), one map-side-combined piece-count agg, one
     vocab-sized collect, and a driver-python M-step;
-  * iteration lineage goes through graph.iter_checkpoint.
+  * the word/seed tables are persisted lazily (round 6): EM reads wfd
+    directly every round, so there is no growing lineage to truncate
+    and no eager materialization job to pay.
 
 Determinism/exactness discipline: piece log-probs are INTEGER micro-log
 units computed in driver python from exact integer counts, so the
@@ -43,7 +45,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .bpe import _tokenize, word_freqs  # shared tokenization contract
-from .graph import iter_checkpoint
 
 #: longest candidate piece in the seed vocabulary
 MAX_PIECE_LEN = 4
@@ -170,10 +171,18 @@ def train_unigram(
     best multi-char pieces by expected count (ties lexicographic) up to
     vocab_size. `wf` lets a caller that already paid the corpus pass
     (q44) hand in the word table."""
-    wfd = iter_checkpoint(wf if wf is not None else word_freqs(docs, text_col), reliable)
+    # round 6: lazy persist instead of iter_checkpoint's EAGER
+    # localCheckpoint — the first collect below materializes the caches
+    # anyway, so the eager pass was one pure-overhead job each; there is
+    # no growing iteration lineage here (estep always reads wfd
+    # directly), so checkpoint-style truncation buys nothing. A
+    # caller-provided `wf` (q44's shared word-frequency cache) is used
+    # as-is and never unpersisted from under the caller.
+    own_wfd = wf is None
+    wfd = word_freqs(docs, text_col).persist() if own_wfd else wf
     # persist: the char and multi collects below both read the seed agg
     # (a ~MAX_PIECE_LEN x word-table explode) — run it once
-    seeds = iter_checkpoint(seed_pieces(wfd), reliable)
+    seeds = seed_pieces(wfd).persist()
     chars = {
         r["piece"]: int(r["cnt"])
         for r in seeds.filter(F.length("piece") == 1).collect()
@@ -202,7 +211,8 @@ def train_unigram(
     )[:n_multi]
     final_counts = {c: counts[c] for c in chars}
     final_counts.update({p: counts[p] for p, _u in kept_multi})
-    wfd.unpersist()
+    if own_wfd:
+        wfd.unpersist()
     return sorted(_lp_table(final_counts).items())
 
 

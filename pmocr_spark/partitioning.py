@@ -71,10 +71,57 @@ def _split_estimate(df: DataFrame) -> int | None:
     return total
 
 
-def spread(df: DataFrame, min_rows_per_part: int | None = None) -> DataFrame:
-    """Repartition `df` to defaultParallelism iff its scan is narrower
-    than that — the single-row-group-input fix; a no-op on inputs that
-    already scan wide. Streaming frames pass through untouched."""
+#: bytes of INPUT per task when spreading expression/explode workloads.
+#: Sized so a task amortizes its scheduling cost against real JVM work:
+#: measured round 6, full-width (cores) spread of a 584 KB scan turned
+#: q24/q44 into hundreds of ~40 ms tasks and DOUBLED their wall time
+#: under host throttle, while ~128 KB/task keeps the map side parallel
+#: without drowning in per-task overhead. Input bytes scale with the
+#: corpus, so the width is scale-adaptive by construction (and capped
+#: at defaultParallelism).
+EXPR_BYTES_PER_TASK = 128 << 10
+
+#: bytes of input per task for CODEC-heavy paths (fused OCR/render
+#: UDFs): each input byte expands into ~100× of raster work, so the
+#: right width is the full core count almost immediately.
+HEAVY_BYTES_PER_TASK = 8 << 10
+
+
+def _spread_width(total_bytes: int, cores: int, heavy: bool) -> int:
+    per = HEAVY_BYTES_PER_TASK if heavy else EXPR_BYTES_PER_TASK
+    return max(1, min(cores, -(-total_bytes // per)))
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        if path.startswith("file:"):
+            path = path[5:]
+        if not os.path.isabs(path):
+            return None
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
+def spread(df: DataFrame, heavy: bool = False) -> DataFrame:
+    """Repartition `df` to a work-proportional width iff its scan is
+    narrower than that — the single-row-group-input fix; a no-op on
+    inputs that already scan wide. `heavy=True` marks codec-UDF
+    consumers (per-byte work ~100× an expression pipeline), which go to
+    the full core count at any non-trivial size. Streaming frames pass
+    through untouched."""
     if getattr(df, "isStreaming", False):
         return df
     spark = df.sparkSession
@@ -87,4 +134,8 @@ def spread(df: DataFrame, min_rows_per_part: int | None = None) -> DataFrame:
             return df
     if cur >= n:
         return df
-    return df.repartition(n)
+    bts = _input_bytes(df)
+    target = n if bts is None else _spread_width(bts, n, heavy)
+    if cur >= target:
+        return df
+    return df.repartition(target)

@@ -232,7 +232,7 @@ def extract_spans(
         # buys the whole cluster for the decode stage.
         from .partitioning import spread
 
-        matched = spread(matched)
+        matched = spread(matched, heavy=True)
         # anti-join against the PRUNED ref column (scan never reads
         # content here); no broadcast hint — AQE picks broadcast while
         # the ref set fits, shuffle of just the refs when it doesn't

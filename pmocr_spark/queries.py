@@ -50,22 +50,50 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SCAN_PARTS: dict[tuple, int] = {}
 
 
-def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _ts(spark: SparkSession, sf_dir: str, name: str, heavy: bool = False) -> DataFrame:
     """_t + the guide-§2.5 input-skew fix: the sf tables are single-
     row-group parquet files, which scan as ONE task regardless of split
     config — every map-side stage upstream of the first exchange (codec
     UDF chains, in-row token/array expressions, explode map sides) then
-    runs on one core. Round-robin repartition to defaultParallelism,
-    applied ONLY when the scan is narrower than the core count; at real
-    scale (>= cores row groups) this is a no-op and adds no exchange."""
+    runs on one core. Round-robin repartition to a WORK-PROPORTIONAL
+    width (partitioning._spread_width: input bytes / per-task budget,
+    capped at defaultParallelism; `heavy` marks codec-UDF consumers
+    whose per-byte work is ~100× an expression pipeline), applied ONLY
+    when the scan is narrower; at real scale (>= cores row groups) this
+    is a no-op and adds no exchange. Measured round 6: full-width
+    spread of a 584 KB scan DOUBLED q24/q44 (hundreds of ~40 ms tasks
+    under host throttle) while the proportional width keeps the
+    single-task map fix without the task flood."""
+    from .partitioning import _spread_width
+
     df = _t(spark, sf_dir, name)
     sc = spark.sparkContext
     key = (sc.applicationId, sf_dir, name)
-    n = _SCAN_PARTS.get(key)
-    if n is None:
-        n = _SCAN_PARTS[key] = _scan_parts_upper(spark, f"{sf_dir}/{name}.parquet")
-    if n < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    got = _SCAN_PARTS.get(key)
+    if got is None:
+        import os as _os
+
+        p = f"{sf_dir}/{name}.parquet"
+        try:
+            if _os.path.isdir(p):
+                bts = sum(
+                    e.stat().st_size
+                    for e in _os.scandir(p)
+                    if e.is_file() and not e.name.startswith(("_", "."))
+                )
+            else:
+                bts = _os.path.getsize(p)
+        except OSError:
+            bts = None
+        got = _SCAN_PARTS[key] = (
+            _scan_parts_upper(spark, p),
+            bts,
+        )
+    n_parts, bts = got
+    cores = sc.defaultParallelism
+    target = cores if bts is None else _spread_width(bts, cores, heavy)
+    if n_parts < target:
+        return df.repartition(target)
     return df
 
 
@@ -637,7 +665,7 @@ def _shingles_df(spark, sf_dir, max_doc: int | None = None, distinct: bool = Tru
     groupBy(doc_id) signature agg's map-side combiner absorbs the
     duplicates for free. (Both DuckDB oracles already state the
     matching semantics: q17's CTE dedups, q18's does not.)"""
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
     sh = _ngram_rows(d, 3, "shingle")
@@ -797,7 +825,7 @@ def q16_dedup_exact(spark, sf_dir):
     from pmocr_spark.functions import canonical_url
     from pmocr_spark.operators.substring_dedup import substring_dedup
 
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     doc = d.groupBy(F.md5(F.col("text").cast("binary")).alias("key")).agg(
         F.min("doc_id").alias("doc_id"),
         F.count("*").alias("n"),
@@ -987,7 +1015,7 @@ def q17_ngram_jaccard(spark, sf_dir):
     # never doc×doc. This is the candidate generator that beats LSH
     # when near-dups share a sort prefix (crawl snapshots, versioned
     # pages) because it costs one sort and zero signature passes.
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     toks = _toks_col()
     keyed = d.filter(F.size(toks) >= 3).select(
         "doc_id", F.concat_ws(" ", F.slice(toks, 1, 3)).alias("k")
@@ -1277,7 +1305,7 @@ def q19_simhash(spark, sf_dir):
     token rows (one shuffle on doc_id, map-side partial agg), not an
     exploded (doc_id, bit) row set — the row-per-bit variant amplifies
     the token table 16x through two shuffles for identical results."""
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(_toks_col()).alias("t")
     ).select("doc_id", F.md5(F.col("t").cast("binary")).alias("h"))
@@ -2145,7 +2173,7 @@ def _bm25_ix(spark, sf_dir):
 
     postings = _cached_df(
         spark, sf_dir, "documents.parquet", "bm25_postings",
-        lambda: build_index(_ts(spark, sf_dir, "documents"))["postings"],
+        lambda: build_index(_t(spark, sf_dir, "documents"))["postings"],
     )
     # postings carries dl denormalized (round 6); df/stats re-derive with
     # one Heaps-small agg each — df stays term-keyed (vocab-sized, auto-
@@ -2521,9 +2549,7 @@ def q22_ann_ivf(spark, sf_dir):
             "cluster_id",
         )
     )
-    dot = F.aggregate(
-        F.zip_with("qe", "ce2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    dot = F.expr("aggregate(zip_with(qe, ce2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     sims = c.join(F.broadcast(q), "cluster_id").select(
         "query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn2"))).alias("sim")
     )
@@ -2899,7 +2925,7 @@ def q24_quality_score(spark, sf_dir):
     (the synthetic corpus is unpunctuated — one sentence per doc,
     degenerate but correct; real text exercises the full formula).
     Pure map-side expressions, zero additional shuffles."""
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     lt = F.lower(F.col("text"))
     f = d.select(
         "doc_id",
@@ -3312,7 +3338,7 @@ def q26_fingerprint(spark, sf_dir):
     shared_fingerprint_pairs), never doc x doc."""
     from .operators.winnow import winnow_fingerprints
 
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.posexplode(_toks_col()).alias("pos", "t"))
     tokval = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 7), 16, 10).cast("long")
     rolling = tok.groupBy("doc_id").agg(
@@ -3720,7 +3746,7 @@ def q27_media_roundtrip(spark, sf_dir):
             [codecs.recognize_words(b) for b in blobs], dtype=object
         )
 
-    d = _ts(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents", heavy=True)
     clean = F.trim(F.regexp_replace("text", "[^ -~]", ""))
     neg1 = F.lit(-1).cast("long")
     enc = d.select("doc_id", encode_blob(clean).alias("content"))
@@ -4886,25 +4912,26 @@ def q33_ann_ivf_kmeans(spark, sf_dir):
         # map-side argmax assignment (_argmax_assign): each Lloyd pass
         # is now shuffle-free — the old crossJoin+Window shape paid an
         # 8x row blowup plus one Window(vec_id) exchange PER ITERATION
-        cnrm = F.sqrt(
-            F.aggregate(F.transform("ce", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        cnrm = F.expr(
+            "sqrt(aggregate(transform(ce, x -> x * x), 0D, (acc, x) -> acc + x))"
         )
         return _argmax_assign(
             v,
             cent.select(F.col("cid").alias("cent_id"), "ce", cnrm.alias("cn")),
         )
 
+    # one F.expr parse for the 64 per-dimension means (the F.array of 64
+    # Column objects cost ~400 py4j round trips per Lloyd iteration)
+    _mean_arr = F.expr(
+        "array(" + ", ".join(f"round(avg(e[{i}]), 6)" for i in range(_EMB_DIM)) + ")"
+    )
     cent = v.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
     for _ in range(_KMEANS_ITERS):
         assign = assign_to(cent)
         cent = (
             v.join(assign, "vec_id")
             .groupBy(F.col("cluster_id").alias("cid"))
-            .agg(
-                F.array(
-                    *[F.round(F.avg(F.col("e")[i]), 6) for i in range(_EMB_DIM)]
-                ).alias("ce")
-            )
+            .agg(_mean_arr.alias("ce"))
             # truncate the iterative lineage: without this, every later
             # reference to cent re-runs ALL prior assignment rounds
             # (measured ~1.7x the query time); the frame is n_cent rows
@@ -4925,9 +4952,7 @@ def q33_ann_ivf_kmeans(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce2"), F.col("nrm").alias("cn2"),
         "cluster_id",
     )
-    dot = F.aggregate(
-        F.zip_with("qe", "ce2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    dot = F.expr("aggregate(zip_with(qe, ce2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     sims = c.join(F.broadcast(q), "cluster_id").select(
         "query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn2"))).alias("sim")
     )
@@ -6626,7 +6651,7 @@ def q41_repetition_quality(spark, sf_dir):
     near-unique (doc_id, gram) keys, one duplicated-gram semi-join back
     to positions, and a distinct over covered positions — every shuffle
     key is doc-local so nothing skews. No Python anywhere."""
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     base = d.select("doc_id", _toks_col().alias("w"))
     nw = F.size("w")
     g = (
@@ -7226,7 +7251,7 @@ def q44_bigram_lm_topk(spark, sf_dir):
     (distinct bigrams), and the final collect is 40 rows."""
     from .operators.bpe import initial_symbols, pair_counts, word_freqs
 
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     # the full bigram-count table now feeds TWO arms (word top-20 and
     # the tenth-pass PMI collocations) — cache it so the corpus
     # bigram-izes once; it is Heaps-law-small after the agg
@@ -7565,7 +7590,7 @@ def q45_contamination(spark, sf_dir):
     broadcast — the corpus side streams map-only through the hash join,
     then one groupBy(doc_id). distinct-per-doc n-grams bound the join
     fan-out per row; never doc x doc."""
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     grams = _ngram_rows(d, 4, "ng").distinct()
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
     return (
@@ -7741,7 +7766,7 @@ def q46_pack_sequences(spark, sf_dir):
     come from actual partition totals and doc_id is unique. The chunk
     arm is pure map (explode bounded by doc_len / chunk_tokens) — it
     adds ZERO exchanges to the family plan."""
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),

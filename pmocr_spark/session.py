@@ -29,6 +29,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # round 6: let AQE re-optimize CACHED plans too. Off (default),
+        # every persisted intermediate materializes with the raw
+        # shuffle-partition count (32 here) even when it holds a few
+        # hundred KB, and every consumer stage then pays 32 near-empty
+        # tasks; on, the cache inherits AQE's coalesced partitioning —
+        # data-proportional at any scale (SPARK-35332 / SPARK-38697).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # media blobs are O(KB); large Arrow batches amortize the Python
