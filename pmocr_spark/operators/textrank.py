@@ -161,7 +161,14 @@ def sentence_rank(
     # the iter_checkpoint discipline every other iterative operator uses.
     from .graph import iter_checkpoint
 
+    pre = out  # pre-materialization lineage, kept for plan-shape tests
     out = iter_checkpoint(out)
+    # the checkpoint truncates the plan, so downstream family pins no
+    # longer see this arm's joins; tests pin the REAL plan through this
+    # seam instead (ADVICE r6: the q44 family budget was loosened to
+    # admit this arm — now it is pinned separately and the family
+    # budget re-tightened)
+    out._textrank_pre_checkpoint = pre
     nodes.unpersist()
     edges.unpersist()
     return out

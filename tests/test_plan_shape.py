@@ -279,7 +279,13 @@ def test_q44_topk_no_global_sort(spark):
     # iterations, per-doc work bounded by (sentences/doc)^2 — and the
     # rake arm's 2 (the phrase-id Window(doc_id) scan, which every
     # later agg/join reuses, + its rank window)
-    assert shape.count_exchanges(df) <= 36, plan
+    # round 6 (ADVICE r5 #3): the textrank arm materializes at
+    # construction (cache-leak fix) and is pinned SEPARATELY below
+    # (test_textrank_arm_plan), so the family budget re-tightens to the
+    # non-textrank arms' own count — a new SMJ or stray exchange in the
+    # collocation/tfidf/zipf arms fails again instead of hiding in the
+    # old 36/9 slack
+    assert shape.count_exchanges(df) <= 26, plan
     # the tfidf idf join must broadcast the vocabulary side, never
     # shuffle the corpus-sized tf table on term
     assert "BroadcastHashJoin" in plan, plan
@@ -290,12 +296,40 @@ def test_q44_topk_no_global_sort(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin Inner" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin Cross") <= 4, plan
-    # SortMergeJoins belong ONLY to the textrank graph arm, where both
-    # sides are corpus-sized doc-local tables (broadcast impossible and
-    # SMJ is the right physical choice); the collocation margin joins
-    # and every other vocab-sized join must still broadcast, so the
-    # SMJ census is pinned at the textrank arm's own join count
-    assert plan.count("SortMergeJoin") <= 9, plan
+    # every vocab-sized join (collocation margins, tfidf df, spell
+    # variants) must broadcast; the textrank SMJs live behind the
+    # checkpoint and have their own pin
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_textrank_arm_plan(spark):
+    """ADVICE r5 #3: the textrank arm's plan, pinned on its own (the
+    q44 family pin no longer sees it behind the construction-time
+    checkpoint). SMJs are allowed ONLY for the sentence-token self-join
+    and the per-iteration score joins — all doc_id-prefixed keys; no
+    cartesian, no nested-loop, and the window spec stays
+    doc-partitioned."""
+    import re
+
+    from pmocr_spark.operators.textrank import sentence_rank
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta. beta gamma? epsilon zeta beta gamma.") for i in range(40)],
+        "doc_id long, text string",
+    )
+    scored = sentence_rank(docs)
+    pre = scored._textrank_pre_checkpoint
+    plan = shape.formatted_plan(pre)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # graph build (token self-join) + wj attach + 2 power iterations'
+    # score joins + the final sentence attach: bound the SMJ census so
+    # a new accidental join shape fails here, not in the family slack
+    # (count distinct operator headers — the formatted text repeats
+    # each node in tree + details sections)
+    smj_nodes = set(re.findall(r"\((\d+)\) SortMergeJoin", plan))
+    assert len(smj_nodes) <= 10, plan
+    assert shape.count_exchanges(pre) <= 14, plan
 
 
 def test_q45_contamination_broadcasts_benchmark(spark):

