@@ -183,45 +183,47 @@ def learn_bpe(
     )
     if vocab_partitions is not None:
         sy = sy.coalesce(vocab_partitions)
-    sy = iter_checkpoint(sy, reliable)
+    if reliable is None:
+        import os as _os
+
+        reliable = _os.environ.get("PMOCR_RELIABLE_CHECKPOINT", "").lower() in (
+            "1", "true", "yes",
+        )
+    # round 6: LAZY localCheckpoint per merge (eager=False) — the next
+    # iteration's argmax collect is the materializing action, so the
+    # old eager materialization job per merge was pure scheduling
+    # overhead (2 jobs/merge -> 1), while the checkpoint still
+    # truncates the fold lineage every merge (a 200-merge CLI training
+    # run must not nest 200 aggregate() folds in one plan). The
+    # reliable/cluster path keeps eager fault-tolerant checkpoints.
+    sy = iter_checkpoint(sy, True) if reliable else sy.localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
-    # round 6: persist-chain the per-merge rewrites and localCheckpoint
-    # only every _CKPT_EVERY iterations. iter_checkpoint's EAGER
-    # materialization job per merge was pure scheduling overhead (the
-    # argmax collect of the next iteration materializes the persisted
-    # frame anyway); periodic checkpoints still bound plan depth, so a
-    # 200-merge CLI training run cannot grow an O(n)-nested fold plan.
-    _CKPT_EVERY = 4
-    pending: list[DataFrame] = []
+    prev: DataFrame | None = None
     try:
-        for i in range(n_merges):
+        for _ in range(n_merges):
             top = (
                 pair_counts(sy)
                 .orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
                 .limit(1)
                 .collect()
             )
-            # sy is materialized now: frames persisted in earlier rounds
-            # are safe to release
-            for p in pending:
-                p.unpersist()
-            pending.clear()
+            # the collect materialized sy's (lazy) checkpoint blocks, so
+            # ITS parent is now safe to release — releasing earlier
+            # would discard blocks an unmaterialized child still needs
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top or top[0]["cnt"] < min_count:
                 break
             left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
             merges.append((left, right, cnt))
             nxt = apply_merge(sy, left, right)
-            if (i + 1) % _CKPT_EVERY == 0:
-                nxt = iter_checkpoint(nxt, reliable)
-                sy.unpersist()
-            else:
-                nxt = nxt.persist()
-                pending.append(sy)
-            sy = nxt
+            nxt = iter_checkpoint(nxt, True) if reliable else nxt.localCheckpoint(eager=False)
+            prev, sy = sy, nxt
     finally:
         sy.unpersist()
-        for p in pending:
-            p.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

@@ -126,25 +126,21 @@ def connected_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    # round 6: persist-chain the rounds instead of an EAGER
-    # localCheckpoint per round — the convergence agg below materializes
-    # each round's cache anyway, so the eager pass was one
-    # pure-scheduling job per round (2 jobs/round -> 1). A real
-    # checkpoint still lands every _CC_CKPT rounds to bound plan depth;
-    # the reliable (cluster) path keeps its checkpoint-per-round
-    # fault-tolerance contract unchanged.
-    _CC_CKPT = 3
-    e = iter_checkpoint(base, True) if reliable else base.persist()
+    # round 6: LAZY localCheckpoint per round (eager=False) — the
+    # convergence agg below is the materializing action, so the eager
+    # materialization pass the old code ran per round was one
+    # pure-scheduling job (2 jobs/round -> 1), while the checkpoint
+    # still truncates lineage every round (a persist-chain instead
+    # compounds the star plans ~6x per round: each round references its
+    # parent 3-6 times, and the q50 plan grew to ~576k lines before
+    # this was caught). The reliable (cluster) path keeps its eager
+    # fault-tolerant checkpoint-per-round contract unchanged.
+    e = iter_checkpoint(base, True) if reliable else base.localCheckpoint(eager=False)
     prev_sig: tuple | None = None
     converged = False
     for i in range(max_rounds):
         ne = _small_star(_large_star(e))
-        if reliable:
-            ne = iter_checkpoint(ne, True)
-        elif (i + 1) % _CC_CKPT == 0:
-            ne = iter_checkpoint(ne, False)
-        else:
-            ne = ne.persist()
+        ne = iter_checkpoint(ne, True) if reliable else ne.localCheckpoint(eager=False)
         # pmod keeps each term < 2^31 so the sum can't overflow a long
         # under ANSI mode before ~2^32 edges (and the count would differ
         # long before a modular-sum collision mattered)
