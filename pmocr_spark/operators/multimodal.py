@@ -503,19 +503,25 @@ def banded_hamming_pairs(
     hb = hashed.select("media_ref", "ph", bandcol).select(
         "media_ref", "ph", "b.band", "b.key"
     )
-    hot = (
-        hb.groupBy("band", "key")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > HOT_BUCKET_CAP)
-    )
+    # per-(band, key) member count via a WINDOW over the same shuffle
+    # the self-join needs anyway — NOT a separate counts agg + joins:
+    # that shape broke exchange reuse and recomputed the (expensive)
+    # hash UDF once per branch (measured: 3 redundant full passes).
+    # Here every branch below descends from ONE exchange subtree, so
+    # the hash computes once and Spark reuses the shuffle; the window
+    # itself adds no exchange beyond the join's own (band, key) one.
+    from pyspark.sql import Window
 
-    hb_cold = hb.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    hbw = hb.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band", "key"))
+    )
+    c = hbw.filter(F.col("_n") <= HOT_BUCKET_CAP)
     cold = (
-        hb_cold.select(
+        c.select(
             F.col("media_ref").alias("ref_a"), F.col("ph").alias("ph_a"), "band", "key"
         )
         .join(
-            hb_cold.select(
+            c.select(
                 F.col("media_ref").alias("ref_b"), F.col("ph").alias("ph_b"), "band", "key"
             ),
             ["band", "key"],
@@ -525,14 +531,15 @@ def banded_hamming_pairs(
     )
     # hot path: block split. g is per-key (ceil(n/CAP), capped); the
     # left replication fans a row out across its block ROW (bi = own
-    # block, bj = 0..g-1) and the right across its block COLUMN — both
-    # from the same exploded frame, so the construction below attaches
-    # BOTH coordinate layouts and pairs_of joins them on the full
-    # (band, key, bi, bj) key.
+    # block, bj = 0..g-1) and the right across its block COLUMN, and
+    # the join key becomes (band, key, bi, bj) — pair (a, b) meets in
+    # exactly one cell, so the candidate set is IDENTICAL to the
+    # unsplit join. Only hot-bucket rows (frequency-capped by
+    # definition) pay the extra block shuffle.
     g = F.least(
         F.ceil(F.col("_n") / F.lit(HOT_BUCKET_CAP)), F.lit(MAX_BLOCK_SPLIT)
     ).cast("int")
-    hotm = hb.join(F.broadcast(hot), ["band", "key"]).withColumn(
+    hotm = hbw.filter(F.col("_n") > HOT_BUCKET_CAP).withColumn(
         "_g", F.pmod(F.xxhash64("media_ref"), g).cast("int")
     ).withColumn("_gn", g)
     hot_left = hotm.select(

@@ -86,12 +86,21 @@ def test_q20_neardup_no_nested_loop(spark):
 
 def test_ivf_assign_no_window(spark):
     """Round-4 argmax assignment: nearest-centroid assignment is a pure
-    map (array_max over a broadcast centroid array), so q20 — whose only
-    window before was the assignment's rn=1 — must plan with ZERO Window
-    operators. The old crossJoin+Window shape shuffled k x corpus rows
-    per assignment pass."""
+    map (array_max over a broadcast centroid array), so q20 must never
+    re-grow the old crossJoin+Window assignment shape (it shuffled
+    k x corpus rows per pass). Round 6: the ONE window now allowed is
+    banded_hamming_pairs' hot-bucket counter, partitioned by
+    (band, key) — it rides the exact shuffle the candidate join needs
+    anyway; any OTHER window (esp. a vec_id-partitioned rank) is the
+    regression this test exists for."""
+    import re
+
     plan = shape.formatted_plan(QUERY_FNS["q20_embedding_neardup"](spark, SF))
-    assert "Window" not in plan, plan
+    for block in re.split(r"\n\n", plan):
+        first = block.splitlines()[0] if block else ""
+        if re.match(r"\(\d+\) Window", first.strip()):
+            assert "band" in block and "key" in block, block
+            assert "vec_id" not in block, block
 
 
 def test_shingles_no_window_exchange(spark):
