@@ -552,16 +552,31 @@ def banded_hamming_pairs(
         F.explode(F.sequence(F.lit(0), F.col("_gn") - 1)).alias("bi"),
         F.col("_g").alias("bj"),
     )
+    # the EXPLICIT repartition on the full block key is load-bearing:
+    # upstream both sides are hash-partitioned by (band, key) (the
+    # window's shuffle), which already CLUSTERS every (band, key, bi,
+    # bj) cell — so the join planner happily runs without an exchange
+    # (or with a broadcast) and the whole hot bucket's n² pair work
+    # lands back on the one task that owns its (band, key) partition
+    # (measured at 10×: a 184 s straggler, p95/p50 ≈ 205). Forcing the
+    # 4-column hash distribution spreads the g×g cells across the
+    # cluster, which is the entire point of the block split.
+    # explicit partition count: block cells are tiny in BYTES but carry
+    # up to CAP² comparisons of CPU each — AQE's byte-based coalescing
+    # (which applies when repartition has no explicit N) would clump
+    # many cells back into few tasks
+    npart = int(hashed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     hot_pairs = (
         hot_left.select(
             F.col("media_ref").alias("ref_a"), F.col("ph").alias("ph_a"),
             "band", "key", "bi", "bj",
         )
+        .repartition(npart, "band", "key", "bi", "bj")
         .join(
             hot_right.select(
                 F.col("media_ref").alias("ref_b"), F.col("ph").alias("ph_b"),
                 "band", "key", "bi", "bj",
-            ),
+            ).repartition(npart, "band", "key", "bi", "bj"),
             ["band", "key", "bi", "bj"],
         )
         .filter(F.col("ref_a") < F.col("ref_b"))
