@@ -127,16 +127,21 @@ def score_pairs(
     _score_topk, exposed so callers that rank the SAME query set at
     different depths (q21's bm25 top-5 and hybrid top-50 arms) can
     share one scoring pass instead of re-running the postings join."""
-    qt = queries
+    # Round 6 (guide §2.3/§3.1): enrich the TINY query side with df and
+    # the 1-row stats BEFORE touching postings — the postings-side
+    # pipeline then pays exactly ONE broadcast join instead of three
+    # (qt, df, stats), and the full vocab-sized df table never has to
+    # broadcast: only the <=|query terms| matched df rows ride along.
+    # Inner joins commute, so the result set and the integer arithmetic
+    # are unchanged (a query term absent from df matched no postings
+    # before; now it is dropped one join earlier).
+    qt = (
+        queries.join(ix["df"], "term")
+        .crossJoin(F.broadcast(ix["stats"]))
+    )
     if max_df_frac is not None:
-        cap = ix["stats"].select(
-            (F.col("n_docs") * F.lit(max_df_frac)).alias("df_cap")
-        )
-        qt = (
-            qt.join(ix["df"], "term")
-            .crossJoin(F.broadcast(cap))
-            .filter(F.col("df") <= F.col("df_cap"))
-            .select("query_id", "term")
+        qt = qt.filter(
+            F.col("df") <= F.col("n_docs") * F.lit(max_df_frac)
         )
     post = ix["postings"]
     if "dl" not in post.columns:  # pre-round-6 persisted index: join dl back
@@ -144,8 +149,6 @@ def score_pairs(
     return (
         post
         .join(F.broadcast(qt), "term")
-        .join(ix["df"], "term")
-        .crossJoin(F.broadcast(ix["stats"]))
         .select("query_id", "doc_id", score_u_col())
         .groupBy("query_id", "doc_id")
         .agg(F.sum("score_u").alias("score_u"))
@@ -256,30 +259,41 @@ def write_text_index(docs: DataFrame, path: str, mode: str = "overwrite",
 
     spark = docs.sparkSession
     ix = build_index(docs, text_col)
-    # ONE corpus tokenization per invocation: dl/df/stats and all three
-    # writes derive from the postings frame — persist it so the
-    # explode+agg runs once, not four times
-    ix["postings"].persist()
-    st = ix["stats"].collect()[0]
-    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"] or 0)
+    # sidecar/params check FIRST: a bad append must fail before any
+    # subtable write lands rows in the index directory
+    meta0 = None
     if mode == "append":
-        meta = _ckpt.read_sidecar(spark, path, _META_NAME)
-        if meta is None:
+        meta0 = _ckpt.read_sidecar(spark, path, _META_NAME)
+        if meta0 is None:
             raise ValueError(
                 f"text index at {path} has no {_META_NAME} sidecar — append "
                 "requires an index built by write_text_index."
             )
-        _check_params(meta, path)
-        meta = {**meta, "n_docs": meta["n_docs"] + n_docs,
-                "sum_dl": meta["sum_dl"] + sum_dl}
+        _check_params(meta0, path)
+    # ONE corpus tokenization per invocation (round 6): write postings
+    # first (materializing the persisted frame), then derive dl/df/stats
+    # from the CACHE — `dl` rides denormalized on every postings row, so
+    # per-doc max(dl) == sum(tf) and per-term count(*) == df exactly.
+    # Before this, dl/df/stats re-derived from the unpersisted tokenize
+    # subtree: four corpus passes per build.
+    wmode = "append" if mode == "append" else "overwrite"
+    post = ix["postings"].persist()
+    post.write.mode(wmode).parquet(f"{path}/postings")
+    dl_w = post.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    df_w = post.groupBy("term").agg(F.count("*").alias("df"))
+    st = dl_w.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"] or 0)
+    dl_w.write.mode(wmode).parquet(f"{path}/dl")
+    df_w.write.mode(wmode).parquet(f"{path}/df")
+    post.unpersist()
+    if meta0 is not None:
+        meta = {**meta0, "n_docs": meta0["n_docs"] + n_docs,
+                "sum_dl": meta0["sum_dl"] + sum_dl}
     else:
         meta = {"tokenizer": _TOKENIZER, "k1": K1, "b": B,
                 "n_docs": n_docs, "sum_dl": sum_dl}
-    wmode = "append" if mode == "append" else "overwrite"
-    ix["postings"].write.mode(wmode).parquet(f"{path}/postings")
-    ix["dl"].write.mode(wmode).parquet(f"{path}/dl")
-    ix["df"].write.mode(wmode).parquet(f"{path}/df")
-    ix["postings"].unpersist()
     _ckpt.write_sidecar(spark, path, _META_NAME, meta)
     return meta
 
